@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Dev-only pre-flight mirror of the driver's DuckDB correctness gate.
+
+Usage: python3 scripts/dev_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over the sfDir
+parquet tables, and compares schema + row-for-row values.
+NOT part of the engine — local verification tooling only.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{d}"))
+    n_pass = n_fail = n_noora = 0
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+        if name not in oracle:
+            print(f"ROWS {name}: {got.num_rows} rows (no oracle)"); n_noora += 1
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        gs = sorted((f.name, str(f.type)) for f in got.schema)
+        es = sorted((f.name, str(f.type)) for f in exp.schema)
+        if gs != es:
+            print(f"FAIL {name}: schema\n  spark={gs}\n  duck ={es}")
+            n_fail += 1; continue
+        cols = sorted(got.schema.names)
+        g = got.select(cols).to_pylist()
+        e = exp.select(cols).to_pylist()
+        if g != e:
+            print(f"FAIL {name}: values differ (spark {len(g)} rows, duck {len(e)} rows)")
+            for i, (a, b) in enumerate(zip(g, e)):
+                if a != b:
+                    print(f"  first diff row {i}:\n   spark={a}\n   duck ={b}")
+                    break
+            n_fail += 1; continue
+        print(f"PASS {name}: {got.num_rows} rows")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} rows-only")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

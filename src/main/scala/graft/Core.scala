@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** One operator demo: a Spark-first DataFrame build plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query.
+  *
+  * Conventions that keep Spark and the DuckDB oracle hash-identical:
+  *   - every query ends in a total ORDER BY (unique key set) so row order
+  *     is deterministic on both engines;
+  *   - money doubles are cast to DECIMAL(18,2) *before* aggregation so
+  *     sums are exact integers-of-cents (no float summation-order drift);
+  *   - averages are computed as CAST(exact-decimal-sum AS DOUBLE)/count —
+  *     a single IEEE division is bit-identical on both engines;
+  *   - oracle SQL casts DuckDB's wider result types (HUGEINT sums, BIGINT
+  *     year()/length()/rank()) down to Spark's (BIGINT/INT).
+  */
+final case class OpQuery(
+    name: String,
+    oracle: Option[String],
+    build: (SparkSession, String) => DataFrame)
+
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Path-addressed parquet scan; Catalyst pushes filters/pruning into it.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; we read it as raw nanos (legacy conf) and
+    * surface it as a microsecond TimestampType column — the same
+    * truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Register all fixture tables as temp views for spark.sql queries. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+object Cols {
+  /** Exact money type: the fixtures' doubles carry <=2 decimals, so this
+    * cast is lossless and makes all downstream agg arithmetic exact. */
+  val Money: DecimalType = DecimalType(18, 2)
+
+  def dec(c: Column): Column = c.cast(Money)
+
+  /** Normalize an aggregated decimal back to the canonical money type
+    * (Spark widens sum(decimal(18,2)) to decimal(28,2)). */
+  def money(c: Column): Column = c.cast(Money)
+
+  /** Deterministic average: exact decimal sum, one double division. */
+  def avgExact(sumDec: Column, cnt: Column): Column =
+    sumDec.cast(DoubleType) / cnt
+}
