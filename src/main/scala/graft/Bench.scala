@@ -1,24 +1,34 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — prints ONE JSON line with per-query seconds.
+  *
+  * Protocol mirrors the reference (TPCDSBenchmark.scala:84-108): warmup,
+  * then every query in sorted order × N iterations, per-query median,
+  * total = sum of medians. Queries are fully materialized through the
+  * noop sink (count() would let Catalyst prune projections and
+  * under-measure).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    Harness.warmup(spark)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = Harness.runQueries(spark, sfDir, queries, iterations)
+    results.filterNot(_.ok).foreach(r =>
+      System.err.println(s"[bench] ${r.name} failed: ${r.errorOpt.get}"))
+    println(Harness.reportJson(results, sfDir))
     spark.stop()
   }
 }

@@ -11,7 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def all: Seq[OpQuery] = Seq(
-    operators.Relational.defs
+    operators.Relational.defs,
+    operators.TextAnalysis.defs,
+    operators.Sessions.defs,
+    operators.Dedup.defs,
+    operators.Similarity.defs
   ).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

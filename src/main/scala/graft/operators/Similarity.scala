@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{OpQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two paths:
+  *   - brute-force cosine top-k (the correctness baseline): broadcast the
+  *     (tiny) probe set against the candidate corpus — one scan of the
+  *     corpus, no |corpus|² blow-up, scales linearly with candidates;
+  *   - sign-LSH (random-hyperplane) bucketing (the 100 TB path): each
+  *     vector maps row-locally to a bucket id; probes only score
+  *     candidates in their own bucket, cutting the scan by the bucket
+  *     fan-out. Hyperplanes are seeded-deterministic literals compiled
+  *     into the plan (broadcast implicitly with the closure).
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + x * x))"))
+
+  private def cosine(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a.v, $b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)") /
+      (col(s"$a.norm") * col(s"$b.norm"))
+
+  // Brute-force top-10 cosine neighbors for probe vectors (vec_id < 5).
+  private val bruteTopk = OpQuery(
+    "simsearch_topk",
+    Some("""
+      SELECT probe_id, neighbor_id, sim, CAST(rn AS INT) AS rank FROM (
+        SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                          b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 5)
+      WHERE rn <= 10
+      ORDER BY probe_id, rank
+    """),
+    (s, d) => {
+      val e = emb(s, d)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("v"), col("norm")).as("a")
+      val cand = e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")).as("b")
+      val sim = round(
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)") /
+          (col("a.norm") * col("b.norm")), 6)
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      cand.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"), sim.as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy("probe_id", "rank")
+    })
+
+  /** Seeded deterministic hyperplanes: 4 planes × 64 dims → 16 buckets. */
+  private[operators] def hyperplanes(nPlanes: Int = 4, dims: Int = 64): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Seq.fill(dims)(rnd.nextGaussian()))
+  }
+
+  /** Row-local sign-LSH bucket id of vector column `v`. The `D` suffix
+    * keeps Spark SQL from parsing plane weights as DECIMAL literals. */
+  private[operators] def bucketCol(planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val arr = p.map(x => s"${x}D").mkString("array(", ",", ")")
+      val dot = expr(
+        s"aggregate(zip_with(v, $arr, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)")
+      when(dot > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  // LSH-bucketed ANN: probes score only their own bucket's candidates.
+  // Spark-only determinism (seeded Scala hyperplanes) → rows-only check.
+  private val lshTopk = OpQuery(
+    "simsearch_lsh",
+    None,
+    (s, d) => {
+      val planes = hyperplanes()
+      val e = emb(s, d).withColumn("bucket", bucketCol(planes))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("v"), col("norm"), col("bucket")).as("a")
+      val cand = e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm"),
+        col("bucket").as("cbucket")).as("b")
+      val sim = round(cosine("a", "b"), 6)
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      cand.join(broadcast(probes),
+          col("bucket") === col("cbucket") && col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"), sim.as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("probe_id", "rank")
+    })
+
+  // Per-label centroids (posexplode → (label, dim) partial agg) and each
+  // vector's cosine against its own centroid — the IVF building block.
+  private val centroids = OpQuery(
+    "embedding_centroid_sim",
+    Some("""
+      WITH c AS (
+        SELECT label, dim, SUM(x) / COUNT(*) AS cx
+        FROM (SELECT label, unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY label, dim),
+      n AS (
+        SELECT e.vec_id, e.label,
+               SUM(CAST(e.embedding[dim] AS DOUBLE) * cx) AS dot,
+               sqrt(SUM(CAST(e.embedding[dim] AS DOUBLE) * CAST(e.embedding[dim] AS DOUBLE))) AS vn,
+               sqrt(SUM(cx * cx)) AS cn
+        FROM embeddings e JOIN c ON e.label = c.label
+        GROUP BY e.vec_id, e.label)
+      SELECT vec_id, label, round(dot / (vn * cn), 4) AS centroid_sim
+      FROM n
+      ORDER BY vec_id
+    """),
+    (s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      val flat = e.select(col("vec_id"), col("label"),
+        posexplode(col("v")).as(Seq("dim0", "x")))
+        .withColumn("dim", col("dim0") + 1).drop("dim0")
+      val cent = flat.groupBy("label", "dim")
+        .agg((sum(col("x")) / count(lit(1))).as("cx"))
+      flat.join(cent, Seq("label", "dim"))
+        .groupBy("vec_id", "label")
+        .agg(
+          sum(col("x") * col("cx")).as("dot"),
+          sqrt(sum(col("x") * col("x"))).as("vn"),
+          sqrt(sum(col("cx") * col("cx"))).as("cn"))
+        .select(col("vec_id"), col("label"),
+          round(col("dot") / (col("vn") * col("cn")), 4).as("centroid_sim"))
+        .orderBy("vec_id")
+    })
+
+  val defs: Seq[OpQuery] = Seq(bruteTopk, lshTopk, centroids)
+}

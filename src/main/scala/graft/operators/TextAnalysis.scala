@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.{OpQuery, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Text-analysis pipeline ops over the `documents` table: token stats,
+  * language identification, quality scoring, document fingerprinting,
+  * corpus term frequencies.
+  *
+  * All per-document computation is row-local (no shuffle); only the
+  * corpus-level term-frequency op aggregates, and that is a standard
+  * partial-agg groupBy. Everything here holds at 100 TB: the ops scale
+  * linearly and shuffle at most (token, count) pairs.
+  */
+object TextAnalysis {
+
+  // DuckDB mirrors of the Scala column builders (Core.scala conventions:
+  // every DuckDB-widened type cast down to Spark's).
+  private def duckTokens = "string_split(lower(text), ' ')"
+  private def duckClean = "regexp_replace(lower(text), '[^a-z ]', '', 'g')"
+  private def duckFp =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(
+       |      list_filter(string_split($duckClean, ''), c -> c <> ''),
+       |      c -> unicode(c))),
+       |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+
+  private val tokenStats = OpQuery(
+    "text_token_stats",
+    Some(s"""
+      SELECT doc_id,
+             CAST(len($duckTokens) AS INT) AS n_tokens,
+             CAST(length(text) AS INT) AS n_chars,
+             (length(text) - (len($duckTokens) - 1)) / len($duckTokens) AS avg_token_len,
+             (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / length(lower(text)) AS punct_ratio
+      FROM documents
+      ORDER BY doc_id
+    """),
+    (s, d) =>
+      Tables.load(s, d, "documents").select(
+          col("doc_id"),
+          tokenCount("text").as("n_tokens"),
+          length(col("text")).as("n_chars"),
+          avgTokenLen("text").as("avg_token_len"),
+          punctRatio("text").as("punct_ratio"))
+        .orderBy("doc_id"))
+
+  // Stopword-ratio language heuristic; identical tie-break chain in both
+  // engines (ties resolve in list order en,es,de,fr,zh).
+  private val langCases: Seq[(String, String)] = stopwords.map { case (lang, words) =>
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    lang -> s"CAST(len(list_filter($duckTokens, w -> list_contains($arr, w))) AS INT)"
+  }
+  private val langId = OpQuery(
+    "text_language_id", {
+      val hits = langCases.map { case (l, e) => s"$e AS hits_$l" }.mkString(",\n             ")
+      val langs = stopwords.map(_._1)
+      val guess = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1)
+        val bound = if (rest.size > 1) s"GREATEST(${rest.map("hits_" + _).mkString(", ")})"
+                    else s"hits_${rest.head}"
+        s"WHEN hits_$l >= $bound THEN '$l'"
+      }.mkString(" ") + s" ELSE '${langs.last}'"
+      Some(s"""
+        SELECT doc_id, lang, CASE $guess END AS lang_guess FROM (
+          SELECT doc_id, lang,
+             $hits
+          FROM documents)
+        ORDER BY doc_id
+      """)
+    },
+    (s, d) => {
+      val langs = stopwords.map(_._1)
+      val withHits = stopwords.foldLeft(Tables.load(s, d, "documents")) {
+        case (df, (lang, words)) =>
+          df.withColumn(s"hits_$lang", stopwordHits("text", words).cast(IntegerType))
+      }
+      val guess = langs.init.zipWithIndex.foldLeft(when(lit(false), "")) {
+        case (acc, (l, i)) =>
+          val rest = langs.drop(i + 1).map(r => col(s"hits_$r"))
+          val bound = if (rest.size > 1) greatest(rest: _*) else rest.head
+          acc.when(col(s"hits_$l") >= bound, l)
+      }.otherwise(langs.last)
+      withHits.select(col("doc_id"), col("lang"), guess.as("lang_guess"))
+        .orderBy("doc_id")
+    })
+
+  // Composite quality score from exact int stats; fixed IEEE op order.
+  private val qualityExprDuck =
+    s"""0.3 * LEAST(1.0, len($duckTokens) / 100.0)
+       | + 0.3 * (1.0 - (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))) / length(lower(text)))
+       | + 0.2 * LEAST(1.0, ((length(text) - (len($duckTokens) - 1)) / len($duckTokens)) / 8.0)
+       | + 0.2 * (CASE WHEN len($duckTokens) BETWEEN 5 AND 2000 THEN 1.0 ELSE 0.0 END)""".stripMargin
+  private val quality = OpQuery(
+    "text_quality_score",
+    Some(s"""
+      SELECT doc_id, CAST(len($duckTokens) AS INT) AS n_tokens,
+             $qualityExprDuck AS quality
+      FROM documents
+      ORDER BY doc_id
+    """),
+    (s, d) =>
+      Tables.load(s, d, "documents").select(
+          col("doc_id"),
+          tokenCount("text").as("n_tokens"),
+          (lit(0.3) * least(lit(1.0), tokenCount("text") / 100.0)
+            + lit(0.3) * (lit(1.0) - punctRatio("text"))
+            + lit(0.2) * least(lit(1.0), avgTokenLen("text") / 8.0)
+            + lit(0.2) * when(tokenCount("text").between(5, 2000), 1.0).otherwise(0.0))
+            .as("quality"))
+        .orderBy("doc_id"))
+
+  private val fingerprintQ = OpQuery(
+    "text_fingerprint",
+    Some(s"""
+      SELECT doc_id, $duckFp AS fp
+      FROM documents
+      ORDER BY doc_id
+    """),
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), fingerprint("text").as("fp"))
+        .orderBy("doc_id"))
+
+  // Corpus term frequency: explode → partial-agg count → top 20.
+  private val topTerms = OpQuery(
+    "text_top_terms",
+    Some(s"""
+      SELECT token, COUNT(*) AS n
+      FROM (SELECT unnest($duckTokens) AS token FROM documents)
+      GROUP BY token
+      ORDER BY n DESC, token
+      LIMIT 20
+    """),
+    (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(explode(tokens("text")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20))
+
+  val defs: Seq[OpQuery] = Seq(tokenStats, langId, quality, fingerprintQ, topTerms)
+}
