@@ -15,7 +15,8 @@ object SparkEntry {
     operators.TextAnalysis.defs,
     operators.Sessions.defs,
     operators.Dedup.defs,
-    operators.Similarity.defs
+    operators.Similarity.defs,
+    operators.Lakehouse.defs
   ).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

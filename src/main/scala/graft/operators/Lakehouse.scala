@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.{OpQuery, Tables}
+import graft.sources.{Ingest, SnapshotTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+import java.nio.file.Files
+
+/** Lakehouse DML demos wired through [[SnapshotTable]]: MERGE
+  * copy-on-write, compaction round-trip, history, CSV ingest, seeded
+  * synthetic generation, controlled file layout. Each query rebuilds its
+  * snapshot in a fresh temp dir, so Verify/Bench invocations are
+  * independent.
+  */
+object Lakehouse {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft_$prefix").toString
+
+  // MERGE INTO … UPDATE SET * / INSERT * (reference:
+  // IncrementalTPCDSBenchmark.scala:276-281), partition-pruned CoW on
+  // o_orderstatus. Keys = (o_orderkey, o_orderstatus) = PK ∪ partition
+  // key, the reference's own key rule (:274).
+  private def mergeSource(o: DataFrame): DataFrame =
+    o.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(
+        o.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_orderstatus", lit("O")))
+
+  private val mergeUpsert = OpQuery(
+    "merge_upsert",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'O', o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 17 = 0)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+      FROM (
+        SELECT * FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT * FROM src)
+      ORDER BY o_orderkey, o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val table = new SnapshotTable(s, tmp("merge"))
+        .create(o, partitionBy = Some("o_orderstatus"))
+        .merge(mergeSource(o), keys = Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = Some("o_orderstatus"))
+      table.read()
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey", "o_orderstatus")
+    })
+
+  // Compaction round-trip: 32 small files → 4, data unchanged
+  // (reference compact: IncrementalTPCDSBenchmark.scala:186-204).
+  private val compactRoundtrip = OpQuery(
+    "compaction_roundtrip",
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """),
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem").repartition(32)
+      val table = new SnapshotTable(s, tmp("compact"))
+        .create(li)
+        .compact(numFiles = 4)
+      table.read().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.money(sum(graft.Cols.dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    })
+
+  // DESCRIBE HISTORY analog over a create→merge→compact lifecycle.
+  // Engine metadata (file counts depend on parallelism) → rows-only.
+  private val history = OpQuery(
+    "snapshot_history",
+    None,
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val table = new SnapshotTable(s, tmp("hist"))
+        .create(o, partitionBy = Some("o_orderstatus"))
+        .merge(mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
+          Some("o_orderstatus"))
+        .compact(2, Some("o_orderstatus"))
+      table.history
+    })
+
+  // Schema'd pipe-delimited CSV ingest round-trip (reference:
+  // IncrementalTPCDSBenchmark.scala:422-443).
+  private val csvIngest = OpQuery(
+    "csv_ingest",
+    Some("""
+      SELECT n_nationkey, n_name, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      ORDER BY n_nationkey
+    """),
+    (s, d) => {
+      val dir = tmp("csv")
+      Tables.load(s, d, "nation").write.mode("overwrite")
+        .option("delimiter", "|").option("header", "false").csv(s"$dir/nation")
+      val schema = StructType.fromDDL(
+        "n_nationkey INT, n_name STRING, n_regionkey INT")
+      Ingest.readCsv(s, s"$dir/nation", schema)
+        .join(broadcast(Tables.load(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    })
+
+  // Seeded synthetic generation (merge-micro table shape,
+  // MergeMicroBenchmark.scala:225-229 — rand() replaced by exact
+  // multiplicative hashing so the oracle can reproduce it).
+  private val datagen = OpQuery(
+    "synthetic_datagen",
+    Some("""
+      SELECT id AS key,
+             ((id * 2654435761) % 1000003) / 1000.0 AS value,
+             'v' || CAST((id * 31) % 97 AS VARCHAR) AS value2,
+             id % 7 AS partition
+      FROM range(0, 10000) t(id)
+      ORDER BY key
+    """),
+    (s, _) => Ingest.synthetic(s, 10000).orderBy("key"))
+
+  // Controlled file layout: exactly 8 files, sorted within files for
+  // tight min/max stats (FileCountBenchmark.scala:230-232). The oracle
+  // asserts the invariant (file count + preserved rows), not file names.
+  private val fileLayout = OpQuery(
+    "file_layout",
+    Some("""
+      SELECT 8 AS n_files, (SELECT COUNT(*) FROM lineitem) AS n_rows
+    """),
+    (s, d) => {
+      val dir = tmp("layout")
+      Ingest.controlledLayout(Tables.load(s, d, "lineitem"), dir, 8,
+        Seq("l_shipdate", "l_orderkey"))
+      // input_file_name() must be projected before aggregating (ANSI
+      // analyzer rejects nondeterministic expressions inside aggs).
+      s.read.parquet(dir)
+        .select(input_file_name().as("f"))
+        .agg(
+          countDistinct(col("f")).cast(IntegerType).as("n_files"),
+          count(lit(1)).as("n_rows"))
+    })
+
+  // Denormalizing refresh view staged through parquet (reference A14/A15:
+  // cache view results as parquet, IncrementalTPCDSBenchmark.scala:355-420).
+  private val refreshView = OpQuery(
+    "refresh_view_staged",
+    Some("""
+      SELECT l_orderkey, l_linenumber, o_custkey, c_mktsegment, n_name,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_quantity >= 48.0
+      ORDER BY l_orderkey, l_linenumber, price, o_custkey, c_mktsegment, n_name
+    """),
+    (s, d) => {
+      val dir = tmp("refresh")
+      val flat = Tables.load(s, d, "lineitem").filter(col("l_quantity") >= 48.0)
+        .join(Tables.load(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("c_mktsegment"), col("n_name"),
+          graft.Cols.dec(col("l_extendedprice")).as("price"))
+      // stage to parquet, then serve the staged copy (refresh-view cache)
+      flat.write.mode("overwrite").parquet(s"$dir/flat")
+      // (l_orderkey, l_linenumber) is not unique in the fixtures — sort
+      // by every output column so tied rows compare identically.
+      s.read.parquet(s"$dir/flat")
+        .orderBy("l_orderkey", "l_linenumber", "price", "o_custkey",
+          "c_mktsegment", "n_name")
+    })
+
+  val defs: Seq[OpQuery] = Seq(
+    mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
+    refreshView)
+}
