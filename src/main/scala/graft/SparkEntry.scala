@@ -16,7 +16,8 @@ object SparkEntry {
     operators.Sessions.defs,
     operators.Dedup.defs,
     operators.Similarity.defs,
-    operators.Lakehouse.defs
+    operators.Lakehouse.defs,
+    streaming.Streams.defs
   ).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

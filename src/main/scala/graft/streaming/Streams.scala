@@ -1,0 +1,223 @@
+package graft.streaming
+
+import graft.{Cols, OpQuery, Tables}
+import graft.Cols.{dec, money}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+import java.nio.file.Files
+import java.time.Instant
+import java.util.concurrent.atomic.AtomicLong
+
+/** Structured Streaming surface: watermarked windowed aggregation,
+  * stateful gap-sessionization via flatMapGroupsWithState, and streaming
+  * dedup — the streaming analogs of the batch `events` operators.
+  *
+  * The reference has no streaming (SURVEY.md §2B: "incremental" = batch
+  * MERGE rounds), so this is engine-extension surface, built the way a
+  * 100 TB pipeline would run it: file-source → watermark → stateful op →
+  * append-mode sink, with per-key state bounded by event-time timeouts.
+  *
+  * Determinism for the oracle gate: each query stages the fixture events
+  * into a temp source dir plus ONE sentinel row 2h past the data's max
+  * event time. The sentinel advances the global watermark past every
+  * window end / session timeout, so the no-data micro-batch that
+  * [[Trigger.AvailableNow]] runs after draining the source flushes ALL
+  * state — output is total, not a prefix, and equals the batch answer
+  * DuckDB computes. The sentinel's own window/session never closes
+  * (watermark never passes it), so it self-excludes from append output.
+  */
+object Streams {
+
+  private val GapUs: Long = 1800L * 1000000 // 30 min session gap
+  private val SentinelUs: Long = 7200L * 1000000 // 2 h watermark push
+
+  private val runId = new AtomicLong(0)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft_$prefix").toString
+
+  private val eventSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+
+  /** Stage fixture events (+ optional duplicate copies) into a fresh
+    * streaming source dir, appending the watermark-advancing sentinel. */
+  private def stageSource(s: SparkSession, d: String, copies: Int): String = {
+    val dir = tmp("stream_src")
+    val ev = Tables.load(s, d, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    (1 to copies).foreach { _ =>
+      ev.write.mode("append").parquet(dir)
+    }
+    s.range(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_micros(lit(maxUs + SentinelUs)).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("__sentinel").as("event_type"),
+      lit(0.0).as("value"))
+      .write.mode("append").parquet(dir)
+    dir
+  }
+
+  /** Run a streaming DataFrame to completion through the memory sink and
+    * return the materialized result. */
+  private def runToMemory(df: DataFrame, prefix: String): DataFrame = {
+    val qn = s"graft_${prefix}_${runId.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(qn)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmp(s"${prefix}_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(qn)
+  }
+
+  // ------------------------------------------------------------------
+  // Watermarked hourly window aggregation (append mode).
+  private val windowedAgg = OpQuery(
+    "stream_window_agg",
+    Some("""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """),
+    (s, d) => {
+      val src = s.readStream.schema(eventSchema).parquet(stageSource(s, d, 1))
+      val agg = src
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), money(sum(dec(col("value")))).as("sum_value"))
+      runToMemory(agg, "winagg")
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    })
+
+  // ------------------------------------------------------------------
+  // Streaming dedup (event_id key) → hourly counts. Source holds TWO
+  // copies of every event; exact-once state in dropDuplicates collapses
+  // them before the windowed count, so the answer equals one copy.
+  private val streamDedup = OpQuery(
+    "stream_dedup",
+    Some("""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1
+      ORDER BY 1
+    """),
+    (s, d) => {
+      val src = s.readStream.schema(eventSchema).parquet(stageSource(s, d, 2))
+      val agg = src
+        .withWatermark("ts", "0 seconds")
+        .dropDuplicates("event_id", "ts")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(agg, "dedup")
+        .select(col("w.start").as("window_start"), col("n"))
+        .orderBy("window_start")
+    })
+
+  // ------------------------------------------------------------------
+  // Stateful gap-sessionization: flatMapGroupsWithState keyed by user,
+  // event-time timeout at last_event + gap. Closed sessions emit inline;
+  // the final open session per user emits on timeout once the sentinel
+  // advances the watermark. Must equal the batch sessionize_gap oracle.
+
+  case class Ev(
+      event_id: Long, ts: Instant, user_id: Long, event_type: String,
+      value: Double, ts_us: Long)
+
+  case class SessState(
+      seq: Long, startUs: Long, lastUs: Long, n: Long, cents: Long)
+
+  case class SessOut(
+      user_id: Long, session_seq: Long, session_start: Instant,
+      session_end: Instant, n_events: Long, sum_cents: Long)
+
+  private def instantOf(us: Long): Instant =
+    Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+
+  private def closed(user: Long, st: SessState): SessOut =
+    SessOut(user, st.seq, instantOf(st.startUs), instantOf(st.lastUs),
+      st.n, st.cents)
+
+  private def sessionFunc(
+      user: Long, events: Iterator[Ev],
+      state: GroupState[SessState]): Iterator[SessOut] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      Iterator.single(closed(user, st))
+    } else {
+      // Per-user batch of events: sort by event time (bounded per user —
+      // the per-key state contract of mapGroupsWithState at scale).
+      val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+      val out = Seq.newBuilder[SessOut]
+      var st = state.getOption
+      sorted.foreach { e =>
+        val cents = Math.round(e.value * 100)
+        st match {
+          case Some(cur) if e.ts_us - cur.lastUs <= GapUs =>
+            st = Some(cur.copy(lastUs = e.ts_us, n = cur.n + 1,
+              cents = cur.cents + cents))
+          case Some(cur) =>
+            out += closed(user, cur)
+            st = Some(SessState(cur.seq + 1, e.ts_us, e.ts_us, 1, cents))
+          case None =>
+            st = Some(SessState(1, e.ts_us, e.ts_us, 1, cents))
+        }
+      }
+      st.foreach { cur =>
+        state.update(cur)
+        state.setTimeoutTimestamp(cur.lastUs / 1000 + GapUs / 1000)
+      }
+      out.result().iterator
+    }
+  }
+
+  private val streamSessionize = OpQuery(
+    "stream_sessionize",
+    Some(s"""
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $GapUs
+                           THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM g)
+      SELECT user_id, session_seq,
+             MIN(ts) AS session_start, MAX(ts) AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+      FROM s
+      GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq
+    """),
+    (s, d) => {
+      import s.implicits._
+      val src = s.readStream.schema(eventSchema).parquet(stageSource(s, d, 1))
+      val sessions: Dataset[SessOut] = src
+        .withWatermark("ts", "0 seconds")
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionFunc)
+      runToMemory(sessions.toDF(), "sess")
+        .select(col("user_id"), col("session_seq"),
+          col("session_start"), col("session_end"), col("n_events"),
+          money(col("sum_cents").cast(Cols.Money) / 100).as("sum_value"))
+        .orderBy("user_id", "session_seq")
+    })
+
+  val defs: Seq[OpQuery] = Seq(windowedAgg, streamDedup, streamSessionize)
+}

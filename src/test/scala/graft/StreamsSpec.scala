@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming vs batch equivalence on sf0.001: every streaming query's
+  * flushed append-mode output must equal the corresponding batch answer
+  * computed on the same fixture. */
+class StreamsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, dir).collect()
+
+  test("stream_window_agg equals batch hourly aggregation") {
+    import org.apache.spark.sql.functions._
+    val got = run("stream_window_agg")
+    val want = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Cols.money(sum(Cols.dec(col("value")))).as("sum_value"))
+      .orderBy("window_start", "event_type")
+      .collect()
+    assert(got.length == want.length)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("stream_dedup collapses duplicated source to batch counts") {
+    import org.apache.spark.sql.functions._
+    val got = run("stream_dedup")
+    val want = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("window_start")
+      .collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("stream_sessionize equals batch sessionize_gap") {
+    val got = run("stream_sessionize")
+    val want = SparkEntry.queries("sessionize_gap")(spark, dir).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0)) // user_id
+      assert(g.getLong(1) == w.getLong(1)) // session_seq
+      assert(g.get(2) == w.get(2), s"session_start for ${g.getLong(0)}")
+      assert(g.get(3) == w.get(3), s"session_end for ${g.getLong(0)}")
+      assert(g.getLong(4) == w.getLong(4)) // n_events
+      assert(g.getDecimal(5) == w.getDecimal(5)) // sum_value
+    }
+  }
+}
