@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Dedup.defs,
     operators.Similarity.defs,
     operators.Lakehouse.defs,
+    operators.Multimodal.defs,
     streaming.Streams.defs
   ).flatten
 
