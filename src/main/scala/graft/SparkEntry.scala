@@ -12,6 +12,7 @@ object SparkEntry {
 
   def all: Seq[OpQuery] = Seq(
     operators.Relational.defs,
+    operators.Advanced.defs,
     operators.TextAnalysis.defs,
     operators.Sessions.defs,
     operators.Dedup.defs,
