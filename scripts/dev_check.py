@@ -37,6 +37,16 @@ def main(sf_dir, out_dir):
             exp = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); n_fail += 1; continue
+        # DECIMAL output columns hash engine-dependently in the driver's
+        # canonicalization (r01/r02: all 27 hash-fails were decimal-typed,
+        # value-identical). Outputs must surface as DOUBLE/INT/STRING/...;
+        # treat any decimal column as a local failure even if values match.
+        dec_cols = [f.name for f in got.schema if str(f.type).startswith("decimal")]
+        if dec_cols:
+            print(f"FAIL {name}: DECIMAL output columns {dec_cols} "
+                  "(driver hash canonicalization is unreliable for decimals; "
+                  "cast the final projection to DOUBLE on both sides)")
+            n_fail += 1; continue
         gs = sorted((f.name, str(f.type)) for f in got.schema)
         es = sorted((f.name, str(f.type)) for f in exp.schema)
         if gs != es:

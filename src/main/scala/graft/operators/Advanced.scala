@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Cols, OpQuery, Tables}
-import graft.Cols.{dec, money}
+import graft.Cols.{dec, money, moneyOut}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -27,7 +27,7 @@ object Advanced {
       SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
              CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
              o_orderstatus, o_orderpriority, COUNT(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY g_status, g_prio,
@@ -41,7 +41,7 @@ object Advanced {
         grouping(col("o_orderstatus")).cast(IntegerType).as("g_status"),
         grouping(col("o_orderpriority")).cast(IntegerType).as("g_prio"),
         count(lit(1)).as("n"),
-        money(sum(dec(col("o_totalprice")))).as("sum_price"))
+        moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
       .select("g_status", "g_prio", "o_orderstatus", "o_orderpriority",
         "n", "sum_price")
       .orderBy(col("g_status"), col("g_prio"),
@@ -55,7 +55,7 @@ object Advanced {
       SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
              CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
              l_returnflag, l_linestatus, COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem
       GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY g_rf, g_ls,
@@ -67,7 +67,7 @@ object Advanced {
         grouping(col("l_returnflag")).cast(IntegerType).as("g_rf"),
         grouping(col("l_linestatus")).cast(IntegerType).as("g_ls"),
         count(lit(1)).as("n"),
-        money(sum(dec(col("l_quantity")))).as("sum_qty"))
+        moneyOut(sum(dec(col("l_quantity")))).as("sum_qty"))
       .select("g_rf", "g_ls", "l_returnflag", "l_linestatus", "n", "sum_qty")
       .orderBy(col("g_rf"), col("g_ls"),
         col("l_returnflag").asc_nulls_first,
@@ -81,9 +81,9 @@ object Advanced {
     "agg_pivot",
     Some("""
       SELECT o_orderpriority,
-             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS F,
-             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS O,
-             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS P
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority
@@ -91,7 +91,7 @@ object Advanced {
     (s, d) => t(s, d, "orders")
       .groupBy("o_orderpriority")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(money(sum(dec(col("o_totalprice")))))
+      .agg(moneyOut(sum(dec(col("o_totalprice")))))
       .orderBy("o_orderpriority"))
 
   // ---------------------------------- interval + inequality join (q72)
@@ -105,7 +105,7 @@ object Advanced {
     "join_interval_inequality",
     Some("""
       SELECT o_orderpriority, COUNT(*) AS n,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM lineitem JOIN orders
         ON l_orderkey = o_orderkey
        AND l_shipdate > o_orderdate + INTERVAL 5 DAY
@@ -122,7 +122,7 @@ object Advanced {
           col("l_quantity") < 25.0)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        money(sum(dec(col("l_extendedprice")))).as("sum_price"))
+        moneyOut(sum(dec(col("l_extendedprice")))).as("sum_price"))
       .orderBy("o_orderpriority"))
 
   // --------------------------- multi-scalar-subquery CASE (q9 shape)
@@ -134,19 +134,19 @@ object Advanced {
   private val scalarCaseSql = """
       SELECT
         CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 15) > 10000
-             THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                    FROM lineitem WHERE l_quantity BETWEEN 1 AND 15)
-             ELSE (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             ELSE (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                    FROM lineitem WHERE l_quantity BETWEEN 1 AND 15) END AS bucket1,
         CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 16 AND 30) > 10000
-             THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                    FROM lineitem WHERE l_quantity BETWEEN 16 AND 30)
-             ELSE (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             ELSE (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                    FROM lineitem WHERE l_quantity BETWEEN 16 AND 30) END AS bucket2,
         CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 30) > 10000
-             THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             THEN (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                    FROM lineitem WHERE l_quantity > 30)
-             ELSE (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             ELSE (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                    FROM lineitem WHERE l_quantity > 30) END AS bucket3
   """
   private val scalarCase = OpQuery(
@@ -179,7 +179,7 @@ object Advanced {
                CAST(SUM(COALESCE(lrev, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS cum_ship,
                CAST(SUM(COALESCE(orev, 0)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS cum_order
         FROM x)
-      SELECT d, cum_ship, cum_order
+      SELECT d, CAST(cum_ship AS DOUBLE) AS cum_ship, CAST(cum_order AS DOUBLE) AS cum_order
       FROM c WHERE cum_ship * 1.2 > cum_order
       ORDER BY d
     """),
@@ -197,9 +197,12 @@ object Advanced {
         .select(coalesce(col("ld"), col("od")).as("d"),
           col("lrev"), col("orev"))
         .select(col("d"),
-          money(sum(coalesce(col("lrev"), zero)).over(w)).as("cum_ship"),
-          money(sum(coalesce(col("orev"), zero)).over(w)).as("cum_order"))
-        .filter(col("cum_ship") * lit(BigDecimal("1.2")) > col("cum_order"))
+          money(sum(coalesce(col("lrev"), zero)).over(w)).as("cum_ship_x"),
+          money(sum(coalesce(col("orev"), zero)).over(w)).as("cum_order_x"))
+        .filter(col("cum_ship_x") * lit(BigDecimal("1.2")) > col("cum_order_x"))
+        .select(col("d"),
+          moneyOut(col("cum_ship_x")).as("cum_ship"),
+          moneyOut(col("cum_order_x")).as("cum_order"))
         .orderBy("d")
     })
 
@@ -214,7 +217,7 @@ object Advanced {
         SELECT CAST(l_shipdate AS DATE) AS d,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
         FROM lineitem GROUP BY 1)
-      SELECT d, rev,
+      SELECT d, CAST(rev AS DOUBLE) AS rev,
              CAST(CAST(SUM(rev) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
                   / COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_ma4
       FROM daily
@@ -224,9 +227,9 @@ object Advanced {
       val w = Window.orderBy("d").rowsBetween(-3, Window.currentRow)
       t(s, d, "lineitem")
         .groupBy(col("l_shipdate").cast("date").as("d"))
-        .agg(money(sum(dec(col("l_extendedprice")))).as("rev"))
-        .select(col("d"), col("rev"),
-          (sum(col("rev")).over(w).cast(DoubleType) /
+        .agg(money(sum(dec(col("l_extendedprice")))).as("rev_x"))
+        .select(col("d"), moneyOut(col("rev_x")).as("rev"),
+          (sum(col("rev_x")).over(w).cast(DoubleType) /
             count(lit(1)).over(w)).cast(DoubleType).as("rev_ma4"))
         .orderBy("d")
     })
@@ -264,30 +267,30 @@ object Advanced {
   private val intersectAll = OpQuery(
     "setop_intersect_all",
     Some("""
-      SELECT l_suppkey, CAST(l_quantity AS INT) AS qty FROM lineitem WHERE l_returnflag = 'A'
+      SELECT l_suppkey, CAST(floor(l_quantity) AS INT) AS qty FROM lineitem WHERE l_returnflag = 'A'
       INTERSECT ALL
-      SELECT l_suppkey, CAST(l_quantity AS INT) AS qty FROM lineitem WHERE l_returnflag = 'R'
+      SELECT l_suppkey, CAST(floor(l_quantity) AS INT) AS qty FROM lineitem WHERE l_returnflag = 'R'
       ORDER BY l_suppkey, qty
     """),
     (s, d) => {
       val li = t(s, d, "lineitem")
       def side(flag: String) = li.filter(col("l_returnflag") === flag)
-        .select(col("l_suppkey"), col("l_quantity").cast(IntegerType).as("qty"))
+        .select(col("l_suppkey"), floor(col("l_quantity")).cast(IntegerType).as("qty"))
       side("A").intersectAll(side("R")).orderBy("l_suppkey", "qty")
     })
 
   private val exceptAll = OpQuery(
     "setop_except_all",
     Some("""
-      SELECT l_suppkey, CAST(l_quantity AS INT) AS qty FROM lineitem WHERE l_returnflag = 'A'
+      SELECT l_suppkey, CAST(floor(l_quantity) AS INT) AS qty FROM lineitem WHERE l_returnflag = 'A'
       EXCEPT ALL
-      SELECT l_suppkey, CAST(l_quantity AS INT) AS qty FROM lineitem WHERE l_returnflag = 'R'
+      SELECT l_suppkey, CAST(floor(l_quantity) AS INT) AS qty FROM lineitem WHERE l_returnflag = 'R'
       ORDER BY l_suppkey, qty
     """),
     (s, d) => {
       val li = t(s, d, "lineitem")
       def side(flag: String) = li.filter(col("l_returnflag") === flag)
-        .select(col("l_suppkey"), col("l_quantity").cast(IntegerType).as("qty"))
+        .select(col("l_suppkey"), floor(col("l_quantity")).cast(IntegerType).as("qty"))
       side("A").exceptAll(side("R")).orderBy("l_suppkey", "qty")
     })
 

@@ -2,31 +2,55 @@ package graft.operators
 
 import graft.{OpQuery, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.nio.file.Files
 
 /** Deduplication suite over `documents` (+ embedding near-dup over
   * `embeddings`): exact, MinHash+LSH, SimHash, n-gram Jaccard,
   * embedding-cosine.
   *
   * Scale design:
-  *   - exact dedup = one hash-partitioned groupBy on the key — the only
-  *     shuffle moves (key, id) pairs, never full rows;
-  *   - MinHash signatures and SimHash are row-local HOF folds (no
-  *     shuffle); LSH banding shuffles 4 small (band, hash, id) rows per
-  *     doc and only joins within band buckets — this is the 100 TB path
-  *     (candidate pairs ∝ true dups, not |docs|²);
+  *   - exact dedup = groupBy on xxhash64(text) — the shuffle moves
+  *     (hash, id) pairs, never full text; canonical rows join back to
+  *     fetch their text afterwards;
+  *   - MinHash/SimHash signatures are computed once per shingle via
+  *     explode → partial-agg (the 100 TB map-reduce formulation), staged
+  *     through parquet so the two LSH join sides share one signature
+  *     build (no executor-cache leak across the Verify/Bench session);
+  *   - LSH banding / chunk blocking shuffles only small (band, key, id)
+  *     rows and joins within buckets — candidate pairs ∝ true dups, not
+  *     |docs|²;
   *   - exact-Jaccard runs on a bounded id-range sample: it is the
   *     verification stage for LSH candidates, never the full corpus;
   *   - embedding near-dup blocks on `label` (IVF-style coarse
   *     partitioning) so the pair space is |label-bucket|², not |corpus|².
+  *
+  * Hash portability: MinHash/SimHash use the portable 31-polynomial
+  * shingle hash mod 1e9+7 ([[graft.functions.TextFunctions.polyHash]])
+  * plus universal hashes `(a_i*h + b_i) mod 1e9+7` with literal
+  * constants, so DuckDB reproduces the exact signatures and both suites
+  * are oracle-checked end-to-end (xxhash64 would be Spark-only).
   */
 object Dedup {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
-  // Exact dedup: canonical row per identical text.
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft_$prefix").toString
+
+  /** Universal-hash constants for permutations/bit-planes: deterministic,
+    * embedded as literals in both the Spark plan and the DuckDB oracle. */
+  private val M = 1000000007L
+  private def hashA(i: Int): Long = ((i + 1) * 2654435761L) % M
+  private def hashB(i: Int): Long = ((i + 1) * 40503L + 2531011L) % M
+
+  // Exact dedup: canonical row per identical text. Phase 1 groups on the
+  // 64-bit text hash (shuffle carries (hash, id), not documents); phase 2
+  // joins the canonical ids back to fetch text. 64-bit collisions are
+  // ~|corpus|²/2⁶⁵ — negligible, and the oracle (GROUP BY text) would
+  // surface one as a count mismatch.
   private val exact = OpQuery(
     "dedup_exact",
     Some("""
@@ -35,11 +59,16 @@ object Dedup {
       GROUP BY text
       ORDER BY canonical_id
     """),
-    (s, d) =>
-      docs(s, d).groupBy("text")
+    (s, d) => {
+      val docsDf = docs(s, d)
+      val groups = docsDf
+        .select(xxhash64(col("text")).as("h"), col("doc_id"))
+        .groupBy("h")
         .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      groups.join(docsDf, col("canonical_id") === col("doc_id"))
         .select("canonical_id", "n_copies", "text")
-        .orderBy("canonical_id"))
+        .orderBy("canonical_id")
+    })
 
   // Exact word-trigram Jaccard on a bounded sample (doc_id < 1000):
   // the LSH-verification stage. Engine-agnostic: int set ops + one
@@ -83,36 +112,48 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     })
 
+  // ------------------------------------------------------------------
+  // Shared DuckDB oracle fragments: word-trigram shingles + portable
+  // per-shingle hash (mirrors shingles()/polyHash exactly).
+  private val duckShingleRows = """
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)"""
+  private val duckH = duckPolyHash("s")
+
   // MinHash (16 perms) + LSH (4 bands × 4 rows): candidate pairs whose
-  // estimated similarity (matching signature fraction) >= 0.5.
-  // xxhash64-based → Spark-only (rows-only correctness check).
+  // estimated similarity (matching signature fraction) >= 0.5. Band keys
+  // are the raw 4-value signature slices (no extra hashing → portable).
+  private val MinhashPerms = 16
+
   private def minhashLshBuild(s: SparkSession, d: String): DataFrame = {
-    // Map-reduce MinHash: explode distinct shingles once, then 16
-    // codegen'd min(xxhash64(shingle, p)) aggregates. Shingles are built
-    // exactly once per doc (HOF-composed signatures get re-inlined by
-    // CollapseProject into every consumer and recompute 16×). The
-    // groupBy(doc_id) is a standard partial-agg shuffle — the 100 TB
-    // formulation. persist() keeps the two LSH join sides from
-    // recomputing the signature stage.
-    val perms = 16
+    // Map-reduce MinHash: explode distinct shingles once, hash each
+    // shingle once, then 16 codegen'd min((a_p*h+b_p) mod M) aggregates.
+    // The groupBy(doc_id) is a standard partial-agg shuffle — the 100 TB
+    // formulation. Signatures stage through parquet so the two band-join
+    // sides read one materialized copy (persist() would leak executor
+    // cache across the Verify/Bench session).
     val sh = docs(s, d).select(
       col("doc_id"), explode(array_distinct(shingles("text", 3))).as("s"))
-    val sigCols = (0 until perms).map(p => min(expr(s"xxhash64(s, $p)")).as(s"m$p"))
-    val sigDf = sh.groupBy("doc_id")
+      .withColumn("h", polyHash("s"))
+    val sigCols = (0 until MinhashPerms).map(p =>
+      min((col("h") * hashA(p) + hashB(p)) % M).as(s"m$p"))
+    val stage = tmp("minhash_sig")
+    sh.groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"), array((0 until perms).map(p => col(s"m$p")): _*).as("sig"))
-      .persist()
-    val bands = sigDf.select(
+      .select(col("doc_id"),
+        array((0 until MinhashPerms).map(p => col(s"m$p")): _*).as("sig"))
+      .write.mode("overwrite").parquet(stage)
+    val sig = s.read.parquet(stage)
+    val bands = sig.select(
       col("doc_id"), col("sig"),
       explode(expr(
-        """transform(sequence(0, 3), b -> named_struct(
-          |  'b', b,
-          |  'h', xxhash64(b, element_at(sig, b*4 + 1), element_at(sig, b*4 + 2),
-          |                element_at(sig, b*4 + 3), element_at(sig, b*4 + 4))))""".stripMargin))
+        "transform(sequence(0, 3), b -> named_struct('b', b, 'k', slice(sig, b*4 + 1, 4)))"))
         .as("band"))
-      .select(col("doc_id"), col("sig"), col("band.b").as("b"), col("band.h").as("h"))
+      .select(col("doc_id"), col("sig"), col("band.b").as("b"), col("band.k").as("k"))
     val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, col("a.b") === col("b.b") && col("a.h") === col("b.h") &&
+    a.join(b, col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))") / 16.0)
@@ -122,34 +163,107 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  // SimHash near-dup pairs: 64-bit signatures, blocked on 16-bit chunks
-  // (a pair within hamming distance <= 8 must share a chunk only
-  // probabilistically — chunk blocking is the standard recall/cost
-  // trade), verified with bit_count(xor) <= 12.
+  private val minhashOracle: String = {
+    val mins = (0 until MinhashPerms)
+      .map(p => s"MIN((h * ${hashA(p)} + ${hashB(p)}) % $M)")
+      .mkString("[", ",\n               ", "]")
+    s"""
+      WITH sh AS ($duckShingleRows),
+      h AS (SELECT doc_id, $duckH AS h FROM sh),
+      sig AS (SELECT doc_id, $mins AS sig FROM h GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         AND (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+              OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16]))
+      SELECT doc_a, doc_b,
+             len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 AS est_sim
+      FROM pairs
+      WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 >= 0.5
+      ORDER BY doc_a, doc_b
+    """
+  }
+
+  // SimHash near-dup pairs: 64 bit-planes stored as 4 × 16-bit chunk
+  // values (portable: DuckDB BIGINT cannot shift into bit 63), blocked
+  // on chunk equality (a pair within hamming distance <= 3 must share a
+  // chunk by pigeonhole; beyond that chunk blocking is the standard
+  // recall/cost trade), verified with summed per-chunk bit_count(xor).
   private def simhashBuild(s: SparkSession, d: String): DataFrame = {
-    // Same materialization barrier as MinHash: one SimHash per doc, not
-    // one per downstream reference.
-    val sig = docs(s, d)
-      .withColumn("sh3", shingles("text", 3))
-      .select(col("doc_id"), simhash64("sh3").as("sh"))
-      .persist()
+    val sh = docs(s, d).select(
+      col("doc_id"), explode(array_distinct(shingles("text", 3))).as("s"))
+      .withColumn("h", polyHash("s"))
+    // 64 ±1 accumulators (one per bit-plane), then 4 chunk values.
+    val bitCols = (0 until 64).map(b =>
+      sum(when((col("h") * hashA(b) + hashB(b)) % M % 2 === 1, 1).otherwise(-1))
+        .as(s"b$b"))
+    val chunkCols = (0 until 4).map { c =>
+      (0 until 16).map(p =>
+        when(col(s"b${c * 16 + p}") > 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"c$c")
+    }
+    val stage = tmp("simhash_sig")
+    sh.groupBy("doc_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select((col("doc_id") +: chunkCols): _*)
+      .write.mode("overwrite").parquet(stage)
+    val sig = s.read.parquet(stage)
     val chunks = sig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
       explode(expr(
-        "transform(sequence(0, 3), c -> named_struct('c', c, 'v', (shiftright(sh, c*16) & 65535)))"))
+        "transform(sequence(0, 3), i -> named_struct('c', i, 'v', element_at(array(c0, c1, c2, c3), i + 1)))"))
         .as("ch"))
-      .select(col("doc_id"), col("sh"), col("ch.c").as("c"), col("ch.v").as("v"))
+      .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("ch.c").as("c"), col("ch.v").as("v"))
     val a = chunks.as("a"); val b = chunks.as("b")
+    val hamming = (0 until 4)
+      .map(c => bit_count(col(s"a.c$c").bitwiseXOR(col(s"b.c$c"))))
+      .reduce(_ + _)
     a.join(b, col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+        hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
       .orderBy("doc_a", "doc_b")
   }
 
-  private val simhash = OpQuery("dedup_simhash", None, (s, d) => simhashBuild(s, d))
+  private val simhashOracle: String = {
+    val aLit = (0 until 64).map(hashA).mkString("[", ", ", "]")
+    val bLit = (0 until 64).map(hashB).mkString("[", ", ", "]")
+    s"""
+      WITH shl AS (
+        SELECT doc_id, list_distinct(
+                 list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ss
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+      hs AS (
+        SELECT doc_id,
+               list_transform(ss, s -> ${duckPolyHash("s")}) AS hs
+        FROM shl WHERE len(ss) > 0),
+      sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 4), c ->
+                 CAST(list_sum(list_transform(range(0, 16), p ->
+                   CASE WHEN list_sum(list_transform(hs, h ->
+                          CASE WHEN (h * ($aLit)[c*16 + p + 1] + ($bLit)[c*16 + p + 1]) % $M % 2 = 1
+                               THEN 1 ELSE -1 END)) > 0
+                        THEN 1 << p ELSE 0 END)) AS BIGINT)) AS cs
+        FROM hs),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.cs AS ca, b.cs AS cb
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         AND (a.cs[1] = b.cs[1] OR a.cs[2] = b.cs[2]
+              OR a.cs[3] = b.cs[3] OR a.cs[4] = b.cs[4]))
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(ca[1], cb[1])) + bit_count(xor(ca[2], cb[2]))
+                  + bit_count(xor(ca[3], cb[3])) + bit_count(xor(ca[4], cb[4])) AS INT) AS hamming
+      FROM pairs
+      WHERE bit_count(xor(ca[1], cb[1])) + bit_count(xor(ca[2], cb[2]))
+            + bit_count(xor(ca[3], cb[3])) + bit_count(xor(ca[4], cb[4])) <= 8
+      ORDER BY doc_a, doc_b
+    """
+  }
 
   // Embedding near-dup: top-1 cosine neighbor within the same label
   // block. Blocking keeps the pair space |bucket|² — the IVF-style
@@ -190,6 +304,7 @@ object Dedup {
 
   val defs: Seq[OpQuery] = Seq(
     exact, ngramJaccard,
-    OpQuery("dedup_minhash_lsh", None, (s, d) => minhashLshBuild(s, d)),
-    simhash, embedNn)
+    OpQuery("dedup_minhash_lsh", Some(minhashOracle), (s, d) => minhashLshBuild(s, d)),
+    OpQuery("dedup_simhash", Some(simhashOracle), (s, d) => simhashBuild(s, d)),
+    embedNn)
 }

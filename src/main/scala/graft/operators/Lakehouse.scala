@@ -69,7 +69,7 @@ object Lakehouse {
     "compaction_roundtrip",
     Some("""
       SELECT l_returnflag, COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag
@@ -81,15 +81,30 @@ object Lakehouse {
         .compact(numFiles = 4)
       table.read().groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          graft.Cols.money(sum(graft.Cols.dec(col("l_quantity")))).as("sum_qty"))
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("l_quantity")))).as("sum_qty"))
         .orderBy("l_returnflag")
     })
 
   // DESCRIBE HISTORY analog over a create→merge→compact lifecycle.
-  // Engine metadata (file counts depend on parallelism) → rows-only.
+  // num_files depends on write parallelism (engine metadata) and is
+  // excluded; (version, operation, num_rows) is oracle-checkable because
+  // the merge source's insert arithmetic is reproducible in SQL.
   private val history = OpQuery(
     "snapshot_history",
-    None,
+    Some("""
+      WITH base AS (SELECT COUNT(*) AS n FROM orders),
+           ins  AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 17 = 0)
+      SELECT * FROM (
+        SELECT 0 AS version, 'CREATE' AS operation,
+               CAST((SELECT n FROM base) AS BIGINT) AS num_rows
+        UNION ALL
+        SELECT 1, 'MERGE',
+               CAST((SELECT n FROM base) + (SELECT n FROM ins) AS BIGINT)
+        UNION ALL
+        SELECT 2, 'COMPACT',
+               CAST((SELECT n FROM base) + (SELECT n FROM ins) AS BIGINT))
+      ORDER BY version
+    """),
     (s, d) => {
       val o = Tables.load(s, d, "orders")
       val table = new SnapshotTable(s, tmp("hist"))
@@ -97,7 +112,7 @@ object Lakehouse {
         .merge(mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
           Some("o_orderstatus"))
         .compact(2, Some("o_orderstatus"))
-      table.history
+      table.history.select("version", "operation", "num_rows")
     })
 
   // Schema'd pipe-delimited CSV ingest round-trip (reference:
@@ -164,7 +179,7 @@ object Lakehouse {
     "refresh_view_staged",
     Some("""
       SELECT l_orderkey, l_linenumber, o_custkey, c_mktsegment, n_name,
-             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+             l_extendedprice AS price
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                     JOIN customer ON o_custkey = c_custkey
                     JOIN nation ON c_nationkey = n_nationkey
@@ -175,11 +190,11 @@ object Lakehouse {
       val dir = tmp("refresh")
       val flat = Tables.load(s, d, "lineitem").filter(col("l_quantity") >= 48.0)
         .join(Tables.load(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.load(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(Tables.load(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.load(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
           col("c_mktsegment"), col("n_name"),
-          graft.Cols.dec(col("l_extendedprice")).as("price"))
+          col("l_extendedprice").as("price"))
       // stage to parquet, then serve the staged copy (refresh-view cache)
       flat.write.mode("overwrite").parquet(s"$dir/flat")
       // (l_orderkey, l_linenumber) is not unique in the fixtures — sort

@@ -121,11 +121,29 @@ object Multimodal {
       .orderBy("doc_id"))
 
   // Decode stub through mapPartitions: iterator-in/iterator-out batch
-  // shape (no partition materialization). n_bytes is oracle-checkable;
-  // histogram/mean columns are engine-deterministic (spec-covered).
+  // shape (no partition materialization). The fixture text is pure ASCII,
+  // so payload bytes equal codepoints and the full feature vector
+  // (size, mean, high-2-bit histogram) reproduces in the oracle via
+  // exact integer arithmetic + one double division.
   private val decodeFeatures = OpQuery(
     "mm_decode_features",
-    None,
+    Some("""
+      WITH ch AS (
+        SELECT doc_id,
+               list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                              c -> unicode(c)) AS cs
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(cs) AS BIGINT) AS n_bytes,
+             CASE WHEN len(cs) = 0 THEN 0.0
+                  ELSE CAST(list_sum(cs) AS DOUBLE) / len(cs) END AS byte_mean,
+             CAST(len(list_filter(cs, x -> x // 64 = 0)) AS BIGINT) AS h0,
+             CAST(len(list_filter(cs, x -> x // 64 = 1)) AS BIGINT) AS h1,
+             CAST(len(list_filter(cs, x -> x // 64 = 2)) AS BIGINT) AS h2,
+             CAST(len(list_filter(cs, x -> x // 64 = 3)) AS BIGINT) AS h3
+      FROM ch
+      ORDER BY doc_id
+    """),
     (s, d) => {
       import s.implicits._
       assets(s, d)

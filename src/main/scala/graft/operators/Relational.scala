@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Cols, OpQuery, Tables}
-import graft.Cols.{avgExact, dec, money}
+import graft.Cols.{avgExact, dec, money, moneyOut}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,17 +25,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongTyp
   */
 object Relational {
 
-  /** Decimal type of money×rate products: scale 4, never down-rounded
-    * (scale-reducing casts would hit half-even-vs-half-up divergence
-    * between engines at exact midpoints). */
-  private val Money4 = DecimalType(24, 4)
-
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
   private def ts(x: String): Column = lit(x).cast("timestamp")
 
-  /** sum(extendedprice * (1 - discount)) with exact decimal arithmetic. */
+  /** sum(extendedprice * (1 - discount)): exact decimal arithmetic inside
+    * the aggregate, final value surfaced as DOUBLE (see Cols.moneyOut). */
   private def revenue(price: Column, disc: Column): Column =
-    sum(dec(price) * (lit(1) - dec(disc))).cast(Money4)
+    moneyOut(sum(dec(price) * (lit(1) - dec(disc))))
 
   // ---------------------------------------------------------------- q1
   // Full-scan hash aggregation, TPC-H Q1 shape (reference analog: the
@@ -44,9 +40,9 @@ object Relational {
     "q1_agg",
     Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4)) AS sum_disc_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
              COUNT(*) AS count_order
@@ -59,8 +55,8 @@ object Relational {
       val li = t(s, d, "lineitem").filter(col("l_shipdate") <= ts("2001-09-01 00:00:00"))
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-          money(sum(dec(col("l_quantity")))).as("sum_qty"),
-          money(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          moneyOut(sum(dec(col("l_quantity")))).as("sum_qty"),
+          moneyOut(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
           revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           avgExact(sum(dec(col("l_quantity"))), count(lit(1))).as("avg_qty"),
           avgExact(sum(dec(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
@@ -76,7 +72,7 @@ object Relational {
     "q3_star_topk",
     Some("""
       SELECT l_orderkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4)) AS revenue,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
              CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
       FROM customer JOIN orders ON c_custkey = o_custkey
                     JOIN lineitem ON o_orderkey = l_orderkey
@@ -88,11 +84,14 @@ object Relational {
       LIMIT 10
     """),
     (s, d) => {
+      // orders and customer are fact-sized at 100 TB — no broadcast hints;
+      // these are shuffle joins on their keys (AQE may still pick broadcast
+      // at small SF from runtime stats).
       val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, d, "orders").filter(col("o_orderdate") < ts("1998-06-01 00:00:00"))
       val l = t(s, d, "lineitem").filter(col("l_shipdate") > ts("1998-06-01 00:00:00"))
-      l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
         .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .select(
@@ -110,7 +109,7 @@ object Relational {
     "q5_join6",
     Some("""
       SELECT r_name, n_name,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(24,4)) AS revenue,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
              COUNT(*) AS n_items
       FROM region JOIN nation   ON n_regionkey = r_regionkey
                   JOIN customer ON c_nationkey = n_nationkey
@@ -127,10 +126,11 @@ object Relational {
         .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
                 col("o_orderdate") < ts("1998-01-01 00:00:00"))
       val li = t(s, d, "lineitem")
-      // Fact-to-fact join on l_orderkey shuffles both sides once; all
-      // dimension joins broadcast.
+      // Fact-to-fact join on l_orderkey shuffles both sides once; customer
+      // is fact-sized at 100 TB so it joins by shuffle too; only the true
+      // dimensions (supplier/nation/region) broadcast.
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "supplier")),
           col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(t(s, d, "nation")), col("n_nationkey") === col("c_nationkey"))
@@ -213,7 +213,7 @@ object Relational {
   private val joinAnti = OpQuery(
     "join_anti_notexists",
     Some("""
-      SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      SELECT c_custkey, c_acctbal AS acctbal
       FROM customer c
       WHERE NOT EXISTS (SELECT 1 FROM orders o
                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
@@ -223,7 +223,7 @@ object Relational {
       val big = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
       t(s, d, "customer")
         .join(big, col("c_custkey") === big("o_custkey"), "left_anti")
-        .select(col("c_custkey"), dec(col("c_acctbal")).as("acctbal"))
+        .select(col("c_custkey"), col("c_acctbal").as("acctbal"))
         .orderBy("c_custkey")
     })
 
@@ -296,8 +296,8 @@ object Relational {
     "agg_case_pivot",
     Some("""
       SELECT o_orderpriority,
-             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS sum_f,
-             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS sum_o,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_f,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_o,
              CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
       FROM orders
       GROUP BY o_orderpriority
@@ -307,8 +307,8 @@ object Relational {
       t(s, d, "orders")
         .groupBy("o_orderpriority")
         .agg(
-          money(sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice"))))).as("sum_f"),
-          money(sum(when(col("o_orderstatus") === "O", dec(col("o_totalprice"))))).as("sum_o"),
+          moneyOut(sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice"))))).as("sum_f"),
+          moneyOut(sum(when(col("o_orderstatus") === "O", dec(col("o_totalprice"))))).as("sum_o"),
           sum(when(col("o_orderstatus") === "P", lit(1))).cast(LongType).as("n_p"))
         .orderBy("o_orderpriority"))
 
@@ -318,7 +318,7 @@ object Relational {
       SELECT n_name, c_mktsegment,
              CAST(GROUPING(n_name) AS INT) AS g_nation,
              CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
              COUNT(*) AS n_cust
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY ROLLUP(n_name, c_mktsegment)
@@ -336,7 +336,7 @@ object Relational {
   private val aggHaving = OpQuery(
     "agg_having",
     Some("""
-      SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+      SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem
       GROUP BY l_suppkey
       HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 15000.00
@@ -345,8 +345,9 @@ object Relational {
     (s, d) =>
       t(s, d, "lineitem")
         .groupBy("l_suppkey")
-        .agg(money(sum(dec(col("l_quantity")))).as("sum_qty"))
-        .filter(col("sum_qty") > lit(BigDecimal("15000.00")))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty_exact"))
+        .filter(col("sum_qty_exact") > lit(BigDecimal("15000.00")))
+        .select(col("l_suppkey"), moneyOut(col("sum_qty_exact")).as("sum_qty"))
         .orderBy("l_suppkey"))
 
   // stddev via exact sums (reference: stddev_samp in q17/q29/q39 —
@@ -390,7 +391,7 @@ object Relational {
     "window_rank_global",
     Some("""
       SELECT l_suppkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
              CAST(RANK()       OVER (ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))) DESC, l_suppkey) AS INT) AS rnk,
              CAST(DENSE_RANK() OVER (ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))) DESC, l_suppkey) AS INT) AS drnk,
              CAST(ROW_NUMBER() OVER (ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))) DESC, l_suppkey) AS INT) AS rn
@@ -404,7 +405,7 @@ object Relational {
         .agg(sum(dec(col("l_extendedprice"))).as("rev_exact"))
       val w = Window.orderBy(col("rev_exact").desc, col("l_suppkey"))
       agg.select(
-          col("l_suppkey"), money(col("rev_exact")).as("rev"),
+          col("l_suppkey"), moneyOut(col("rev_exact")).as("rev"),
           rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
           row_number().over(w).as("rn"))
         .orderBy("rnk").limit(100)
@@ -416,7 +417,7 @@ object Relational {
     "window_topk_per_group",
     Some("""
       SELECT * FROM (
-        SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+        SELECT c_nationkey, c_custkey, c_acctbal AS acctbal,
                CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
                                        ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
         FROM customer)
@@ -426,7 +427,7 @@ object Relational {
     (s, d) => {
       val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
       t(s, d, "customer")
-        .select(col("c_nationkey"), col("c_custkey"), dec(col("c_acctbal")).as("acctbal"),
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal").as("acctbal"),
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
         .orderBy("c_nationkey", "rn")
@@ -437,7 +438,7 @@ object Relational {
   private val winPartAvg = OpQuery(
     "window_partition_avg",
     Some("""
-      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      SELECT o_orderkey, o_custkey, o_totalprice AS price,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
                - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
                  / COUNT(*) OVER (PARTITION BY o_custkey) AS diff_from_avg
@@ -447,7 +448,7 @@ object Relational {
     (s, d) => {
       val w = Window.partitionBy("o_custkey")
       t(s, d, "orders").select(
-          col("o_orderkey"), col("o_custkey"), dec(col("o_totalprice")).as("price"),
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice").as("price"),
           (dec(col("o_totalprice")).cast(DoubleType) -
             sum(dec(col("o_totalprice"))).over(w).cast(DoubleType) / count(lit(1)).over(w))
             .as("diff_from_avg"))
@@ -462,7 +463,7 @@ object Relational {
       SELECT o_custkey, o_orderkey,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_spend
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
       FROM orders
       ORDER BY o_custkey, o_orderkey
     """),
@@ -471,7 +472,7 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "orders").select(
           col("o_custkey"), col("o_orderkey"),
-          money(sum(dec(col("o_totalprice"))).over(w)).as("running_spend"))
+          moneyOut(sum(dec(col("o_totalprice"))).over(w)).as("running_spend"))
         .orderBy("o_custkey", "o_orderkey")
     })
 
@@ -565,7 +566,7 @@ object Relational {
              CAST(length(p_name) AS INT) AS name_len,
              COALESCE(NULLIF(p_type, 'ECONOMY'), 'CHEAP') AS type_or_cheap,
              CASE WHEN p_size > 25 THEN 'large' WHEN p_size > 10 THEN 'medium' ELSE 'small' END AS size_class,
-             CAST(abs(CAST(p_retailprice AS DECIMAL(18,2)) - 1000) AS DECIMAL(18,2)) AS price_dist,
+             CAST(abs(CAST(p_retailprice AS DECIMAL(18,2)) - 1000) AS DOUBLE) AS price_dist,
              round(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) / 7, 2) AS price_div
       FROM part
       ORDER BY p_partkey
@@ -582,7 +583,7 @@ object Relational {
           coalesce(nullif(col("p_type"), lit("ECONOMY")), lit("CHEAP")).as("type_or_cheap"),
           when(col("p_size") > 25, "large").when(col("p_size") > 10, "medium")
             .otherwise("small").as("size_class"),
-          money(abs(dec(col("p_retailprice")) - 1000)).as("price_dist"),
+          moneyOut(abs(dec(col("p_retailprice")) - 1000)).as("price_dist"),
           round(dec(col("p_retailprice")).cast(DoubleType) / 7, 2).as("price_div"))
         .orderBy("p_partkey"))
 
@@ -595,7 +596,7 @@ object Relational {
              CAST(month(l_shipdate) AS INT) AS mo,
              CAST(date_trunc('month', l_shipdate) AS DATE) AS month_start,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00' + INTERVAL 90 DAY
@@ -610,7 +611,7 @@ object Relational {
           year(col("l_shipdate")).as("yr"),
           month(col("l_shipdate")).as("mo"),
           date_trunc("month", col("l_shipdate")).cast("date").as("month_start"))
-        .agg(count(lit(1)).as("n"), money(sum(dec(col("l_quantity")))).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), moneyOut(sum(dec(col("l_quantity")))).as("sum_qty"))
         .orderBy("yr", "mo"))
 
   // Multi-column mixed-direction sort + LIMIT (reference: 93/103 queries
@@ -619,7 +620,7 @@ object Relational {
     "sort_multi_mixed",
     Some("""
       SELECT l_orderkey, l_linenumber,
-             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             l_extendedprice AS price,
              CAST(l_shipdate AS DATE) AS shipdate
       FROM lineitem
       ORDER BY price DESC, shipdate ASC, l_orderkey, l_linenumber
@@ -628,7 +629,7 @@ object Relational {
     (s, d) =>
       t(s, d, "lineitem").select(
           col("l_orderkey"), col("l_linenumber"),
-          dec(col("l_extendedprice")).as("price"),
+          col("l_extendedprice").as("price"),
           col("l_shipdate").cast("date").as("shipdate"))
         .orderBy(col("price").desc, col("shipdate").asc, col("l_orderkey"), col("l_linenumber"))
         .limit(100))
@@ -651,7 +652,7 @@ object Relational {
   private val subqScalar = OpQuery(
     "subquery_scalar_agg",
     Some("""
-      SELECT p_partkey, p_name, CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      SELECT p_partkey, p_name, p_retailprice AS price
       FROM part
       WHERE CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) >
             (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM part)
@@ -663,7 +664,7 @@ object Relational {
         avgExact(sum(dec(col("p_retailprice"))), count(lit(1))).as("avg_price"))
       p.crossJoin(broadcast(avgDf))
         .filter(dec(col("p_retailprice")).cast(DoubleType) > col("avg_price"))
-        .select(col("p_partkey"), col("p_name"), dec(col("p_retailprice")).as("price"))
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice").as("price"))
         .orderBy("p_partkey")
     })
 
@@ -671,7 +672,7 @@ object Relational {
   // serves as the oracle (reference: q1 correlated avg —
   // TPCDSBenchmarkQueries.scala:36; Catalyst decorrelates).
   private val correlatedSql = """
-      SELECT c1.c_custkey, CAST(c1.c_acctbal AS DECIMAL(18,2)) AS acctbal
+      SELECT c1.c_custkey, c1.c_acctbal AS acctbal
       FROM customer c1
       WHERE c1.c_acctbal > (
         SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)

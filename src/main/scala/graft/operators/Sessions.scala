@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{OpQuery, Tables}
-import graft.Cols.{dec, money}
+import graft.Cols.{dec, money, moneyOut}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -33,7 +33,7 @@ object Sessions {
       SELECT user_id, session_seq,
              MIN(ts) AS session_start, MAX(ts) AS session_end,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM s
       GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq
@@ -52,7 +52,7 @@ object Sessions {
           min(col("ts")).as("session_start"),
           max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"),
-          money(sum(dec(col("value")))).as("sum_value"))
+          moneyOut(sum(dec(col("value")))).as("sum_value"))
         .orderBy("user_id", "session_seq")
     })
 
@@ -65,7 +65,7 @@ object Sessions {
              COUNT(*) AS n_events,
              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks,
              CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_views,
-             CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS purchase_value
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
       FROM events
       GROUP BY 1
       ORDER BY hr
@@ -77,26 +77,28 @@ object Sessions {
           count(lit(1)).as("n_events"),
           sum(when(col("event_type") === "click", 1)).cast(LongType).as("n_clicks"),
           sum(when(col("event_type") === "view", 1)).cast(LongType).as("n_views"),
-          money(sum(when(col("event_type") === "purchase", dec(col("value")))))
+          moneyOut(sum(when(col("event_type") === "purchase", dec(col("value")))))
             .as("purchase_value"))
         .orderBy("hr"))
 
-  // Enrichment join: fact stream × broadcast customer dimension.
+  // Enrichment join: fact stream × customer. Customer is itself
+  // fact-sized at 100 TB, so this is a shuffle join on the key — no
+  // broadcast hint (AQE may still broadcast at small SF).
   private val enrich = OpQuery(
     "events_enrich_join",
     Some("""
       SELECT c_mktsegment, event_type, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2
       ORDER BY c_mktsegment, event_type
     """),
     (s, d) =>
       Tables.load(s, d, "events")
-        .join(broadcast(Tables.load(s, d, "customer")),
+        .join(Tables.load(s, d, "customer"),
           col("user_id") === col("c_custkey"))
         .groupBy("c_mktsegment", "event_type")
-        .agg(count(lit(1)).as("n"), money(sum(dec(col("value")))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), moneyOut(sum(dec(col("value")))).as("sum_value"))
         .orderBy("c_mktsegment", "event_type"))
 
   val defs: Seq[OpQuery] = Seq(sessionize, pivot, enrich)

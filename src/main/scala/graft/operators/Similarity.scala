@@ -75,11 +75,47 @@ object Similarity {
       when(dot > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** DuckDB oracle for the LSH path: the SAME hyperplane literals are
+    * embedded in the SQL text, and the bucket dot-products use an
+    * explicit left-fold (list_reduce with prepended 0.0) matching
+    * Spark's aggregate() evaluation order bit-for-bit, so bucket signs
+    * agree exactly. Similarity itself rounds to 6 decimals like the
+    * brute-force oracle. */
+  private def lshOracle: String = {
+    val planes = hyperplanes()
+    val folds = planes.zipWithIndex.map { case (p, j) =>
+      val arr = p.map(x => s"${x}").mkString("[", ", ", "]")
+      s"""CASE WHEN list_reduce(
+         |  list_prepend(0.0, list_transform(range(1, ${p.size + 1}), i -> v[i] * ($arr)[i])),
+         |  (acc, x) -> acc + x) > 0 THEN ${1 << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""
+      WITH bkt AS (
+        SELECT vec_id, $folds AS bucket
+        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings))
+      SELECT probe_id, neighbor_id, sim, CAST(rn AS INT) AS rank FROM (
+        SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                          b.vec_id) AS rn
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+        JOIN bkt ba ON ba.vec_id = a.vec_id
+        JOIN bkt bb ON bb.vec_id = b.vec_id AND ba.bucket = bb.bucket
+        WHERE a.vec_id < 5)
+      WHERE rn <= 3
+      ORDER BY probe_id, rank
+    """
+  }
+
   // LSH-bucketed ANN: probes score only their own bucket's candidates.
-  // Spark-only determinism (seeded Scala hyperplanes) → rows-only check.
+  // Seeded hyperplanes are compiled into BOTH the Spark plan and the
+  // DuckDB oracle as identical double literals.
   private val lshTopk = OpQuery(
     "simsearch_lsh",
-    None,
+    Some(lshOracle),
     (s, d) => {
       val planes = hyperplanes()
       val e = emb(s, d).withColumn("bucket", bucketCol(planes))

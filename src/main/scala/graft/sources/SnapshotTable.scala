@@ -1,6 +1,9 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,8 +17,9 @@ import org.apache.spark.sql.functions._
   * Layout:
   * {{{
   *   root/_graft_log/<version>/        one parquet manifest per commit:
-  *                                     'file' rows (path, part_value, bytes)
-  *                                     + one 'commit' row (operation, counts)
+  *                                     'file' rows (path, part_value,
+  *                                     bytes, rows) + one 'commit' row
+  *                                     (operation, counts)
   *   root/data/c<version>/...          data files written by that commit
   * }}}
   *
@@ -24,11 +28,19 @@ import org.apache.spark.sql.functions._
   * O(listing 200k objects) — the reference's file-count benchmark is
   * exactly this metadata-scaling test (FileCountBenchmark.scala).
   *
+  * Per-file row counts live in the manifest (read once from the parquet
+  * footers of newly-written files at commit time — O(new files) metadata
+  * reads, never a data scan). A commit's total row count is the sum of
+  * its file entries' counts, so MERGE/COMPACT never re-read the table:
+  * at 100 TB a DML commit costs only its own rewrite + footer stats,
+  * exactly like Delta's per-file stats in the transaction log.
+  *
   * Copy-on-write MERGE with partition pruning: when the table is
   * partitioned and the merge keys include the partition column (the
   * reference guarantees this — merge keys = PKs ∪ partition keys,
   * IncrementalTPCDSBenchmark.scala:274), only partitions present in the
-  * source are rewritten; untouched files carry over by reference. That
+  * source are rewritten; untouched files carry over by reference (their
+  * manifest entries, including row counts, are copied forward). That
   * invariant makes pruning sound: a matched row's partition value cannot
   * change, so stale rows can never hide in an unscanned partition.
   * MoR (deferred merge-on-read) is out of scope — CoW only.
@@ -53,18 +65,23 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private def manifest(version: Int): DataFrame =
     spark.read.parquet(new Path(logDir, f"$version%05d").toString)
 
-  private def fileEntries(version: Int): Seq[(String, String)] =
+  private def fileEntries(version: Int): Seq[FileEntry] =
     manifest(version).filter(col("entry_type") === "file")
-      .select("path", "part_value").collect()
-      .map(r => (r.getString(0), Option(r.getString(1)).orNull)).toSeq
+      .select("path", "part_value", "bytes", "rows").collect()
+      .map(r => FileEntry(r.getString(0), Option(r.getString(1)).orNull,
+        r.getLong(2), r.getLong(3))).toSeq
 
   /** Read the table at `version` (default: latest) straight from the
     * manifest's file list — no directory listing. */
   def read(version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion else version
-    val paths = fileEntries(v).map(_._1)
+    val paths = fileEntries(v).map(_.path)
     spark.read.parquet(paths: _*).drop(PartCol)
   }
+
+  /** Manifest-planned file list (path, part_value, bytes, rows) at the
+    * latest version — the metadata probes read this, not the filesystem. */
+  def files: Seq[FileEntry] = fileEntries(currentVersion)
 
   /** Create version 0 from `df`, optionally hive-partitioned by
     * `partitionBy` (the column is duplicated into `__p` so data files
@@ -85,15 +102,15 @@ class SnapshotTable(spark: SparkSession, root: String) {
       case Some(p) =>
         val vals = source.select(col(p).cast("string")).distinct()
           .collect().map(_.getString(0)).toSet
-        entries.partition { case (_, pv) => pv == null || vals.contains(pv) }
-      case None => (entries, Seq.empty[(String, String)])
+        entries.partition(e => e.partValue == null || vals.contains(e.partValue))
+      case None => (entries, Seq.empty[FileEntry])
     }
     val base =
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema)
-      else spark.read.parquet(touched.map(_._1): _*).drop(PartCol)
+      else spark.read.parquet(touched.map(_.path): _*).drop(PartCol)
     val rewritten = base.join(source, keys, "left_anti").unionByName(source)
-    commit(rewritten, "MERGE", v + 1, partitionBy, carryOver.map(_._1))
+    commit(rewritten, "MERGE", v + 1, partitionBy, carryOver)
     this
   }
 
@@ -126,7 +143,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
         lit(v).as("version"),
         sum(when(col("entry_type") === "file", 1).otherwise(0)).cast("long").as("num_files"),
         sum(when(col("entry_type") === "file", col("bytes"))).cast("long").as("total_bytes"),
-        max(when(col("entry_type") === "commit", col("num_rows"))).as("num_rows"))
+        sum(when(col("entry_type") === "file", col("rows"))).cast("long").as("num_rows"))
   }
 
   // ------------------------------------------------------------------
@@ -136,7 +153,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
       operation: String,
       version: Int,
       partitionBy: Option[String],
-      carryOver: Seq[String]): Unit = {
+      carryOver: Seq[FileEntry]): Unit = {
     val dataDir = new Path(root, f"data/c$version%05d")
     val writer = partitionBy match {
       case Some(p) =>
@@ -147,23 +164,26 @@ class SnapshotTable(spark: SparkSession, root: String) {
     }
     writer.mode(SaveMode.Overwrite).parquet(dataDir.toString)
 
-    val written = listDataFiles(fs, dataDir)
-    val carried = carryOver.map { p =>
-      (p, partValueOf(p), fs.getFileStatus(new Path(p)).getLen)
+    // Per-file row counts from the parquet footers of the files THIS
+    // commit wrote — metadata-only reads, O(new files); carried-over
+    // files keep the counts from the previous manifest. No table scan.
+    val conf = spark.sessionState.newHadoopConf()
+    val written = listDataFiles(fs, dataDir).map { case (p, pv, len) =>
+      FileEntry(p, pv, len, footerRowCount(conf, p))
     }
-    val files = written ++ carried
-    val numRows = spark.read.parquet(files.map(_._1): _*).count()
+    val files = written ++ carryOver
+    val numRows = files.map(_.rows).sum
 
     import spark.implicits._
-    val fileRows = files.map { case (p, pv, len) =>
-      (version, "file", Option(p), Option(pv), len,
+    val fileRows = files.map { e =>
+      (version, "file", Option(e.path), Option(e.partValue), e.bytes, e.rows,
         None: Option[String], None: Option[Long])
     }
     val commitRow =
-      (version, "commit", None: Option[String], None: Option[String], 0L,
+      (version, "commit", None: Option[String], None: Option[String], 0L, 0L,
         Option(operation), Option(numRows))
     (fileRows :+ commitRow)
-      .toDF("version", "entry_type", "path", "part_value", "bytes",
+      .toDF("version", "entry_type", "path", "part_value", "bytes", "rows",
         "operation", "num_rows")
       .withColumn("num_files", lit(files.size.toLong))
       .coalesce(1)
@@ -176,9 +196,19 @@ object SnapshotTable {
   /** Duplicated hive-partition column name in data dirs. */
   val PartCol = "__p"
 
+  /** One manifest 'file' entry. */
+  final case class FileEntry(path: String, partValue: String, bytes: Long, rows: Long)
+
   private def partValueOf(path: String): String =
     path.split('/').find(_.startsWith(s"$PartCol="))
       .map(_.stripPrefix(s"$PartCol=")).orNull
+
+  /** Row count from the parquet footer — no data pages are read. */
+  private def footerRowCount(conf: Configuration, path: String): Long = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), conf))
+    try reader.getRecordCount finally reader.close()
+  }
 
   private def listDataFiles(fs: FileSystem, dir: Path): Seq[(String, String, Long)] = {
     val it = fs.listFiles(dir, true)

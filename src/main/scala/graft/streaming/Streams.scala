@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Cols, OpQuery, Tables}
-import graft.Cols.{dec, money}
+import graft.Cols.{dec, money, moneyOut}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -83,7 +83,7 @@ object Streams {
     Some("""
       SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
              event_type, COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2
       ORDER BY 1, 2
@@ -93,7 +93,7 @@ object Streams {
       val agg = src
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), money(sum(dec(col("value")))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), moneyOut(sum(dec(col("value")))).as("sum_value"))
       runToMemory(agg, "winagg")
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n"), col("sum_value"))
@@ -163,7 +163,9 @@ object Streams {
       val out = Seq.newBuilder[SessOut]
       var st = state.getOption
       sorted.foreach { e =>
-        val cents = Math.round(e.value * 100)
+        val cents = new java.math.BigDecimal(e.value)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
         st match {
           case Some(cur) if e.ts_us - cur.lastUs <= GapUs =>
             st = Some(cur.copy(lastUs = e.ts_us, n = cur.n + 1,
@@ -197,7 +199,7 @@ object Streams {
       SELECT user_id, session_seq,
              MIN(ts) AS session_start, MAX(ts) AS session_end,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM s
       GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq
@@ -215,7 +217,7 @@ object Streams {
       runToMemory(sessions.toDF(), "sess")
         .select(col("user_id"), col("session_seq"),
           col("session_start"), col("session_end"), col("n_events"),
-          money(col("sum_cents").cast(Cols.Money) / 100).as("sum_value"))
+          (col("sum_cents") / 100.0).as("sum_value"))
         .orderBy("user_id", "session_seq")
     })
 

@@ -25,7 +25,7 @@ class StreamsSpec extends AnyFunSuite {
     val want = Tables.load(spark, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        Cols.money(sum(Cols.dec(col("value")))).as("sum_value"))
+        Cols.moneyOut(sum(Cols.dec(col("value")))).as("sum_value"))
       .orderBy("window_start", "event_type")
       .collect()
     assert(got.length == want.length)
@@ -53,7 +53,7 @@ class StreamsSpec extends AnyFunSuite {
       assert(g.get(2) == w.get(2), s"session_start for ${g.getLong(0)}")
       assert(g.get(3) == w.get(3), s"session_end for ${g.getLong(0)}")
       assert(g.getLong(4) == w.getLong(4)) // n_events
-      assert(g.getDecimal(5) == w.getDecimal(5)) // sum_value
+      assert(g.getDouble(5) == w.getDouble(5)) // sum_value
     }
   }
 }
