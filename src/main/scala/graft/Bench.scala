@@ -20,6 +20,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,7 +30,13 @@ object Bench {
     val results = Harness.runQueries(spark, sfDir, queries, iterations)
     results.filterNot(_.ok).foreach(r =>
       System.err.println(s"[bench] ${r.name} failed: ${r.errorOpt.get}"))
-    println(Harness.reportJson(results, sfDir))
+    // Optional CSV report alongside the JSON line (reference A3 shape).
+    sys.env.get("SPARK_GRAFT_REPORT_DIR").foreach { dir =>
+      val p = java.nio.file.Paths.get(dir, "bench_report.csv")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, Harness.reportCsv(results))
+    }
+    println(Harness.reportJson(results, sfDir, Harness.envInfo(spark)))
     spark.stop()
   }
 }

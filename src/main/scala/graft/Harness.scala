@@ -1,18 +1,25 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Measurement harness — the engine-side analog of the reference's
   * benchmark core (reference: benchmark/Benchmark.scala:129-192 runQuery/
-  * runFunc timing, :267-273 median, :208-258 JSON report).
+  * runFunc timing, :267-273 median, :208-258 JSON report, :220-231 CSV
+  * report; planning-time split after FileCountBenchmark.scala:305-336;
+  * env capture after org/apache/spark/SparkUtils.scala:24-54).
   */
 object Harness {
 
   final case class QueryResult(
       name: String,
       iterationSecs: Seq[Double],
+      planningSecs: Seq[Double],
       errorOpt: Option[String]) {
     def medianSec: Double = Harness.median(iterationSecs)
+    def medianPlanningSec: Double =
+      if (planningSecs.isEmpty) 0.0 else Harness.median(planningSecs)
     def ok: Boolean = errorOpt.isEmpty
   }
 
@@ -31,6 +38,34 @@ object Harness {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** First-job-start capture: the gap between query submission and the
+    * first SparkListenerJobStart is the planning (analysis + optimization
+    * + file-listing/manifest) time — the quantity the reference's
+    * file-count benchmark isolates (FileCountBenchmark.scala:305-336). */
+  private final class PlanningListener extends SparkListener {
+    val firstJobStartMs = new AtomicLong(-1L)
+    override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+      firstJobStartMs.compareAndSet(-1L, jobStart.time)
+  }
+
+  /** Time one materialization and split out planning time (seconds to
+    * the first job start). Falls back to the full duration when the
+    * query never launches a job (pure-metadata answers). */
+  def timePlanned(spark: SparkSession, thunk: => Unit): (Double, Double) = {
+    val listener = new PlanningListener
+    spark.sparkContext.addSparkListener(listener)
+    val startMs = System.currentTimeMillis()
+    val t0 = System.nanoTime()
+    try thunk
+    finally spark.sparkContext.removeSparkListener(listener)
+    val totalSec = (System.nanoTime() - t0) / 1e9
+    val jobMs = listener.firstJobStartMs.get()
+    val planningSec =
+      if (jobMs < 0) totalSec
+      else math.max(0.0, math.min((jobMs - startMs) / 1e3, totalSec))
+    (totalSec, planningSec)
+  }
+
   /** Reference query protocol (TPCDSBenchmark.scala:94-108): run each
     * query `iterations` times, keep per-iteration seconds, median each,
     * report the sum of medians. Errors are captured, not thrown
@@ -42,13 +77,14 @@ object Harness {
       iterations: Int): Seq[QueryResult] =
     queries.map { case (name, fn) =>
       try {
-        val secs = (1 to iterations).map { _ =>
-          timeOnce(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        val timed = (1 to iterations).map { _ =>
+          timePlanned(spark,
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save())
         }
-        QueryResult(name, secs, None)
+        QueryResult(name, timed.map(_._1), timed.map(_._2), None)
       } catch {
         case e: Throwable =>
-          QueryResult(name, Seq.empty, Some(e.getMessage))
+          QueryResult(name, Seq.empty, Seq.empty, Some(e.getMessage))
       }
     }
 
@@ -61,11 +97,48 @@ object Harness {
       .groupBy($"k").count().write.format("noop").mode("overwrite").save()
   }
 
-  /** One-line JSON report (driver contract). */
-  def reportJson(results: Seq[QueryResult], sfDir: String): String = {
-    val qs = results.map(r => "\"" + r.name + "\":" +
+  /** Environment capture (reference SparkUtils.scala:24-54: version +
+    * relevant session confs into every report). */
+  def envInfo(spark: SparkSession): Map[String, String] = Map(
+    "spark_version" -> spark.version,
+    "scala_version" -> scala.util.Properties.versionNumberString,
+    "java_version" -> sys.props.getOrElse("java.version", "unknown"),
+    "master" -> spark.sparkContext.master,
+    "shuffle_partitions" -> spark.conf.get("spark.sql.shuffle.partitions"),
+    "aqe_enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+    "default_parallelism" -> spark.sparkContext.defaultParallelism.toString)
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** One-line JSON report (driver contract); planning + env are
+    * additive keys. */
+  def reportJson(results: Seq[QueryResult], sfDir: String,
+      env: Map[String, String] = Map.empty): String = {
+    val qs = results.map(r => jstr(r.name) + ":" +
       (if (r.ok) r.medianSec.toString else "-1")).mkString("{", ",", "}")
+    val planning = results.filter(_.ok).map(r =>
+      jstr(r.name) + ":" + r.medianPlanningSec.toString).mkString("{", ",", "}")
+    val envJson = env.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.filter(_.ok).map(_.medianSec).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""planning":$planning,"env":$envJson,"sf":"$sfDir"}"""
+  }
+
+  /** CSV report (reference Benchmark.scala:220-231: name,min,max,median
+    * per query). */
+  def reportCsv(results: Seq[QueryResult]): String = {
+    val rows = results.map { r =>
+      if (r.ok)
+        f"${r.name},${r.iterationSecs.min}%.3f,${r.iterationSecs.max}%.3f,${r.medianSec}%.3f,${r.medianPlanningSec}%.3f"
+      else s"${r.name},,,," // failed — empty measurements
+    }
+    ("name,min_sec,max_sec,median_sec,planning_sec" +: rows).mkString("\n")
   }
 }

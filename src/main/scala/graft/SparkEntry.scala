@@ -18,6 +18,7 @@ object SparkEntry {
     operators.Dedup.defs,
     operators.Similarity.defs,
     operators.Lakehouse.defs,
+    operators.Refresh.defs,
     operators.Multimodal.defs,
     streaming.Streams.defs
   ).flatten

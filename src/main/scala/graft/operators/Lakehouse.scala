@@ -204,7 +204,89 @@ object Lakehouse {
           "c_mktsegment", "n_name")
     })
 
+  // File-count read-probe battery (reference: FileCountBenchmark.scala:
+  // 242-279 — limit-1 / count / partition-filter / value-filter probes
+  // over a many-file table). The flat table holds 64 files; partition
+  // pruning and the manifest COUNT run on metadata alone. The oracle
+  // asserts the answers, a spec asserts the planning path.
+  private val filecountProbes = OpQuery(
+    "filecount_probes",
+    Some("""
+      SELECT * FROM (
+        SELECT 'count' AS probe, (SELECT COUNT(*) FROM lineitem) AS n
+        UNION ALL
+        SELECT 'limit1', 1
+        UNION ALL
+        SELECT 'manifest_count', (SELECT COUNT(*) FROM lineitem)
+        UNION ALL
+        SELECT 'partition_filter', (SELECT COUNT(*) FROM lineitem WHERE l_returnflag = 'A')
+        UNION ALL
+        SELECT 'value_filter', (SELECT COUNT(*) FROM lineitem WHERE l_quantity >= 49.0))
+      ORDER BY probe
+    """),
+    (s, d) => {
+      import s.implicits._
+      val root = tmp("probes")
+      val li = Tables.load(s, d, "lineitem")
+      val flat = new SnapshotTable(s, s"$root/flat").create(li.repartition(64))
+      val parted = new SnapshotTable(s, s"$root/parted")
+        .create(li, partitionBy = Some("l_returnflag"))
+      Seq(
+        ("count", flat.read().count()),
+        ("limit1", flat.read().limit(1).count()),
+        ("manifest_count", flat.countFromManifest), // zero data files read
+        ("partition_filter", parted.readWhere("A").count()),
+        ("value_filter", flat.read().filter(col("l_quantity") >= 49.0).count()))
+        .toDF("probe", "n")
+        .orderBy("probe")
+    })
+
+  // DESCRIBE DETAIL gate entry (reference: MergeMicroBenchmark.scala:
+  // 267-281 queries table detail after every merge round). num_files/
+  // bytes are parallelism-dependent engine metadata; version + row count
+  // are oracle-checkable.
+  private val detail = OpQuery(
+    "snapshot_detail",
+    Some("""
+      WITH base AS (SELECT COUNT(*) AS n FROM orders),
+           ins  AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 17 = 0)
+      SELECT 1 AS version,
+             CAST((SELECT n FROM base) + (SELECT n FROM ins) AS BIGINT) AS num_rows
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val table = new SnapshotTable(s, tmp("detail"))
+        .create(o, partitionBy = Some("o_orderstatus"))
+        .merge(mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
+          Some("o_orderstatus"))
+      table.detail.select("version", "num_rows")
+    })
+
+  // Catalog DDL round-trip (reference: TPCDSDataLoad.scala:91-92 CREATE
+  // DATABASE + CTAS, TestBenchmark.scala:62-70): tables live in the
+  // session catalog and are queried back by qualified name.
+  private val ddlRoundtrip = OpQuery(
+    "catalog_ddl_roundtrip",
+    Some("""
+      SELECT n_nationkey, n_name, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      ORDER BY n_nationkey
+    """),
+    (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+      Seq("nation", "region").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS graft_db.${t}_ddl")
+        Tables.load(s, d, t).createOrReplaceTempView(s"${t}_src")
+        s.sql(s"CREATE TABLE graft_db.${t}_ddl USING PARQUET AS SELECT * FROM ${t}_src")
+      }
+      s.sql("""
+        SELECT n_nationkey, n_name, r_name
+        FROM graft_db.nation_ddl JOIN graft_db.region_ddl
+          ON n_regionkey = r_regionkey
+        ORDER BY n_nationkey""")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
-    refreshView)
+    refreshView, filecountProbes, detail, ddlRoundtrip)
 }

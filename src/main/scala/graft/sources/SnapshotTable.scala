@@ -83,6 +83,20 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * latest version — the metadata probes read this, not the filesystem. */
   def files: Seq[FileEntry] = fileEntries(currentVersion)
 
+  /** Manifest-pruned read of one partition value: file selection is pure
+    * metadata (no directory listing, no scan of other partitions) — the
+    * same partition-pruning-from-the-log that the reference's file-count
+    * partition-filter probe measures (FileCountBenchmark.scala:244-249). */
+  def readWhere(partValue: String): DataFrame = {
+    val entries = fileEntries(currentVersion).filter(_.partValue == partValue)
+    require(entries.nonEmpty, s"no files for partition $partValue")
+    spark.read.parquet(entries.map(_.path): _*).drop(PartCol)
+  }
+
+  /** Footer-stat row count of the whole table straight from the manifest —
+    * a COUNT(*) that reads zero data files. */
+  def countFromManifest: Long = fileEntries(currentVersion).map(_.rows).sum
+
   /** Create version 0 from `df`, optionally hive-partitioned by
     * `partitionBy` (the column is duplicated into `__p` so data files
     * keep the real column and the manifest keeps the partition value). */

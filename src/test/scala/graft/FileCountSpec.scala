@@ -1,0 +1,66 @@
+package graft
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Metadata-scaling behavior of SnapshotTable (reference:
+  * FileCountBenchmark.scala — planning cost vs file count) plus the
+  * Harness planning-split/report surface. */
+class FileCountSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(p: String) = Files.createTempDirectory(s"graft_$p").toString
+
+  test("manifest plans reads over many files without listing") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val t = new SnapshotTable(spark, tmp("fc"))
+      .create(li.repartition(96))
+    assert(t.files.size == 96)
+    // manifest count must equal a real scan count, with zero data reads
+    assert(t.countFromManifest == li.count())
+    // per-file footer row counts sum correctly after compaction too
+    val c = t.compact(4)
+    assert(c.files.size == 4)
+    assert(c.countFromManifest == li.count())
+  }
+
+  test("partition-filter probe reads only manifest-selected files") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val t = new SnapshotTable(spark, tmp("fcp"))
+      .create(li, partitionBy = Some("l_returnflag"))
+    val expect = li.filter(col("l_returnflag") === "A").count()
+    assert(t.readWhere("A").count() == expect)
+    // the pruned read plans strictly fewer files than the full table
+    val aFiles = t.files.count(_.partValue == "A")
+    assert(aFiles < t.files.size)
+  }
+
+  test("planning split reports a sub-total planning time") {
+    val (total, planning) = Harness.timePlanned(spark, {
+      Tables.load(spark, sf, "orders").groupBy("o_orderstatus").count()
+        .write.format("noop").mode("overwrite").save()
+    })
+    assert(planning >= 0.0 && planning <= total)
+  }
+
+  test("csv report carries one row per query plus header") {
+    val results = Seq(
+      Harness.QueryResult("q_ok", Seq(1.0, 2.0), Seq(0.1, 0.2), None),
+      Harness.QueryResult("q_bad", Seq.empty, Seq.empty, Some("boom")))
+    val csv = Harness.reportCsv(results)
+    val lines = csv.split("\n")
+    assert(lines.length == 3)
+    assert(lines.head.startsWith("name,min_sec"))
+    assert(lines(1).startsWith("q_ok,1.000,2.000,2.000"))
+    assert(lines(2) == "q_bad,,,,")
+  }
+
+  test("env info captures version and parallelism") {
+    val env = Harness.envInfo(spark)
+    assert(env("spark_version").nonEmpty)
+    assert(env("shuffle_partitions") == "4")
+  }
+}
