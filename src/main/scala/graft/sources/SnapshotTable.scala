@@ -181,10 +181,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // Per-file row counts from the parquet footers of the files THIS
     // commit wrote — metadata-only reads, O(new files); carried-over
     // files keep the counts from the previous manifest. No table scan.
+    // Footers are fetched in parallel (independent ~8 KB metadata reads).
     val conf = spark.sessionState.newHadoopConf()
-    val written = listDataFiles(fs, dataDir).map { case (p, pv, len) =>
+    import scala.collection.parallel.CollectionConverters._
+    val written = listDataFiles(fs, dataDir).par.map { case (p, pv, len) =>
       FileEntry(p, pv, len, footerRowCount(conf, p))
-    }
+    }.seq.toSeq
     val files = written ++ carryOver
     val numRows = files.map(_.rows).sum
 

@@ -48,16 +48,16 @@ object Streams {
     val ev = Tables.load(s, d, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
     val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-    (1 to copies).foreach { _ =>
-      ev.write.mode("append").parquet(dir)
-    }
-    s.range(1).select(
+    val sentinel = s.range(1).select(
       lit(-1L).as("event_id"),
       timestamp_micros(lit(maxUs + SentinelUs)).as("ts"),
       lit(-1L).as("user_id"),
       lit("__sentinel").as("event_type"),
       lit(0.0).as("value"))
-      .write.mode("append").parquet(dir)
+    // One staging job for all copies + the sentinel (not one per copy).
+    Seq.fill(copies)(ev).reduce(_.unionByName(_))
+      .unionByName(sentinel)
+      .write.mode("overwrite").parquet(dir)
     dir
   }
 
