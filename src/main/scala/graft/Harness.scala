@@ -97,6 +97,14 @@ object Harness {
       .groupBy($"k").count().write.format("noop").mode("overwrite").save()
   }
 
+  /** Query-text rewriting (reference IncrementalTPCDSBenchmark.scala:
+    * 298-321: regex schema fixups like c_last_review_date→…_sk applied
+    * to every query before execution). Rules apply in insertion order. */
+  def rewriteQuery(sql: String, rules: Seq[(String, String)]): String =
+    rules.foldLeft(sql) { case (q, (pattern, replacement)) =>
+      q.replaceAll(pattern, replacement)
+    }
+
   /** Environment capture (reference SparkUtils.scala:24-54: version +
     * relevant session confs into every report). */
   def envInfo(spark: SparkSession): Map[String, String] = Map(

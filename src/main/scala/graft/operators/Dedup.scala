@@ -302,9 +302,61 @@ object Dedup {
         .orderBy("vec_id")
     })
 
+  // Embedding near-dup, LSH-bucketed (the 100 TB path): sign-LSH
+  // hyperplane buckets replace the label blocking of dedup_embedding_nn,
+  // so the pair space is |bucket|² with bucket count chosen by plane
+  // count — cardinality no longer tied to a data column. Same output
+  // shape; rows restricted to vectors whose bucket holds a neighbor.
+  private val embedAnnOracle: String = {
+    val folds = Similarity.duckBucketExpr()
+    s"""
+      WITH bkt AS (
+        SELECT vec_id, $folds AS bucket
+        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings))
+      SELECT vec_id, nn_id, sim, is_dup FROM (
+        SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.99 AS is_dup,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                          b.vec_id) AS rn
+        FROM embeddings a
+        JOIN bkt ba ON ba.vec_id = a.vec_id
+        JOIN bkt bb ON ba.bucket = bb.bucket AND bb.vec_id <> a.vec_id
+        JOIN embeddings b ON b.vec_id = bb.vec_id)
+      WHERE rn = 1
+      ORDER BY vec_id
+    """
+  }
+
+  private val embedAnn = OpQuery(
+    "dedup_embedding_ann",
+    Some(embedAnnOracle),
+    (s, d) => {
+      val planes = Similarity.hyperplanes()
+      val e = Tables.load(s, d, "embeddings")
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("norm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + x * x))"))
+        .withColumn("bucket", Similarity.bucketCol(planes))
+        .select("vec_id", "bucket", "v", "norm")
+      val a = e.as("a"); val b = e.as("b")
+      val sim = round(
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)") /
+          (col("a.norm") * col("b.norm")), 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn_id"))
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"), sim.as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nn_id"), col("sim"), (col("sim") >= 0.99).as("is_dup"))
+        .orderBy("vec_id")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     exact, ngramJaccard,
     OpQuery("dedup_minhash_lsh", Some(minhashOracle), (s, d) => minhashLshBuild(s, d)),
     OpQuery("dedup_simhash", Some(simhashOracle), (s, d) => simhashBuild(s, d)),
-    embedNn)
+    embedNn, embedAnn)
 }

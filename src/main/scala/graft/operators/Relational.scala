@@ -403,12 +403,18 @@ object Relational {
     (s, d) => {
       val agg = t(s, d, "lineitem").groupBy("l_suppkey")
         .agg(sum(dec(col("l_extendedprice"))).as("rev_exact"))
+      // Two-phase top-k: TakeOrderedAndProject trims to the 100 head rows
+      // FIRST (distributed partial top-k, no global shuffle of the
+      // aggregate), then the single-partition rank window runs on 100
+      // rows. The (rev, suppkey) sort order is total, so ranks within
+      // the head equal the global ranks.
+      val top = agg.orderBy(col("rev_exact").desc, col("l_suppkey")).limit(100)
       val w = Window.orderBy(col("rev_exact").desc, col("l_suppkey"))
-      agg.select(
+      top.select(
           col("l_suppkey"), moneyOut(col("rev_exact")).as("rev"),
           rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
           row_number().over(w).as("rn"))
-        .orderBy("rnk").limit(100)
+        .orderBy("rnk")
     })
 
   // Partitioned top-k per group (reference: q67 `partition by i_category

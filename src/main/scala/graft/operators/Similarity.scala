@@ -75,20 +75,23 @@ object Similarity {
       when(dot > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** DuckDB oracle for the LSH path: the SAME hyperplane literals are
-    * embedded in the SQL text, and the bucket dot-products use an
-    * explicit left-fold (list_reduce with prepended 0.0) matching
-    * Spark's aggregate() evaluation order bit-for-bit, so bucket signs
-    * agree exactly. Similarity itself rounds to 6 decimals like the
-    * brute-force oracle. */
-  private def lshOracle: String = {
-    val planes = hyperplanes()
-    val folds = planes.zipWithIndex.map { case (p, j) =>
+  /** DuckDB mirror of [[bucketCol]]: the SAME hyperplane literals
+    * embedded in SQL, with the bucket dot-products as an explicit
+    * left-fold (list_reduce with prepended 0.0) matching Spark's
+    * aggregate() evaluation order bit-for-bit, so bucket signs agree
+    * exactly. Expects a `v` DOUBLE[] column in scope. */
+  private[operators] def duckBucketExpr(planes: Seq[Seq[Double]] = hyperplanes()): String =
+    planes.zipWithIndex.map { case (p, j) =>
       val arr = p.map(x => s"${x}").mkString("[", ", ", "]")
       s"""CASE WHEN list_reduce(
          |  list_prepend(0.0, list_transform(range(1, ${p.size + 1}), i -> v[i] * ($arr)[i])),
          |  (acc, x) -> acc + x) > 0 THEN ${1 << j} ELSE 0 END""".stripMargin
     }.mkString(" + ")
+
+  /** DuckDB oracle for the LSH probe path; 6-decimal similarity rounding
+    * like the brute-force oracle. */
+  private def lshOracle: String = {
+    val folds = duckBucketExpr()
     s"""
       WITH bkt AS (
         SELECT vec_id, $folds AS bucket

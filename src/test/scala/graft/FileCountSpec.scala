@@ -58,6 +58,14 @@ class FileCountSpec extends AnyFunSuite {
     assert(lines(2) == "q_bad,,,,")
   }
 
+  test("query-text rewriting applies regex fixups in rule order") {
+    val q = "SELECT c_last_review_date FROM customer_t"
+    val out = Harness.rewriteQuery(q, Seq(
+      "c_last_review_date" -> "c_last_review_date_sk",
+      "customer_t" -> "customer"))
+    assert(out == "SELECT c_last_review_date_sk FROM customer")
+  }
+
   test("env info captures version and parallelism") {
     val env = Harness.envInfo(spark)
     assert(env("spark_version").nonEmpty)
