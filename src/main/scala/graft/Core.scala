@@ -34,9 +34,14 @@ object Tables {
     * surface it as a microsecond TimestampType column — the same
     * truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP.
     */
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Set-once (conf writes invalidate cached plans and are racy in a
+      // shared session; the value never changes, so guard on current).
+      if (spark.conf.getOption(NanosConf) != Some("true"))
+        spark.conf.set(NanosConf, "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {

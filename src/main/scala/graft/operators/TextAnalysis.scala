@@ -142,5 +142,64 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("token"))
         .limit(20))
 
-  val defs: Seq[OpQuery] = Seq(tokenStats, langId, quality, fingerprintQ, topTerms)
+  // BPE-ish subword token counting: letter runs / digit runs / single
+  // punctuation, the shape of GPT-style pre-tokenizers (whitespace-only
+  // counting under-estimates token budgets on code/numeric text). The
+  // pattern uses only plain character classes so Java (Spark) and RE2
+  // (DuckDB) agree. Row-local, zero shuffle.
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  private val tokenizeBpe = OpQuery(
+    "text_tokenize_bpe",
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '$bpePattern')) AS INT) AS n_bpe_tokens,
+             CAST(len($duckTokens) AS INT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(lower(text), '$bpePattern')) AS DOUBLE)
+               / len($duckTokens) AS tokens_per_word
+      FROM documents
+      ORDER BY doc_id
+    """),
+    (s, d) =>
+      Tables.load(s, d, "documents").select(
+          col("doc_id"),
+          regexp_count(lower(col("text")), lit(bpePattern)).cast(IntegerType)
+            .as("n_bpe_tokens"),
+          tokenCount("text").as("n_ws_tokens"),
+          (regexp_count(lower(col("text")), lit(bpePattern)).cast("double")
+            / tokenCount("text")).as("tokens_per_word"))
+        .orderBy("doc_id"))
+
+  // Deterministic train/val/test split via multiplicative hashing of the
+  // id — the held-out-split op every training pipeline needs. Pure
+  // row-local arithmetic (no rand(), no shuffle except the summary agg),
+  // reproducible in any engine.
+  private val sampleSplit = OpQuery(
+    "sample_split",
+    Some("""
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM (SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   length(text) AS n_chars
+            FROM documents)
+      GROUP BY split
+      ORDER BY split
+    """),
+    (s, d) => {
+      val bucket = (col("doc_id") * 2654435761L) % 100
+      Tables.load(s, d, "documents")
+        .select(
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+            .as("split"),
+          length(col("text")).as("n_chars"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("split")
+    })
+
+  val defs: Seq[OpQuery] = Seq(
+    tokenStats, langId, quality, fingerprintQ, topTerms, tokenizeBpe,
+    sampleSplit)
 }
