@@ -228,7 +228,7 @@ object Lakehouse {
       import s.implicits._
       val root = tmp("probes")
       val li = Tables.load(s, d, "lineitem")
-      val flat = new SnapshotTable(s, s"$root/flat").create(li.repartition(64))
+      val flat = new SnapshotTable(s, s"$root/flat").create(li.repartition(32))
       val parted = new SnapshotTable(s, s"$root/parted")
         .create(li, partitionBy = Some("l_returnflag"))
       Seq(
