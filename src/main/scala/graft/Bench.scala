@@ -30,13 +30,17 @@ object Bench {
     val results = Harness.runQueries(spark, sfDir, queries, iterations)
     results.filterNot(_.ok).foreach(r =>
       System.err.println(s"[bench] ${r.name} failed: ${r.errorOpt.get}"))
-    // Optional CSV report alongside the JSON line (reference A3 shape).
+    val json = Harness.reportJson(results, sfDir, Harness.envInfo(spark))
+    // Optional CSV + JSON report files alongside the stdout line
+    // (reference A3 shape; also survives stdout-capture truncation).
     sys.env.get("SPARK_GRAFT_REPORT_DIR").foreach { dir =>
-      val p = java.nio.file.Paths.get(dir, "bench_report.csv")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, Harness.reportCsv(results))
+      val base = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(base)
+      java.nio.file.Files.writeString(base.resolve("bench_report.csv"),
+        Harness.reportCsv(results))
+      java.nio.file.Files.writeString(base.resolve("bench_report.json"), json)
     }
-    println(Harness.reportJson(results, sfDir, Harness.envInfo(spark)))
+    println(json)
     spark.stop()
   }
 }

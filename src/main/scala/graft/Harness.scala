@@ -124,18 +124,22 @@ object Harness {
       case c => c.toString
     } + "\""
 
+  private def num(x: Double): String = f"$x%.4f" // keep the JSON line short
+                                                 // (the driver's capture
+                                                 // truncates long lines)
+
   /** One-line JSON report (driver contract); planning + env are
     * additive keys. */
   def reportJson(results: Seq[QueryResult], sfDir: String,
       env: Map[String, String] = Map.empty): String = {
     val qs = results.map(r => jstr(r.name) + ":" +
-      (if (r.ok) r.medianSec.toString else "-1")).mkString("{", ",", "}")
+      (if (r.ok) num(r.medianSec) else "-1")).mkString("{", ",", "}")
     val planning = results.filter(_.ok).map(r =>
-      jstr(r.name) + ":" + r.medianPlanningSec.toString).mkString("{", ",", "}")
+      jstr(r.name) + ":" + num(r.medianPlanningSec)).mkString("{", ",", "}")
     val envJson = env.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.filter(_.ok).map(_.medianSec).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
       s""""planning":$planning,"env":$envJson,"sf":"$sfDir"}"""
   }
 
