@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{OpQuery, Tables}
+import graft.functions.GraftFunctions
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -134,9 +135,10 @@ object Dedup {
     // formulation. Signatures stage through parquet so the two band-join
     // sides read one materialized copy (persist() would leak executor
     // cache across the Verify/Bench session).
+    GraftFunctions.registerAll(s)
     val sh = docs(s, d).select(
       col("doc_id"), explode(array_distinct(shingles("text", 3))).as("s"))
-      .withColumn("h", polyHash("s"))
+      .withColumn("h", expr("graft_polyhash(s)"))
     val sigCols = (0 until MinhashPerms).map(p =>
       min((col("h") * hashA(p) + hashB(p)) % M).as(s"m$p"))
     val stage = tmp("minhash_sig")
@@ -190,9 +192,10 @@ object Dedup {
   // chunk by pigeonhole; beyond that chunk blocking is the standard
   // recall/cost trade), verified with summed per-chunk bit_count(xor).
   private def simhashBuild(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.registerAll(s)
     val sh = docs(s, d).select(
       col("doc_id"), explode(array_distinct(shingles("text", 3))).as("s"))
-      .withColumn("h", polyHash("s"))
+      .withColumn("h", expr("graft_polyhash(s)"))
     // 64 ±1 accumulators (one per bit-plane), then 4 chunk values.
     val bitCols = (0 until 64).map(b =>
       sum(when((col("h") * hashA(b) + hashB(b)) % M % 2 === 1, 1).otherwise(-1))

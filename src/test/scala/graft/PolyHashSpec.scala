@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.{PolyHash, TextFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen'd PolyHash expression must agree with (a) a direct Scala
+  * reference fold over code points (= DuckDB's unicode() fold), and
+  * (b) the HOF variant for ASCII/BMP text. */
+class PolyHashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def reference(s: String): Long = {
+    var acc = 0L
+    s.codePoints().forEach(cp => acc = (acc * 31 + cp) % 1000000007L)
+    acc
+  }
+
+  test("PolyHash.hash matches the code-point reference fold") {
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val s = rnd.alphanumeric.take(rnd.nextInt(120)).mkString
+      assert(PolyHash.hash(s) == reference(s))
+    }
+    // non-ASCII BMP text too
+    assert(PolyHash.hash("héllo wörld") == reference("héllo wörld"))
+    assert(PolyHash.hash("") == 0L)
+  }
+
+  test("SQL graft_polyhash equals the HOF fold on fixture-like text") {
+    import spark.implicits._
+    val texts = Seq("key agg row scan", "a b", "", "part value table hash",
+      "x" * 200)
+    val df = texts.toDF("s")
+    val got = df.select(expr("graft_polyhash(s)")).collect().map(_.getLong(0))
+    val hof = df.select(TextFunctions.polyHash("s")).collect().map(_.getLong(0))
+    assert(got.toSeq == hof.toSeq)
+    assert(got.toSeq == texts.map(PolyHash.hash))
+  }
+
+  test("expression participates in codegen (no fallback errors) at scale") {
+    import spark.implicits._
+    val n = spark.range(0, 10000)
+      .selectExpr("concat('doc ', id, ' text payload') AS s")
+      .selectExpr("graft_polyhash(s) AS h")
+      .agg(countDistinct($"h")).head().getLong(0)
+    assert(n > 9900) // distinct inputs hash distinctly (mod collisions)
+  }
+}
