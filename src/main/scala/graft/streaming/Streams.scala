@@ -221,5 +221,101 @@ object Streams {
         .orderBy("user_id", "session_seq")
     })
 
-  val defs: Seq[OpQuery] = Seq(windowedAgg, streamDedup, streamSessionize)
+  // ------------------------------------------------------------------
+  // Stream-static enrichment join: the streaming side joins the static
+  // customer dimension per micro-batch (stateless — Spark re-plans the
+  // static side each batch), then a watermarked windowed aggregation.
+  // The canonical "enrich events with dimensions on ingest" shape.
+  private val streamEnrich = OpQuery(
+    "stream_enrich_join",
+    Some("""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2
+    """),
+    (s, d) => {
+      val src = s.readStream.schema(eventSchema).parquet(stageSource(s, d, 1))
+      val cust = Tables.load(s, d, "customer").select("c_custkey", "c_mktsegment")
+      val agg = src
+        .withWatermark("ts", "0 seconds")
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), moneyOut(sum(dec(col("value")))).as("sum_value"))
+      runToMemory(agg, "enrich")
+        .select(col("w.start").as("window_start"), col("c_mktsegment"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start", "c_mktsegment")
+    })
+
+  // ------------------------------------------------------------------
+  // Streaming MERGE: readStream over a staged source delta, foreachBatch
+  // applies copy-on-write MERGE INTO a SnapshotTable per micro-batch —
+  // the lakehouse streaming-DML pattern (continuous upsert ingestion).
+  // Delta keys are unique, so any micro-batch partitioning of the source
+  // reaches the same final table as one batch MERGE; the oracle is the
+  // same NOT-EXISTS + UNION formulation as merge_upsert.
+  private val streamMerge = OpQuery(
+    "stream_merge_upsert",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'O', o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 17 = 0)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+      FROM (
+        SELECT * FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT * FROM src)
+      ORDER BY o_orderkey, o_orderstatus
+    """),
+    (s, d) => {
+      import graft.sources.SnapshotTable
+      val o = Tables.load(s, d, "orders")
+      // Stage the source delta as a streaming input (2 files → at least
+      // one micro-batch; maxFilesPerTrigger forces multiple batches so
+      // the per-batch MERGE path is genuinely exercised).
+      val deltaDir = tmp("stream_delta")
+      o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(
+          o.filter(col("o_orderkey") % 17 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+            .withColumn("o_orderstatus", lit("O")))
+        .repartition(2)
+        .write.mode("overwrite").parquet(deltaDir)
+
+      val table = new SnapshotTable(s, tmp("stream_merge"))
+        .create(o, partitionBy = Some("o_orderstatus"))
+      val deltaSchema = o.schema
+      val q = s.readStream.schema(deltaSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(deltaDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          table.merge(batch, keys = Seq("o_orderkey", "o_orderstatus"),
+            partitionBy = Some("o_orderstatus"))
+          ()
+        }
+        .option("checkpointLocation", tmp("stream_merge_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      table.read()
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey", "o_orderstatus")
+    })
+
+  val defs: Seq[OpQuery] = Seq(
+    windowedAgg, streamDedup, streamSessionize, streamEnrich, streamMerge)
 }
