@@ -286,7 +286,44 @@ object Lakehouse {
         ORDER BY n_nationkey""")
     })
 
+  // Bucketed co-located join: both sides written bucketed by the join
+  // key into the session catalog, so the join needs NO shuffle exchange
+  // on either side (bucket counts match) — the pre-partitioning
+  // technique that turns the biggest fact-fact join at 100 TB into a
+  // local merge per bucket. Shuffle-elimination is asserted in
+  // BucketedJoinSpec; values are oracle-checked here.
+  private val bucketedJoin = OpQuery(
+    "bucketed_colocated_join",
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity >= 49.0
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """),
+    (s, d) => {
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+      Seq("orders_b", "lineitem_b").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS graft_db.$t"))
+      Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable("graft_db.orders_b")
+      Tables.load(s, d, "lineitem")
+        .filter(col("l_quantity") >= 49.0)
+        .select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable("graft_db.lineitem_b")
+      s.table("graft_db.lineitem_b")
+        .join(s.table("graft_db.orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("l_extendedprice")))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
-    refreshView, filecountProbes, detail, ddlRoundtrip)
+    refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin)
 }

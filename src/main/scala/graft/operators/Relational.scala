@@ -691,9 +691,25 @@ object Relational {
     Some(correlatedSql),
     (s, d) => { Tables.registerViews(s, d); s.sql(correlatedSql) })
 
+  // Correlated EXISTS semi-join (reference: q10/q35 correlated EXISTS —
+  // TPCDSBenchmarkQueries.scala:567; Catalyst decorrelates to LeftSemi
+  // with the correlation as the join key). Shared SQL text on both
+  // engines.
+  private val existsSemiSql = """
+      SELECT s_suppkey, s_name
+      FROM supplier s
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49.5)
+      ORDER BY s_suppkey
+    """
+  private val joinSemiExists = OpQuery(
+    "join_semi_exists",
+    Some(existsSemiSql),
+    (s, d) => { Tables.registerViews(s, d); s.sql(existsSemiSql) })
+
   val defs: Seq[OpQuery] = Seq(
     q1, q3, q5,
-    joinLeft, joinFull, joinSemi, joinAnti, joinSelfTheta, joinCross,
+    joinLeft, joinFull, joinSemi, joinSemiExists, joinAnti, joinSelfTheta, joinCross,
     aggCountDistinct, aggCasePivot, aggRollup, aggHaving, aggStats,
     winRank, winTopkGroup, winPartAvg, winRunning, winLag,
     setopUnionAll, setopUnion, setopIntersect, setopExcept,
