@@ -294,7 +294,40 @@ object Advanced {
       side("A").exceptAll(side("R")).orderBy("l_suppkey", "qty")
     })
 
+  // -------------------------------------------------- salted skew join
+  // Hot-key mitigation by salting: the fact side gets a deterministic
+  // salt in [0, k), the dimension side is replicated k ways, and the
+  // join key becomes (key, salt) — a single hot key spreads over k
+  // reducers instead of one. AQE's skew-join split handles moderate
+  // skew automatically; explicit salting is the portable fallback for
+  // pathological keys. Results are identical to the unsalted join,
+  // which is exactly what the oracle asserts.
+  private val saltK = 8
+  private val skewSalted = OpQuery(
+    "join_skew_salted",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val fact = t(s, d, "lineitem")
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(saltK)))
+      val dim = t(s, d, "orders")
+        .crossJoin(s.range(saltK).select(col("id").cast(IntegerType).as("salt2")))
+      fact.join(dim,
+          col("l_orderkey") === col("o_orderkey") &&
+          col("salt") === col("salt2"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(dec(col("l_extendedprice")))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     groupingSetsQ, cubeQ, pivotQ, intervalJoin, scalarCase,
-    cumulativeCompare, movingAvg, likeBattery, intersectAll, exceptAll)
+    cumulativeCompare, movingAvg, likeBattery, intersectAll, exceptAll,
+    skewSalted)
 }
