@@ -95,9 +95,10 @@ object Dedup {
       ORDER BY doc_a, doc_b
     """),
     (s, d) => {
+      GraftFunctions.registerAll(s)
       val sh = docs(s, d).filter(col("doc_id") < 1000)
         .select(col("doc_id"),
-          explode(array_distinct(shingles("text", 3))).as("s"))
+          explode(array_distinct(expr("graft_shingles(text, 3)"))).as("s"))
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = sh.as("a"); val b = sh.as("b")
       val inter = a.join(b,
@@ -137,7 +138,7 @@ object Dedup {
     // cache across the Verify/Bench session).
     GraftFunctions.registerAll(s)
     val sh = docs(s, d).select(
-      col("doc_id"), explode(array_distinct(shingles("text", 3))).as("s"))
+      col("doc_id"), explode(array_distinct(expr("graft_shingles(text, 3)"))).as("s"))
       .withColumn("h", expr("graft_polyhash(s)"))
     val sigCols = (0 until MinhashPerms).map(p =>
       min((col("h") * hashA(p) + hashB(p)) % M).as(s"m$p"))
@@ -194,7 +195,7 @@ object Dedup {
   private def simhashBuild(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.registerAll(s)
     val sh = docs(s, d).select(
-      col("doc_id"), explode(array_distinct(shingles("text", 3))).as("s"))
+      col("doc_id"), explode(array_distinct(expr("graft_shingles(text, 3)"))).as("s"))
       .withColumn("h", expr("graft_polyhash(s)"))
     // 64 ±1 accumulators (one per bit-plane), then 4 chunk values.
     val bitCols = (0 until 64).map(b =>

@@ -38,6 +38,23 @@ class PolyHashSpec extends AnyFunSuite {
     assert(got.toSeq == texts.map(PolyHash.hash))
   }
 
+  test("graft_shingles equals the HOF shingles on fixture text") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val diff = docs.select(
+        expr("graft_shingles(text, 3)").as("fast"),
+        TextFunctions.shingles("text", 3).as("hof"))
+      .filter(expr("fast <> hof"))
+      .count()
+    assert(diff == 0)
+    // edge cases: fewer words than k, empty string
+    import spark.implicits._
+    val edges = Seq("", "one", "two words", "a b c").toDF("text")
+    val got = edges.select(expr("graft_shingles(text, 3)")).collect()
+      .map(_.getSeq[String](0).toList).toList
+    assert(got == List(Nil, Nil, Nil, List("a b c")))
+  }
+
   test("expression participates in codegen (no fallback errors) at scale") {
     import spark.implicits._
     val n = spark.range(0, 10000)
