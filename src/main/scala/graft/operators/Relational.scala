@@ -500,6 +500,25 @@ object Relational {
         .orderBy("user_id", "event_id")
     })
 
+  // Window over aggregate in the same block — the q12/q20/q98
+  // revenueratio shape: `sum(sum(x)) over (partition by class)`
+  // (TPCDSBenchmarkQueries.scala:713-714). Shared SQL text; exact
+  // decimal sums, ratio as ordered double ops on both engines.
+  private val winOverAggSql = """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 100
+               / CAST(SUM(SUM(CAST(l_extendedprice AS DECIMAL(18,2))))
+                      OVER (PARTITION BY l_returnflag) AS DOUBLE) AS revenueratio
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """
+  private val winOverAgg = OpQuery(
+    "window_over_agg_ratio",
+    Some(winOverAggSql),
+    (s, d) => { Tables.registerViews(s, d); s.sql(winOverAggSql) })
+
   // ------------------------------------------------------------ set ops
   private val setopUnionAll = OpQuery(
     "setop_union_all",
@@ -711,7 +730,7 @@ object Relational {
     q1, q3, q5,
     joinLeft, joinFull, joinSemi, joinSemiExists, joinAnti, joinSelfTheta, joinCross,
     aggCountDistinct, aggCasePivot, aggRollup, aggHaving, aggStats,
-    winRank, winTopkGroup, winPartAvg, winRunning, winLag,
+    winRank, winTopkGroup, winPartAvg, winRunning, winLag, winOverAgg,
     setopUnionAll, setopUnion, setopIntersect, setopExcept,
     scalarStrings, scalarDatetime, sortMulti, distinctSel,
     subqScalar, subqCorrelated)
