@@ -358,9 +358,69 @@ object Dedup {
         .orderBy("vec_id")
     })
 
+  // Benchmark decontamination: corpus documents sharing ANY word 5-gram
+  // with the held-out eval set (doc_id < 5 stands in) are flagged — the
+  // standard training-data contamination sweep. The eval shingle set is
+  // tiny → broadcast semi-join against the exploded corpus shingles:
+  // one scan, no pair blow-up, flags ∝ contaminated docs.
+  private val contamination = OpQuery(
+    "contamination_check",
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+                 list_transform(range(1, len(w) - 3),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)),
+      eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
+      SELECT doc_id, COUNT(*) AS n_hits
+      FROM sh
+      WHERE doc_id >= 5 AND s IN (SELECT s FROM eval_sh)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """),
+    (s, d) => {
+      GraftFunctions.registerAll(s)
+      val sh = docs(s, d).select(col("doc_id"),
+        explode(array_distinct(expr("graft_shingles(text, 5)"))).as("s"))
+      val evalSh = sh.filter(col("doc_id") < 5).select("s").distinct()
+      sh.filter(col("doc_id") >= 5)
+        .join(broadcast(evalSh), "s")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        .orderBy("doc_id")
+    })
+
+  // Intra-document repetition ratio: distinct / total word trigrams — a
+  // core quality signal (repetitive boilerplate scores low). Row-local.
+  private val repetition = OpQuery(
+    "text_repetition_ratio",
+    Some("""
+      SELECT doc_id,
+             CAST(len(sh) AS INT) AS n_shingles,
+             CAST(len(list_distinct(sh)) AS INT) AS n_distinct,
+             CASE WHEN len(sh) = 0 THEN 1.0
+                  ELSE CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) END AS distinct_ratio
+      FROM (SELECT doc_id,
+                   list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))
+      ORDER BY doc_id
+    """),
+    (s, d) => {
+      GraftFunctions.registerAll(s)
+      docs(s, d)
+        .withColumn("sh", expr("graft_shingles(text, 3)"))
+        .select(col("doc_id"),
+          size(col("sh")).as("n_shingles"),
+          size(array_distinct(col("sh"))).as("n_distinct"),
+          when(size(col("sh")) === 0, 1.0)
+            .otherwise(size(array_distinct(col("sh"))).cast("double") / size(col("sh")))
+            .as("distinct_ratio"))
+        .orderBy("doc_id")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     exact, ngramJaccard,
     OpQuery("dedup_minhash_lsh", Some(minhashOracle), (s, d) => minhashLshBuild(s, d)),
     OpQuery("dedup_simhash", Some(simhashOracle), (s, d) => simhashBuild(s, d)),
-    embedNn, embedAnn)
+    embedNn, embedAnn, contamination, repetition)
 }
