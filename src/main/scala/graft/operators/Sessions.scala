@@ -101,5 +101,33 @@ object Sessions {
         .agg(count(lit(1)).as("n"), moneyOut(sum(dec(col("value")))).as("sum_value"))
         .orderBy("c_mktsegment", "event_type"))
 
-  val defs: Seq[OpQuery] = Seq(sessionize, pivot, enrich)
+  // Semi-structured column handling: events.props is a JSON string;
+  // parse it with a declared schema (from_json — the typed, codegen'd
+  // route; get_json_object would re-parse per field). Row-local parse,
+  // then a standard partial-agg rollup.
+  private val jsonExtract = OpQuery(
+    "events_json_extract",
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+             CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """),
+    (s, d) =>
+      Tables.load(s, d, "events")
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).cast(LongType).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"))
+
+  val defs: Seq[OpQuery] = Seq(sessionize, pivot, enrich, jsonExtract)
 }
