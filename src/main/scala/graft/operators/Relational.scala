@@ -382,6 +382,34 @@ object Relational {
         .orderBy("l_returnflag")
     })
 
+  // Exact interpolated percentiles (reference analog: the stats family;
+  // percentile_cont's linear interpolation is the same IEEE arithmetic
+  // on both engines — verified bit-identical including last-ulp cases).
+  private val aggPercentiles = OpQuery(
+    "agg_percentiles",
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS qty_p50,
+             quantile_cont(l_quantity, 0.9) AS qty_p90,
+             quantile_cont(l_extendedprice, 0.5) AS price_p50,
+             quantile_cont(l_extendedprice, 0.99) AS price_p99
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """),
+    (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT l_returnflag,
+               percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS qty_p50,
+               percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS qty_p90,
+               percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS price_p50,
+               percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS price_p99
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    })
+
   // ------------------------------------------------------------ windows
   // Global RANK over an aggregate (reference: q44/q49 —
   // TPCDSBenchmarkQueries.scala:2133). The window input is the aggregated
@@ -730,6 +758,7 @@ object Relational {
     q1, q3, q5,
     joinLeft, joinFull, joinSemi, joinSemiExists, joinAnti, joinSelfTheta, joinCross,
     aggCountDistinct, aggCasePivot, aggRollup, aggHaving, aggStats,
+    aggPercentiles,
     winRank, winTopkGroup, winPartAvg, winRunning, winLag, winOverAgg,
     setopUnionAll, setopUnion, setopIntersect, setopExcept,
     scalarStrings, scalarDatetime, sortMulti, distinctSel,
