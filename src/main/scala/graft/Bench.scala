@@ -32,16 +32,16 @@ object Bench {
     results.filterNot(_.ok).foreach(r =>
       System.err.println(s"[bench] ${r.name} failed: ${r.errorOpt.get}"))
     val json = Harness.reportJson(results, sfDir, Harness.envInfo(spark))
-    // Optional CSV + JSON report files alongside the stdout line
-    // (reference A3 shape; also survives stdout-capture truncation).
-    sys.env.get("SPARK_GRAFT_REPORT_DIR").foreach { dir =>
-      val base = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.createDirectories(base)
-      java.nio.file.Files.writeString(base.resolve("bench_report.csv"),
-        Harness.reportCsv(results))
-      java.nio.file.Files.writeString(base.resolve("bench_report.json"), json)
-    }
-    println(json)
+    // Full CSV + JSON reports go to files (reference A3 shape); stdout gets
+    // a compact line that fits the driver's 2000-char tail capture.
+    val reportDir = sys.env.getOrElse("SPARK_GRAFT_REPORT_DIR", "bench_reports")
+    val base = java.nio.file.Paths.get(reportDir)
+    java.nio.file.Files.createDirectories(base)
+    val jsonPath = base.resolve("bench_report.json")
+    java.nio.file.Files.writeString(base.resolve("bench_report.csv"),
+      Harness.reportCsv(results))
+    java.nio.file.Files.writeString(jsonPath, json)
+    println(Harness.compactJson(results, sfDir, jsonPath.toString))
     spark.stop()
   }
 }

@@ -46,6 +46,24 @@ class FileCountSpec extends AnyFunSuite {
     assert(planning >= 0.0 && planning <= total)
   }
 
+  test("compact stdout report fits the driver's 2000-char tail capture") {
+    // Simulate the full gate surface: every SparkEntry query name with a
+    // plausible timing — the stdout line must still fit, with room for the
+    // sbt epilogue that shares the capture window.
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n =>
+      Harness.QueryResult(n, Seq(1.2345, 2.3456), Seq(0.0123, 0.0456), None))
+    val line = Harness.compactJson(results, "/root/testdata/sf0.1",
+      "bench_reports/bench_report.json")
+    assert(line.length <= 1700, s"line too long: ${line.length}")
+    assert(!line.contains("\n"))
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.endsWith("""}"""))
+    assert(line.contains(s""""n_queries":${results.size}"""))
+    // headline entries survive untrimmed at the current corpus size
+    assert(line.contains("\"q3_star_topk\":"))
+    assert(line.contains("\"stream_sessionize\":"))
+  }
+
   test("csv report carries one row per query plus header") {
     val results = Seq(
       Harness.QueryResult("q_ok", Seq(1.0, 2.0), Seq(0.1, 0.2), None),
