@@ -13,6 +13,8 @@ object SparkEntry {
   def all: Seq[OpQuery] = Seq(
     operators.Relational.defs,
     operators.Advanced.defs,
+    operators.Temporal.defs,
+    operators.Collections.defs,
     operators.TextAnalysis.defs,
     operators.Sessions.defs,
     operators.Dedup.defs,
