@@ -398,16 +398,21 @@ object Relational {
       ORDER BY l_returnflag
     """),
     (s, d) => {
-      Tables.registerViews(s, d)
-      s.sql("""
-        SELECT l_returnflag,
-               percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS qty_p50,
-               percentile_cont(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS qty_p90,
-               percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS price_p50,
-               percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS price_p99
-        FROM lineitem
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag""")
+      // percentile(col, array(..)) shares ONE sort-aggregate per input
+      // column (percentile_cont is the same Percentile expression under
+      // the hood, but each WITHIN GROUP call pays its own sort buffer —
+      // 4 aggs vs 2 here, and at scale each agg is a full shuffle pass).
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("qty_p"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("price_p"))
+        .select(col("l_returnflag"),
+          col("qty_p")(0).as("qty_p50"),
+          col("qty_p")(1).as("qty_p90"),
+          col("price_p")(0).as("price_p50"),
+          col("price_p")(1).as("price_p99"))
+        .orderBy("l_returnflag")
     })
 
   // ------------------------------------------------------------ windows

@@ -177,5 +177,90 @@ object Similarity {
         .orderBy("vec_id")
     })
 
-  val defs: Seq[OpQuery] = Seq(bruteTopk, lshTopk, centroids)
+  // ------------------------------------------------------------- IVF
+  // Full inverted-file ANN: per-label centroids act as the coarse
+  // quantizer, every vector is assigned to its NEAREST centroid (not
+  // its own label's), and probes scan only their assigned cell.
+  //
+  // 100 TB shape: the centroid table is k rows (broadcast); assignment
+  // is a broadcast cross-join + map-side max_by partial agg (no |corpus|
+  // shuffle beyond the one groupBy on vec_id); the probe scan joins on
+  // cell id, so scanned candidates shrink by the cell fan-out. Cosine
+  // drift control: centroid similarity rounds to 4 decimals before the
+  // argmax (distributed double sums differ in the last ulps), neighbor
+  // similarity to 6 (row-local fold), both mirrored in the oracle.
+  private val ivfTopk = OpQuery(
+    "simsearch_ivf",
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      flat AS (
+        SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM v),
+      c0 AS (SELECT label, dim, SUM(x)/COUNT(*) AS cx FROM flat GROUP BY label, dim),
+      c AS (SELECT label AS clabel, list(cx ORDER BY dim) AS cv FROM c0 GROUP BY label),
+      sims AS (
+        SELECT vec_id, clabel,
+               round(list_cosine_similarity(CAST(v.v AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 4) AS csim
+        FROM v CROSS JOIN c),
+      assign AS (
+        SELECT vec_id, clabel AS cell FROM (
+          SELECT vec_id, clabel,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rn
+          FROM sims) WHERE rn = 1),
+      cell_of AS (
+        SELECT a.vec_id, a.cell, e.embedding
+        FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id)
+      SELECT probe_id, cell, neighbor_id, sim, CAST(rn AS INT) AS rank FROM (
+        SELECT a.vec_id AS probe_id, a.cell AS cell, b.vec_id AS neighbor_id,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                          b.vec_id) AS rn
+        FROM cell_of a JOIN cell_of b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 5)
+      WHERE rn <= 3
+      ORDER BY probe_id, rank
+    """),
+    (s, d) => {
+      val e = emb(s, d)
+      // train: per-label mean vector, re-assembled in dim order
+      val cent = e
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg((sum(col("x")) / count(lit(1))).as("cx"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), p -> p.cx)")
+          .as("cv"))
+        .withColumn("cnorm",
+          expr("sqrt(aggregate(cv, CAST(0 AS DOUBLE), (s, x) -> s + x * x))"))
+        .select(col("label").as("clabel"), col("cv"), col("cnorm"))
+      // assign: nearest centroid per vector (max_by = argmax w/ label
+      // tie-break), map-side partial agg under the vec_id groupBy
+      val csim = round(
+        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)") /
+          (col("norm") * col("cnorm")), 4)
+      val assigned = e.crossJoin(broadcast(cent))
+        .withColumn("csim", csim)
+        .groupBy("vec_id")
+        .agg(expr("max_by(clabel, struct(csim, -clabel))").as("cell"),
+          first(col("v")).as("v"), first(col("norm")).as("norm"))
+      // probe: scan only the probe's own cell
+      val probes = assigned.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("cell"),
+          col("v"), col("norm")).as("a")
+      val cand = assigned.select(col("vec_id").as("neighbor_id"),
+        col("cell").as("ccell"), col("v"), col("norm")).as("b")
+      val sim = round(cosine("a", "b"), 6)
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      cand.join(broadcast(probes),
+          col("cell") === col("ccell") && col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("cell"), col("neighbor_id"), sim.as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy("probe_id", "rank")
+    })
+
+  val defs: Seq[OpQuery] = Seq(bruteTopk, lshTopk, centroids, ivfTopk)
 }
