@@ -335,7 +335,79 @@ object Lakehouse {
         .orderBy("o_orderpriority")
     })
 
+  // MERGE … WHEN MATCHED THEN DELETE (CoW): the delete source names only
+  // the 'F' partition, so partition pruning rewrites one partition and
+  // carries the others over by reference.
+  private val mergeDelete = OpQuery(
+    "merge_delete",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE NOT (o_orderkey % 13 = 0 AND o_orderstatus = 'F')
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val del = o
+        .filter(col("o_orderkey") % 13 === 0 && col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderstatus")
+      val table = new SnapshotTable(s, tmp("mdel"))
+        .create(o, partitionBy = Some("o_orderstatus"))
+        .mergeDelete(del, Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = Some("o_orderstatus"))
+      table.read().groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
+  // Time-travel read (Delta `VERSION AS OF` analog): the manifest log
+  // keeps every version's file list, so reading version 0 after a MERGE
+  // is pure metadata — no undo, no copy.
+  private val timeTravel = OpQuery(
+    "time_travel_read",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'O', o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0),
+      merged AS (
+        SELECT o_totalprice FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT o_totalprice FROM src)
+      SELECT 0 AS version, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      UNION ALL
+      SELECT 1, COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM merged
+      ORDER BY version
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val table = new SnapshotTable(s, tmp("tt"))
+        .create(o, partitionBy = Some("o_orderstatus"))
+        .merge(mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = Some("o_orderstatus"))
+      def snap(v: Int) = table.read(v)
+        .agg(count(lit(1)).as("n_rows"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price"))
+      snap(0).unionByName(snap(1)).orderBy("version")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
-    refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin)
+    refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
+    mergeDelete, timeTravel)
 }

@@ -109,8 +109,35 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * result = target rows with no key match in source + all source rows.
     * Source must be unique on `keys`. */
   def merge(source: DataFrame, keys: Seq[String], partitionBy: Option[String] = None): SnapshotTable = {
-    val v = currentVersion
-    val entries = fileEntries(v)
+    val (base, carryOver) = prunedBase(source, keys, partitionBy, source.schema)
+    val rewritten = base.join(source, keys, "left_anti").unionByName(source)
+    commit(rewritten, "MERGE", currentVersion + 1, partitionBy, carryOver)
+    this
+  }
+
+  /** Copy-on-write MERGE … WHEN MATCHED THEN DELETE: result = target
+    * rows with no key match in `source`. Partition pruning as in
+    * [[merge]] — only partitions named by the source are rewritten;
+    * that is sound for deletes for the same reason (a matched row's
+    * partition value is one of the source's partition values). */
+  def mergeDelete(source: DataFrame, keys: Seq[String], partitionBy: Option[String] = None): SnapshotTable = {
+    val (base, carryOver) = prunedBase(source, keys, partitionBy,
+      read(currentVersion).schema)
+    val rewritten = base.join(source.select(keys.map(col): _*), keys, "left_anti")
+    commit(rewritten, "MERGE_DELETE", currentVersion + 1, partitionBy, carryOver)
+    this
+  }
+
+  /** Shared CoW prologue: split the current file set into partitions the
+    * source touches (re-read as the rewrite base) and untouched entries
+    * (carried over by reference). */
+  private def prunedBase(
+      source: DataFrame,
+      keys: Seq[String],
+      partitionBy: Option[String],
+      baseSchema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, Seq[FileEntry]) = {
+    val entries = fileEntries(currentVersion)
     val pruned = partitionBy.filter(keys.contains)
     val (touched, carryOver) = pruned match {
       case Some(p) =>
@@ -121,11 +148,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
     }
     val base =
       if (touched.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
       else spark.read.parquet(touched.map(_.path): _*).drop(PartCol)
-    val rewritten = base.join(source, keys, "left_anti").unionByName(source)
-    commit(rewritten, "MERGE", v + 1, partitionBy, carryOver)
-    this
+    (base, carryOver)
   }
 
   /** Bin-pack compaction: rewrite the current snapshot into

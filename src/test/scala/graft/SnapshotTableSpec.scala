@@ -46,6 +46,25 @@ class SnapshotTableSpec extends AnyFunSuite {
       Seq(9.0, 2.0, 3.0))
   }
 
+  test("mergeDelete removes matched keys and prunes untouched partitions") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("k", "p", "v").repartition(2)
+    val del = Seq((2L, "a")).toDF("k", "p")
+    val t = new SnapshotTable(spark, tmp("md"))
+      .create(base, Some("p"))
+      .mergeDelete(del, Seq("k", "p"), Some("p"))
+    assert(t.read().orderBy("k").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L))
+    // the b partition was not named by the delete source → carried over
+    val carried = t.files.filter(_.partValue == "b")
+    assert(carried.nonEmpty && carried.forall(_.path.contains("c00000")))
+    assert(t.countFromManifest == 2)
+    // history records the delete commit
+    assert(t.history.orderBy("version").collect().map(_.getString(1)).toSeq
+      == Seq("CREATE", "MERGE_DELETE"))
+  }
+
   test("compaction preserves data and resets the file count") {
     val li = Tables.load(spark, sf, "lineitem")
     val t = new SnapshotTable(spark, tmp("c"))
