@@ -129,7 +129,10 @@ object Dedup {
   // are the raw 4-value signature slices (no extra hashing → portable).
   private val MinhashPerms = 16
 
-  private def minhashLshBuild(s: SparkSession, d: String): DataFrame = {
+  private def minhashLshBuild(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, d).orderBy("doc_a", "doc_b")
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // Map-reduce MinHash: explode distinct shingles once, hash each
     // shingle once, then 16 codegen'd min((a_p*h+b_p) mod M) aggregates.
     // The groupBy(doc_id) is a standard partial-agg shuffle — the 100 TB
@@ -163,7 +166,6 @@ object Dedup {
           .as("est_sim"))
       .distinct()
       .filter(col("est_sim") >= 0.5)
-      .orderBy("doc_a", "doc_b")
   }
 
   private val minhashOracle: String = {
@@ -184,6 +186,74 @@ object Dedup {
       FROM pairs
       WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 >= 0.5
       ORDER BY doc_a, doc_b
+    """
+  }
+
+  // Transitive duplicate clusters: connected components over the MinHash
+  // candidate-pair graph via iterative hash-min label propagation — the
+  // standard large-graph CC formulation (converges in O(log diameter)
+  // rounds; each round is one join + partial-agg min, labels staged
+  // through parquet to cut lineage). Duplicate clusters from banded LSH
+  // are near-cliques, so rounds ≈ 2-3 in practice; the driver loop stops
+  // on a monotone convergence metric (sum of labels — strictly
+  // decreasing until fixpoint), never a row-diff.
+  private def ccBuild(s: SparkSession, d: String): DataFrame = {
+    val cand = minhashPairs(s, d).select("doc_a", "doc_b")
+    val stage = tmp("cc_edges")
+    cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .write.mode("overwrite").parquet(stage)
+    val edges = s.read.parquet(stage)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum("lbl")).head.getAs[java.lang.Long](0))
+        .map(_.toLong).getOrElse(0L)
+    var prev = Long.MinValue
+    var cur = labelSum(labels)
+    var iter = 0
+    while (cur != prev && iter < 20) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"),
+          "left_outer")
+        .select(labels("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val stageL = tmp(s"cc_lbl$iter")
+      next.write.mode("overwrite").parquet(stageL)
+      labels = s.read.parquet(stageL)
+      prev = cur
+      cur = labelSum(labels)
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  private val ccOracle: String = {
+    val mins = (0 until MinhashPerms)
+      .map(p => s"MIN((h * ${hashA(p)} + ${hashB(p)}) % $M)")
+      .mkString("[", ",\n               ", "]")
+    s"""
+      WITH RECURSIVE sh AS ($duckShingleRows),
+      h AS (SELECT doc_id, $duckH AS h FROM sh),
+      sig AS (SELECT doc_id, $mins AS sig FROM h GROUP BY doc_id),
+      cand AS (
+        SELECT doc_a, doc_b FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           AND (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+                OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16]))
+        WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i])) / 16.0 >= 0.5),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION ALL SELECT doc_b, doc_a FROM cand),
+      reach AS (
+        SELECT src AS id, src AS lbl FROM edges
+        UNION
+        SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
+      SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id
+      ORDER BY doc_id
     """
   }
 
@@ -421,6 +491,7 @@ object Dedup {
   val defs: Seq[OpQuery] = Seq(
     exact, ngramJaccard,
     OpQuery("dedup_minhash_lsh", Some(minhashOracle), (s, d) => minhashLshBuild(s, d)),
+    OpQuery("dedup_cluster_cc", Some(ccOracle), (s, d) => ccBuild(s, d)),
     OpQuery("dedup_simhash", Some(simhashOracle), (s, d) => simhashBuild(s, d)),
     embedNn, embedAnn, contamination, repetition)
 }
