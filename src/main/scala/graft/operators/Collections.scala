@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{OpQuery, Tables}
+import graft.Cols.{dec, moneyOut}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -126,6 +127,87 @@ object Collections {
           .as("n_redactions"))
       .orderBy("event_id"))
 
+  // ------------------------------------------------- UNPIVOT (melt)
+  // The inverse of the pivot op: wide per-flag measures back to long
+  // (flag, measure, value) rows. Row-local generator after the agg.
+  private val unpivotQ = OpQuery(
+    "agg_unpivot",
+    Some("""
+      WITH agg AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, measure, value
+      FROM agg UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+      ORDER BY l_returnflag, measure
+    """),
+    (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+      .agg(
+        moneyOut(sum(dec(col("l_quantity")))).as("sum_qty"),
+        moneyOut(sum(dec(col("l_extendedprice")))).as("sum_price"),
+        moneyOut(sum(dec(col("l_discount")))).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy("l_returnflag", "measure"))
+
+  // ------------------------------------------------- NULL-SAFE JOIN
+  // <=> (IS NOT DISTINCT FROM) equi-join: NULL keys match each other —
+  // still hashable, so Catalyst keeps it a hash join, not a theta join.
+  private val nullSafeJoin = OpQuery(
+    "join_null_safe",
+    Some("""
+      WITH a AS (SELECT NULLIF(o_orderstatus, 'P') AS k, COUNT(*) AS n_a
+                 FROM orders GROUP BY 1),
+           b AS (SELECT NULLIF(o_orderstatus, 'P') AS k, COUNT(*) AS n_b
+                 FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1)
+      SELECT a.k, n_a, n_b
+      FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      ORDER BY a.k NULLS FIRST
+    """),
+    (s, d) => {
+      val base = t(s, d, "orders")
+      val a = base
+        .groupBy(expr("nullif(o_orderstatus, 'P')").as("k"))
+        .agg(count(lit(1)).as("n_a"))
+      val b = base.filter(col("o_orderkey") % 2 === 0)
+        .groupBy(expr("nullif(o_orderstatus, 'P')").as("k2"))
+        .agg(count(lit(1)).as("n_b"))
+      a.join(b, col("k") <=> col("k2"))
+        .select(col("k"), col("n_a"), col("n_b"))
+        .orderBy(col("k").asc_nulls_first)
+    })
+
+  // --------------------------------- FIRST / LAST / NTH VALUE WINDOWS
+  // Whole-partition value picks with an explicit full frame (last_value
+  // over the default frame is the current row — the classic trap).
+  private val firstLast = OpQuery(
+    "window_first_last",
+    Some("""
+      SELECT o_orderkey, o_custkey,
+             FIRST_VALUE(o_totalprice) OVER w AS first_price,
+             LAST_VALUE(o_totalprice) OVER w AS last_price,
+             NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderkey
+    """),
+    (s, d) => {
+      val win = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_totalprice")).over(win).as("first_price"),
+          last(col("o_totalprice")).over(win).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(win).as("second_price"))
+        .orderBy("o_orderkey")
+    })
+
   val defs: Seq[OpQuery] = Seq(
-    lateralExplode, arrayFunctions, stringConcat, ntileDist, piiScrub)
+    lateralExplode, arrayFunctions, stringConcat, ntileDist, piiScrub,
+    unpivotQ, nullSafeJoin, firstLast)
 }
