@@ -73,11 +73,13 @@ object Temporal {
         .orderBy(col("t"), col("side"),
           coalesce(col("o_orderkey"), col("event_id")))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // one select for both picks → a single Window node (one sorted pass)
       orders.unionByName(events)
-        .withColumn("asof_orderkey",
-          last(col("o_orderkey"), ignoreNulls = true).over(win))
-        .withColumn("asof_price",
-          last(col("o_totalprice"), ignoreNulls = true).over(win))
+        .select(col("*"),
+          last(col("o_orderkey"), ignoreNulls = true).over(win)
+            .as("asof_orderkey"),
+          last(col("o_totalprice"), ignoreNulls = true).over(win)
+            .as("asof_price"))
         .filter(col("side") === 1)
         .select(col("event_id"), col("k").as("user_id"), col("event_type"),
           col("asof_orderkey"), col("asof_price"))
