@@ -1,0 +1,120 @@
+package graft
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.util.Random
+
+/** Property-style invariants (seeded random trials — SURVEY.md §5):
+  * MERGE count algebra under random key overlap, merge idempotence,
+  * compaction content-invariance, and connected-components equivalence
+  * to a single-machine BFS reference on random graphs. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(p: String) = Files.createTempDirectory(s"graft_$p").toString
+
+  test("merge: |target'| = |target| + inserts for random overlaps") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (trial <- 1 to 5) {
+      val nBase = 20 + rnd.nextInt(80)
+      val base = (0 until nBase).map(k =>
+        (k.toLong, s"p${k % 3}", rnd.nextDouble())).toDF("k", "p", "v")
+      // source: random mix of updates (existing keys) and inserts (new)
+      val nUpd = rnd.nextInt(nBase)
+      val nIns = 1 + rnd.nextInt(30)
+      val upd = rnd.shuffle((0 until nBase).toList).take(nUpd)
+        .map(k => (k.toLong, s"p${k % 3}", 999.0))
+      val ins = (0 until nIns)
+        .map(i => ((nBase + i).toLong, s"p${(nBase + i) % 3}", -1.0))
+      val src = (upd ++ ins).toDF("k", "p", "v")
+      val t = new SnapshotTable(spark, tmp(s"prop$trial"))
+        .create(base, Some("p"))
+        .merge(src, Seq("k", "p"), Some("p"))
+      assert(t.read().count() == nBase + nIns,
+        s"trial $trial: nBase=$nBase nUpd=$nUpd nIns=$nIns")
+      // every updated key now carries the source value
+      val updated = t.read().filter(col("v") === 999.0).count()
+      assert(updated == nUpd.toLong)
+    }
+  }
+
+  test("merge is idempotent: re-merging the same source changes nothing") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val base = (0 until 50).map(k =>
+      (k.toLong, s"p${k % 2}", rnd.nextDouble())).toDF("k", "p", "v")
+    val src = (40 until 70).map(k =>
+      (k.toLong, s"p${k % 2}", 5.0)).toDF("k", "p", "v")
+    val t = new SnapshotTable(spark, tmp("idem"))
+      .create(base, Some("p"))
+      .merge(src, Seq("k", "p"), Some("p"))
+    val once = t.read().orderBy("k", "p").collect().toSeq
+    t.merge(src, Seq("k", "p"), Some("p"))
+    val twice = t.read().orderBy("k", "p").collect().toSeq
+    assert(once == twice)
+  }
+
+  test("compaction preserves exact content for random file layouts") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val df = (0 until 500).map(k =>
+      (k.toLong, rnd.nextInt(1000).toLong)).toDF("k", "v")
+      .repartition(1 + rnd.nextInt(16))
+    val t = new SnapshotTable(spark, tmp("cprop")).create(df)
+    val before = t.read().orderBy("k").collect().toSeq
+    val c = t.compact(2)
+    assert(c.files.size == 2)
+    assert(c.read().orderBy("k").collect().toSeq == before)
+  }
+
+  test("connected components match a BFS reference on random graphs") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val pairs = (0 until 25).map { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      // single-machine reference: union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+        .map(id => id -> {
+          // component min = min over members of the component
+          val root = find(id.toInt)
+          (0 until n).filter(m => find(m) == root).min.toLong
+        }).toMap
+      // distributed: same hash-min loop the dedup_cluster_cc op runs
+      val cand = pairs.toDF("doc_a", "doc_b")
+      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .cache()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      var prev = -1L
+      var cur = labels.agg(sum("lbl")).head.getLong(0)
+      var iter = 0
+      while (cur != prev && iter < 20) {
+        val nm = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min("lbl").as("nlbl"))
+        labels = labels.join(nm, labels("id") === nm("src"), "left_outer")
+          .select(labels("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        prev = cur; cur = labels.agg(sum("lbl")).head.getLong(0); iter += 1
+      }
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      edges.unpersist()
+      assert(got == expected, s"trial $trial")
+    }
+  }
+}
