@@ -406,8 +406,79 @@ object Lakehouse {
       snap(0).unionByName(snap(1)).orderBy("version")
     })
 
+  // Malformed-row CSV ingest: PERMISSIVE parse with a corrupt-record
+  // column — bad rows are captured, not dropped or fatal (the ingest
+  // robustness a real pipeline needs; reference CSV loads assume clean
+  // dsdgen output, IncrementalTPCDSBenchmark.scala:422-443). Rows whose
+  // orderkey % 7 = 0 get a deliberately unparseable price field.
+  private val csvMalformed = OpQuery(
+    "csv_malformed_ingest",
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+             CAST(SUM(CASE WHEN o_orderkey % 7 <> 0
+                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_orderkey < 500
+    """),
+    (s, d) => {
+      val dir = tmp("csvbad")
+      Tables.load(s, d, "orders").filter(col("o_orderkey") < 500)
+        .select(concat_ws("|",
+          col("o_orderkey"),
+          when(col("o_orderkey") % 7 === 0,
+            concat(lit("x"), col("o_totalprice")))
+            .otherwise(col("o_totalprice").cast("string")),
+          col("o_orderstatus")).as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read
+        .schema("o_orderkey LONG, o_totalprice DOUBLE, o_orderstatus STRING, _bad STRING")
+        .option("delimiter", "|")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(dir)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("_bad")).as("n_corrupt"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+    })
+
+  // Schema evolution: two table generations (the newer one adds a
+  // column), read together with mergeSchema — old rows surface NULL for
+  // the added column, the lakehouse add-column contract.
+  private val schemaEvolution = OpQuery(
+    "schema_evolution",
+    Some("""
+      WITH u AS (
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'web' FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT o_channel, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM u GROUP BY o_channel ORDER BY o_channel NULLS FIRST
+    """),
+    (s, d) => {
+      val dir = tmp("evo")
+      val o = Tables.load(s, d, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/gen1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          lit("web").as("o_channel"))
+        .write.mode("overwrite").parquet(s"$dir/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/gen1", s"$dir/gen2")
+        .groupBy("o_channel")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+        .orderBy(col("o_channel").asc_nulls_first)
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
-    mergeDelete, timeTravel)
+    mergeDelete, timeTravel, csvMalformed, schemaEvolution)
 }
