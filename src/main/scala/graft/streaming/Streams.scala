@@ -41,9 +41,19 @@ object Streams {
   private val eventSchema: StructType = StructType.fromDDL(
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
 
-  /** Stage fixture events (+ optional duplicate copies) into a fresh
+  /** Staged sources keyed by (sf dir, copies): the staged dir is
+    * read-only streaming input, so it is shared across iterations and
+    * queries (checkpoints stay per-run). */
+  private val stagedSources =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** Stage fixture events (+ optional duplicate copies) into a
     * streaming source dir, appending the watermark-advancing sentinel. */
-  private def stageSource(s: SparkSession, d: String, copies: Int): String = {
+  private def stageSource(s: SparkSession, d: String, copies: Int): String =
+    stagedSources.computeIfAbsent((d, copies), _ =>
+      stageSourceUncached(s, d, copies))
+
+  private def stageSourceUncached(s: SparkSession, d: String, copies: Int): String = {
     val dir = tmp("stream_src")
     val ev = Tables.load(s, d, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
