@@ -158,5 +158,48 @@ object Temporal {
         .orderBy("user_id", "hour")
     })
 
-  val defs: Seq[OpQuery] = Seq(asofJoin, rangeFrame, gapfill)
+  // ------------------------------------- YEAR-OVER-YEAR SELF-COMPARE
+  // The q2/q11/q74 shape (reference: TPCDSBenchmarkQueries.scala:45/625/
+  // 3713 — an aggregated CTE self-joined year vs year+1). The self-join
+  // runs on the aggregated relation (|nations|×|years| rows), so the
+  // comparison is dimension-sized regardless of fact scale; Catalyst
+  // reuses the aggregate exchange for both sides.
+  private val yoyGrowth = OpQuery(
+    "join_yoy_growth",
+    Some("""
+      WITH rev AS (
+        SELECT n_name, EXTRACT(year FROM o_orderdate) AS yr,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+      SELECT a.n_name, CAST(a.yr AS INT) AS yr,
+             CAST(a.rev AS DOUBLE) AS rev,
+             CAST(b.rev AS DOUBLE) AS prev_rev,
+             ROUND(CAST(a.rev AS DOUBLE) / CAST(b.rev AS DOUBLE), 6) AS growth
+      FROM rev a JOIN rev b ON a.n_name = b.n_name AND a.yr = b.yr + 1
+      ORDER BY a.n_name, yr
+    """),
+    (s, d) => {
+      val rev = t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(dec(col("l_extendedprice"))).as("rev_exact"))
+      val a = rev.as("a")
+      val b = rev.as("b")
+      a.join(b, col("a.n_name") === col("b.n_name") &&
+          col("a.yr") === col("b.yr") + 1)
+        .select(col("a.n_name").as("n_name"), col("a.yr").as("yr"),
+          moneyOut(col("a.rev_exact")).as("rev"),
+          moneyOut(col("b.rev_exact")).as("prev_rev"),
+          round(moneyOut(col("a.rev_exact")) / moneyOut(col("b.rev_exact")), 6)
+            .as("growth"))
+        .orderBy("n_name", "yr")
+    })
+
+  val defs: Seq[OpQuery] = Seq(asofJoin, rangeFrame, gapfill, yoyGrowth)
 }
