@@ -215,13 +215,14 @@ object Dedup {
     while (cur != prev && iter < 20) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("lbl").as("nlbl"))
-      val next = labels.join(neighborMin, labels("id") === neighborMin("src"),
+      // labels are |candidate nodes| rows (tiny next to the corpus) —
+      // an eager localCheckpoint cuts the per-round lineage without the
+      // parquet round-trip
+      labels = labels.join(neighborMin, labels("id") === neighborMin("src"),
           "left_outer")
         .select(labels("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      val stageL = tmp(s"cc_lbl$iter")
-      next.write.mode("overwrite").parquet(stageL)
-      labels = s.read.parquet(stageL)
+        .localCheckpoint()
       prev = cur
       cur = labelSum(labels)
       iter += 1
