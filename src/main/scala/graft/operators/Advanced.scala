@@ -326,8 +326,119 @@ object Advanced {
         .orderBy("o_orderstatus")
     })
 
+  // ------------------------------ conditional-aggregate battery
+  // count_if / bool_and / bool_or / min_by / max_by. The argmin/argmax
+  // pick key is a monotone (cents, orderkey) composite so price ties
+  // resolve identically on every engine (min_by on a tied raw value is
+  // pick-any — nondeterministic on a distributed engine by construction).
+  private val condBattery = OpQuery(
+    "agg_conditional_battery",
+    Some("""
+      SELECT o_orderpriority,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big,
+             BOOL_AND(o_totalprice > 0) AS all_positive,
+             BOOL_OR(o_orderstatus = 'P') AS any_pending,
+             MIN_BY(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000000 + o_orderkey) AS cheapest_key,
+             MAX_BY(o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) * 1000000000 + o_orderkey) AS priciest_key
+      FROM orders
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """),
+    (s, d) => {
+      val tieKey = round(col("o_totalprice") * 100).cast("long") *
+        lit(1000000000L) + col("o_orderkey")
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_totalprice") > 100000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          bool_or(col("o_orderstatus") === "P").as("any_pending"),
+          min_by(col("o_orderkey"), tieKey).as("cheapest_key"),
+          max_by(col("o_orderkey"), tieKey).as("priciest_key"))
+        .orderBy("o_orderpriority")
+    })
+
+  // ------------------------------------ exact-sums covariance / corr
+  // Like the stddev op: exact decimal sums (n, Σx, Σy, Σxy, Σx², Σy²)
+  // shuffled as partial aggregates, then ONE double expression per
+  // output — deterministic across engines where a streaming covar/corr
+  // implementation would drift.
+  private val corrExact = OpQuery(
+    "agg_corr_exact",
+    Some("""
+      WITH s AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+               SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag,
+             ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1), 6) AS covar_samp,
+             ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                   / SQRT((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                        * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 6) AS corr
+      FROM s ORDER BY l_returnflag
+    """),
+    (s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val agg = t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      val (n, sx, sy, sxy, sxx, syy) = (col("n"),
+        col("sx").cast(DoubleType), col("sy").cast(DoubleType),
+        col("sxy").cast(DoubleType), col("sxx").cast(DoubleType),
+        col("syy").cast(DoubleType))
+      agg.select(col("l_returnflag"),
+        round((sxy - sx * sy / n) / (n - 1), 6).as("covar_samp"),
+        round((sxy - sx * sy / n) /
+          sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6).as("corr"))
+        .orderBy("l_returnflag")
+    })
+
+  // ----------------------- multi-channel UNION ALL → ROLLUP composite
+  // The q5/q77/q80 report shape (reference:
+  // TPCDSBenchmarkQueries.scala:239/3865/4051): per-channel relations
+  // unioned, then rolled up with grouping flags — union and rollup in
+  // one pipeline rather than as isolated operators.
+  private val channelRollup = OpQuery(
+    "agg_channel_rollup",
+    Some("""
+      WITH channels AS (
+        SELECT 'store' AS channel, o_orderpriority AS grp,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'web', o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2))
+        FROM orders WHERE o_orderkey % 3 <> 0)
+      SELECT CAST(GROUPING(channel) AS INT) AS g_ch, CAST(GROUPING(grp) AS INT) AS g_grp,
+             channel, grp, COUNT(*) AS n,
+             CAST(SUM(amt) AS DOUBLE) AS sum_amt
+      FROM channels
+      GROUP BY ROLLUP (channel, grp)
+      ORDER BY g_ch, g_grp, channel NULLS FIRST, grp NULLS FIRST
+    """),
+    (s, d) => {
+      val o = t(s, d, "orders")
+      def channel(name: String, pred: Column): DataFrame =
+        o.filter(pred).select(lit(name).as("channel"),
+          col("o_orderpriority").as("grp"), dec(col("o_totalprice")).as("amt"))
+      channel("store", col("o_orderkey") % 3 === 0)
+        .unionByName(channel("web", col("o_orderkey") % 3 =!= 0))
+        .rollup("channel", "grp")
+        .agg(
+          grouping(col("channel")).cast(IntegerType).as("g_ch"),
+          grouping(col("grp")).cast(IntegerType).as("g_grp"),
+          count(lit(1)).as("n"),
+          moneyOut(sum(col("amt"))).as("sum_amt"))
+        .select("g_ch", "g_grp", "channel", "grp", "n", "sum_amt")
+        .orderBy(col("g_ch"), col("g_grp"),
+          col("channel").asc_nulls_first, col("grp").asc_nulls_first)
+    })
+
   val defs: Seq[OpQuery] = Seq(
     groupingSetsQ, cubeQ, pivotQ, intervalJoin, scalarCase,
     cumulativeCompare, movingAvg, likeBattery, intersectAll, exceptAll,
-    skewSalted)
+    skewSalted, condBattery, corrExact, channelRollup)
 }
