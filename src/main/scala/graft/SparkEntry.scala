@@ -15,6 +15,7 @@ object SparkEntry {
     operators.Advanced.defs,
     operators.Temporal.defs,
     operators.Collections.defs,
+    operators.Analytics.defs,
     operators.TextAnalysis.defs,
     operators.Sessions.defs,
     operators.Dedup.defs,
