@@ -128,5 +128,120 @@ object Analytics {
         .orderBy("label", "vec_id")
     })
 
-  val defs: Seq[OpQuery] = Seq(funnel, retention, histogram, stratified)
+  // ------------------------------------------- Z-SCORE ANOMALY FLAGS
+  // Per-user mean/std from exact decimal partial sums (one shuffle on
+  // user_id), then a row-local z expression; |z| > 3 rows surface.
+  // Same exact-sums discipline as agg_corr_exact — a streaming stddev
+  // would drift across engines.
+  private val zscore = OpQuery(
+    "events_anomaly_zscore",
+    Some("""
+      WITH s AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sxx
+        FROM events GROUP BY user_id)
+      SELECT e.event_id, e.user_id,
+             ROUND((e.value - CAST(s.sx AS DOUBLE) / s.n)
+                   / SQRT((CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n) / (s.n - 1)), 6) AS z
+      FROM events e JOIN s USING (user_id)
+      WHERE s.n > 1
+        AND ABS((e.value - CAST(s.sx AS DOUBLE) / s.n)
+                / SQRT((CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n) / (s.n - 1))) > 3.0
+      ORDER BY e.event_id
+    """),
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val x = col("value").cast("decimal(18,2)")
+      val stats = ev.groupBy("user_id").agg(
+        count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      val mean = col("sx").cast("double") / col("n")
+      val std = sqrt((col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+        (col("n") - 1))
+      val z = (col("value") - mean) / std
+      ev.join(stats, "user_id")
+        .filter(col("n") > 1 && abs(z) > 3.0)
+        .select(col("event_id"), col("user_id"), round(z, 6).as("z"))
+        .orderBy("event_id")
+    })
+
+  // ------------------------------------------ PARETO CUMULATIVE SHARE
+  // Which top customers carry the first 20% of revenue: ordered running
+  // sum and the grand total both stay in exact decimal (an unordered
+  // double total would drift by summation order and could flap the
+  // boundary row); the share is one double division per row.
+  private val pareto = OpQuery(
+    "agg_pareto_cumshare",
+    Some("""
+      WITH rev AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY o_custkey),
+      ranked AS (
+        SELECT o_custkey, rev,
+               SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+               SUM(rev) OVER () AS total_rev,
+               ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rn
+        FROM rev)
+      SELECT CAST(rn AS INT) AS rn, o_custkey,
+             CAST(rev AS DOUBLE) AS rev,
+             ROUND(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS cum_share
+      FROM ranked
+      WHERE CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.2
+      ORDER BY rn
+    """),
+    (s, d) => {
+      import graft.Cols.{dec, moneyOut}
+      val rev = t(s, d, "orders").groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val ord = Window.orderBy(col("rev").desc, col("o_custkey"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val share = sum(col("rev")).over(cum).cast("double") /
+        sum(col("rev")).over(all).cast("double")
+      // per-customer aggregate is dimension-sized, so the single-
+      // partition ranking window is safe at any fact scale (same
+      // rationale as window_rank_global)
+      rev.select(col("o_custkey"), col("rev"),
+          row_number().over(ord).as("rn"), share.as("share"))
+        .filter(col("share") <= 0.2)
+        .select(col("rn").cast(IntegerType).as("rn"), col("o_custkey"),
+          moneyOut(col("rev")).as("rev"), round(col("share"), 6).as("cum_share"))
+        .orderBy("rn")
+    })
+
+  // --------------------------------------- EVENT-SEQUENCE TRIGRAMS
+  // Most common 3-step event-type paths: lead() over each user's
+  // (ts, event_id)-ordered stream builds the trigram row-locally after
+  // one shuffle on user_id; counts partial-aggregate.
+  private val trigrams = OpQuery(
+    "events_top_sequences",
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT event_type || '>' || e2 || '>' || e3 AS trigram, COUNT(*) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20
+    """),
+    (s, d) => {
+      val win = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(win).as("e2"),
+          lead(col("event_type"), 2).over(win).as("e3"))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("trigram"))
+        .groupBy("trigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram")).limit(20)
+    })
+
+  val defs: Seq[OpQuery] = Seq(
+    funnel, retention, histogram, stratified, zscore, pareto, trigrams)
 }
