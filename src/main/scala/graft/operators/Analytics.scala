@@ -29,10 +29,13 @@ object Analytics {
     "events_funnel",
     Some("""
       WITH stages AS (
+        -- CAST(ts AS TIMESTAMP) truncates the parquet TIMESTAMP_NS to
+        -- microseconds, matching the engine's event-time resolution
+        -- (strict > comparisons would otherwise differ sub-microsecond)
         SELECT user_id,
-               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+               MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_buy
         FROM events GROUP BY user_id)
       SELECT COUNT(*) AS n_users,
              CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
@@ -146,6 +149,7 @@ object Analytics {
                    / SQRT((CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n) / (s.n - 1)), 6) AS z
       FROM events e JOIN s USING (user_id)
       WHERE s.n > 1
+        AND (CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n) > 0
         AND ABS((e.value - CAST(s.sx AS DOUBLE) / s.n)
                 / SQRT((CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) / s.n) / (s.n - 1))) > 3.0
       ORDER BY e.event_id
@@ -156,12 +160,15 @@ object Analytics {
       val stats = ev.groupBy("user_id").agg(
         count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
       val mean = col("sx").cast("double") / col("n")
-      val std = sqrt((col("sxx").cast("double") -
-        col("sx").cast("double") * col("sx").cast("double") / col("n")) /
-        (col("n") - 1))
+      val ss = col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / col("n")
+      val std = sqrt(ss / (col("n") - 1))
       val z = (col("value") - mean) / std
+      // ss > 0 guard: on a constant-value user ss is exactly 0.0, where
+      // Spark's divide returns NULL but DuckDB returns inf — exclude the
+      // degenerate stratum identically on both sides
       ev.join(stats, "user_id")
-        .filter(col("n") > 1 && abs(z) > 3.0)
+        .filter(col("n") > 1 && ss > 0 && abs(z) > 3.0)
         .select(col("event_id"), col("user_id"), round(z, 6).as("z"))
         .orderBy("event_id")
     })
@@ -224,7 +231,8 @@ object Analytics {
                LEAD(event_type, 1) OVER w AS e2,
                LEAD(event_type, 2) OVER w AS e3
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id))
       SELECT event_type || '>' || e2 || '>' || e3 AS trigram, COUNT(*) AS n
       FROM seq WHERE e3 IS NOT NULL
       GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20

@@ -193,17 +193,30 @@ object Dedup {
   // candidate-pair graph via iterative hash-min label propagation — the
   // standard large-graph CC formulation (converges in O(log diameter)
   // rounds; each round is one join + partial-agg min, labels staged
-  // through parquet to cut lineage). Duplicate clusters from banded LSH
-  // are near-cliques, so rounds ≈ 2-3 in practice; the driver loop stops
-  // on a monotone convergence metric (sum of labels — strictly
-  // decreasing until fixpoint), never a row-diff.
+  // through parquet to cut lineage). One-hop min propagation needs
+  // O(component diameter) rounds; duplicate clusters from banded LSH
+  // are near-cliques, so rounds ≈ 2-3 in practice. The loop stops on a
+  // monotone convergence metric (sum of labels — strictly decreasing
+  // until fixpoint) and FAILS LOUDLY if the round cap is hit before
+  // convergence — a silently split cluster would surface only as an
+  // unexplained oracle mismatch.
   private def ccBuild(s: SparkSession, d: String): DataFrame = {
     val cand = minhashPairs(s, d).select("doc_a", "doc_b")
     val stage = tmp("cc_edges")
     cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .write.mode("overwrite").parquet(stage)
-    val edges = s.read.parquet(stage)
+    hashMinComponents(s.read.parquet(stage))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** Hash-min connected components over an (src, dst) edge list (both
+    * directions present). Returns (id, lbl) with lbl = component min id.
+    * Shared with the property test so the test exercises THIS loop, not
+    * a copy. */
+  private[graft] def hashMinComponents(
+      edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     def labelSum(df: DataFrame): Long =
@@ -212,7 +225,7 @@ object Dedup {
     var prev = Long.MinValue
     var cur = labelSum(labels)
     var iter = 0
-    while (cur != prev && iter < 20) {
+    while (cur != prev && iter < maxRounds) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("lbl").as("nlbl"))
       // labels are |candidate nodes| rows (tiny next to the corpus) —
@@ -227,8 +240,10 @@ object Dedup {
       cur = labelSum(labels)
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
-      .orderBy("doc_id")
+    require(cur == prev,
+      s"connected components did not converge in $maxRounds rounds " +
+        "(component diameter exceeds the cap — raise maxRounds)")
+    labels
   }
 
   private val ccOracle: String = {

@@ -18,11 +18,13 @@ object Lakehouse {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(s"graft_$prefix").toString
 
-  /** Pre-built read-only probe tables, keyed by sf dir (see
-    * filecount_probes — built once, probed every iteration). */
-  private val probeTables =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, (SnapshotTable, SnapshotTable)]()
+  /** Pre-built read-only probe table ROOTS, keyed by sf dir (see
+    * filecount_probes — built once, probed every iteration). Paths, not
+    * SnapshotTable instances: an instance is bound to the session that
+    * built it, and a second session in the same JVM would otherwise
+    * probe through a stopped SparkContext. */
+  private val probeTableRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   // MERGE INTO … UPDATE SET * / INSERT * (reference:
   // IncrementalTPCDSBenchmark.scala:276-281), partition-pruned CoW on
@@ -232,17 +234,21 @@ object Lakehouse {
     """),
     (s, d) => {
       import s.implicits._
-      // Build the probe tables once per (session, sf) and reuse across
+      // Build the probe tables once per sf dir and reuse across
       // iterations — the reference protocol also probes a pre-built
       // table with warm medians (FileCountBenchmark.scala:251-279); the
-      // probes are read-only, so reuse cannot change results.
-      val (flat, parted) = probeTables.computeIfAbsent(d, _ => {
+      // probes are read-only, so reuse cannot change results. The cache
+      // holds paths; SnapshotTable handles rebind to the current session.
+      val (flatRoot, partedRoot) = probeTableRoots.computeIfAbsent(d, _ => {
         val root = tmp("probes")
         val li = Tables.load(s, d, "lineitem")
-        (new SnapshotTable(s, s"$root/flat").create(li.repartition(32)),
-          new SnapshotTable(s, s"$root/parted")
-            .create(li, partitionBy = Some("l_returnflag")))
+        new SnapshotTable(s, s"$root/flat").create(li.repartition(32))
+        new SnapshotTable(s, s"$root/parted")
+          .create(li, partitionBy = Some("l_returnflag"))
+        (s"$root/flat", s"$root/parted")
       })
+      val flat = new SnapshotTable(s, flatRoot)
+      val parted = new SnapshotTable(s, partedRoot)
       Seq(
         ("count", flat.read().count()),
         ("limit1", flat.read().limit(1).count()),

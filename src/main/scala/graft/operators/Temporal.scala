@@ -42,7 +42,10 @@ object Temporal {
                CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS VARCHAR) AS event_type
         FROM orders WHERE o_custkey < 25
         UNION ALL
-        SELECT user_id, ts, 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+        -- CAST to TIMESTAMP truncates TIMESTAMP_NS to the microsecond
+        -- resolution the engine sees, keeping at-or-before ties identical
+        SELECT user_id, CAST(ts AS TIMESTAMP), 1,
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
                event_id, event_type
         FROM events WHERE user_id < 25
       ), w AS (

@@ -93,26 +93,14 @@ class PropertySpec extends AnyFunSuite {
           val root = find(id.toInt)
           (0 until n).filter(m => find(m) == root).min.toLong
         }).toMap
-      // distributed: same hash-min loop the dedup_cluster_cc op runs
+      // distributed: the SAME hash-min loop the dedup_cluster_cc op runs
+      // (shared helper — not a reimplementation that could drift)
       val cand = pairs.toDF("doc_a", "doc_b")
       val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .cache()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-      var prev = -1L
-      var cur = labels.agg(sum("lbl")).head.getLong(0)
-      var iter = 0
-      while (cur != prev && iter < 20) {
-        val nm = edges.join(labels, edges("dst") === labels("id"))
-          .groupBy(col("src")).agg(min("lbl").as("nlbl"))
-        labels = labels.join(nm, labels("id") === nm("src"), "left_outer")
-          .select(labels("id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        prev = cur; cur = labels.agg(sum("lbl")).head.getLong(0); iter += 1
-      }
-      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = graft.operators.Dedup.hashMinComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       edges.unpersist()
       assert(got == expected, s"trial $trial")
     }
