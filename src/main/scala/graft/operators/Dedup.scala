@@ -114,6 +114,48 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     })
 
+  // Asymmetric n-gram containment |A∩B| / |A|: flags documents mostly
+  // CONTAINED in another (quotes, subsets, prefix dumps) that symmetric
+  // Jaccard under-scores when the container is much larger. Same bounded
+  // id-range verification-stage scoping as the Jaccard op; both
+  // directions emitted (containment is not symmetric).
+  private val ngramContainment = OpQuery(
+    "dedup_ngram_containment",
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+                 list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+              FROM documents WHERE doc_id < 1000)),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, i / ca.n AS containment
+      FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+      WHERE i / ca.n >= 0.8
+      ORDER BY doc_a, doc_b
+    """),
+    (s, d) => {
+      GraftFunctions.registerAll(s)
+      val sh = docs(s, d).filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          explode(array_distinct(expr("graft_shingles(text, 3)"))).as("s"))
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val inter = a.join(b,
+          col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("i"))
+      inter.join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+        .withColumn("containment", col("i") / col("ca.n"))
+        .filter(col("containment") >= 0.8)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    })
+
   // ------------------------------------------------------------------
   // Shared DuckDB oracle fragments: word-trigram shingles + portable
   // per-shingle hash (mirrors shingles()/polyHash exactly).
@@ -505,7 +547,7 @@ object Dedup {
     })
 
   val defs: Seq[OpQuery] = Seq(
-    exact, ngramJaccard,
+    exact, ngramJaccard, ngramContainment,
     OpQuery("dedup_minhash_lsh", Some(minhashOracle), (s, d) => minhashLshBuild(s, d)),
     OpQuery("dedup_cluster_cc", Some(ccOracle), (s, d) => ccBuild(s, d)),
     OpQuery("dedup_simhash", Some(simhashOracle), (s, d) => simhashBuild(s, d)),
