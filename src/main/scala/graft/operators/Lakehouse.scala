@@ -483,8 +483,61 @@ object Lakehouse {
         .orderBy(col("o_channel").asc_nulls_first)
     })
 
+  // Incremental view maintenance across a MERGE: the materialized
+  // aggregate is updated as old_agg − agg(replaced rows) + agg(source)
+  // instead of a full recompute. The replaced-row scan is a semi join
+  // against the delta (partition-prunable, like the CoW merge itself);
+  // every term stays in exact decimal so the combination is exact. The
+  // oracle recomputes from scratch on the merged state — passing PROVES
+  // incremental == full.
+  private val incrementalAgg = OpQuery(
+    "incremental_agg_maintenance",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'O', o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0),
+      merged AS (
+        SELECT o_orderstatus, o_totalprice FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM src)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      import graft.Cols.{dec, moneyOut}
+      val o = Tables.load(s, d, "orders")
+      val src = mergeSource(o)
+      val keys = Seq("o_orderkey", "o_orderstatus")
+      def aggOf(df: DataFrame) = df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("sp"))
+      val oldAgg = aggOf(o)
+        .select(col("o_orderstatus"), col("n").as("n0"), col("sp").as("s0"))
+      val replaced = aggOf(o.join(src.select(keys.map(col): _*), keys, "left_semi"))
+        .select(col("o_orderstatus"), col("n").as("nm"), col("sp").as("sm"))
+      val added = aggOf(src)
+        .select(col("o_orderstatus"), col("n").as("ns"), col("sp").as("ss"))
+      oldAgg
+        .join(replaced, Seq("o_orderstatus"), "full_outer")
+        .join(added, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n0"), lit(0L)) - coalesce(col("nm"), lit(0L)) +
+            coalesce(col("ns"), lit(0L))).as("n"),
+          moneyOut(
+            coalesce(col("s0"), lit(0).cast("decimal(18,2)")) -
+              coalesce(col("sm"), lit(0).cast("decimal(18,2)")) +
+              coalesce(col("ss"), lit(0).cast("decimal(18,2)"))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
-    mergeDelete, timeTravel, csvMalformed, schemaEvolution)
+    mergeDelete, timeTravel, csvMalformed, schemaEvolution, incrementalAgg)
 }
