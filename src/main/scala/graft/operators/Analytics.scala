@@ -250,6 +250,50 @@ object Analytics {
         .orderBy(col("n").desc, col("trigram")).limit(20)
     })
 
+  // --------------------------------------------- RFM SEGMENTATION
+  // Recency/frequency/monetary per customer with ntile quartile scores.
+  // One shuffle to the per-customer aggregate; the corpus-max date is a
+  // broadcast scalar; quartile windows run on the customer-sized
+  // relation with unique tie-breaks (ntile is row-order-dependent).
+  private val rfm = OpQuery(
+    "customers_rfm",
+    Some("""
+      WITH m AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+      cust AS (
+        SELECT o_custkey,
+               CAST(maxd - MAX(CAST(o_orderdate AS DATE)) AS INT) AS recency_days,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders, m GROUP BY o_custkey, maxd)
+      SELECT o_custkey, recency_days, frequency,
+             CAST(monetary AS DOUBLE) AS monetary,
+             CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS INT) AS r_q,
+             CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_q,
+             CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_q
+      FROM cust ORDER BY o_custkey
+    """),
+    (s, d) => {
+      import graft.Cols.{dec, moneyOut}
+      val o = t(s, d, "orders")
+      val maxd = o.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+      val cust = o.crossJoin(broadcast(maxd))
+        .groupBy(col("o_custkey"), col("maxd"))
+        .agg(
+          datediff(first(col("maxd")), max(to_date(col("o_orderdate"))))
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(dec(col("o_totalprice"))).as("monetary"))
+      cust.select(col("o_custkey"), col("recency_days"), col("frequency"),
+          moneyOut(col("monetary")).as("monetary"),
+          ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey")))
+            .as("r_q"),
+          ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
+            .as("f_q"),
+          ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
+            .as("m_q"))
+        .orderBy("o_custkey")
+    })
+
   val defs: Seq[OpQuery] = Seq(
-    funnel, retention, histogram, stratified, zscore, pareto, trigrams)
+    funnel, retention, histogram, stratified, zscore, pareto, trigrams, rfm)
 }
