@@ -156,7 +156,9 @@ object Harness {
     "refresh_pipeline", "filecount_probes", "dedup_exact",
     "dedup_minhash_lsh", "dedup_embedding_ann", "simsearch_topk",
     "text_quality_score", "sessionize_gap", "stream_window_agg",
-    "stream_dedup", "stream_sessionize")
+    "stream_dedup", "stream_sessionize",
+    "join_asof", "dedup_cluster_cc", "simsearch_ivf", "merge_delete",
+    "events_funnel", "incremental_agg_maintenance")
 
   /** Compact one-line JSON for stdout. Must stay short enough to fit
     * entirely inside the driver's tail capture (2000 chars incl. the sbt
