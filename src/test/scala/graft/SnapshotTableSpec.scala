@@ -88,6 +88,74 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(hist == Seq((0, "CREATE", 2L), (1, "MERGE", 3L), (2, "COMPACT", 3L)))
   }
 
+  test("mergeDeferred appends deltas; read resolves last-writer-wins per key") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("k", "p", "v")
+    val t = new SnapshotTable(spark, tmp("mor"))
+      .create(base, Some("p"))
+      .mergeDeferred(Seq((2L, "a", 99.0), (4L, "b", 40.0)).toDF("k", "p", "v"),
+        Seq("k", "p"), Some("p"))
+      .mergeDeferred(Seq((2L, "a", 77.0)).toDF("k", "p", "v"),
+        Seq("k", "p"), Some("p"))
+    // base files untouched — both MoR commits only appended delta files
+    assert(t.files.forall(_.path.contains("c00000")))
+    val got = t.read().orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getDouble(2))).toSeq
+    // k=2 takes the NEWEST delta (77.0), k=4 inserted, k=1/3 from base
+    assert(got == Seq((1L, 10.0), (2L, 77.0), (3L, 30.0), (4L, 40.0)))
+    // partition-scoped read resolves within the partition
+    assert(t.readWhere("a").orderBy("k").collect().map(_.getDouble(2)).toSeq
+      == Seq(10.0, 77.0))
+    // compaction folds deltas into base files and drops delta entries
+    t.compact(1)
+    assert(t.read().orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getDouble(2))).toSeq == got)
+    assert(t.countFromManifest == 4)
+  }
+
+  test("CoW merge on a table with pending deltas folds them in") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("morc"))
+      .create(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "v"), Some("p"))
+      .mergeDeferred(Seq((1L, "a", 9.0)).toDF("k", "p", "v"), Seq("k", "p"), Some("p"))
+      .merge(Seq((2L, "b", 8.0)).toDF("k", "p", "v"), Seq("k", "p"), Some("p"))
+    assert(t.read().orderBy("k").collect().map(_.getDouble(2)).toSeq
+      == Seq(9.0, 8.0))
+  }
+
+  test("shallowCloneTo shares files by reference; clone DML leaves source intact") {
+    import spark.implicits._
+    val src = new SnapshotTable(spark, tmp("clsrc"))
+      .create(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "v"), Some("p"))
+    val clone = src.shallowCloneTo(tmp("cldst"))
+    // zero data copied: every clone file entry points into the source root
+    assert(clone.files.nonEmpty && clone.files.forall(e =>
+      src.files.exists(_.path == e.path)))
+    clone.merge(Seq((1L, "a", 9.0)).toDF("k", "p", "v"), Seq("k", "p"), Some("p"))
+    assert(clone.read().orderBy("k").collect().map(_.getDouble(2)).toSeq
+      == Seq(9.0, 2.0))
+    // source unchanged — clone rewrote only under its own root
+    assert(src.read().orderBy("k").collect().map(_.getDouble(2)).toSeq
+      == Seq(1.0, 2.0))
+    // untouched partition still served from the shared source file
+    assert(clone.files.filter(_.partValue == "b")
+      .forall(e => src.files.exists(_.path == e.path)))
+  }
+
+  test("vacuum deletes files of dropped versions but keeps retained reads") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("vac"))
+      .create(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    t.merge(Seq((1L, 9.0)).toDF("k", "v"), Seq("k"))
+    val removed = t.vacuum(retainVersions = 1)
+    assert(removed >= 1) // version-0 files rewritten by the merge are gone
+    assert(t.read().orderBy("k").collect().map(_.getDouble(1)).toSeq
+      == Seq(9.0, 2.0))
+    // time travel below the cutoff is gone with its manifest
+    assertThrows[Exception](t.read(0).collect())
+  }
+
   test("detail aggregates manifest stats without scanning data") {
     import spark.implicits._
     val t = new SnapshotTable(spark, tmp("d"))
