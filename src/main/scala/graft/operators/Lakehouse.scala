@@ -7,24 +7,52 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructType}
 import java.nio.file.Files
 
-/** Lakehouse DML demos wired through [[SnapshotTable]]: MERGE
-  * copy-on-write, compaction round-trip, history, CSV ingest, seeded
-  * synthetic generation, controlled file layout. Each query rebuilds its
-  * snapshot in a fresh temp dir, so Verify/Bench invocations are
-  * independent.
+/** Lakehouse DML demos wired through [[SnapshotTable]]: MERGE (CoW and
+  * MoR), compaction round-trip, shallow clone, vacuum, history, CSV
+  * ingest, seeded synthetic generation, controlled file layout.
+  *
+  * Base tables are STAGED once per sf dir (the reference also separates
+  * the load phase from the measured DML/probe phase —
+  * IncrementalTPCDSBenchmark.scala:121-184 loads, then times merges);
+  * each timed DML run starts from a metadata-only [[SnapshotTable
+  * .shallowCloneTo]] of the staged base, so what Bench measures is the
+  * DML itself, and repeated iterations stay independent without
+  * rebuilding the base.
   */
 object Lakehouse {
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(s"graft_$prefix").toString
 
-  /** Pre-built read-only probe table ROOTS, keyed by sf dir (see
-    * filecount_probes — built once, probed every iteration). Paths, not
-    * SnapshotTable instances: an instance is bound to the session that
-    * built it, and a second session in the same JVM would otherwise
-    * probe through a stopped SparkContext. */
-  private val probeTableRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  /** Pre-built read-only base-table ROOTS keyed by (sf dir, spec) —
+    * built on first use, reused across queries and iterations. Paths,
+    * not SnapshotTable instances: an instance is bound to the session
+    * that built it, and a second session in the same JVM would
+    * otherwise read through a stopped SparkContext. */
+  private val stagedRoots =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def staged(s: SparkSession, d: String, spec: String)(
+      build: String => Unit): SnapshotTable =
+    new SnapshotTable(s,
+      stagedRoots.computeIfAbsent((d, spec), _ => {
+        val r = tmp(s"stage_$spec"); build(r); r
+      }))
+
+  /** orders partitioned by o_orderstatus — the CoW/MoR merge target. */
+  private def stagedOrders(s: SparkSession, d: String): SnapshotTable =
+    staged(s, d, "orders_parted")(r => new SnapshotTable(s, r)
+      .create(Tables.load(s, d, "orders"), partitionBy = Some("o_orderstatus")))
+
+  /** lineitem as 32 small files — compaction input + flat probe table. */
+  private def stagedLineitem32(s: SparkSession, d: String): SnapshotTable =
+    staged(s, d, "lineitem32")(r => new SnapshotTable(s, r)
+      .create(Tables.load(s, d, "lineitem").repartition(32)))
+
+  /** lineitem partitioned by l_returnflag — partition-filter probes. */
+  private def stagedLineitemParted(s: SparkSession, d: String): SnapshotTable =
+    staged(s, d, "lineitem_parted")(r => new SnapshotTable(s, r)
+      .create(Tables.load(s, d, "lineitem"), partitionBy = Some("l_returnflag")))
 
   // MERGE INTO … UPDATE SET * / INSERT * (reference:
   // IncrementalTPCDSBenchmark.scala:276-281), partition-pruned CoW on
@@ -61,8 +89,7 @@ object Lakehouse {
     """),
     (s, d) => {
       val o = Tables.load(s, d, "orders")
-      val table = new SnapshotTable(s, tmp("merge"))
-        .create(o, partitionBy = Some("o_orderstatus"))
+      val table = stagedOrders(s, d).shallowCloneTo(tmp("merge"))
         .merge(mergeSource(o), keys = Seq("o_orderkey", "o_orderstatus"),
           partitionBy = Some("o_orderstatus"))
       table.read()
@@ -83,9 +110,7 @@ object Lakehouse {
       ORDER BY l_returnflag
     """),
     (s, d) => {
-      val li = Tables.load(s, d, "lineitem").repartition(32)
-      val table = new SnapshotTable(s, tmp("compact"))
-        .create(li)
+      val table = stagedLineitem32(s, d).shallowCloneTo(tmp("compact"))
         .compact(numFiles = 4)
       table.read().groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
@@ -93,7 +118,7 @@ object Lakehouse {
         .orderBy("l_returnflag")
     })
 
-  // DESCRIBE HISTORY analog over a create→merge→compact lifecycle.
+  // DESCRIBE HISTORY analog over a clone→merge→compact lifecycle.
   // num_files depends on write parallelism (engine metadata) and is
   // excluded; (version, operation, num_rows) is oracle-checkable because
   // the merge source's insert arithmetic is reproducible in SQL.
@@ -103,7 +128,7 @@ object Lakehouse {
       WITH base AS (SELECT COUNT(*) AS n FROM orders),
            ins  AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 17 = 0)
       SELECT * FROM (
-        SELECT 0 AS version, 'CREATE' AS operation,
+        SELECT 0 AS version, 'CLONE' AS operation,
                CAST((SELECT n FROM base) AS BIGINT) AS num_rows
         UNION ALL
         SELECT 1, 'MERGE',
@@ -115,8 +140,7 @@ object Lakehouse {
     """),
     (s, d) => {
       val o = Tables.load(s, d, "orders")
-      val table = new SnapshotTable(s, tmp("hist"))
-        .create(o, partitionBy = Some("o_orderstatus"))
+      val table = stagedOrders(s, d).shallowCloneTo(tmp("hist"))
         .merge(mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
           Some("o_orderstatus"))
         .compact(2, Some("o_orderstatus"))
@@ -239,16 +263,8 @@ object Lakehouse {
       // table with warm medians (FileCountBenchmark.scala:251-279); the
       // probes are read-only, so reuse cannot change results. The cache
       // holds paths; SnapshotTable handles rebind to the current session.
-      val (flatRoot, partedRoot) = probeTableRoots.computeIfAbsent(d, _ => {
-        val root = tmp("probes")
-        val li = Tables.load(s, d, "lineitem")
-        new SnapshotTable(s, s"$root/flat").create(li.repartition(32))
-        new SnapshotTable(s, s"$root/parted")
-          .create(li, partitionBy = Some("l_returnflag"))
-        (s"$root/flat", s"$root/parted")
-      })
-      val flat = new SnapshotTable(s, flatRoot)
-      val parted = new SnapshotTable(s, partedRoot)
+      val flat = stagedLineitem32(s, d)
+      val parted = stagedLineitemParted(s, d)
       Seq(
         ("count", flat.read().count()),
         ("limit1", flat.read().limit(1).count()),
@@ -273,8 +289,7 @@ object Lakehouse {
     """),
     (s, d) => {
       val o = Tables.load(s, d, "orders")
-      val table = new SnapshotTable(s, tmp("detail"))
-        .create(o, partitionBy = Some("o_orderstatus"))
+      val table = stagedOrders(s, d).shallowCloneTo(tmp("detail"))
         .merge(mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
           Some("o_orderstatus"))
       table.detail.select("version", "num_rows")
@@ -321,20 +336,26 @@ object Lakehouse {
       ORDER BY o_orderpriority
     """),
     (s, d) => {
+      // Bucketed ingest is load-phase work (like the reference's CTAS
+      // load); build once per session+sf dir, then time only the
+      // shuffle-free join. Catalog tables are session-scoped, so the
+      // existence check is the correct staging guard here.
+      val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+      val (ordersB, lineitemB) = (s"graft_db.orders_b_$suffix", s"graft_db.lineitem_b_$suffix")
       s.sql("CREATE DATABASE IF NOT EXISTS graft_db")
-      Seq("orders_b", "lineitem_b").foreach(t =>
-        s.sql(s"DROP TABLE IF EXISTS graft_db.$t"))
-      Tables.load(s, d, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .format("parquet").saveAsTable("graft_db.orders_b")
-      Tables.load(s, d, "lineitem")
-        .filter(col("l_quantity") >= 49.0)
-        .select("l_orderkey", "l_extendedprice")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .format("parquet").saveAsTable("graft_db.lineitem_b")
-      s.table("graft_db.lineitem_b")
-        .join(s.table("graft_db.orders_b"), col("l_orderkey") === col("o_orderkey"))
+      if (!s.catalog.tableExists(ordersB)) {
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .format("parquet").saveAsTable(ordersB)
+        Tables.load(s, d, "lineitem")
+          .filter(col("l_quantity") >= 49.0)
+          .select("l_orderkey", "l_extendedprice")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .format("parquet").saveAsTable(lineitemB)
+      }
+      s.table(lineitemB)
+        .join(s.table(ordersB), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           graft.Cols.moneyOut(sum(graft.Cols.dec(col("l_extendedprice")))).as("sum_price"))
@@ -359,8 +380,7 @@ object Lakehouse {
       val del = o
         .filter(col("o_orderkey") % 13 === 0 && col("o_orderstatus") === "F")
         .select("o_orderkey", "o_orderstatus")
-      val table = new SnapshotTable(s, tmp("mdel"))
-        .create(o, partitionBy = Some("o_orderstatus"))
+      val table = stagedOrders(s, d).shallowCloneTo(tmp("mdel"))
         .mergeDelete(del, Seq("o_orderkey", "o_orderstatus"),
           partitionBy = Some("o_orderstatus"))
       table.read().groupBy("o_orderstatus")
@@ -400,8 +420,7 @@ object Lakehouse {
     """),
     (s, d) => {
       val o = Tables.load(s, d, "orders")
-      val table = new SnapshotTable(s, tmp("tt"))
-        .create(o, partitionBy = Some("o_orderstatus"))
+      val table = stagedOrders(s, d).shallowCloneTo(tmp("tt"))
         .merge(mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
           partitionBy = Some("o_orderstatus"))
       def snap(v: Int) = table.read(v)
@@ -536,8 +555,108 @@ object Lakehouse {
         .orderBy("o_orderstatus")
     })
 
+  // Shallow clone (Delta SHALLOW CLONE analog): metadata-only commit
+  // referencing the source's files — zero data copied — after which the
+  // clone serves the source's full content. The oracle checks the
+  // content; CLONE cost-shape (no data write) is asserted in
+  // SnapshotTableSpec.
+  private val tableClone = OpQuery(
+    "table_clone",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val clone = stagedOrders(s, d).shallowCloneTo(tmp("clone"))
+      clone.read().groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
+  // MERGE-on-read: the deferred-merge path the reference benchmarks
+  // against CoW (README.md:30,36 — MoR merges faster, reads pay the
+  // resolution). The merge appends delta files (cost O(source)); the
+  // read resolves base-minus-matched + newest delta per key. The oracle
+  // is the SAME SQL as merge_upsert: passing proves MoR read == CoW
+  // merge result.
+  private val mergeMorRead = OpQuery(
+    "merge_mor_read",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'O', o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 17 = 0)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+      FROM (
+        SELECT * FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT * FROM src)
+      ORDER BY o_orderkey, o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val table = stagedOrders(s, d).shallowCloneTo(tmp("mor"))
+        .mergeDeferred(mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = Some("o_orderstatus"))
+      table.read()
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey", "o_orderstatus")
+    })
+
+  // VACUUM: after a CoW merge rewrites partitions, the superseded
+  // version-0 files under the table's own root are physically deleted;
+  // the retained current version must still read correctly. The oracle
+  // checks the post-vacuum content; file deletion (and clone safety) is
+  // asserted in SnapshotTableSpec. This entry creates its own table
+  // (vacuum mutates storage, so a staged base cannot be shared).
+  private val vacuumRetention = OpQuery(
+    "vacuum_retention",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'O', o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0),
+      merged AS (
+        SELECT o_orderstatus, o_totalprice FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM src)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val table = new SnapshotTable(s, tmp("vac"))
+        .create(o, partitionBy = Some("o_orderstatus"))
+        .merge(mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = Some("o_orderstatus"))
+      table.vacuum(retainVersions = 1)
+      table.read().groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
-    mergeDelete, timeTravel, csvMalformed, schemaEvolution, incrementalAgg)
+    mergeDelete, timeTravel, csvMalformed, schemaEvolution, incrementalAgg,
+    tableClone, mergeMorRead, vacuumRetention)
 }
