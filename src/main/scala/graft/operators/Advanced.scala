@@ -437,8 +437,39 @@ object Advanced {
           col("channel").asc_nulls_first, col("grp").asc_nulls_first)
     })
 
+  // ------------------------------------ MULTI-SUBQUERY CROSS JOIN (q88)
+  // The TPC-DS q88 shape (reference: TPCDSBenchmarkQueries.scala:4407 —
+  // eight independent time-bucket scalar aggregates cross-joined into
+  // one row). Each bucket is its own scan+agg subquery, exactly as the
+  // corpus writes it; every subquery reduces to a single row before the
+  // (free) cross joins, so the shape is scan-bound at any scale and
+  // Catalyst runs the eight scans in parallel.
+  private val q88Buckets = OpQuery(
+    "q88_time_buckets", {
+      val buckets = for {
+        h <- 0 to 3; ty <- Seq("view", "click")
+      } yield (h, ty)
+      val subs = buckets.map { case (h, ty) =>
+        s"""(SELECT COUNT(*) AS n FROM events
+            WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) = $h
+              AND event_type = '$ty') b_${h}_$ty"""
+      }
+      val cols = buckets.map { case (h, ty) => s"b_${h}_$ty.n AS n_h${h}_$ty" }
+      Some(s"SELECT ${cols.mkString(", ")} FROM ${subs.mkString(" CROSS JOIN ")}")
+    },
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val buckets = for {
+        h <- 0 to 3; ty <- Seq("view", "click")
+      } yield (h, ty)
+      buckets.map { case (h, ty) =>
+        ev.filter(hour(col("ts")) === h && col("event_type") === ty)
+          .agg(count(lit(1)).as(s"n_h${h}_$ty"))
+      }.reduce(_ crossJoin _)
+    })
+
   val defs: Seq[OpQuery] = Seq(
     groupingSetsQ, cubeQ, pivotQ, intervalJoin, scalarCase,
     cumulativeCompare, movingAvg, likeBattery, intersectAll, exceptAll,
-    skewSalted, condBattery, corrExact, channelRollup)
+    skewSalted, condBattery, corrExact, channelRollup, q88Buckets)
 }

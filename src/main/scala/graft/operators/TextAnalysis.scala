@@ -199,7 +199,93 @@ object TextAnalysis {
         .orderBy("split")
     })
 
+  // ------------------------------------------------------ TF-IDF TOP-K
+  // Per-document top-3 TF-IDF terms. Three partial-agg shuffles — tokens
+  // → (doc,term) tf, tf → term df — then a term-keyed join and a per-doc
+  // top-k window. df is vocabulary-sized; n_docs is one broadcast
+  // scalar. Ranking keys on the ROUNDED score (6 dp) with a term
+  // tie-break, so last-ulp ln() differences between engines cannot flip
+  // ranks.
+  private val tfidf = OpQuery(
+    "text_tfidf_topk",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.term, t.tf,
+               ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS score
+        FROM tf t JOIN df d USING (term), n),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS rnk
+        FROM scored)
+      SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, score
+      FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast(IntegerType).as("rnk"),
+          col("term"), col("tf"), col("score"))
+        .orderBy("doc_id", "rnk")
+    })
+
+  // --------------------------------------------- TRAINING-CHUNK SPLIT
+  // Overlapping fixed-size token windows (size 32, stride 24 → 8-token
+  // overlap) — the document→training-sample chunking step of an LLM data
+  // pipeline. Entirely row-local: a generator expression per document,
+  // no shuffle, linear at any corpus size.
+  private val chunkSplit = OpQuery(
+    "text_chunk_split",
+    Some("""
+      WITH t0 AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks,
+               len(string_split(lower(text), ' ')) AS n
+        FROM documents),
+      ks AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                 GREATEST(0, CAST(CEIL((n - 32) / 24.0) AS INT)))) AS chunk_id
+        FROM t0)
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+             CAST(len(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32)) AS INT)
+               AS n_chunk_tokens,
+             array_to_string(list_slice(toks, chunk_id*24 + 1, chunk_id*24 + 32), ' ')
+               AS chunk_text
+      FROM ks ORDER BY doc_id, chunk_id
+    """),
+    (s, d) => {
+      val toks = split(lower(col("text")), " ")
+      val lastChunk = greatest(lit(0),
+        ceil((size(col("toks")) - lit(32)).cast("double") / 24.0).cast(IntegerType))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), lastChunk)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("toks"), col("chunk_id") * 24 + 1, lit(32)).as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("n_chunk_tokens"),
+          array_join(col("chunk"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     tokenStats, langId, quality, fingerprintQ, topTerms, tokenizeBpe,
-    sampleSplit)
+    sampleSplit, tfidf, chunkSplit)
 }
