@@ -14,7 +14,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    // Reference protocol: 3 iterations, median per query
+    // (TPCDSBenchmark.scala:94-108; README.md:23) — the upper median of
+    // three reports warm steady-state, not the cold first run.
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,6 +30,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Harness.warmup(spark)
+    Harness.warmTables(spark, sfDir)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = Harness.runQueries(spark, sfDir, queries, iterations)
     results.filterNot(_.ok).foreach(r =>

@@ -97,6 +97,17 @@ object Harness {
       .groupBy($"k").count().write.format("noop").mode("overwrite").save()
   }
 
+  /** Warm the fixture tables before timing: one full-scan count per
+    * table pulls parquet footers + pages into cache so per-query numbers
+    * measure the operator, not first-touch I/O (the reference likewise
+    * warms before its measured iterations, FileCountBenchmark.scala:
+    * 285-303). */
+  def warmTables(spark: SparkSession, sfDir: String): Unit =
+    graft.Tables.names.foreach { n =>
+      try graft.Tables.load(spark, sfDir, n).count()
+      catch { case _: Throwable => () } // missing fixture → queries fail loudly later
+    }
+
   /** Query-text rewriting (reference IncrementalTPCDSBenchmark.scala:
     * 298-321: regex schema fixups like c_last_review_date→…_sk applied
     * to every query before execution). Rules apply in insertion order. */

