@@ -40,8 +40,8 @@ object Lakehouse {
       }))
 
   /** orders partitioned by o_orderstatus — the CoW/MoR merge target
-    * (shared with the refresh pipeline). */
-  private[operators] def stagedOrders(s: SparkSession, d: String): SnapshotTable =
+    * (shared with the refresh pipeline and the streaming merge). */
+  private[graft] def stagedOrders(s: SparkSession, d: String): SnapshotTable =
     staged(s, d, "orders_parted")(r => new SnapshotTable(s, r)
       .create(Tables.load(s, d, "orders"), partitionBy = Some("o_orderstatus")))
 

@@ -47,6 +47,10 @@ object Streams {
   private val stagedSources =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
 
+  /** Staged merge-delta dirs keyed by sf dir (read-only source inputs). */
+  private val stagedDeltas =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Stage fixture events (+ optional duplicate copies) into a
     * streaming source dir, appending the watermark-advancing sentinel. */
   private def stageSource(s: SparkSession, d: String, copies: Int): String =
@@ -65,8 +69,12 @@ object Streams {
       lit("__sentinel").as("event_type"),
       lit(0.0).as("value"))
     // One staging job for all copies + the sentinel (not one per copy).
+    // coalesce(4): the whole staged set drains in one AvailableNow batch
+    // either way (watermark advances only after the batch, so sentinel
+    // placement is safe), but fewer files cut per-file source overhead.
     Seq.fill(copies)(ev).reduce(_.unionByName(_))
       .unionByName(sentinel)
+      .coalesce(4)
       .write.mode("overwrite").parquet(dir)
     dir
   }
@@ -289,23 +297,26 @@ object Streams {
       ORDER BY o_orderkey, o_orderstatus
     """),
     (s, d) => {
-      import graft.sources.SnapshotTable
       val o = Tables.load(s, d, "orders")
       // Stage the source delta as a streaming input (2 files → at least
       // one micro-batch; maxFilesPerTrigger forces multiple batches so
-      // the per-batch MERGE path is genuinely exercised).
-      val deltaDir = tmp("stream_delta")
-      o.filter(col("o_orderkey") % 10 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-        .unionByName(
-          o.filter(col("o_orderkey") % 17 === 0)
-            .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
-            .withColumn("o_orderstatus", lit("O")))
-        .repartition(2)
-        .write.mode("overwrite").parquet(deltaDir)
+      // the per-batch MERGE path is genuinely exercised). Read-only →
+      // staged once per sf dir like the event sources.
+      val deltaDir = stagedDeltas.computeIfAbsent(d, _ => {
+        val dir = tmp("stream_delta")
+        o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .unionByName(
+            o.filter(col("o_orderkey") % 17 === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+              .withColumn("o_orderstatus", lit("O")))
+          .repartition(2)
+          .write.mode("overwrite").parquet(dir)
+        dir
+      })
 
-      val table = new SnapshotTable(s, tmp("stream_merge"))
-        .create(o, partitionBy = Some("o_orderstatus"))
+      val table = graft.operators.Lakehouse.stagedOrders(s, d)
+        .shallowCloneTo(tmp("stream_merge"))
       val deltaSchema = o.schema
       val q = s.readStream.schema(deltaSchema)
         .option("maxFilesPerTrigger", "1")
