@@ -181,6 +181,76 @@ object ArrayDot {
   }
 }
 
+/** 2-D Z-order (Morton) curve value as a codegen'd expression — the
+  * clustering key behind multi-dimensional data skipping (Delta's
+  * `OPTIMIZE ZORDER BY` analog). Interleaves the low 16 bits of two
+  * integral columns so range-partitioning + in-file sorting on the
+  * result gives BOTH dimensions sub-linear per-file min/max spans
+  * (a linear sort narrows only its own leading column). The bit
+  * formula is plain integer arithmetic, mirrored term-for-term in the
+  * DuckDB oracle SQL ([[ZOrder2.duckSql]]). */
+case class ZOrder2(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def intLike(dt: DataType): Boolean =
+    dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.ShortType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (intLike(left.dataType) && intLike(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_zorder requires two integral arguments, got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder"
+
+  private def asLong(e: Expression, v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+    case s: java.lang.Short => s.toLong
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder2.z(asLong(left, a), asLong(right, b))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ZOrder2.z((long)$a, (long)$b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrder2 {
+  /** Static hot loop invoked from generated code: interleave the low
+    * 16 bits (x → even positions, y → odd). */
+  def z(x: Long, y: Long): Long = {
+    val xm = x & 0xFFFFL
+    val ym = y & 0xFFFFL
+    var r = 0L
+    var i = 0
+    while (i < 16) {
+      r |= ((xm >> i) & 1L) << (2 * i)
+      r |= ((ym >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    r
+  }
+
+  /** The identical formula as DuckDB SQL (32 disjoint-bit terms summed);
+    * fully parenthesized so operator precedence cannot differ. */
+  def duckSql(xCol: String, yCol: String): String = {
+    val terms =
+      (0 until 16).map(i =>
+        s"(((($xCol & 65535) >> $i) & 1) << ${2 * i})") ++
+      (0 until 16).map(i =>
+        s"(((($yCol & 65535) >> $i) & 1) << ${2 * i + 1})")
+    terms.mkString("(", " + ", ")")
+  }
+}
+
 /** Imperative registration for sessions not built with the extension
   * (idempotent; used by operator builds so they work in any session). */
 object GraftFunctions {
@@ -195,6 +265,8 @@ object GraftFunctions {
       "graft_shingles", exprs => WordShingles(exprs.head, intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_zorder", exprs => ZOrder2(exprs.head, exprs(1)), "built-in")
   }
 }
 
@@ -216,5 +288,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => ArrayDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder"),
+      (exprs: Seq[Expression]) => ZOrder2(exprs.head, exprs(1))))
   }
 }

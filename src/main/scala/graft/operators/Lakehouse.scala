@@ -655,9 +655,34 @@ object Lakehouse {
         .orderBy("o_orderstatus")
     })
 
+  // Z-ORDER clustering (Delta `OPTIMIZE ZORDER BY` analog): the Morton
+  // curve value of (o_custkey, o_orderkey) via the codegen'd
+  // graft_zorder expression. Production layout normalizes dims to a
+  // common scale, then range-partitions + sorts within files on the
+  // curve value — BOTH dimensions get sub-linear per-file min/max spans
+  // (asserted in ZOrderSpec). The oracle mirrors the bit-interleave
+  // formula term-for-term, checking the curve itself.
+  private val zorderLayout = OpQuery(
+    "layout_zorder",
+    Some {
+      val z = graft.functions.ZOrder2.duckSql("o_custkey", "o_orderkey")
+      s"""
+      SELECT o_orderkey, o_custkey, $z AS zval
+      FROM orders
+      ORDER BY zval, o_orderkey LIMIT 100
+      """
+    },
+    (s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("graft_zorder(o_custkey, o_orderkey)").as("zval"))
+        .orderBy("zval", "o_orderkey").limit(100)
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
     mergeDelete, timeTravel, csvMalformed, schemaEvolution, incrementalAgg,
-    tableClone, mergeMorRead, vacuumRetention)
+    tableClone, mergeMorRead, vacuumRetention, zorderLayout)
 }

@@ -70,6 +70,37 @@ class PropertySpec extends AnyFunSuite {
     assert(c.read().orderBy("k").collect().toSeq == before)
   }
 
+  test("MoR: N deferred merges resolve exactly like N sequential CoW merges") {
+    import spark.implicits._
+    val rnd = new Random(19)
+    for (trial <- 1 to 3) {
+      val base = (0 until 60).map(k =>
+        (k.toLong, s"p${k % 3}", rnd.nextDouble())).toDF("k", "p", "v")
+      val sources = (1 to 3).map { gen =>
+        val nUpd = rnd.nextInt(40)
+        val upd = rnd.shuffle((0 until 60).toList).take(nUpd)
+          .map(k => (k.toLong, s"p${k % 3}", gen * 100.0))
+        val ins = (0 until 1 + rnd.nextInt(10))
+          .map(i => ((100 * gen + i).toLong, s"p${(100 * gen + i) % 3}", gen * 100.0 + 1))
+        (upd ++ ins).toDF("k", "p", "v")
+      }
+      val cow = new SnapshotTable(spark, tmp(s"morp_cow$trial"))
+        .create(base, Some("p"))
+      val mor = new SnapshotTable(spark, tmp(s"morp_mor$trial"))
+        .create(base, Some("p"))
+      sources.foreach { src =>
+        cow.merge(src, Seq("k", "p"), Some("p"))
+        mor.mergeDeferred(src, Seq("k", "p"), Some("p"))
+      }
+      val a = cow.read().orderBy("k", "p").collect().toSeq
+      val b = mor.read().orderBy("k", "p").collect().toSeq
+      assert(a == b, s"trial $trial")
+      // and compaction folds the deltas without changing content
+      mor.compact(2, Some("p"))
+      assert(mor.read().orderBy("k", "p").collect().toSeq == a, s"trial $trial post-compact")
+    }
+  }
+
   test("connected components match a BFS reference on random graphs") {
     import spark.implicits._
     val rnd = new Random(17)

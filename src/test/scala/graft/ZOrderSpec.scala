@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Z-order clustering: the Morton value must interleave bits exactly,
+  * and a zorder-clustered file layout must shrink per-file min/max
+  * spans on BOTH dimensions (the data-skipping property a linear sort
+  * only provides for its leading column). */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("ZOrder2.z interleaves bits (known values + round-trip)") {
+    import graft.functions.ZOrder2.z
+    assert(z(0, 0) == 0L)
+    assert(z(1, 0) == 1L)  // x → even bit positions
+    assert(z(0, 1) == 2L)  // y → odd bit positions
+    assert(z(3, 0) == 5L)  // 0b11 interleaved → 0b0101
+    assert(z(0, 3) == 10L) // 0b11 on odd positions → 0b1010
+    assert(z(0xFFFF, 0xFFFF) == 0xFFFFFFFFL)
+    // only the low 16 bits participate
+    assert(z(0x1FFFF, 0) == z(0xFFFF, 0))
+    // de-interleave round-trip on random values
+    val rnd = new scala.util.Random(23)
+    (1 to 200).foreach { _ =>
+      val x = rnd.nextInt(65536); val y = rnd.nextInt(65536)
+      val v = z(x, y)
+      var rx = 0L; var ry = 0L
+      (0 until 16).foreach { i =>
+        rx |= ((v >> (2 * i)) & 1L) << i
+        ry |= ((v >> (2 * i + 1)) & 1L) << i
+      }
+      assert(rx == x && ry == y)
+    }
+  }
+
+  test("zorder layout narrows per-file spans on both dimensions") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val o = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      .select("o_orderkey", "o_custkey")
+    val nFiles = 8
+    def spans(dir: String): (Double, Double) = {
+      val byFile = spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col("o_orderkey"), col("o_custkey"))
+        .groupBy("f")
+        .agg((max("o_orderkey") - min("o_orderkey")).as("sk"),
+          (max("o_custkey") - min("o_custkey")).as("sc"))
+        .agg(avg("sk"), avg("sc")).head()
+      (byFile.getDouble(0), byFile.getDouble(1))
+    }
+    // Z-order prerequisite: normalize both dimensions to a common scale
+    // (8 bits here) before interleaving — raw interleave of unequal-range
+    // keys degenerates to a linear sort on the wider key's high bits.
+    val stats = o.agg(max("o_orderkey"), max("o_custkey")).head()
+    val (mk, mc) = (stats.getLong(0), stats.getLong(1))
+    val zdir = Files.createTempDirectory("graft_zorder").toString
+    o.withColumn("xn", floor(col("o_custkey") * 256.0 / (mc + 1)).cast("long"))
+      .withColumn("yn", floor(col("o_orderkey") * 256.0 / (mk + 1)).cast("long"))
+      .withColumn("zval", expr("graft_zorder(xn, yn)"))
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval", "xn", "yn")
+      .write.mode("overwrite").parquet(zdir)
+    val rdir = Files.createTempDirectory("graft_rand").toString
+    o.repartition(nFiles).write.mode("overwrite").parquet(rdir)
+
+    val keySpan = o.agg(max("o_orderkey") - min("o_orderkey"),
+      max("o_custkey") - min("o_custkey")).head()
+    val (fullK, fullC) = (keySpan.getLong(0).toDouble, keySpan.getLong(1).toDouble)
+    val (zk, zc) = spans(zdir)
+    val (rk, rc) = spans(rdir)
+    // random layout: every file spans ~the full range on both dims
+    assert(rk > fullK * 0.9 && rc > fullC * 0.9)
+    // zorder layout: BOTH dims shrink well below the full span (8 ranges
+    // over interleaved 8-bit dims → one dim splits 4 ways, the other 2)
+    assert(zk < fullK * 0.7, s"orderkey span $zk vs full $fullK")
+    assert(zc < fullC * 0.7, s"custkey span $zc vs full $fullC")
+  }
+}
