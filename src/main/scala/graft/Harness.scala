@@ -169,7 +169,9 @@ object Harness {
     "text_quality_score", "sessionize_gap", "stream_window_agg",
     "stream_dedup", "stream_sessionize",
     "join_asof", "dedup_cluster_cc", "simsearch_ivf", "merge_delete",
-    "events_funnel", "incremental_agg_maintenance")
+    "events_funnel", "incremental_agg_maintenance",
+    "merge_mor_read", "table_clone", "vacuum_retention", "layout_zorder",
+    "text_tfidf_topk", "text_chunk_split", "q88_time_buckets")
 
   /** Compact one-line JSON for stdout. Must stay short enough to fit
     * entirely inside the driver's tail capture (2000 chars incl. the sbt
