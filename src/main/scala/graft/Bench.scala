@@ -31,7 +31,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Harness.warmup(spark)
     Harness.warmTables(spark, sfDir)
+    // Optional dev-loop filter: SPARK_GRAFT_ONLY=a,b,c times a subset.
+    // Unset (the driver's invocation) → the full sorted corpus.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = Harness.runQueries(spark, sfDir, queries, iterations)
     results.filterNot(_.ok).foreach(r =>
       System.err.println(s"[bench] ${r.name} failed: ${r.errorOpt.get}"))

@@ -1,5 +1,7 @@
 package graft.sources
 
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ArrayNode
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
@@ -17,11 +19,10 @@ import org.apache.spark.sql.functions._
   *
   * Layout:
   * {{{
-  *   root/_graft_log/<version>/        one parquet manifest per commit:
-  *                                     'file'/'delta' rows (path,
-  *                                     part_value, bytes, rows, origin)
-  *                                     + one 'commit' row (operation,
-  *                                     counts, merge keys)
+  *   root/_graft_log/<version>.json    one JSON manifest per commit:
+  *                                     'files'/'deltas' entries (path,
+  *                                     part value, bytes, rows, origin)
+  *                                     + operation and merge keys
   *   root/data/c<version>/...          data files written by that commit
   * }}}
   *
@@ -29,6 +30,13 @@ import org.apache.spark.sql.functions._
   * file set from the log (like Delta), so planning cost is O(log), not
   * O(listing 200k objects) — the reference's file-count benchmark is
   * exactly this metadata-scaling test (FileCountBenchmark.scala).
+  *
+  * The log is plain JSON read/written through the filesystem API (the
+  * same shape as Delta's `_delta_log/<v>.json`): metadata operations
+  * never launch Spark jobs. Committed manifests are immutable, so they
+  * are cached process-wide after first parse — version resolution,
+  * partition pruning, manifest COUNTs and time travel are pure in-memory
+  * lookups on the hot path.
   *
   * Per-file row counts live in the manifest (read once from the parquet
   * footers of newly-written files at commit time — O(new files) metadata
@@ -75,32 +83,34 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   def exists: Boolean = fs.exists(logDir)
 
+  private def versions: Seq[Int] =
+    fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toInt)
+
   def currentVersion: Int = {
-    val vs = fs.listStatus(logDir).map(_.getPath.getName.toInt)
+    val vs = versions
     require(vs.nonEmpty, s"empty snapshot log at $root")
     vs.max
   }
 
-  private def manifest(version: Int): DataFrame =
-    spark.read.parquet(new Path(logDir, f"$version%05d").toString)
+  private def manifestPath(version: Int): Path =
+    new Path(logDir, f"$version%05d.json")
 
-  private def entriesOf(version: Int, kind: String): Seq[FileEntry] =
-    manifest(version).filter(col("entry_type") === kind)
-      .select("path", "part_value", "bytes", "rows", "origin").collect()
-      .map(r => FileEntry(r.getString(0), Option(r.getString(1)).orNull,
-        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+  /** Parse (or fetch from the process-wide cache) one committed
+    * manifest. Manifests are write-once, so caching is sound. */
+  private def manifestOf(version: Int): Manifest =
+    manifestCache.computeIfAbsent(manifestPath(version).toString, p =>
+      parseManifest(readFileString(fs, new Path(p))))
 
   private def fileEntries(version: Int): Seq[FileEntry] =
-    entriesOf(version, "file")
+    manifestOf(version).files
 
   private def deltaEntries(version: Int): Seq[FileEntry] =
-    entriesOf(version, "delta")
+    manifestOf(version).deltas
 
   private def mergeKeysOf(version: Int): Seq[String] =
-    manifest(version).filter(col("entry_type") === "commit")
-      .select("merge_keys").collect().headOption
-      .flatMap(r => Option(r.getString(0))).map(_.split(",").toSeq)
-      .getOrElse(Seq.empty)
+    manifestOf(version).mergeKeys
 
   /** Read the table at `version` (default: latest) straight from the
     * manifest's file list — no directory listing. If the version carries
@@ -169,7 +179,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * keep the real column and the manifest keeps the partition value). */
   def create(df: DataFrame, partitionBy: Option[String] = None): SnapshotTable = {
     val written = writeData(df, 0, partitionBy)
-    writeManifest(0, "CREATE", written, Seq.empty, Seq.empty)
+    writeManifest(Manifest(0, "CREATE", Seq.empty, written, Seq.empty))
     this
   }
 
@@ -182,7 +192,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val (base, carryOver) = prunedBase(source, keys, partitionBy, source.schema)
     val rewritten = base.join(source, keys, "left_anti").unionByName(source)
     val written = writeData(rewritten, v + 1, partitionBy)
-    writeManifest(v + 1, "MERGE", written ++ carryOver, Seq.empty, Seq.empty)
+    writeManifest(Manifest(v + 1, "MERGE", Seq.empty, written ++ carryOver, Seq.empty))
     this
   }
 
@@ -197,7 +207,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
       read(v).schema)
     val rewritten = base.join(source.select(keys.map(col): _*), keys, "left_anti")
     val written = writeData(rewritten, v + 1, partitionBy)
-    writeManifest(v + 1, "MERGE_DELETE", written ++ carryOver, Seq.empty, Seq.empty)
+    writeManifest(Manifest(v + 1, "MERGE_DELETE", Seq.empty, written ++ carryOver, Seq.empty))
     this
   }
 
@@ -214,8 +224,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     require(prior.isEmpty || prior == keys,
       s"deferred-merge keys $keys differ from table's $prior")
     val written = writeData(source, v + 1, partitionBy)
-    writeManifest(v + 1, "MERGE_MOR", fileEntries(v),
-      deltaEntries(v) ++ written, keys)
+    writeManifest(Manifest(v + 1, "MERGE_MOR", keys, fileEntries(v),
+      deltaEntries(v) ++ written))
     this
   }
 
@@ -275,7 +285,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
       case None    => read(v).repartition(numFiles)
     }
     val written = writeData(df, v + 1, partitionBy)
-    writeManifest(v + 1, "COMPACT", written, Seq.empty, Seq.empty)
+    writeManifest(Manifest(v + 1, "COMPACT", Seq.empty, written, Seq.empty))
     this
   }
 
@@ -286,8 +296,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
   def shallowCloneTo(dst: String): SnapshotTable = {
     val v = currentVersion
     val clone = new SnapshotTable(spark, dst)
-    clone.writeManifest(0, "CLONE", fileEntries(v), deltaEntries(v),
-      mergeKeysOf(v))
+    clone.writeManifest(Manifest(0, "CLONE", mergeKeysOf(v), fileEntries(v),
+      deltaEntries(v)))
     clone
   }
 
@@ -306,29 +316,29 @@ class SnapshotTable(spark: SparkSession, root: String) {
     }.toSet
     val removed = listDataFiles(fs, dataRoot).map(_._1).filterNot(keep)
     removed.foreach(p => fs.delete(new Path(p), false))
-    (0 until cutoff).foreach(v =>
-      fs.delete(new Path(logDir, f"$v%05d"), true))
+    (0 until cutoff).foreach { v =>
+      val p = manifestPath(v)
+      manifestCache.remove(p.toString)
+      fs.delete(p, false)
+    }
     removed.size
   }
 
-  /** DESCRIBE HISTORY analog: (version, operation, num_files, num_rows). */
+  /** DESCRIBE HISTORY analog: (version, operation, num_files, num_rows).
+    * Built from the cached log — no data or parquet reads. */
   def history: DataFrame = {
-    val dirs = fs.listStatus(logDir).map(_.getPath.toString).sorted
-    spark.read.parquet(dirs.toSeq: _*)
-      .filter(col("entry_type") === "commit")
-      .select("version", "operation", "num_files", "num_rows")
-      .orderBy("version")
+    import spark.implicits._
+    versions.sorted.map(manifestOf)
+      .map(m => (m.version, m.operation, m.numFiles, m.numRows))
+      .toDF("version", "operation", "num_files", "num_rows")
   }
 
   /** DESCRIBE DETAIL analog for the latest version. */
   def detail: DataFrame = {
-    val v = currentVersion
-    manifest(v).groupBy()
-      .agg(
-        lit(v).as("version"),
-        sum(when(col("entry_type") =!= "commit", 1).otherwise(0)).cast("long").as("num_files"),
-        sum(when(col("entry_type") =!= "commit", col("bytes"))).cast("long").as("total_bytes"),
-        sum(when(col("entry_type") === "commit", col("num_rows"))).cast("long").as("num_rows"))
+    import spark.implicits._
+    val m = manifestOf(currentVersion)
+    Seq((m.version, m.numFiles, (m.files ++ m.deltas).map(_.bytes).sum, m.numRows))
+      .toDF("version", "num_files", "total_bytes", "num_rows")
   }
 
   // ------------------------------------------------------------------
@@ -354,36 +364,15 @@ class SnapshotTable(spark: SparkSession, root: String) {
     }.seq.toSeq
   }
 
-  /** Persist one commit's manifest: base 'file' rows + MoR 'delta' rows
-    * + the 'commit' row (operation, totals, merge keys). num_rows for a
-    * MoR commit counts base + delta rows (an upper bound until matches
-    * resolve — documented in [[countFromManifest]]). */
-  private def writeManifest(
-      version: Int,
-      operation: String,
-      base: Seq[FileEntry],
-      delta: Seq[FileEntry],
-      mergeKeys: Seq[String]): Unit = {
-    val numRows = (base ++ delta).map(_.rows).sum
-    import spark.implicits._
-    val fileRows =
-      base.map(e => (version, "file", Option(e.path), Option(e.partValue),
-        e.bytes, e.rows, e.origin, None: Option[String], None: Option[Long],
-        None: Option[String])) ++
-      delta.map(e => (version, "delta", Option(e.path), Option(e.partValue),
-        e.bytes, e.rows, e.origin, None: Option[String], None: Option[Long],
-        None: Option[String]))
-    val commitRow =
-      (version, "commit", None: Option[String], None: Option[String], 0L, 0L,
-        version.toLong, Option(operation), Option(numRows),
-        if (mergeKeys.isEmpty) None: Option[String] else Some(mergeKeys.mkString(",")))
-    (fileRows :+ commitRow)
-      .toDF("version", "entry_type", "path", "part_value", "bytes", "rows",
-        "origin", "operation", "num_rows", "merge_keys")
-      .withColumn("num_files", lit((base.size + delta.size).toLong))
-      .coalesce(1)
-      .write.mode(SaveMode.ErrorIfExists)
-      .parquet(new Path(logDir, f"$version%05d").toString)
+  /** Persist one commit's manifest as a write-once JSON file and prime
+    * the cache. Create-no-overwrite keeps ErrorIfExists semantics. */
+  private def writeManifest(m: Manifest): Unit = {
+    val p = manifestPath(m.version)
+    fs.mkdirs(logDir)
+    val out = fs.create(p, /* overwrite = */ false)
+    try out.write(manifestJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    manifestCache.put(p.toString, m)
   }
 }
 
@@ -397,6 +386,80 @@ object SnapshotTable {
     * that wrote the file (drives MoR last-writer-wins resolution). */
   final case class FileEntry(
       path: String, partValue: String, bytes: Long, rows: Long, origin: Long = 0L)
+
+  /** One immutable commit: base file entries + pending MoR deltas. */
+  private final case class Manifest(
+      version: Int, operation: String, mergeKeys: Seq[String],
+      files: Seq[FileEntry], deltas: Seq[FileEntry]) {
+    def numRows: Long = (files ++ deltas).map(_.rows).sum
+    def numFiles: Long = (files.size + deltas.size).toLong
+  }
+
+  /** Process-wide cache of committed (immutable) manifests, keyed by
+    * manifest file path — metadata lookups on the hot path never touch
+    * storage twice. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
+
+  private val mapper = new ObjectMapper()
+
+  private def manifestJson(m: Manifest): String = {
+    val rootN = mapper.createObjectNode()
+    rootN.put("version", m.version)
+    rootN.put("operation", m.operation)
+    if (m.mergeKeys.nonEmpty) rootN.put("merge_keys", m.mergeKeys.mkString(","))
+    def arr(es: Seq[FileEntry]): ArrayNode = {
+      val a = mapper.createArrayNode()
+      es.foreach { e =>
+        val n = mapper.createObjectNode()
+        n.put("path", e.path)
+        if (e.partValue != null) n.put("part", e.partValue)
+        n.put("bytes", e.bytes)
+        n.put("rows", e.rows)
+        n.put("origin", e.origin)
+        a.add(n)
+      }
+      a
+    }
+    rootN.set[JsonNode]("files", arr(m.files))
+    rootN.set[JsonNode]("deltas", arr(m.deltas))
+    rootN.toString
+  }
+
+  private def parseManifest(json: String): Manifest = {
+    val n = mapper.readTree(json)
+    def entries(field: String): Seq[FileEntry] = {
+      val a = n.get(field)
+      if (a == null) Seq.empty
+      else (0 until a.size()).map { i =>
+        val e = a.get(i)
+        FileEntry(
+          e.get("path").asText(),
+          if (e.has("part")) e.get("part").asText() else null,
+          e.get("bytes").asLong(),
+          e.get("rows").asLong(),
+          e.get("origin").asLong())
+      }
+    }
+    Manifest(
+      n.get("version").asInt(),
+      n.get("operation").asText(),
+      if (n.has("merge_keys")) n.get("merge_keys").asText().split(",").toSeq
+      else Seq.empty,
+      entries("files"),
+      entries("deltas"))
+  }
+
+  private def readFileString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString(java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 
   private def partValueOf(path: String): String =
     path.split('/').find(_.startsWith(s"$PartCol="))
