@@ -80,19 +80,35 @@ object Streams {
   }
 
   /** Run a streaming DataFrame to completion through the memory sink and
-    * return the materialized result. */
+    * return the materialized result.
+    *
+    * Stateful streaming cost scales with the number of state-store
+    * partitions (one store + checkpoint dir per shuffle partition per
+    * micro-batch), so the stream runs with a bounded state fan-out
+    * instead of the session's scan-sized shuffle width. A streaming
+    * query pins its shuffle width at first start from the session conf;
+    * production would size this to keyspace ÷ target-state-per-task, not
+    * to scan parallelism. The conf is restored after the run. */
   private def runToMemory(df: DataFrame, prefix: String): DataFrame = {
+    val spark = df.sparkSession
     val qn = s"graft_${prefix}_${runId.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(qn)
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", tmp(s"${prefix}_ckpt"))
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(qn)
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, StatePartitions.toString)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(qn)
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", tmp(s"${prefix}_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prior)
+    spark.table(qn)
   }
+
+  private val StatePartitions = 4
 
   // ------------------------------------------------------------------
   // Watermarked hourly window aggregation (append mode).
