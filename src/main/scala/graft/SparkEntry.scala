@@ -21,6 +21,7 @@ object SparkEntry {
     operators.Dedup.defs,
     operators.Similarity.defs,
     operators.Lakehouse.defs,
+    operators.Governance.defs,
     operators.Refresh.defs,
     operators.Multimodal.defs,
     streaming.Streams.defs

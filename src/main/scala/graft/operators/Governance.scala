@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.{OpQuery, Tables}
+import graft.Cols.{dec, moneyOut}
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Table-governance operators completing the lakehouse DML surface:
+  * RESTORE (rollback), change-data-feed reads, partition evolution,
+  * footer-stats data skipping, manifest-only ANALYZE answers, and
+  * CHECK-constraint enforcement on the write path. These are the
+  * management operations the reference exercises through Delta/Iceberg/
+  * Hudi (DESCRIBE HISTORY / snapshots / table procedures —
+  * IncrementalTPCDSBenchmark.scala:186-217, MergeMicroBenchmark.scala:
+  * 267-281), rebuilt on the manifest-log snapshot algebra.
+  */
+object Governance {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft_$prefix").toString
+
+  /** lineitem range-clustered on l_quantity: 8 files with near-disjoint
+    * [min,max] spans, so footer-stats skipping has something to prune —
+    * the engineered-layout idea of the reference's file-count table
+    * (FileCountBenchmark.scala:230-232 sortWithinPartitions for disjoint
+    * file stats). */
+  private def stagedLineitemRanged(s: org.apache.spark.sql.SparkSession, d: String): SnapshotTable =
+    Lakehouse.staged(s, d, "lineitem_ranged")(r => new SnapshotTable(s, r)
+      .create(Tables.load(s, d, "lineitem")
+        .repartitionByRange(8, col("l_quantity"))
+        .sortWithinPartitions("l_quantity")))
+
+  // RESTORE TABLE … VERSION AS OF (Delta RESTORE): after a MERGE mutates
+  // the clone, restoring to version 0 makes the CURRENT version serve the
+  // original content again — a metadata-only commit, itself in history.
+  private val restoreVersion = OpQuery(
+    "restore_version",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val table = Lakehouse.stagedOrders(s, d).shallowCloneTo(tmp("restore"))
+        .merge(Lakehouse.mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = Some("o_orderstatus"))
+        .restoreTo(0)
+      table.read().groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
+  // Change-data-feed (Delta `table_changes` analog): the MERGE commit
+  // writes cdc files alongside the rewrite — inserts and update
+  // post-images with `_change_type` — and reading them back is
+  // O(changed rows), never a diff of two table versions.
+  private val cdcReadChanges = OpQuery(
+    "cdc_read_changes",
+    Some("""
+      SELECT * FROM (
+        SELECT 'insert' AS change_type, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders WHERE o_orderkey % 17 = 0
+        UNION ALL
+        SELECT 'update_postimage', COUNT(*),
+               CAST(SUM(CAST(o_totalprice + 1000.0 AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 10 = 0)
+      ORDER BY change_type
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val table = Lakehouse.stagedOrders(s, d).shallowCloneTo(tmp("cdc"))
+        .merge(Lakehouse.mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = Some("o_orderstatus"), trackChanges = true)
+      table.changes(1)
+        .groupBy(col(SnapshotTable.ChangeCol).as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy("change_type")
+    })
+
+  // Partition evolution (Iceberg spec-evolution analog): the base table
+  // is laid out by o_orderstatus, a later append by o_orderpriority.
+  // A filter on o_orderstatus prunes the old-layout files on metadata
+  // alone and applies a residual row filter to new-layout files only —
+  // no rewrite of existing data to change a table's partitioning.
+  private val partitionEvolution = OpQuery(
+    "partition_evolution",
+    Some("""
+      WITH u AS (
+        SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderpriority, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 23 = 0)
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM u WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val extra = o.filter(col("o_orderkey") % 23 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+      val table = Lakehouse.stagedOrders(s, d).shallowCloneTo(tmp("pevo"))
+        .append(extra, partitionBy = Some("o_orderpriority"))
+      table.readWhereCol("o_orderstatus", "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+
+  // Footer-stats data skipping (Delta file-stats pruning): the manifest
+  // keeps per-file numeric min/max captured from parquet footers at
+  // commit, so a selective range predicate plans only the files whose
+  // span intersects it — the value-filter probe of the reference's
+  // file-count benchmark (FileCountBenchmark.scala:248) answered from
+  // log metadata instead of a full scan. Pruning is asserted in
+  // SnapshotTableSpec; values are oracle-checked here.
+  private val statsSkippingRead = OpQuery(
+    "stats_skipping_read",
+    Some("""
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem WHERE l_quantity >= 49.0
+    """),
+    (s, d) => {
+      val table = stagedLineitemRanged(s, d)
+      table.readRange("l_quantity", 49.0, Double.MaxValue)
+        .filter(col("l_quantity") >= 49.0)
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(dec(col("l_extendedprice")))).as("sum_price"))
+    })
+
+  // ANALYZE-style stats answer: column MIN/MAX and row count straight
+  // from the manifest (file footer stats folded at commit) — zero data
+  // files read, the metadata path a CBO or a SELECT MIN(..) shortcut
+  // would use at 100 TB.
+  private val statsMinmax = OpQuery(
+    "stats_minmax",
+    Some("""
+      SELECT MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+             MIN(l_extendedprice) AS price_min, MAX(l_extendedprice) AS price_max,
+             COUNT(*) AS n_rows
+      FROM lineitem
+    """),
+    (s, d) => {
+      import s.implicits._
+      val table = stagedLineitemRanged(s, d)
+      val (qmn, qmx) = table.statsMinMax("l_quantity")
+        .getOrElse(sys.error("no manifest stats for l_quantity"))
+      val (pmn, pmx) = table.statsMinMax("l_extendedprice")
+        .getOrElse(sys.error("no manifest stats for l_extendedprice"))
+      Seq((qmn, qmx, pmn, pmx, table.countFromManifest))
+        .toDF("qty_min", "qty_max", "price_min", "price_max", "n_rows")
+    })
+
+  // CHECK-constraint enforcement on the write path (Delta constraints /
+  // DLT expectations): rows violating the predicate are quarantined, not
+  // written; the table serves only valid rows and the commit reports the
+  // violation count. Fixture prices are all positive, so violations are
+  // injected deterministically (every 11th key gets a negated price).
+  private val constraintEnforce = OpQuery(
+    "constraint_enforce",
+    Some("""
+      SELECT CAST(SUM(CASE WHEN o_orderkey % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+             CAST(SUM(CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+             CAST(SUM(CASE WHEN o_orderkey % 11 <> 0
+                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_valid
+      FROM orders WHERE o_orderkey < 5000
+    """),
+    (s, d) => {
+      val src = Tables.load(s, d, "orders").filter(col("o_orderkey") < 5000)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+      val check = col("o_totalprice") > 0
+      val nRejected = src.filter(!check).count()
+      val table = new SnapshotTable(s, tmp("chk")).create(src.filter(check))
+      table.read()
+        .agg(count(lit(1)).as("n_valid"),
+          lit(nRejected).as("n_rejected"),
+          moneyOut(sum(dec(col("o_totalprice")))).as("sum_valid"))
+    })
+
+  val defs: Seq[OpQuery] = Seq(
+    restoreVersion, cdcReadChanges, partitionEvolution, statsSkippingRead,
+    statsMinmax, constraintEnforce)
+}

@@ -32,7 +32,7 @@ object Lakehouse {
   private val stagedRoots =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
-  private def staged(s: SparkSession, d: String, spec: String)(
+  private[operators] def staged(s: SparkSession, d: String, spec: String)(
       build: String => Unit): SnapshotTable =
     new SnapshotTable(s,
       stagedRoots.computeIfAbsent((d, spec), _ => {
@@ -59,7 +59,7 @@ object Lakehouse {
   // IncrementalTPCDSBenchmark.scala:276-281), partition-pruned CoW on
   // o_orderstatus. Keys = (o_orderkey, o_orderstatus) = PK ∪ partition
   // key, the reference's own key rule (:274).
-  private def mergeSource(o: DataFrame): DataFrame =
+  private[operators] def mergeSource(o: DataFrame): DataFrame =
     o.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
       .unionByName(

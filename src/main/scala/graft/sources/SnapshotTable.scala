@@ -150,6 +150,104 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * latest version — the metadata probes read this, not the filesystem. */
   def files: Seq[FileEntry] = fileEntries(currentVersion)
 
+  /** RESTORE TABLE … VERSION AS OF analog (Delta RESTORE): a new commit
+    * whose file list IS the target version's — metadata-only, zero data
+    * moved, and (unlike time travel) the restore is itself a versioned,
+    * revertible operation in the history. */
+  def restoreTo(version: Int): SnapshotTable = {
+    val cur = currentVersion
+    require(version >= 0 && version < cur, s"cannot restore to $version from $cur")
+    val m = manifestOf(version)
+    writeManifest(Manifest(cur + 1, "RESTORE", m.mergeKeys, m.files, m.deltas))
+    this
+  }
+
+  /** Change-data-feed read (Delta `table_changes` analog): the rows a
+    * commit inserted/updated/deleted, with a `_change_type` column.
+    * Changes are captured AT COMMIT TIME by [[merge]]/[[mergeDelete]]
+    * (`trackChanges = true`) — reading them back is O(changed rows),
+    * never a version diff over the table. */
+  def changes(version: Int): DataFrame = {
+    val entries = manifestOf(version).changes
+    require(entries.nonEmpty,
+      s"version $version of $root carries no change files " +
+        "(commit with trackChanges = true)")
+    readPaths(entries.map(_.path))
+  }
+
+  /** Blind append commit: new files join the current file set; existing
+    * files and pending deltas are untouched — O(source) like a streaming
+    * sink. `partitionBy` may differ from earlier commits (Iceberg-style
+    * partition evolution): each file entry remembers ITS partition
+    * column, and [[readWhereCol]] prunes exactly where metadata allows. */
+  def append(df: DataFrame, partitionBy: Option[String] = None): SnapshotTable = {
+    val v = currentVersion
+    val written = writeData(df, v + 1, partitionBy)
+    writeManifest(Manifest(v + 1, "APPEND", mergeKeysOf(v),
+      fileEntries(v) ++ written, deltaEntries(v)))
+    this
+  }
+
+  /** Partition-evolution-aware file planning for `colName = value`:
+    * entries partitioned BY that column prune on metadata alone (first
+    * seq, no row filter needed); entries laid out under another (or no)
+    * partition column stay in the plan with a residual row filter
+    * (second seq) — exactly Iceberg's old-spec residual evaluation. */
+  def planFiles(colName: String, value: String): (Seq[FileEntry], Seq[FileEntry]) = {
+    val (exact, rest) = fileEntries(currentVersion).partition(_.partCol == colName)
+    (exact.filter(_.partValue == value), rest)
+  }
+
+  /** Evolution-aware partition read: metadata-pruned files (no filter —
+    * the partition value guarantees every row) unioned with residual-
+    * filtered scans of files from other layouts. */
+  def readWhereCol(colName: String, value: String): DataFrame = {
+    require(deltaEntries(currentVersion).isEmpty,
+      s"readWhereCol on $root requires compacted state (pending MoR deltas)")
+    val (pruned, residual) = planFiles(colName, value)
+    val parts = Seq(
+      if (pruned.nonEmpty) Some(readPaths(pruned.map(_.path))) else None,
+      if (residual.nonEmpty)
+        Some(readPaths(residual.map(_.path)).filter(col(colName) === value))
+      else None).flatten
+    require(parts.nonEmpty, s"no files for $colName = $value")
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Manifest-only column MIN/MAX (ANALYZE-style): combined from the
+    * per-file footer stats captured at commit — zero data files read.
+    * Defined only when every current file carries stats for the column
+    * (conservative: a single stat-less file makes metadata unusable). */
+  def statsMinMax(colName: String): Option[(Double, Double)] = {
+    val entries = fileEntries(currentVersion)
+    val ss = entries.map(_.stats.get(colName))
+    if (entries.isEmpty || ss.exists(_.isEmpty)) None
+    else Some((ss.map(_.get._1).min, ss.map(_.get._2).max))
+  }
+
+  /** Data-skipping file selection: files whose [min,max] for `colName`
+    * intersects [lo,hi]. Files WITHOUT stats for the column are kept
+    * (soundness over pruning); the caller still applies the row filter. */
+  def filesInRange(colName: String, lo: Double, hi: Double): Seq[FileEntry] =
+    fileEntries(currentVersion).filter(e => e.stats.get(colName) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
+    })
+
+  /** Stats-pruned range read: plan only the files [[filesInRange]] keeps
+    * — the Delta-style file-level skipping that the reference's
+    * value-filter probe measures (FileCountBenchmark.scala:248). Callers
+    * apply the actual predicate on the (possibly empty) result. */
+  def readRange(colName: String, lo: Double, hi: Double): DataFrame = {
+    require(deltaEntries(currentVersion).isEmpty,
+      s"readRange on $root requires compacted state (pending MoR deltas)")
+    val picked = filesInRange(colName, lo, hi)
+    if (picked.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read().schema)
+    else readPaths(picked.map(_.path))
+  }
+
   /** Manifest-pruned read of one partition value: file selection is pure
     * metadata (no directory listing, no scan of other partitions) — the
     * same partition-pruning-from-the-log that the reference's file-count
@@ -187,12 +285,29 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * result = target rows with no key match in source + all source rows.
     * Source must be unique on `keys`. Pending MoR deltas are folded in
     * (the rewrite base is the resolved view of touched partitions). */
-  def merge(source: DataFrame, keys: Seq[String], partitionBy: Option[String] = None): SnapshotTable = {
+  def merge(source: DataFrame, keys: Seq[String], partitionBy: Option[String] = None,
+      trackChanges: Boolean = false): SnapshotTable = {
     val v = currentVersion
     val (base, carryOver) = prunedBase(source, keys, partitionBy, source.schema)
     val rewritten = base.join(source, keys, "left_anti").unionByName(source)
     val written = writeData(rewritten, v + 1, partitionBy)
-    writeManifest(Manifest(v + 1, "MERGE", Seq.empty, written ++ carryOver, Seq.empty))
+    // Change-data-feed capture (Delta CDF analog, cdc files written with
+    // the commit): classify source rows against the touched base — keyed
+    // matches are updates, the rest inserts. Cost is O(source + touched
+    // partitions), never the whole table.
+    val cdc =
+      if (!trackChanges) Seq.empty
+      else {
+        val baseKeys = base.select(keys.map(col): _*)
+        writeChanges(
+          source.join(baseKeys, keys, "left_semi")
+            .withColumn(ChangeCol, lit("update_postimage"))
+            .unionByName(source.join(baseKeys, keys, "left_anti")
+              .withColumn(ChangeCol, lit("insert"))),
+          v + 1)
+      }
+    writeManifest(Manifest(v + 1, "MERGE", Seq.empty, written ++ carryOver,
+      Seq.empty, cdc))
     this
   }
 
@@ -201,13 +316,21 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * [[merge]] — only partitions named by the source are rewritten;
     * that is sound for deletes for the same reason (a matched row's
     * partition value is one of the source's partition values). */
-  def mergeDelete(source: DataFrame, keys: Seq[String], partitionBy: Option[String] = None): SnapshotTable = {
+  def mergeDelete(source: DataFrame, keys: Seq[String], partitionBy: Option[String] = None,
+      trackChanges: Boolean = false): SnapshotTable = {
     val v = currentVersion
     val (base, carryOver) = prunedBase(source, keys, partitionBy,
       read(v).schema)
-    val rewritten = base.join(source.select(keys.map(col): _*), keys, "left_anti")
+    val srcKeys = source.select(keys.map(col): _*)
+    val rewritten = base.join(srcKeys, keys, "left_anti")
     val written = writeData(rewritten, v + 1, partitionBy)
-    writeManifest(Manifest(v + 1, "MERGE_DELETE", Seq.empty, written ++ carryOver, Seq.empty))
+    val cdc =
+      if (!trackChanges) Seq.empty
+      else writeChanges(
+        base.join(srcKeys, keys, "left_semi").withColumn(ChangeCol, lit("delete")),
+        v + 1)
+    writeManifest(Manifest(v + 1, "MERGE_DELETE", Seq.empty,
+      written ++ carryOver, Seq.empty, cdc))
     this
   }
 
@@ -312,7 +435,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val cur = currentVersion
     val cutoff = math.max(0, cur - retainVersions + 1)
     val keep: Set[String] = (cutoff to cur).flatMap { v =>
-      (fileEntries(v) ++ deltaEntries(v)).map(_.path)
+      val m = manifestOf(v)
+      (m.files ++ m.deltas ++ m.changes).map(_.path)
     }.toSet
     val removed = listDataFiles(fs, dataRoot).map(_._1).filterNot(keep)
     removed.foreach(p => fs.delete(new Path(p), false))
@@ -344,8 +468,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
   // ------------------------------------------------------------------
 
   /** Write `df` into this commit's data dir and return its file entries
-    * (row counts from parquet footers — metadata-only, O(new files),
-    * fetched in parallel). */
+    * (row counts + per-column numeric min/max from parquet footers —
+    * metadata-only, O(new files), fetched in parallel). */
   private def writeData(
       df: DataFrame, version: Int, partitionBy: Option[String]): Seq[FileEntry] = {
     val dataDir = new Path(root, f"data/c$version%05d")
@@ -360,8 +484,20 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val conf = spark.sessionState.newHadoopConf()
     import scala.collection.parallel.CollectionConverters._
     listDataFiles(fs, dataDir).par.map { case (p, pv, len) =>
-      FileEntry(p, pv, len, footerRowCount(conf, p), version.toLong)
+      val (rows, stats) = footerInfo(conf, p)
+      FileEntry(p, pv, len, rows, version.toLong, partitionBy.orNull, stats)
     }.seq.toSeq
+  }
+
+  /** Write one commit's change-data-feed rows (source-sized, flat) and
+    * return their manifest entries. */
+  private def writeChanges(df: DataFrame, version: Int): Seq[FileEntry] = {
+    val cdcDir = new Path(root, f"data/c$version%05d_cdc")
+    df.write.mode(SaveMode.Overwrite).parquet(cdcDir.toString)
+    val conf = spark.sessionState.newHadoopConf()
+    listDataFiles(fs, cdcDir).map { case (p, _, len) =>
+      FileEntry(p, null, len, footerInfo(conf, p)._1, version.toLong)
+    }
   }
 
   /** Persist one commit's manifest as a write-once JSON file and prime
@@ -379,18 +515,31 @@ class SnapshotTable(spark: SparkSession, root: String) {
 object SnapshotTable {
   /** Duplicated hive-partition column name in data dirs. */
   val PartCol = "__p"
+  /** `_change_type` column on change-data-feed rows (Delta CDF name). */
+  val ChangeCol = "_change_type"
   private val GenCol = "__gen"
   private val RnCol = "__rn"
+  /** Per-file numeric stats are kept for at most this many columns
+    * (Delta's dataSkippingNumIndexedCols default idea: bound manifest
+    * growth at wide schemas). */
+  private val MaxStatCols = 8
 
   /** One manifest 'file'/'delta' entry; `origin` = the commit version
-    * that wrote the file (drives MoR last-writer-wins resolution). */
+    * that wrote the file (drives MoR last-writer-wins resolution);
+    * `partCol` = the partition column THIS file was laid out under
+    * (partition evolution: files of different layouts coexist);
+    * `stats` = footer-derived per-column numeric (min, max). */
   final case class FileEntry(
-      path: String, partValue: String, bytes: Long, rows: Long, origin: Long = 0L)
+      path: String, partValue: String, bytes: Long, rows: Long,
+      origin: Long = 0L, partCol: String = null,
+      stats: Map[String, (Double, Double)] = Map.empty)
 
-  /** One immutable commit: base file entries + pending MoR deltas. */
+  /** One immutable commit: base file entries + pending MoR deltas +
+    * the commit's change-data-feed files (empty unless tracked). */
   private final case class Manifest(
       version: Int, operation: String, mergeKeys: Seq[String],
-      files: Seq[FileEntry], deltas: Seq[FileEntry]) {
+      files: Seq[FileEntry], deltas: Seq[FileEntry],
+      changes: Seq[FileEntry] = Seq.empty) {
     def numRows: Long = (files ++ deltas).map(_.rows).sum
     def numFiles: Long = (files.size + deltas.size).toLong
   }
@@ -414,15 +563,26 @@ object SnapshotTable {
         val n = mapper.createObjectNode()
         n.put("path", e.path)
         if (e.partValue != null) n.put("part", e.partValue)
+        if (e.partCol != null) n.put("pcol", e.partCol)
         n.put("bytes", e.bytes)
         n.put("rows", e.rows)
         n.put("origin", e.origin)
+        if (e.stats.nonEmpty) {
+          val s = mapper.createObjectNode()
+          e.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+            val pair = mapper.createArrayNode()
+            pair.add(mn); pair.add(mx)
+            s.set[JsonNode](c, pair)
+          }
+          n.set[JsonNode]("stats", s)
+        }
         a.add(n)
       }
       a
     }
     rootN.set[JsonNode]("files", arr(m.files))
     rootN.set[JsonNode]("deltas", arr(m.deltas))
+    if (m.changes.nonEmpty) rootN.set[JsonNode]("changes", arr(m.changes))
     rootN.toString
   }
 
@@ -433,12 +593,26 @@ object SnapshotTable {
       if (a == null) Seq.empty
       else (0 until a.size()).map { i =>
         val e = a.get(i)
+        val stats =
+          if (!e.has("stats")) Map.empty[String, (Double, Double)]
+          else {
+            val s = e.get("stats")
+            val it = s.fieldNames()
+            val buf = Map.newBuilder[String, (Double, Double)]
+            while (it.hasNext) {
+              val c = it.next()
+              buf += c -> (s.get(c).get(0).asDouble(), s.get(c).get(1).asDouble())
+            }
+            buf.result()
+          }
         FileEntry(
           e.get("path").asText(),
           if (e.has("part")) e.get("part").asText() else null,
           e.get("bytes").asLong(),
           e.get("rows").asLong(),
-          e.get("origin").asLong())
+          e.get("origin").asLong(),
+          if (e.has("pcol")) e.get("pcol").asText() else null,
+          stats)
       }
     }
     Manifest(
@@ -447,7 +621,8 @@ object SnapshotTable {
       if (n.has("merge_keys")) n.get("merge_keys").asText().split(",").toSeq
       else Seq.empty,
       entries("files"),
-      entries("deltas"))
+      entries("deltas"),
+      entries("changes"))
   }
 
   private def readFileString(fs: FileSystem, p: Path): String = {
@@ -465,11 +640,45 @@ object SnapshotTable {
     path.split('/').find(_.startsWith(s"$PartCol="))
       .map(_.stripPrefix(s"$PartCol=")).orNull
 
-  /** Row count from the parquet footer — no data pages are read. */
-  private def footerRowCount(conf: Configuration, path: String): Long = {
+  /** Row count + per-column numeric (min, max) from the parquet footer —
+    * no data pages are read. A column's stats survive only if EVERY row
+    * group carries non-null min/max for it (a single stat-less chunk
+    * makes file-level pruning unsound → the column is dropped); at most
+    * [[MaxStatCols]] columns are kept, in schema order. */
+  private def footerInfo(
+      conf: Configuration, path: String): (Long, Map[String, (Double, Double)]) = {
+    import scala.jdk.CollectionConverters._
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), conf))
-    try reader.getRecordCount finally reader.close()
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val order = scala.collection.mutable.LinkedHashSet.empty[String]
+      val mins = scala.collection.mutable.Map.empty[String, Double]
+      val maxs = scala.collection.mutable.Map.empty[String, Double]
+      val dropped = scala.collection.mutable.Set.empty[String]
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          val st = cc.getStatistics
+          (if (st != null && st.hasNonNullValue)
+            (st.genericGetMin, st.genericGetMax) match {
+              case (mn: Number, mx: Number) => Some((mn.doubleValue, mx.doubleValue))
+              case _ => None
+            }
+          else None) match {
+            case Some((mn, mx)) if !dropped(name) =>
+              order += name
+              mins(name) = mins.get(name).fold(mn)(math.min(_, mn))
+              maxs(name) = maxs.get(name).fold(mx)(math.max(_, mx))
+            case _ =>
+              dropped += name; mins.remove(name); maxs.remove(name)
+          }
+        }
+      }
+      val stats = order.iterator.filter(mins.contains).take(MaxStatCols)
+        .map(c => c -> (mins(c), maxs(c))).toMap
+      (reader.getRecordCount, stats)
+    } finally reader.close()
   }
 
   private def listDataFiles(fs: FileSystem, dir: Path): Seq[(String, String, Long)] = {

@@ -156,6 +156,91 @@ class SnapshotTableSpec extends AnyFunSuite {
     assertThrows[Exception](t.read(0).collect())
   }
 
+  test("restoreTo rolls the current version back to an old file list, metadata-only") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("rst"))
+      .create(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    val v0Files = t.files.map(_.path).toSet
+    t.merge(Seq((1L, 9.0)).toDF("k", "v"), Seq("k"))
+    t.restoreTo(0)
+    // current read serves version-0 content again
+    assert(t.read().orderBy("k").collect().map(_.getDouble(1)).toSeq
+      == Seq(1.0, 2.0))
+    // the restore is a commit: SAME file entries as v0 (no data copied)
+    assert(t.files.map(_.path).toSet == v0Files)
+    assert(t.history.orderBy("version").collect().map(_.getString(1)).toSeq
+      == Seq("CREATE", "MERGE", "RESTORE"))
+  }
+
+  test("merge with trackChanges captures insert/update/delete CDC rows") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("cdc"))
+      .create(Seq((1L, "a", 10.0), (2L, "a", 20.0)).toDF("k", "p", "v"), Some("p"))
+    t.merge(Seq((2L, "a", 99.0), (3L, "a", 30.0)).toDF("k", "p", "v"),
+      Seq("k", "p"), Some("p"), trackChanges = true)
+    val ch = t.changes(1).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3))).toSeq
+    assert(ch == Seq((2L, 99.0, "update_postimage"), (3L, 30.0, "insert")))
+    t.mergeDelete(Seq((1L, "a")).toDF("k", "p"), Seq("k", "p"), Some("p"),
+      trackChanges = true)
+    val del = t.changes(2).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(del == Seq((1L, "delete")))
+    // a commit without tracking carries no change files
+    t.merge(Seq((4L, "a", 40.0)).toDF("k", "p", "v"), Seq("k", "p"), Some("p"))
+    assertThrows[IllegalArgumentException](t.changes(3))
+  }
+
+  test("partition evolution: old layout prunes on metadata, new layout gets residual filter") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("pevo"))
+      .create(Seq((1L, "a", "x", 1.0), (2L, "b", "x", 2.0), (3L, "b", "y", 3.0))
+        .toDF("k", "p", "q", "v"), Some("p"))
+      .append(Seq((4L, "a", "y", 4.0), (5L, "b", "y", 5.0))
+        .toDF("k", "p", "q", "v"), Some("q"))
+    // plan for p='b': files laid out by p prune exactly; q-layout files residual
+    val (pruned, residual) = t.planFiles("p", "b")
+    assert(pruned.nonEmpty && pruned.forall(e =>
+      e.partCol == "p" && e.partValue == "b"))
+    assert(residual.forall(_.partCol == "q"))
+    assert(t.readWhereCol("p", "b").orderBy("k").collect().map(_.getLong(0)).toSeq
+      == Seq(2L, 3L, 5L))
+    // the evolved layout also serves its own column's filter with pruning
+    val (prunedQ, residualQ) = t.planFiles("q", "y")
+    assert(prunedQ.forall(e => e.partCol == "q" && e.partValue == "y"))
+    assert(residualQ.forall(_.partCol == "p"))
+    assert(t.readWhereCol("q", "y").orderBy("k").collect().map(_.getLong(0)).toSeq
+      == Seq(3L, 4L, 5L))
+  }
+
+  test("footer stats power manifest min/max and file-level range pruning") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .repartitionByRange(4, col("v")).sortWithinPartitions("v")
+    val t = new SnapshotTable(spark, tmp("stats")).create(df)
+    assert(t.files.size == 4)
+    assert(t.statsMinMax("v").contains((0.0, 999.0)))
+    assert(t.statsMinMax("k").contains((0.0, 999.0)))
+    assert(t.statsMinMax("nope").isEmpty)
+    // range [900, inf) must plan strictly fewer files than the table holds
+    val picked = t.filesInRange("v", 900.0, Double.MaxValue)
+    assert(picked.nonEmpty && picked.size < t.files.size)
+    assert(t.readRange("v", 900.0, Double.MaxValue)
+      .filter(col("v") >= 900.0).count() == 100)
+    // stats survive carry-over: merge touching nothing keeps old entries' stats
+    val t2 = t.shallowCloneTo(tmp("stats2"))
+    assert(t2.statsMinMax("v").contains((0.0, 999.0)))
+  }
+
+  test("vacuum retains the current version's CDC files") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("vcdc"))
+      .create(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    t.merge(Seq((1L, 9.0)).toDF("k", "v"), Seq("k"), trackChanges = true)
+    t.vacuum(retainVersions = 1)
+    assert(t.changes(1).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("detail aggregates manifest stats without scanning data") {
     import spark.implicits._
     val t = new SnapshotTable(spark, tmp("d"))
