@@ -17,6 +17,7 @@ object SparkEntry {
     operators.Collections.defs,
     operators.Analytics.defs,
     operators.TextAnalysis.defs,
+    operators.Pipeline.defs,
     operators.Sessions.defs,
     operators.Dedup.defs,
     operators.Similarity.defs,

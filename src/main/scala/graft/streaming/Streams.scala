@@ -353,6 +353,50 @@ object Streams {
         .orderBy("o_orderkey", "o_orderstatus")
     })
 
+  // ------------------------------------------------------------------
+  // Stream-stream interval join: clicks joined to purchases of the same
+  // user within 30 minutes — both sides streaming, both watermarked, the
+  // time-bound join condition capping per-side state retention (without
+  // it a stream-stream join buffers forever). Inner join emits matches
+  // eagerly, so the AvailableNow drain yields the complete pair set; the
+  // ordering/projection below happens on the materialized result.
+  private val streamStreamJoin = OpQuery(
+    "stream_stream_join",
+    Some("""
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
+             CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) / 1000000 AS gap_sec,
+             CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS buy_value
+      FROM events c JOIN events p
+        ON c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      ORDER BY c.user_id, click_id, buy_id
+    """),
+    (s, d) => {
+      val dir = stageSource(s, d, 1)
+      val clicks = s.readStream.schema(eventSchema).parquet(dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("click_ts", "0 seconds")
+      val purchases = s.readStream.schema(eventSchema).parquet(dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("buy_ts"),
+          col("event_id").as("buy_id"), col("value"))
+        .withWatermark("buy_ts", "0 seconds")
+      val joined = clicks.join(purchases,
+        col("p_user") === col("c_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      runToMemory(joined, "ssj")
+        .select(col("c_user").as("user_id"), col("click_id"), col("buy_id"),
+          ((unix_micros(col("buy_ts")) - unix_micros(col("click_ts"))) / 1000000L)
+            .as("gap_sec"),
+          moneyOut(dec(col("value"))).as("buy_value"))
+        .orderBy("user_id", "click_id", "buy_id")
+    })
+
   val defs: Seq[OpQuery] = Seq(
-    windowedAgg, streamDedup, streamSessionize, streamEnrich, streamMerge)
+    windowedAgg, streamDedup, streamSessionize, streamEnrich, streamMerge,
+    streamStreamJoin)
 }
