@@ -22,6 +22,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Long single-JVM run over 130 queries × N iterations: let the
+      // ContextCleaner reclaim shuffle files continuously instead of
+      // waiting for the default 30-minute periodic GC.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.warehouse.dir",

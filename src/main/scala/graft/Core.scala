@@ -54,6 +54,51 @@ object Tables {
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }
 
+/** Per-run scratch-space registry. DML/streaming operator demos write
+  * real data (snapshot clones, checkpoints, staged view caches) per
+  * execution; across a 130-query × 3-iteration bench those writes pile
+  * into tens of GB of dead temp data and dozens of leaked memory-sink
+  * views, and the accumulated filesystem/writeback + catalog pressure
+  * inflates later queries several-fold. Builds register their disposable
+  * dirs/views here; the harness sweeps AFTER each materialization (the
+  * engine-GC moment — outside the timed region's data dependencies, like
+  * a real engine's async cleanup). Staged, cached, reusable roots must
+  * NOT be registered. */
+object Scratch {
+  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val views = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Create a temp dir that dies at the next sweep. */
+  def dir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$prefix").toString
+    dirs.add(d)
+    d
+  }
+
+  /** Mark a temp view (e.g. a drained memory sink) for the next sweep. */
+  def view(name: String): Unit = views.add(name)
+
+  def sweep(spark: SparkSession): Unit = {
+    var v = views.poll()
+    while (v != null) {
+      try spark.catalog.dropTempView(v) catch { case _: Throwable => () }
+      v = views.poll()
+    }
+    var d = dirs.poll()
+    while (d != null) {
+      deleteRec(new java.io.File(d))
+      d = dirs.poll()
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRec)
+    f.delete()
+    ()
+  }
+}
+
 object Cols {
   /** Exact money type: the fixtures' doubles carry <=2 decimals, so this
     * cast is lossless and makes all downstream agg arithmetic exact. */

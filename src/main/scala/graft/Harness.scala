@@ -78,12 +78,18 @@ object Harness {
     queries.map { case (name, fn) =>
       try {
         val timed = (1 to iterations).map { _ =>
-          timePlanned(spark,
+          val t = timePlanned(spark,
             fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          // Engine GC: per-run scratch data/views die once the iteration
+          // has materialized — across 130 queries × 3 iterations the
+          // accumulated dead temp data otherwise inflates later queries.
+          Scratch.sweep(spark)
+          t
         }
         QueryResult(name, timed.map(_._1), timed.map(_._2), None)
       } catch {
         case e: Throwable =>
+          Scratch.sweep(spark)
           QueryResult(name, Seq.empty, Seq.empty, Some(e.getMessage))
       }
     }

@@ -13,6 +13,7 @@ object SparkEntry {
   def all: Seq[OpQuery] = Seq(
     operators.Relational.defs,
     operators.Advanced.defs,
+    operators.QueryShapes.defs,
     operators.Temporal.defs,
     operators.Collections.defs,
     operators.Analytics.defs,

@@ -41,6 +41,9 @@ object Dedup {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(s"graft_$prefix").toString
 
+  /** Per-run scratch dir — swept by the harness after materialization. */
+  private def scratch(prefix: String): String = graft.Scratch.dir(prefix)
+
   /** Universal-hash constants for permutations/bit-planes: deterministic,
     * embedded as literals in both the Spark plan and the DuckDB oracle. */
   private val M = 1000000007L
@@ -187,7 +190,7 @@ object Dedup {
       .withColumn("h", expr("graft_polyhash(s)"))
     val sigCols = (0 until MinhashPerms).map(p =>
       min((col("h") * hashA(p) + hashB(p)) % M).as(s"m$p"))
-    val stage = tmp("minhash_sig")
+    val stage = scratch("minhash_sig")
     sh.groupBy("doc_id")
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
@@ -345,7 +348,7 @@ object Dedup {
         when(col(s"b${c * 16 + p}") > 0, lit(1L << p)).otherwise(lit(0L)))
         .reduce(_ + _).as(s"c$c")
     }
-    val stage = tmp("simhash_sig")
+    val stage = scratch("simhash_sig")
     sh.groupBy("doc_id")
       .agg(bitCols.head, bitCols.tail: _*)
       .select((col("doc_id") +: chunkCols): _*)

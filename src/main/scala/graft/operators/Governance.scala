@@ -17,8 +17,8 @@ import java.nio.file.Files
   */
 object Governance {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(s"graft_$prefix").toString
+  /** Per-run scratch dir — swept by the harness after materialization. */
+  private def tmp(prefix: String): String = graft.Scratch.dir(prefix)
 
   /** lineitem range-clustered on l_quantity: 8 files with near-disjoint
     * [min,max] spans, so footer-stats skipping has something to prune —

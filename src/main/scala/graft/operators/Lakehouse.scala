@@ -21,7 +21,11 @@ import java.nio.file.Files
   */
 object Lakehouse {
 
-  private def tmp(prefix: String): String =
+  /** Per-run scratch dir — swept by the harness after materialization. */
+  private def tmp(prefix: String): String = graft.Scratch.dir(prefix)
+
+  /** Staged (cached, reused across queries/iterations) root — never swept. */
+  private def stagedTmp(prefix: String): String =
     Files.createTempDirectory(s"graft_$prefix").toString
 
   /** Pre-built read-only base-table ROOTS keyed by (sf dir, spec) —
@@ -36,7 +40,7 @@ object Lakehouse {
       build: String => Unit): SnapshotTable =
     new SnapshotTable(s,
       stagedRoots.computeIfAbsent((d, spec), _ => {
-        val r = tmp(s"stage_$spec"); build(r); r
+        val r = stagedTmp(s"stage_$spec"); build(r); r
       }))
 
   /** orders partitioned by o_orderstatus — the CoW/MoR merge target

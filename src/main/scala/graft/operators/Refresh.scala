@@ -29,8 +29,8 @@ import java.nio.file.Files
   */
 object Refresh {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(s"graft_$prefix").toString
+  /** Per-run scratch dir — swept by the harness after materialization. */
+  private def tmp(prefix: String): String = graft.Scratch.dir(prefix)
 
   /** Same delta arithmetic as Lakehouse.mergeSource (kept in sync with
     * the oracle's src CTE). */

@@ -35,8 +35,13 @@ object Streams {
 
   private val runId = new AtomicLong(0)
 
+  /** Staged (cached, reused) source root — never swept. */
   private def tmp(prefix: String): String =
     Files.createTempDirectory(s"graft_$prefix").toString
+
+  /** Per-run scratch (checkpoints, per-run clones) — swept by the
+    * harness after materialization. */
+  private def scratch(prefix: String): String = graft.Scratch.dir(prefix)
 
   private val eventSchema: StructType = StructType.fromDDL(
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
@@ -100,11 +105,12 @@ object Streams {
         .format("memory")
         .queryName(qn)
         .outputMode(OutputMode.Append)
-        .option("checkpointLocation", tmp(s"${prefix}_ckpt"))
+        .option("checkpointLocation", scratch(s"${prefix}_ckpt"))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     } finally spark.conf.set(key, prior)
+    graft.Scratch.view(qn) // memory sink dies after materialization
     spark.table(qn)
   }
 
@@ -332,7 +338,7 @@ object Streams {
       })
 
       val table = graft.operators.Lakehouse.stagedOrders(s, d)
-        .shallowCloneTo(tmp("stream_merge"))
+        .shallowCloneTo(scratch("stream_merge"))
       val deltaSchema = o.schema
       val q = s.readStream.schema(deltaSchema)
         .option("maxFilesPerTrigger", "1")
@@ -343,7 +349,7 @@ object Streams {
             partitionBy = Some("o_orderstatus"))
           ()
         }
-        .option("checkpointLocation", tmp("stream_merge_ckpt"))
+        .option("checkpointLocation", scratch("stream_merge_ckpt"))
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
