@@ -25,7 +25,7 @@ object Governance {
     * the engineered-layout idea of the reference's file-count table
     * (FileCountBenchmark.scala:230-232 sortWithinPartitions for disjoint
     * file stats). */
-  private def stagedLineitemRanged(s: org.apache.spark.sql.SparkSession, d: String): SnapshotTable =
+  private[operators] def stagedLineitemRanged(s: org.apache.spark.sql.SparkSession, d: String): SnapshotTable =
     Lakehouse.staged(s, d, "lineitem_ranged")(r => new SnapshotTable(s, r)
       .create(Tables.load(s, d, "lineitem")
         .repartitionByRange(8, col("l_quantity"))

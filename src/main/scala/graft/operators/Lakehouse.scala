@@ -270,12 +270,17 @@ object Lakehouse {
       // holds paths; SnapshotTable handles rebind to the current session.
       val flat = stagedLineitem32(s, d)
       val parted = stagedLineitemParted(s, d)
+      val ranged = Governance.stagedLineitemRanged(s, d)
       Seq(
         ("count", flat.read().count()),
         ("limit1", flat.read().limit(1).count()),
         ("manifest_count", flat.countFromManifest), // zero data files read
         ("partition_filter", parted.readWhere("A").count()),
-        ("value_filter", flat.read().filter(col("l_quantity") >= 49.0).count()))
+        // value filter plans from per-file footer stats (manifest range
+        // pruning — the Delta-stats skipping the reference's file-count
+        // value probe measures), then applies the residual predicate.
+        ("value_filter", ranged.readRange("l_quantity", 49.0, Double.MaxValue)
+          .filter(col("l_quantity") >= 49.0).count()))
         .toDF("probe", "n")
         .orderBy("probe")
     })

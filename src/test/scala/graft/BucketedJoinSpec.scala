@@ -43,4 +43,16 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("bucketized range join plans a hash join, never a nested-loop product") {
+    // The point of join_range_bucketed: the interval condition becomes an
+    // equi-join on the day bucket + residual BETWEEN, so the physical
+    // plan must be hash/sort-merge — a raw inequality join would fall
+    // back to BroadcastNestedLoopJoin (O(|points|×|intervals|) at scale).
+    val df = SparkEntry.queries("join_range_bucketed")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must not plan a nested-loop product:\n$plan")
+  }
 }

@@ -38,6 +38,19 @@ class FileCountSpec extends AnyFunSuite {
     assert(aFiles < t.files.size)
   }
 
+  test("value-filter probe plans only stat-intersecting files") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val t = new SnapshotTable(spark, tmp("fcv"))
+      .create(li.repartitionByRange(8, col("l_quantity"))
+        .sortWithinPartitions("l_quantity"))
+    val expect = li.filter(col("l_quantity") >= 49.0).count()
+    val picked = t.filesInRange("l_quantity", 49.0, Double.MaxValue)
+    // range clustering makes most files' [min,max] miss the predicate
+    assert(picked.nonEmpty && picked.size < t.files.size)
+    assert(t.readRange("l_quantity", 49.0, Double.MaxValue)
+      .filter(col("l_quantity") >= 49.0).count() == expect)
+  }
+
   test("planning split reports a sub-total planning time") {
     val (total, planning) = Harness.timePlanned(spark, {
       Tables.load(spark, sf, "orders").groupBy("o_orderstatus").count()
