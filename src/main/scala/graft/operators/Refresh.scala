@@ -105,8 +105,10 @@ object Refresh {
         .filter(col("l_quantity") >= 48.0)
         .join(merged, col("l_orderkey") === col("o_orderkey"))
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "o_orderpriority")
+      // supplier scales with the facts at 100 TB — no broadcast hint
+      // (AQE broadcasts it at small scale on runtime size).
       val supplierFlat = Tables.load(s, d, "lineitem")
-        .join(broadcast(Tables.load(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.load(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.load(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.load(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "r_name")

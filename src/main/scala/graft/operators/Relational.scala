@@ -127,11 +127,12 @@ object Relational {
                 col("o_orderdate") < ts("1998-01-01 00:00:00"))
       val li = t(s, d, "lineitem")
       // Fact-to-fact join on l_orderkey shuffles both sides once; customer
-      // is fact-sized at 100 TB so it joins by shuffle too; only the true
-      // dimensions (supplier/nation/region) broadcast.
+      // AND supplier scale with the fact tables at 100 TB, so neither gets
+      // a broadcast hint (AQE still broadcasts them at small scale); only
+      // the bounded dimensions (nation/region) are hinted.
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, d, "supplier")),
+        .join(t(s, d, "supplier"),
           col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(t(s, d, "nation")), col("n_nationkey") === col("c_nationkey"))
         .join(broadcast(t(s, d, "region")), col("r_regionkey") === col("n_regionkey"))
