@@ -174,6 +174,57 @@ object Lakehouse {
         .orderBy("n_nationkey")
     })
 
+  // ORC round-trip: the second columnar format Spark serves natively —
+  // written partitioned, read back through the partition-pruned path.
+  // DuckDB cannot read ORC, so the oracle checks the round-tripped
+  // CONTENT against the base table (same pattern as csv_ingest).
+  private val orcRoundtrip = OpQuery(
+    "orc_roundtrip",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val dir = tmp("orc")
+      Tables.load(s, d, "orders")
+        .write.mode("overwrite").partitionBy("o_orderstatus").orc(dir)
+      s.read.orc(dir)
+        .filter(col("o_orderstatus") === "F") // partition-pruned scan
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
+  // JSON-lines ingest with a declared schema (the third ingest format a
+  // pipeline meets; schema declared up front like the reference's CSV
+  // loads — no sampling-based inference pass at 100 TB).
+  private val jsonIngest = OpQuery(
+    "json_ingest",
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_orderkey < 10000
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """),
+    (s, d) => {
+      val dir = tmp("json")
+      Tables.load(s, d, "orders").filter(col("o_orderkey") < 10000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").json(dir)
+      s.read
+        .schema("o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE")
+        .json(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+        .orderBy("o_orderpriority")
+    })
+
   // Seeded synthetic generation (merge-micro table shape,
   // MergeMicroBenchmark.scala:225-229 — rand() replaced by exact
   // multiplicative hashing so the oracle can reproduce it).
@@ -693,5 +744,6 @@ object Lakehouse {
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
     mergeDelete, timeTravel, csvMalformed, schemaEvolution, incrementalAgg,
-    tableClone, mergeMorRead, vacuumRetention, zorderLayout)
+    tableClone, mergeMorRead, vacuumRetention, zorderLayout, orcRoundtrip,
+    jsonIngest)
 }

@@ -360,6 +360,34 @@ object Streams {
     })
 
   // ------------------------------------------------------------------
+  // Sliding-window aggregation (1 h windows every 15 min): each event
+  // lands in exactly 4 overlapping windows — the smoothing window shape
+  // dashboards use. Spark assigns windows in the stateful agg; the batch
+  // oracle reproduces the assignment by exploding k ∈ 0..3 offsets off
+  // the 15-minute bucket (both engines align buckets to the epoch).
+  private val slidingWindowAgg = OpQuery(
+    "stream_window_sliding",
+    Some("""
+      SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - k * INTERVAL '15 minutes' AS window_start,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+      GROUP BY 1
+      ORDER BY 1
+    """),
+    (s, d) => {
+      val src = s.readStream.schema(eventSchema).parquet(stageSource(s, d, 1))
+      val agg = src
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), moneyOut(sum(dec(col("value")))).as("sum_value"))
+      runToMemory(agg, "slide")
+        .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+        .orderBy("window_start")
+    })
+
+  // ------------------------------------------------------------------
   // Stream-stream interval join: clicks joined to purchases of the same
   // user within 30 minutes — both sides streaming, both watermarked, the
   // time-bound join condition capping per-side state retention (without
@@ -404,5 +432,5 @@ object Streams {
 
   val defs: Seq[OpQuery] = Seq(
     windowedAgg, streamDedup, streamSessionize, streamEnrich, streamMerge,
-    streamStreamJoin)
+    streamStreamJoin, slidingWindowAgg)
 }
