@@ -101,6 +101,71 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("restore after random DML always reproduces the target version exactly") {
+    import spark.implicits._
+    val rnd = new Random(23)
+    for (trial <- 1 to 3) {
+      val base = (0 until 40).map(k =>
+        (k.toLong, s"p${k % 2}", rnd.nextDouble())).toDF("k", "p", "v")
+      val t = new SnapshotTable(spark, tmp(s"rstp$trial"))
+        .create(base, Some("p"))
+      val v0 = t.read().orderBy("k", "p").collect().toSeq
+      // random DML chain: merges and deletes
+      (1 to 2 + rnd.nextInt(2)).foreach { gen =>
+        val src = rnd.shuffle((0 until 60).toList).take(5 + rnd.nextInt(10))
+          .map(k => (k.toLong, s"p${k % 2}", gen * 10.0)).toDF("k", "p", "v")
+        if (rnd.nextBoolean()) t.merge(src, Seq("k", "p"), Some("p"))
+        else t.mergeDelete(src.select("k", "p"), Seq("k", "p"), Some("p"))
+      }
+      t.restoreTo(0)
+      assert(t.read().orderBy("k", "p").collect().toSeq == v0, s"trial $trial")
+    }
+  }
+
+  test("CDC rows replay a merge: base + changes == merged state") {
+    import spark.implicits._
+    val rnd = new Random(29)
+    for (trial <- 1 to 3) {
+      val base = (0 until 50).map(k =>
+        (k.toLong, s"p${k % 3}", rnd.nextDouble())).toDF("k", "p", "v")
+      val src = (rnd.shuffle((0 until 50).toList).take(rnd.nextInt(30))
+          .map(k => (k.toLong, s"p${k % 3}", 77.0)) ++
+        (0 until 1 + rnd.nextInt(10)).map(i => ((100 + i).toLong, s"p${(100 + i) % 3}", 88.0)))
+        .toDF("k", "p", "v")
+      val t = new SnapshotTable(spark, tmp(s"cdcp$trial"))
+        .create(base, Some("p"))
+        .merge(src, Seq("k", "p"), Some("p"), trackChanges = true)
+      // replay: base rows without a change key + change post-images
+      val ch = t.changes(1)
+      val replay = base.join(ch.select("k", "p"), Seq("k", "p"), "left_anti")
+        .unionByName(ch.drop("_change_type"))
+        .orderBy("k", "p").collect().toSeq
+      assert(replay == t.read().orderBy("k", "p").collect().toSeq, s"trial $trial")
+    }
+  }
+
+  test("evolution-aware reads equal a plain filter for any layout mix") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    for (trial <- 1 to 3) {
+      val base = (0 until 40).map(k =>
+        (k.toLong, s"p${k % 2}", s"q${k % 3}", rnd.nextDouble()))
+        .toDF("k", "p", "q", "v")
+      val extra = (40 until 40 + 1 + rnd.nextInt(20)).map(k =>
+        (k.toLong, s"p${k % 2}", s"q${k % 3}", rnd.nextDouble()))
+        .toDF("k", "p", "q", "v")
+      val t = new SnapshotTable(spark, tmp(s"pevop$trial"))
+        .create(base, Some("p"))
+        .append(extra, Some("q"))
+      val want = base.unionByName(extra)
+      for (c <- Seq("p", "q"); v <- Seq(s"${c}0", s"${c}1")) {
+        val got = t.readWhereCol(c, v).orderBy("k").collect().toSeq
+        val exp = want.filter(col(c) === v).orderBy("k").collect().toSeq
+        assert(got == exp, s"trial $trial $c=$v")
+      }
+    }
+  }
+
   test("connected components match a BFS reference on random graphs") {
     import spark.implicits._
     val rnd = new Random(17)
