@@ -186,7 +186,30 @@ object Governance {
           moneyOut(sum(dec(col("o_totalprice")))).as("sum_valid"))
     })
 
+  // OPTIMIZE ZORDER BY on the snapshot table: rewrite clustered on the
+  // Morton curve of (o_custkey, o_orderkey), both scale-normalized from
+  // MANIFEST stats (no extra scan), then serve a selective custkey range
+  // through stats-pruned planning. Multi-dim pruning is asserted in
+  // SnapshotTableSpec; values are oracle-checked here.
+  private val optimizeZorder = OpQuery(
+    "optimize_zorder_table",
+    Some("""
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_custkey BETWEEN 100 AND 200
+    """),
+    (s, d) => {
+      val table = Lakehouse.staged(s, d, "orders_zorder")(r =>
+        new SnapshotTable(s, r)
+          .create(Tables.load(s, d, "orders"))
+          .compactZOrder(16, "o_custkey", "o_orderkey"): Unit)
+      table.readRange("o_custkey", 100.0, 200.0)
+        .filter(col("o_custkey").between(100, 200))
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
+    })
+
   val defs: Seq[OpQuery] = Seq(
     restoreVersion, cdcReadChanges, partitionEvolution, statsSkippingRead,
-    statsMinmax, constraintEnforce)
+    statsMinmax, constraintEnforce, optimizeZorder)
 }

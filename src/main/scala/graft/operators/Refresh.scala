@@ -71,7 +71,15 @@ object Refresh {
         SELECT l_orderkey, l_suppkey, l_extendedprice, r_name
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
                       JOIN nation ON s_nationkey = n_nationkey
-                      JOIN region ON n_regionkey = r_regionkey)
+                      JOIN region ON n_regionkey = r_regionkey),
+      v_customer_flat AS (
+        SELECT c_custkey, c_acctbal, n_name, r_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey),
+      v_part_flat AS (
+        SELECT l_orderkey, l_partkey, l_extendedprice, p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_discount >= 0.05)
       SELECT * FROM (
         SELECT 'order_flat' AS view_name, COUNT(*) AS n_rows,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS checksum
@@ -83,7 +91,15 @@ object Refresh {
         UNION ALL
         SELECT 'supplier_flat', COUNT(*),
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        FROM v_supplier_flat)
+        FROM v_supplier_flat
+        UNION ALL
+        SELECT 'customer_flat', COUNT(*),
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        FROM v_customer_flat
+        UNION ALL
+        SELECT 'part_flat', COUNT(*),
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM v_part_flat)
       ORDER BY view_name
     """),
     (s, d) => {
@@ -112,13 +128,24 @@ object Refresh {
         .join(broadcast(Tables.load(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.load(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "r_name")
+      val customerFlat = Tables.load(s, d, "customer")
+        .join(broadcast(Tables.load(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "c_acctbal", "n_name", "r_name")
+      // part scales with the facts (like supplier) — shuffle join, no hint
+      val partFlat = Tables.load(s, d, "lineitem")
+        .filter(col("l_discount") >= 0.05)
+        .join(Tables.load(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "l_partkey", "l_extendedprice", "p_type")
 
       // Stage every view as parquet (the refresh cache), then summarize
       // the STAGED copies — proving the cache serves the right data.
       val views = Seq(
         ("order_flat", orderFlat, "o_totalprice"),
         ("lineitem_flat", lineitemFlat, "l_extendedprice"),
-        ("supplier_flat", supplierFlat, "l_extendedprice"))
+        ("supplier_flat", supplierFlat, "l_extendedprice"),
+        ("customer_flat", customerFlat, "c_acctbal"),
+        ("part_flat", partFlat, "l_extendedprice"))
       views.foreach { case (name, df, _) =>
         df.write.mode("overwrite").parquet(s"$root/views/$name")
       }

@@ -412,6 +412,48 @@ class SnapshotTable(spark: SparkSession, root: String) {
     this
   }
 
+  /** OPTIMIZE ZORDER BY analog: rewrite the current snapshot clustered
+    * on the Morton curve of two scale-normalized dimensions
+    * (graft_zorder — codegen'd Catalyst expression), range-partitioned
+    * into `numFiles` and sorted within files. BOTH dimensions end up
+    * with sub-linear per-file [min,max] spans in the footer stats the
+    * manifest captures, so [[readRange]] prunes files on EITHER column —
+    * the multi-dimensional data-skipping layout Delta's OPTIMIZE ZORDER
+    * exists to produce. Pending MoR deltas fold in like [[compact]]. */
+  def compactZOrder(numFiles: Int, colA: String, colB: String): SnapshotTable = {
+    val v = currentVersion
+    graft.functions.GraftFunctions.registerAll(spark)
+    // Scale-normalize both dims to a 16-bit lattice before interleaving
+    // (raw interleaving biases toward the wider-ranged column). Bounds
+    // come from the manifest's footer stats — no extra scan; a stat-less
+    // column falls back to one min/max aggregate over the table.
+    def bounds(c: String): (Double, Double) =
+      statsMinMax(c).getOrElse {
+        val r = read(v).agg(
+          org.apache.spark.sql.functions.min(col(c).cast("double")),
+          org.apache.spark.sql.functions.max(col(c).cast("double"))).head()
+        (r.getDouble(0), r.getDouble(1))
+      }
+    def norm(c: String): org.apache.spark.sql.Column = {
+      val (lo, hi) = bounds(c)
+      val span = math.max(hi - lo, 1e-12)
+      org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.floor(
+          (col(c).cast("double") - lit(lo)) * 65536.0 / lit(span)),
+        lit(65535L)).cast("long")
+    }
+    val (za, zb, zc) = ("__graft_za", "__graft_zb", "__graft_z")
+    val df = read(v)
+      .withColumn(za, norm(colA)).withColumn(zb, norm(colB))
+      .withColumn(zc, org.apache.spark.sql.functions.expr(s"graft_zorder($za, $zb)"))
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(za, zb, zc)
+    val written = writeData(df, v + 1, None)
+    writeManifest(Manifest(v + 1, "ZORDER", Seq.empty, written, Seq.empty))
+    this
+  }
+
   /** Metadata-only shallow clone (Delta `SHALLOW CLONE` analog): the
     * clone's version 0 references this table's current files — zero data
     * copied, O(manifest) cost. DML on the clone writes under the clone's

@@ -232,6 +232,28 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t2.statsMinMax("v").contains((0.0, 999.0)))
   }
 
+  test("compactZOrder prunes files on BOTH clustered dimensions") {
+    val o = Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    val t = new SnapshotTable(spark, tmp("zopt"))
+      .create(o.repartition(4))
+      .compactZOrder(16, "o_custkey", "o_orderkey")
+    assert(t.files.size == 16)
+    // content preserved
+    assert(t.countFromManifest == o.count())
+    // a narrow range on EITHER dimension plans strictly fewer files —
+    // the property a linear sort gives only its leading column
+    val custPicked = t.filesInRange("o_custkey", 100.0, 200.0)
+    val keyPicked = t.filesInRange("o_orderkey", 1000.0, 2000.0)
+    assert(custPicked.nonEmpty && custPicked.size < t.files.size,
+      s"custkey pruning: ${custPicked.size}/${t.files.size}")
+    assert(keyPicked.nonEmpty && keyPicked.size < t.files.size,
+      s"orderkey pruning: ${keyPicked.size}/${t.files.size}")
+    // pruned read + residual filter equals a plain filter
+    val expect = o.filter(col("o_custkey").between(100, 200)).count()
+    assert(t.readRange("o_custkey", 100.0, 200.0)
+      .filter(col("o_custkey").between(100, 200)).count() == expect)
+  }
+
   test("vacuum retains the current version's CDC files") {
     import spark.implicits._
     val t = new SnapshotTable(spark, tmp("vcdc"))
