@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *                                     'files'/'deltas' entries (path,
   *                                     part value, bytes, rows, origin)
   *                                     + operation and merge keys
-  *   root/data/c<version>/...          data files written by that commit
+  *   root/data/c<version>_<nonce>/...  data files written by that commit
+  *                                     attempt (unique dir per attempt —
+  *                                     losers never clobber winners)
   * }}}
   *
   * Why a manifest instead of directory listing: reads resolve the exact
@@ -514,7 +516,13 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * metadata-only, O(new files), fetched in parallel). */
   private def writeData(
       df: DataFrame, version: Int, partitionBy: Option[String]): Seq[FileEntry] = {
-    val dataDir = new Path(root, f"data/c$version%05d")
+    // Unique per-ATTEMPT dir (version prefix + nonce): two writers racing
+    // the same version never touch each other's files — the write-once
+    // manifest is the only commit point, and a losing attempt's orphaned
+    // data is unreferenced by every manifest, so VACUUM reclaims it
+    // (exactly Delta's uniquely-named-files + atomic-log-entry model).
+    val dataDir = new Path(root,
+      f"data/c$version%05d_" + java.util.UUID.randomUUID().toString.take(8))
     val writer = partitionBy match {
       case Some(p) =>
         df.withColumn(PartCol, col(p).cast("string"))
@@ -534,7 +542,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
   /** Write one commit's change-data-feed rows (source-sized, flat) and
     * return their manifest entries. */
   private def writeChanges(df: DataFrame, version: Int): Seq[FileEntry] = {
-    val cdcDir = new Path(root, f"data/c$version%05d_cdc")
+    val cdcDir = new Path(root,
+      f"data/c$version%05d_cdc_" + java.util.UUID.randomUUID().toString.take(8))
     df.write.mode(SaveMode.Overwrite).parquet(cdcDir.toString)
     val conf = spark.sessionState.newHadoopConf()
     listDataFiles(fs, cdcDir).map { case (p, _, len) =>

@@ -263,6 +263,26 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.changes(1).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("commit of an already-written version fails loudly, winner intact") {
+    import spark.implicits._
+    val root = tmp("occ")
+    new SnapshotTable(spark, root)
+      .create(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    // Two writers that resolved the same base version race the commit of
+    // the same manifest file; create-no-overwrite makes the slower one
+    // fail loudly (optimistic concurrency, Delta-style) instead of
+    // silently clobbering. Deterministic stand-in for the race: a second
+    // CREATE of version 0 on the same root.
+    assertThrows[Exception](
+      new SnapshotTable(spark, root)
+        .create(Seq((9L, 9.0)).toDF("k", "v")))
+    // winner's commit is intact
+    val t = new SnapshotTable(spark, root)
+    assert(t.currentVersion == 0)
+    assert(t.read().orderBy("k").collect().map(_.getDouble(1)).toSeq
+      == Seq(1.0, 2.0))
+  }
+
   test("detail aggregates manifest stats without scanning data") {
     import spark.implicits._
     val t = new SnapshotTable(spark, tmp("d"))
