@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Relational.defs,
     operators.Advanced.defs,
     operators.QueryShapes.defs,
+    operators.TpcdsQueries.defs,
     operators.Temporal.defs,
     operators.Collections.defs,
     operators.Analytics.defs,

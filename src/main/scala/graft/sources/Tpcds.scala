@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+
+/** TPC-DS staging + oracle assembly around [[TpcdsSchema]].
+  *
+  * Spark side — the reference's load-then-query protocol
+  * (TPCDSDataLoad.scala:95-129 loads once, TPCDSBenchmark.scala:84-108
+  * then times queries): all 24 tables are generated ONCE per sf dir,
+  * written to parquet, and served as temp views; every tpcds_q* query is
+  * a pure read over the staged parquet, so Bench times the query, not
+  * the generator, and Catalyst sees ordinary scans it can prune/broadcast.
+  *
+  * Oracle side — the same generator text is assembled as a DuckDB WITH
+  * prelude in front of the same query body, so the driver's DuckDB run
+  * computes from bit-identical inputs.
+  *
+  * At 100 TB the staging step IS the bulk-load benchmark (CTAS per table,
+  * partitioned writes); queries then scan columnar storage with stats.
+  */
+object Tpcds {
+
+  /** Staged roots keyed by sf dir — paths, not sessions (rebind-safe). */
+  private val stagedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val baseTables =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  /** Stage (first use) and register the TPC-DS views for this sf dir.
+    *
+    * Generator SQL resolves table names through temp views, so base views
+    * are (re-)registered first; after staging, the TPC-DS views overwrite
+    * same-named base views (`customer`) — safe because every other
+    * SQL-based operator re-registers its base views at build time.
+    */
+  def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
+    val root = stagedRoots.computeIfAbsent(sfDir, { _ =>
+      val r = Files.createTempDirectory("graft_stage_tpcds").toString
+      registerBase(spark, sfDir)
+      TpcdsSchema.generators.foreach { case (name, sql) =>
+        spark.sql(sql).write.mode("overwrite").parquet(s"$r/$name")
+        // facts reference the date_dim VIEW while generating; later
+        // generators must see the staged (identical) data
+        spark.read.parquet(s"$r/$name").createOrReplaceTempView(name)
+      }
+      r
+    })
+    TpcdsSchema.generators.foreach { case (name, _) =>
+      spark.read.parquet(s"$root/$name").createOrReplaceTempView(name)
+    }
+  }
+
+  private def registerBase(spark: SparkSession, sfDir: String): Unit = {
+    baseTables.foreach(n =>
+      Tables.load(spark, sfDir, n).createOrReplaceTempView(n))
+    // a CTE named `customer` cannot reference the base `customer` in
+    // DuckDB (circular-reference rule); both engines alias it instead
+    Tables.load(spark, sfDir, "customer").createOrReplaceTempView("customer_src")
+  }
+
+  /** The correctness gate always runs DuckDB at this sf (TESTDATA.md). */
+  private val OracleSfDir = "/root/testdata/sf0.01"
+
+  /** Assemble the DuckDB oracle: generator CTEs (transitive deps, in
+    * declaration order) + the identical query body. */
+  def oracle(tables: Seq[String], body: String): String = {
+    val gen = TpcdsSchema.generators.toMap
+    val need = scala.collection.mutable.LinkedHashSet[String]()
+    def add(t: String): Unit = if (!need.contains(t)) {
+      TpcdsSchema.deps(t).foreach(add)
+      need += t
+    }
+    // keep generator declaration order for the closure
+    val closure = {
+      tables.foreach(add)
+      TpcdsSchema.generators.map(_._1).filter(need.contains)
+    }
+    val shim =
+      if (closure.exists(TpcdsSchema.needsCustomerSrc.contains))
+        Seq("customer_src AS (SELECT * FROM read_parquet('" +
+          s"$OracleSfDir/customer.parquet'))")
+      else Seq.empty
+    val ctes = shim ++ closure.map(t => s"$t AS (${gen(t)})")
+    val prelude = ctes.mkString(",\n")
+    val b = body.trim
+    if (b.regionMatches(true, 0, "WITH", 0, 4))
+      s"WITH $prelude,\n${b.substring(4)}"
+    else
+      s"WITH $prelude\n$b"
+  }
+}
