@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{OpQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
@@ -202,20 +202,17 @@ object Analytics {
       import graft.Cols.{dec, moneyOut}
       val rev = t(s, d, "orders").groupBy("o_custkey")
         .agg(sum(dec(col("o_totalprice"))).as("rev"))
-      val ord = Window.orderBy(col("rev").desc, col("o_custkey"))
-      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val all = Window.partitionBy()
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val share = sum(col("rev")).over(cum).cast("double") /
-        sum(col("rev")).over(all).cast("double")
-      // per-customer aggregate is dimension-sized, so the single-
-      // partition ranking window is safe at any fact scale (same
-      // rationale as window_rank_global)
-      rev.select(col("o_custkey"), col("rev"),
-          row_number().over(ord).as("rn"), share.as("share"))
-        .filter(col("share") <= 0.2)
-        .select(col("rn").cast(IntegerType).as("rn"), col("o_custkey"),
-          moneyOut(col("rev")).as("rev"), round(col("share"), 6).as("cum_share"))
+      // distributed total-order ranking + running sum: range-partitioned
+      // sort with broadcast prefix offsets (ScaleWindow) instead of a
+      // single-task global window — the customer dimension is ~30M rows
+      // at warehouse scale, too big for one task's sort buffer
+      val stats = ScaleWindow.orderStats(rev, Seq.empty,
+        Seq(col("rev").desc, col("o_custkey")), "graft_rn", "graft_n",
+        Some((col("rev"), "graft_cum", "graft_tot")))
+      val share = col("graft_cum").cast("double") / col("graft_tot").cast("double")
+      stats.filter(share <= 0.2)
+        .select(col("graft_rn").cast(IntegerType).as("rn"), col("o_custkey"),
+          moneyOut(col("rev")).as("rev"), round(share, 6).as("cum_share"))
         .orderBy("rn")
     })
 
@@ -283,14 +280,22 @@ object Analytics {
             .as("recency_days"),
           count(lit(1)).as("frequency"),
           sum(dec(col("o_totalprice"))).as("monetary"))
-      cust.select(col("o_custkey"), col("recency_days"), col("frequency"),
+      // exact NTILE without a single-task global sort: one distributed
+      // range-sort per scoring dimension (ScaleWindow), quartile derived
+      // from the global row number, joined back on the customer key —
+      // three parallel dimension-sized shuffles instead of three
+      // single-task sorts of the whole customer dimension
+      def quartile(sort: Seq[Column], name: String) =
+        ScaleWindow.orderStats(cust, Seq.empty, sort, "graft_rn", "graft_n")
+          .select(col("o_custkey"),
+            ScaleWindow.ntileOf(4, col("graft_rn"), col("graft_n")).as(name))
+      cust
+        .join(quartile(Seq(col("recency_days"), col("o_custkey")), "r_q"), "o_custkey")
+        .join(quartile(Seq(col("frequency").desc, col("o_custkey")), "f_q"), "o_custkey")
+        .join(quartile(Seq(col("monetary").desc, col("o_custkey")), "m_q"), "o_custkey")
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
           moneyOut(col("monetary")).as("monetary"),
-          ntile(4).over(Window.orderBy(col("recency_days"), col("o_custkey")))
-            .as("r_q"),
-          ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey")))
-            .as("f_q"),
-          ntile(4).over(Window.orderBy(col("monetary").desc, col("o_custkey")))
-            .as("m_q"))
+          col("r_q"), col("f_q"), col("m_q"))
         .orderBy("o_custkey")
     })
 

@@ -97,13 +97,20 @@ object Collections {
       ORDER BY c_custkey
     """),
     (s, d) => {
-      val win = Window.partitionBy("c_mktsegment")
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, d, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"),
-          ntile(4).over(win).as("quartile"),
-          percent_rank().over(win).as("pr"),
-          cume_dist().over(win).as("cd"))
+      // 5 market segments = 5 sort tasks for a plain partitioned window;
+      // ScaleWindow range-splits each segment across the cluster and the
+      // distribution stats derive exactly from the global row number
+      // (sort keys are unique, so rank == row_number, cume_dist == rn/n)
+      val stats = ScaleWindow.orderStats(t(s, d, "customer"),
+        Seq("c_mktsegment"), Seq(col("c_acctbal"), col("c_custkey")),
+        "graft_rn", "graft_n")
+      val rn = col("graft_rn")
+      val n = col("graft_n")
+      stats.select(col("c_custkey"), col("c_mktsegment"),
+          ScaleWindow.ntileOf(4, rn, n).as("quartile"),
+          when(n === 1, 0.0)
+            .otherwise((rn - 1).cast("double") / (n - 1)).as("pr"),
+          (rn.cast("double") / n).as("cd"))
         .orderBy("c_custkey")
     })
 
