@@ -75,18 +75,42 @@ object Scratch {
     d
   }
 
+  /** Staged roots (read-only, reused across queries/iterations) live for
+    * the whole JVM but must not outlive it — repeated test + bench runs
+    * would otherwise accumulate orphaned graft_* dirs in /tmp. */
+  def atExit(path: String): String = {
+    exitDirs.add(path)
+    path
+  }
+
+  private val exitDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var d = exitDirs.poll()
+    while (d != null) {
+      deleteRec(new java.io.File(d))
+      d = exitDirs.poll()
+    }
+  }))
+
   /** Mark a temp view (e.g. a drained memory sink) for the next sweep. */
   def view(name: String): Unit = views.add(name)
 
   def sweep(spark: SparkSession): Unit = {
     var v = views.poll()
     while (v != null) {
-      try spark.catalog.dropTempView(v) catch { case _: Throwable => () }
+      // NonFatal only, and loudly: a silently-failed sweep re-creates the
+      // exact scratch inflation this registry exists to prevent
+      try spark.catalog.dropTempView(v) catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[scratch] failed to drop view $v: ${e.getMessage}")
+      }
       v = views.poll()
     }
     var d = dirs.poll()
     while (d != null) {
       deleteRec(new java.io.File(d))
+      if (new java.io.File(d).exists())
+        System.err.println(s"[scratch] leaked scratch dir: $d")
       d = dirs.poll()
     }
   }

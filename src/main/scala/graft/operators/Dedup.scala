@@ -39,7 +39,7 @@ object Dedup {
     Tables.load(s, d, "documents")
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(s"graft_$prefix").toString
+    graft.Scratch.atExit(Files.createTempDirectory(s"graft_$prefix").toString)
 
   /** Per-run scratch dir — swept by the harness after materialization. */
   private def scratch(prefix: String): String = graft.Scratch.dir(prefix)

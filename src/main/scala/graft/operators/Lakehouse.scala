@@ -24,9 +24,10 @@ object Lakehouse {
   /** Per-run scratch dir — swept by the harness after materialization. */
   private def tmp(prefix: String): String = graft.Scratch.dir(prefix)
 
-  /** Staged (cached, reused across queries/iterations) root — never swept. */
+  /** Staged (cached, reused across queries/iterations) root — reclaimed
+    * at JVM exit, never swept mid-run. */
   private def stagedTmp(prefix: String): String =
-    Files.createTempDirectory(s"graft_$prefix").toString
+    graft.Scratch.atExit(Files.createTempDirectory(s"graft_$prefix").toString)
 
   /** Pre-built read-only base-table ROOTS keyed by (sf dir, spec) —
     * built on first use, reused across queries and iterations. Paths,

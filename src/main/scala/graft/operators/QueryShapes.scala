@@ -60,8 +60,11 @@ object QueryShapes {
       val spend = o.groupBy("o_custkey")
         .agg(sum(dec(col("o_totalprice"))).as("ts"))
       val maxSpend = spend.agg(max(col("ts")).as("mx"))
+      // ts * 2 > mx stays in exact decimal — 0.5 * mx would cast to
+      // double while the DuckDB oracle compares in exact decimal, and a
+      // customer landing within one ulp of half the max could flip
       val best = spend.crossJoin(broadcast(maxSpend))
-        .filter(col("ts") > lit(0.5) * col("mx"))
+        .filter(col("ts") * 2 > col("mx"))
         .select("o_custkey")
       val bestOrders = o.join(best, Seq("o_custkey"), "left_semi")
         .select("o_orderkey")

@@ -219,11 +219,14 @@ class SnapshotTable(spark: SparkSession, root: String) {
   /** Manifest-only column MIN/MAX (ANALYZE-style): combined from the
     * per-file footer stats captured at commit — zero data files read.
     * Defined only when every current file carries stats for the column
-    * (conservative: a single stat-less file makes metadata unusable). */
+    * (conservative: a single stat-less file makes metadata unusable) and
+    * no MoR deltas are pending — deferred-merge rows live outside the
+    * base files, so base-only stats could exclude their values. */
   def statsMinMax(colName: String): Option[(Double, Double)] = {
     val entries = fileEntries(currentVersion)
     val ss = entries.map(_.stats.get(colName))
-    if (entries.isEmpty || ss.exists(_.isEmpty)) None
+    if (entries.isEmpty || ss.exists(_.isEmpty) ||
+      deltaEntries(currentVersion).nonEmpty) None
     else Some((ss.map(_.get._1).min, ss.map(_.get._2).max))
   }
 
@@ -372,20 +375,23 @@ class SnapshotTable(spark: SparkSession, root: String) {
     def touchedValues(p: String): Set[String] =
       source.select(col(p).cast("string")).distinct()
         .collect().map(_.getString(0)).toSet
+    // an entry laid out under a DIFFERENT partition column (mixed-layout
+    // table after an evolved append) says nothing about this column's
+    // values — treat it as always-touched, like partValue == null
+    def touchedBy(e: FileEntry, p: String, vals: Set[String]): Boolean =
+      e.partValue == null || e.partCol != p || vals.contains(e.partValue)
     val (touched, carryOver, touchedDeltas) =
       if (deltas.isEmpty) pruned match {
         case Some(p) =>
           val vals = touchedValues(p)
-          val (tb, cb) = entries.partition(e =>
-            e.partValue == null || vals.contains(e.partValue))
+          val (tb, cb) = entries.partition(touchedBy(_, p, vals))
           (tb, cb, Seq.empty[FileEntry])
         case None => (entries, Seq.empty[FileEntry], Seq.empty[FileEntry])
       } else pruned match {
         case Some(p) if deltas.forall(_.partValue != null) =>
           val vals = touchedValues(p)
-          val (tb, cb) = entries.partition(e =>
-            e.partValue == null || vals.contains(e.partValue))
-          val (td, cd) = deltas.partition(e => vals.contains(e.partValue))
+          val (tb, cb) = entries.partition(touchedBy(_, p, vals))
+          val (td, cd) = deltas.partition(touchedBy(_, p, vals))
           // a CoW commit drops delta entries, so untouched deltas cannot
           // carry over as-is — fold everything in when any would remain
           // (correctness over pruning).
@@ -434,14 +440,20 @@ class SnapshotTable(spark: SparkSession, root: String) {
         val r = read(v).agg(
           org.apache.spark.sql.functions.min(col(c).cast("double")),
           org.apache.spark.sql.functions.max(col(c).cast("double"))).head()
-        (r.getDouble(0), r.getDouble(1))
+        // empty table / all-null column: any constant lattice cell works
+        if (r.isNullAt(0) || r.isNullAt(1)) (0.0, 0.0)
+        else (r.getDouble(0), r.getDouble(1))
       }
     def norm(c: String): org.apache.spark.sql.Column = {
       val (lo, hi) = bounds(c)
       val span = math.max(hi - lo, 1e-12)
+      // clamp BOTH ends: stats can lag the data (e.g. folded delta rows
+      // below the base files' min), and graft_zorder needs [0, 65535]
       org.apache.spark.sql.functions.least(
-        org.apache.spark.sql.functions.floor(
-          (col(c).cast("double") - lit(lo)) * 65536.0 / lit(span)),
+        org.apache.spark.sql.functions.greatest(
+          org.apache.spark.sql.functions.floor(
+            (col(c).cast("double") - lit(lo)) * 65536.0 / lit(span)),
+          lit(0L)),
         lit(65535L)).cast("long")
     }
     val (za, zb, zc) = ("__graft_za", "__graft_zb", "__graft_z")
@@ -711,9 +723,23 @@ object SnapshotTable {
         b.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString
           val st = cc.getStatistics
+          // integral stats above 2^53 round when narrowed to double —
+          // widen the kept range one ulp outward so range pruning stays
+          // sound at the boundary (a keeps-one-extra-file error is fine,
+          // a drops-matching-rows error is not)
+          def inexact(l: java.lang.Long): Boolean =
+            l.longValue >= (1L << 53) || l.longValue <= -(1L << 53)
+          def loD(n: Number): Double = n match {
+            case l: java.lang.Long if inexact(l) => Math.nextDown(l.doubleValue)
+            case _ => n.doubleValue
+          }
+          def hiD(n: Number): Double = n match {
+            case l: java.lang.Long if inexact(l) => Math.nextUp(l.doubleValue)
+            case _ => n.doubleValue
+          }
           (if (st != null && st.hasNonNullValue)
             (st.genericGetMin, st.genericGetMax) match {
-              case (mn: Number, mx: Number) => Some((mn.doubleValue, mx.doubleValue))
+              case (mn: Number, mx: Number) => Some((loD(mn), hiD(mx)))
               case _ => None
             }
           else None) match {

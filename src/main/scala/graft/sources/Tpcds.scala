@@ -38,7 +38,8 @@ object Tpcds {
     */
   def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
     val root = stagedRoots.computeIfAbsent(sfDir, { _ =>
-      val r = Files.createTempDirectory("graft_stage_tpcds").toString
+      val r = graft.Scratch.atExit(
+        Files.createTempDirectory("graft_stage_tpcds").toString)
       registerBase(spark, sfDir)
       TpcdsSchema.generators.foreach { case (name, sql) =>
         spark.sql(sql).write.mode("overwrite").parquet(s"$r/$name")

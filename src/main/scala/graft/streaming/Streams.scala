@@ -35,9 +35,9 @@ object Streams {
 
   private val runId = new AtomicLong(0)
 
-  /** Staged (cached, reused) source root — never swept. */
+  /** Staged (cached, reused) source root — reclaimed at JVM exit. */
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(s"graft_$prefix").toString
+    graft.Scratch.atExit(Files.createTempDirectory(s"graft_$prefix").toString)
 
   /** Per-run scratch (checkpoints, per-run clones) — swept by the
     * harness after materialization. */
