@@ -157,5 +157,35 @@ object Refresh {
       }.reduce(_.unionByName(_)).orderBy("view_name")
     })
 
-  val defs: Seq[OpQuery] = Seq(pipeline)
+  /** The reference's FULL refresh-view round (TPCDSRefreshSchema
+    * ssv/srv/csv/crv/wsv/wrv/iv over the flat s_* staged sources,
+    * view SQL :579-844): each view resolves ID-keyed source rows
+    * against the dimensions via LEFT OUTER JOINs into fact-shaped rows,
+    * is staged to parquet (the view cache), and the summary aggregates
+    * the STAGED copies. The DuckDB oracle assembles the identical
+    * generator + view SQL as one WITH chain.
+    *
+    * Scale notes: each view is one join pipeline — the flat source is
+    * the fact-sized side; every dimension join is broadcast-sized
+    * (item/customer scale with dims, not facts). Staging writes are
+    * partition-parallel; the summary reads the staged parquet once.
+    */
+  private val pipelineFull = OpQuery(
+    "refresh_pipeline_full",
+    Some(graft.sources.Tpcds.oracle(
+      graft.sources.TpcdsSchema.refreshViewSources.values.flatten.toSeq.distinct,
+      "WITH " + graft.sources.TpcdsSchema.refreshViews
+        .map { case (n, sql) => s"$n AS ($sql)" }.mkString(",\n") + "\n" +
+        graft.sources.TpcdsSchema.refreshSummary)),
+    (s, d) => {
+      graft.sources.Tpcds.ensureRefresh(s, d)
+      val cache = tmp("refresh_views")
+      graft.sources.TpcdsSchema.refreshViews.foreach { case (name, sql) =>
+        s.sql(sql).write.mode("overwrite").parquet(s"$cache/$name")
+        s.read.parquet(s"$cache/$name").createOrReplaceTempView(name)
+      }
+      s.sql(graft.sources.TpcdsSchema.refreshSummary)
+    })
+
+  val defs: Seq[OpQuery] = Seq(pipeline, pipelineFull)
 }

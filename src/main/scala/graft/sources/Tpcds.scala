@@ -62,22 +62,55 @@ object Tpcds {
     Tables.load(spark, sfDir, "customer").createOrReplaceTempView("customer_src")
   }
 
+  /** Staged refresh-source roots keyed by sf dir. */
+  private val refreshRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage (first use) and register the flat s_* refresh sources on top
+    * of [[ensure]]'s dimensions — the reference's staged-CSV load phase
+    * (IncrementalTPCDSBenchmark.scala:383-420). */
+  def ensureRefresh(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir) // sources generate against the date_dim view
+    val root = refreshRoots.computeIfAbsent(sfDir, { _ =>
+      val r = graft.Scratch.atExit(
+        Files.createTempDirectory("graft_stage_refresh").toString)
+      registerBase(spark, sfDir)
+      TpcdsSchema.generators.foreach { case (name, _) =>
+        spark.read.parquet(s"${stagedRoots.get(sfDir)}/$name")
+          .createOrReplaceTempView(name)
+      }
+      TpcdsSchema.refreshSources.foreach { case (name, sql) =>
+        spark.sql(sql).write.mode("overwrite").parquet(s"$r/$name")
+      }
+      r
+    })
+    TpcdsSchema.refreshSources.foreach { case (name, _) =>
+      spark.read.parquet(s"$root/$name").createOrReplaceTempView(name)
+    }
+  }
+
   /** The correctness gate always runs DuckDB at this sf (TESTDATA.md). */
   private val OracleSfDir = "/root/testdata/sf0.01"
+
+  private def allGens: Seq[(String, String)] =
+    TpcdsSchema.generators ++ TpcdsSchema.refreshSources
+
+  private def depsOf(t: String): Seq[String] =
+    TpcdsSchema.deps.getOrElse(t, TpcdsSchema.refreshDeps(t))
 
   /** Assemble the DuckDB oracle: generator CTEs (transitive deps, in
     * declaration order) + the identical query body. */
   def oracle(tables: Seq[String], body: String): String = {
-    val gen = TpcdsSchema.generators.toMap
+    val gen = allGens.toMap
     val need = scala.collection.mutable.LinkedHashSet[String]()
     def add(t: String): Unit = if (!need.contains(t)) {
-      TpcdsSchema.deps(t).foreach(add)
+      depsOf(t).foreach(add)
       need += t
     }
     // keep generator declaration order for the closure
     val closure = {
       tables.foreach(add)
-      TpcdsSchema.generators.map(_._1).filter(need.contains)
+      allGens.map(_._1).filter(need.contains)
     }
     val shim =
       if (closure.exists(TpcdsSchema.needsCustomerSrc.contains))

@@ -198,7 +198,8 @@ FROM range(0, 20) t(id)""",
     ELSE 'WA' END                                 AS s_state,
   LPAD(CAST((id * 83 + 6) % 100000 AS STRING), 5, '0') AS s_zip,
   'United States'                                 AS s_country,
-  CAST(-5 AS DECIMAL(5,2))                        AS s_gmt_offset
+  CAST(-5 AS DECIMAL(5,2))                        AS s_gmt_offset,
+  CAST((id % 10) / 100.0 AS DECIMAL(5,2))         AS s_tax_percentage
 FROM range(0, 12) t(id)""",
     "warehouse" -> """SELECT
   CAST(id + 1 AS BIGINT)                          AS w_warehouse_sk,
@@ -318,6 +319,7 @@ FROM (
          l.l_linenumber AS lnum, o.o_custkey AS ckey,
          l.l_returnflag AS rflag,
          CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
          CAST(l.l_quantity AS BIGINT) AS qty,
          CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
          CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
@@ -371,6 +373,7 @@ FROM (
          l.l_linenumber AS lnum, o.o_custkey AS ckey,
          l.l_returnflag AS rflag,
          CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
          CAST(l.l_quantity AS BIGINT) AS qty,
          CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
          CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
@@ -433,6 +436,7 @@ FROM (
          l.l_linenumber AS lnum, o.o_custkey AS ckey,
          l.l_returnflag AS rflag,
          CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
          CAST(l.l_quantity AS BIGINT) AS qty,
          CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
          CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
@@ -489,6 +493,7 @@ FROM (
          l.l_linenumber AS lnum, o.o_custkey AS ckey,
          l.l_returnflag AS rflag,
          CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
          CAST(l.l_quantity AS BIGINT) AS qty,
          CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
          CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
@@ -551,6 +556,7 @@ FROM (
          l.l_linenumber AS lnum, o.o_custkey AS ckey,
          l.l_returnflag AS rflag,
          CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
          CAST(l.l_quantity AS BIGINT) AS qty,
          CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
          CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
@@ -605,6 +611,7 @@ FROM (
          l.l_linenumber AS lnum, o.o_custkey AS ckey,
          l.l_returnflag AS rflag,
          CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
          CAST(l.l_quantity AS BIGINT) AS qty,
          CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
          CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
@@ -656,4 +663,587 @@ CROSS JOIN (SELECT id AS day_id FROM range(0, 2922) t(id)
     * `customer` cannot name in DuckDB (circular-reference rule) — they
     * reference `customer_src` instead; each engine aliases it. */
   val needsCustomerSrc: Set[String] = Set("customer", "customer_address")
+
+  /** Flat ID-keyed refresh-source tables (reference: the s_* staged
+    * sources of TPCDSRefreshSchema.scala:21-562), same dialect-common
+    * derivation machinery as the fact generators. */
+  val refreshSources: Seq[(String, String)] = Seq(
+    "s_purchase" -> """SELECT DISTINCT
+  x.okey                                          AS purc_purchase_id,
+  'STORE' || LPAD(CAST(x.okey * 3 % 12 AS STRING), 6, '0') AS purc_store_id,
+  'CUST' || LPAD(CAST(x.ckey AS STRING), 12, '0') AS purc_customer_id,
+  CAST(x.odate AS STRING)                         AS purc_purchase_date,
+  CAST((x.okey * 7 + 1) % 86400 AS INT)           AS purc_purchase_time,
+  'purchase ' || CAST(x.okey AS STRING)           AS purc_comment
+FROM (
+  SELECT l.l_orderkey AS okey, l.l_partkey AS ikey, l.l_suppkey AS skey,
+         l.l_linenumber AS lnum, o.o_custkey AS ckey,
+         l.l_returnflag AS rflag,
+         CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
+         CAST(CAST(l.l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax_pct
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey % 4 IN (0, 1)) x""",
+    "s_purchase_lineitem" -> """SELECT
+  x.okey                                          AS plin_purchase_id,
+  CAST(x.lnum AS INT)                             AS plin_line_number,
+  'ITEM' || LPAD(CAST(x.ikey AS STRING), 10, '0') AS plin_item_id,
+  CASE WHEN x.promo_sk IS NULL THEN CAST(NULL AS STRING)
+       ELSE 'PROMO' || LPAD(CAST(x.promo_sk - 1 AS STRING), 6, '0')
+  END                                             AS plin_promotion_id,
+  CAST(x.qty AS INT)                              AS plin_quantity,
+  CAST(x.sp_c / 100.0 AS DECIMAL(12,2))           AS plin_sale_price,
+  CAST(x.cpn_c / 100.0 AS DECIMAL(12,2))          AS plin_coupon_amt,
+  'line ' || CAST(x.lnum AS STRING)               AS plin_comment
+FROM (
+  SELECT b.*,
+         d.d_date_sk AS sold_sk,
+         (b.okey * 7 + b.lnum * 13 + 1) % 86400 AS time_sk,
+         CAST(FLOOR(b.cents / b.qty) AS BIGINT) AS sp_c,
+         CAST(FLOOR(b.cents * b.disc_pct / 100) AS BIGINT) AS dsc_c,
+         CAST(FLOOR(b.cents * 6 / 10) AS BIGINT) AS wc_c,
+         CAST(FLOOR(b.cents * 12 / 10) AS BIGINT) AS lp_c,
+         CAST(FLOOR(b.cents * b.tax_pct / 100) AS BIGINT) AS tax_c,
+         CASE WHEN b.ikey % 5 = 0 THEN CAST(FLOOR(b.cents / 20) AS BIGINT)
+              ELSE 0 END AS cpn_c,
+         CASE WHEN b.ikey % 5 = 0 THEN b.ikey % 30 + 1
+              ELSE CAST(NULL AS BIGINT) END AS promo_sk,
+         CAST(FLOOR(b.cents / 8) AS BIGINT) AS ship_c
+  FROM (
+  SELECT l.l_orderkey AS okey, l.l_partkey AS ikey, l.l_suppkey AS skey,
+         l.l_linenumber AS lnum, o.o_custkey AS ckey,
+         l.l_returnflag AS rflag,
+         CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
+         CAST(CAST(l.l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax_pct
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey % 4 IN (0, 1)) b JOIN date_dim d ON d.d_date = b.sdate) x""",
+    "s_store_returns" -> """SELECT
+  r.okey                                          AS sret_purchase_id,
+  CAST(r.lnum AS INT)                             AS sret_line_number,
+  'ITEM' || LPAD(CAST(r.ikey AS STRING), 10, '0') AS sret_item_id,
+  'CUST' || LPAD(CAST(r.ckey AS STRING), 12, '0') AS sret_customer_id,
+  CAST(DATE '1995-01-01' + CAST(r.sold_sk + (r.okey % 60) + 3 AS INT) AS STRING)
+                                                  AS sret_return_date,
+  CAST(r.time_sk AS INT)                          AS sret_return_time,
+  'STORE' || LPAD(CAST(r.skey % 12 AS STRING), 6, '0') AS sret_store_id,
+  CAST(r.rqty AS INT)                             AS sret_return_qty,
+  CAST(r.ret_c / 100.0 AS DECIMAL(12,2))          AS sret_return_amt,
+  CAST(CAST(FLOOR(r.ret_c * r.disc_pct / 100) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS sret_return_tax,
+  CAST(CAST(FLOOR(r.ret_c / 50) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS sret_return_fee,
+  CAST(CAST(FLOOR(r.ret_c / 10) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS sret_return_ship_cost,
+  CAST(CAST(FLOOR(r.ret_c * 6 / 10) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS sret_refunded_cash,
+  CAST(CAST(FLOOR(r.ret_c * 2 / 10) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS sret_reversed_charge,
+  CAST((r.ret_c - CAST(FLOOR(r.ret_c * 6 / 10) AS BIGINT)
+        - CAST(FLOOR(r.ret_c * 2 / 10) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS sret_store_credit,
+  'R' || LPAD(CAST((r.okey * 3 + r.lnum) % 10 AS STRING), 4, '0') AS sret_reason_id
+FROM (
+  SELECT x.*,
+         CAST(FLOOR(x.qty / 2) + 1 AS BIGINT) AS rqty,
+         CAST(FLOOR(x.cents * (CAST(FLOOR(x.qty / 2) AS BIGINT) + 1) / x.qty) AS BIGINT) AS ret_c
+  FROM (
+  SELECT b.*,
+         d.d_date_sk AS sold_sk,
+         (b.okey * 7 + b.lnum * 13 + 1) % 86400 AS time_sk,
+         CAST(FLOOR(b.cents / b.qty) AS BIGINT) AS sp_c,
+         CAST(FLOOR(b.cents * b.disc_pct / 100) AS BIGINT) AS dsc_c,
+         CAST(FLOOR(b.cents * 6 / 10) AS BIGINT) AS wc_c,
+         CAST(FLOOR(b.cents * 12 / 10) AS BIGINT) AS lp_c,
+         CAST(FLOOR(b.cents * b.tax_pct / 100) AS BIGINT) AS tax_c,
+         CASE WHEN b.ikey % 5 = 0 THEN CAST(FLOOR(b.cents / 20) AS BIGINT)
+              ELSE 0 END AS cpn_c,
+         CASE WHEN b.ikey % 5 = 0 THEN b.ikey % 30 + 1
+              ELSE CAST(NULL AS BIGINT) END AS promo_sk,
+         CAST(FLOOR(b.cents / 8) AS BIGINT) AS ship_c
+  FROM (
+  SELECT l.l_orderkey AS okey, l.l_partkey AS ikey, l.l_suppkey AS skey,
+         l.l_linenumber AS lnum, o.o_custkey AS ckey,
+         l.l_returnflag AS rflag,
+         CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
+         CAST(CAST(l.l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax_pct
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey % 4 IN (0, 1)) b JOIN date_dim d ON d.d_date = b.sdate) x
+  WHERE x.rflag = 'R') r""",
+    "s_catalog_order" -> """SELECT DISTINCT
+  x.okey                                          AS cord_order_id,
+  'CUST' || LPAD(CAST(x.ckey AS STRING), 12, '0') AS cord_bill_customer_id,
+  'CUST' || LPAD(CAST(x.ckey AS STRING), 12, '0') AS cord_ship_customer_id,
+  CAST(x.odate AS STRING)                         AS cord_order_date,
+  CAST((x.okey * 7 + 1) % 86400 AS INT)           AS cord_order_time,
+  'SM' || LPAD(CAST(x.okey % 20 AS STRING), 4, '0') AS cord_ship_mode_id,
+  'CC' || LPAD(CAST((x.okey * 5 + 1) % 4 AS STRING), 4, '0') AS cord_call_center_id,
+  'order ' || CAST(x.okey AS STRING)              AS cord_comment
+FROM (
+  SELECT l.l_orderkey AS okey, l.l_partkey AS ikey, l.l_suppkey AS skey,
+         l.l_linenumber AS lnum, o.o_custkey AS ckey,
+         l.l_returnflag AS rflag,
+         CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
+         CAST(CAST(l.l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax_pct
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey % 4 = 2) x""",
+    "s_catalog_order_lineitem" -> """SELECT
+  x.okey                                          AS clin_order_id,
+  CAST(x.lnum AS INT)                             AS clin_line_number,
+  'ITEM' || LPAD(CAST(x.ikey AS STRING), 10, '0') AS clin_item_id,
+  CASE WHEN x.promo_sk IS NULL THEN CAST(NULL AS STRING)
+       ELSE 'PROMO' || LPAD(CAST(x.promo_sk - 1 AS STRING), 6, '0')
+  END                                             AS clin_promotion_id,
+  CAST(x.qty AS INT)                              AS clin_quantity,
+  CAST(x.sp_c / 100.0 AS DECIMAL(12,2))           AS clin_sale_price,
+  CAST(x.cpn_c / 100.0 AS DECIMAL(12,2))          AS clin_coupon_amt,
+  CAST(x.ship_c / 100.0 AS DECIMAL(12,2))         AS clin_ship_cost,
+  'WH' || LPAD(CAST(x.skey % 5 AS STRING), 4, '0') AS clin_warehouse_id,
+  CAST(DATE '1995-01-01' + CAST(x.sold_sk + (x.okey * 3 + x.lnum) % 30 + 2 AS INT) AS STRING)
+                                                  AS clin_ship_date,
+  'CP' || LPAD(CAST((x.okey * 11 + x.lnum) % 40 AS STRING), 6, '0') AS clin_catalog_page_id
+FROM (
+  SELECT b.*,
+         d.d_date_sk AS sold_sk,
+         (b.okey * 7 + b.lnum * 13 + 1) % 86400 AS time_sk,
+         CAST(FLOOR(b.cents / b.qty) AS BIGINT) AS sp_c,
+         CAST(FLOOR(b.cents * b.disc_pct / 100) AS BIGINT) AS dsc_c,
+         CAST(FLOOR(b.cents * 6 / 10) AS BIGINT) AS wc_c,
+         CAST(FLOOR(b.cents * 12 / 10) AS BIGINT) AS lp_c,
+         CAST(FLOOR(b.cents * b.tax_pct / 100) AS BIGINT) AS tax_c,
+         CASE WHEN b.ikey % 5 = 0 THEN CAST(FLOOR(b.cents / 20) AS BIGINT)
+              ELSE 0 END AS cpn_c,
+         CASE WHEN b.ikey % 5 = 0 THEN b.ikey % 30 + 1
+              ELSE CAST(NULL AS BIGINT) END AS promo_sk,
+         CAST(FLOOR(b.cents / 8) AS BIGINT) AS ship_c
+  FROM (
+  SELECT l.l_orderkey AS okey, l.l_partkey AS ikey, l.l_suppkey AS skey,
+         l.l_linenumber AS lnum, o.o_custkey AS ckey,
+         l.l_returnflag AS rflag,
+         CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
+         CAST(CAST(l.l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax_pct
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey % 4 = 2) b JOIN date_dim d ON d.d_date = b.sdate) x""",
+    "s_catalog_returns" -> """SELECT
+  r.okey                                          AS cret_order_id,
+  CAST(r.lnum AS INT)                             AS cret_line_number,
+  'ITEM' || LPAD(CAST(r.ikey AS STRING), 10, '0') AS cret_item_id,
+  'CUST' || LPAD(CAST(r.ckey AS STRING), 12, '0') AS cret_return_customer_id,
+  'CUST' || LPAD(CAST(r.ckey AS STRING), 12, '0') AS cret_refund_customer_id,
+  CAST(DATE '1995-01-01' + CAST(r.sold_sk + (r.okey % 60) + 3 AS INT) AS STRING)
+                                                  AS cret_return_date,
+  CAST(r.time_sk AS INT)                          AS cret_return_time,
+  CAST(r.rqty AS INT)                             AS cret_return_qty,
+  CAST(r.ret_c / 100.0 AS DECIMAL(12,2))          AS cret_return_amt,
+  CAST(CAST(FLOOR(r.ret_c * r.disc_pct / 100) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS cret_return_tax,
+  CAST(CAST(FLOOR(r.ret_c / 50) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS cret_return_fee,
+  CAST(CAST(FLOOR(r.ret_c / 10) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS cret_return_ship_cost,
+  CAST(CAST(FLOOR(r.ret_c * 6 / 10) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS cret_refunded_cash,
+  CAST(CAST(FLOOR(r.ret_c * 2 / 10) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS cret_reversed_charge,
+  CAST((r.ret_c - CAST(FLOOR(r.ret_c * 6 / 10) AS BIGINT)
+        - CAST(FLOOR(r.ret_c * 2 / 10) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS cret_account_credit,
+  'R' || LPAD(CAST((r.okey * 3 + r.lnum) % 10 AS STRING), 4, '0') AS cret_reason_id,
+  'SM' || LPAD(CAST(r.okey % 20 AS STRING), 4, '0') AS cret_shipmode_id,
+  'CC' || LPAD(CAST((r.okey * 5 + 1) % 4 AS STRING), 4, '0') AS cret_call_center_id,
+  'WH' || LPAD(CAST(r.skey % 5 AS STRING), 4, '0') AS cret_warehouse_id,
+  'CP' || LPAD(CAST((r.okey * 11 + r.lnum) % 40 AS STRING), 6, '0') AS cret_catalog_page_id
+FROM (
+  SELECT x.*,
+         CAST(FLOOR(x.qty / 2) + 1 AS BIGINT) AS rqty,
+         CAST(FLOOR(x.cents * (CAST(FLOOR(x.qty / 2) AS BIGINT) + 1) / x.qty) AS BIGINT) AS ret_c
+  FROM (
+  SELECT b.*,
+         d.d_date_sk AS sold_sk,
+         (b.okey * 7 + b.lnum * 13 + 1) % 86400 AS time_sk,
+         CAST(FLOOR(b.cents / b.qty) AS BIGINT) AS sp_c,
+         CAST(FLOOR(b.cents * b.disc_pct / 100) AS BIGINT) AS dsc_c,
+         CAST(FLOOR(b.cents * 6 / 10) AS BIGINT) AS wc_c,
+         CAST(FLOOR(b.cents * 12 / 10) AS BIGINT) AS lp_c,
+         CAST(FLOOR(b.cents * b.tax_pct / 100) AS BIGINT) AS tax_c,
+         CASE WHEN b.ikey % 5 = 0 THEN CAST(FLOOR(b.cents / 20) AS BIGINT)
+              ELSE 0 END AS cpn_c,
+         CASE WHEN b.ikey % 5 = 0 THEN b.ikey % 30 + 1
+              ELSE CAST(NULL AS BIGINT) END AS promo_sk,
+         CAST(FLOOR(b.cents / 8) AS BIGINT) AS ship_c
+  FROM (
+  SELECT l.l_orderkey AS okey, l.l_partkey AS ikey, l.l_suppkey AS skey,
+         l.l_linenumber AS lnum, o.o_custkey AS ckey,
+         l.l_returnflag AS rflag,
+         CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
+         CAST(CAST(l.l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax_pct
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey % 4 = 2) b JOIN date_dim d ON d.d_date = b.sdate) x
+  WHERE x.rflag = 'R') r""",
+    "s_web_order" -> """SELECT DISTINCT
+  x.okey                                          AS word_order_id,
+  'CUST' || LPAD(CAST(x.ckey AS STRING), 12, '0') AS word_bill_customer_id,
+  'CUST' || LPAD(CAST(x.ckey AS STRING), 12, '0') AS word_ship_customer_id,
+  CAST(x.odate AS STRING)                         AS word_order_date,
+  CAST((x.okey * 7 + 1) % 86400 AS INT)           AS word_order_time,
+  'SM' || LPAD(CAST(x.okey % 20 AS STRING), 4, '0') AS word_ship_mode_id,
+  'WEB' || LPAD(CAST((x.okey * 7 + 3) % 4 AS STRING), 4, '0') AS word_web_site_id,
+  'order ' || CAST(x.okey AS STRING)              AS word_comment
+FROM (
+  SELECT l.l_orderkey AS okey, l.l_partkey AS ikey, l.l_suppkey AS skey,
+         l.l_linenumber AS lnum, o.o_custkey AS ckey,
+         l.l_returnflag AS rflag,
+         CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
+         CAST(CAST(l.l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax_pct
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey % 4 = 3) x""",
+    "s_web_order_lineitem" -> """SELECT
+  x.okey                                          AS wlin_order_id,
+  CAST(x.lnum AS INT)                             AS wlin_line_number,
+  'ITEM' || LPAD(CAST(x.ikey AS STRING), 10, '0') AS wlin_item_id,
+  CASE WHEN x.promo_sk IS NULL THEN CAST(NULL AS STRING)
+       ELSE 'PROMO' || LPAD(CAST(x.promo_sk - 1 AS STRING), 6, '0')
+  END                                             AS wlin_promotion_id,
+  CAST(x.qty AS INT)                              AS wlin_quantity,
+  CAST(x.sp_c / 100.0 AS DECIMAL(12,2))           AS wlin_sale_price,
+  CAST(x.cpn_c / 100.0 AS DECIMAL(12,2))          AS wlin_coupon_amt,
+  CAST(x.ship_c / 100.0 AS DECIMAL(12,2))         AS wlin_ship_cost,
+  'WH' || LPAD(CAST(x.skey % 5 AS STRING), 4, '0') AS wlin_warehouse_id,
+  CAST(DATE '1995-01-01' + CAST(x.sold_sk + (x.okey * 3 + x.lnum) % 30 + 2 AS INT) AS STRING)
+                                                  AS wlin_ship_date,
+  'WP' || LPAD(CAST((x.okey * 13 + 5) % 8 AS STRING), 4, '0') AS wlin_web_page_id
+FROM (
+  SELECT b.*,
+         d.d_date_sk AS sold_sk,
+         (b.okey * 7 + b.lnum * 13 + 1) % 86400 AS time_sk,
+         CAST(FLOOR(b.cents / b.qty) AS BIGINT) AS sp_c,
+         CAST(FLOOR(b.cents * b.disc_pct / 100) AS BIGINT) AS dsc_c,
+         CAST(FLOOR(b.cents * 6 / 10) AS BIGINT) AS wc_c,
+         CAST(FLOOR(b.cents * 12 / 10) AS BIGINT) AS lp_c,
+         CAST(FLOOR(b.cents * b.tax_pct / 100) AS BIGINT) AS tax_c,
+         CASE WHEN b.ikey % 5 = 0 THEN CAST(FLOOR(b.cents / 20) AS BIGINT)
+              ELSE 0 END AS cpn_c,
+         CASE WHEN b.ikey % 5 = 0 THEN b.ikey % 30 + 1
+              ELSE CAST(NULL AS BIGINT) END AS promo_sk,
+         CAST(FLOOR(b.cents / 8) AS BIGINT) AS ship_c
+  FROM (
+  SELECT l.l_orderkey AS okey, l.l_partkey AS ikey, l.l_suppkey AS skey,
+         l.l_linenumber AS lnum, o.o_custkey AS ckey,
+         l.l_returnflag AS rflag,
+         CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
+         CAST(CAST(l.l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax_pct
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey % 4 = 3) b JOIN date_dim d ON d.d_date = b.sdate) x""",
+    "s_web_returns" -> """SELECT
+  r.okey                                          AS wret_order_id,
+  CAST(r.lnum AS INT)                             AS wret_line_number,
+  'ITEM' || LPAD(CAST(r.ikey AS STRING), 10, '0') AS wret_item_id,
+  'CUST' || LPAD(CAST(r.ckey AS STRING), 12, '0') AS wret_return_customer_id,
+  'CUST' || LPAD(CAST(r.ckey AS STRING), 12, '0') AS wret_refund_customer_id,
+  CAST(DATE '1995-01-01' + CAST(r.sold_sk + (r.okey % 60) + 3 AS INT) AS STRING)
+                                                  AS wret_return_date,
+  CAST(r.time_sk AS INT)                          AS wret_return_time,
+  CAST(r.rqty AS INT)                             AS wret_return_qty,
+  CAST(r.ret_c / 100.0 AS DECIMAL(12,2))          AS wret_return_amt,
+  CAST(CAST(FLOOR(r.ret_c * r.disc_pct / 100) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS wret_return_tax,
+  CAST(CAST(FLOOR(r.ret_c / 50) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS wret_return_fee,
+  CAST(CAST(FLOOR(r.ret_c / 10) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS wret_return_ship_cost,
+  CAST(CAST(FLOOR(r.ret_c * 6 / 10) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS wret_refunded_cash,
+  CAST(CAST(FLOOR(r.ret_c * 2 / 10) AS BIGINT) / 100.0 AS DECIMAL(12,2)) AS wret_reversed_charge,
+  CAST((r.ret_c - CAST(FLOOR(r.ret_c * 6 / 10) AS BIGINT)
+        - CAST(FLOOR(r.ret_c * 2 / 10) AS BIGINT)) / 100.0 AS DECIMAL(12,2)) AS wret_account_credit,
+  'R' || LPAD(CAST((r.okey * 3 + r.lnum) % 10 AS STRING), 4, '0') AS wret_reason_id,
+  'WP' || LPAD(CAST((r.okey * 13 + 5) % 8 AS STRING), 4, '0') AS wret_web_page_id
+FROM (
+  SELECT x.*,
+         CAST(FLOOR(x.qty / 2) + 1 AS BIGINT) AS rqty,
+         CAST(FLOOR(x.cents * (CAST(FLOOR(x.qty / 2) AS BIGINT) + 1) / x.qty) AS BIGINT) AS ret_c
+  FROM (
+  SELECT b.*,
+         d.d_date_sk AS sold_sk,
+         (b.okey * 7 + b.lnum * 13 + 1) % 86400 AS time_sk,
+         CAST(FLOOR(b.cents / b.qty) AS BIGINT) AS sp_c,
+         CAST(FLOOR(b.cents * b.disc_pct / 100) AS BIGINT) AS dsc_c,
+         CAST(FLOOR(b.cents * 6 / 10) AS BIGINT) AS wc_c,
+         CAST(FLOOR(b.cents * 12 / 10) AS BIGINT) AS lp_c,
+         CAST(FLOOR(b.cents * b.tax_pct / 100) AS BIGINT) AS tax_c,
+         CASE WHEN b.ikey % 5 = 0 THEN CAST(FLOOR(b.cents / 20) AS BIGINT)
+              ELSE 0 END AS cpn_c,
+         CASE WHEN b.ikey % 5 = 0 THEN b.ikey % 30 + 1
+              ELSE CAST(NULL AS BIGINT) END AS promo_sk,
+         CAST(FLOOR(b.cents / 8) AS BIGINT) AS ship_c
+  FROM (
+  SELECT l.l_orderkey AS okey, l.l_partkey AS ikey, l.l_suppkey AS skey,
+         l.l_linenumber AS lnum, o.o_custkey AS ckey,
+         l.l_returnflag AS rflag,
+         CAST(l.l_shipdate AS DATE) AS sdate,
+         CAST(o.o_orderdate AS DATE) AS odate,
+         CAST(l.l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(l.l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS disc_pct,
+         CAST(CAST(l.l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) AS tax_pct
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey % 4 = 3) b JOIN date_dim d ON d.d_date = b.sdate) x
+  WHERE x.rflag = 'R') r""",
+    "s_inventory" -> """SELECT
+  'WH' || LPAD(CAST(w.id AS STRING), 4, '0')      AS invn_warehouse_id,
+  'ITEM' || LPAD(CAST(p.p_partkey AS STRING), 10, '0') AS invn_item_id,
+  CAST(DATE '1995-01-01' + CAST(c.day_id AS INT) AS STRING) AS invn_date,
+  CAST(CASE WHEN (p.p_partkey * 31 + w.id * 7 + c.day_id) % 5 = 0
+            THEN (p.p_partkey * 13 + w.id * 17 + c.day_id * 3) % 1000
+            ELSE (p.p_partkey * 13 + w.id * 17 + c.day_id * 3) % 20
+       END AS INT)                                AS invn_qty_on_hand
+FROM part p
+CROSS JOIN range(0, 5) w(id)
+CROSS JOIN (SELECT id AS day_id FROM range(0, 2922) t(id)
+            WHERE id % 7 = 0 AND id >= 1826 AND id < 2192) c""")
+
+  val refreshDeps: Map[String, Seq[String]] = Map(
+    "s_purchase" -> Seq(),
+    "s_purchase_lineitem" -> Seq("date_dim"),
+    "s_store_returns" -> Seq("date_dim"),
+    "s_catalog_order" -> Seq(),
+    "s_catalog_order_lineitem" -> Seq("date_dim"),
+    "s_catalog_returns" -> Seq("date_dim"),
+    "s_web_order" -> Seq(),
+    "s_web_order_lineitem" -> Seq("date_dim"),
+    "s_web_returns" -> Seq("date_dim"),
+    "s_inventory" -> Seq())
+
+  /** The 7 denormalizing refresh views (TPCDSRefreshSchema ssv..iv):
+    * ID-joins resolve the flat sources against the dimensions into
+    * fact-shaped rows. `csv` is named `csv_v` (CSV is a Spark format
+    * keyword in temp-view positions). */
+  val refreshViews: Seq[(String, String)] = Seq(
+    "ssv" -> """SELECT d_date_sk ss_sold_date_sk, t_time_sk ss_sold_time_sk,
+       i_item_sk ss_item_sk, c_customer_sk ss_customer_sk,
+       c_current_cdemo_sk ss_cdemo_sk, c_current_hdemo_sk ss_hdemo_sk,
+       c_current_addr_sk ss_addr_sk, s_store_sk ss_store_sk,
+       p_promo_sk ss_promo_sk, purc_purchase_id ss_ticket_number,
+       plin_quantity ss_quantity, i_wholesale_cost ss_wholesale_cost,
+       i_current_price ss_list_price, plin_sale_price ss_sales_price,
+       (i_current_price - plin_sale_price) * plin_quantity ss_ext_discount_amt,
+       plin_sale_price * plin_quantity ss_ext_sales_price,
+       i_wholesale_cost * plin_quantity ss_ext_wholesale_cost,
+       i_current_price * plin_quantity ss_ext_list_price,
+       i_current_price * s_tax_percentage ss_ext_tax,
+       plin_coupon_amt ss_coupon_amt,
+       (plin_sale_price * plin_quantity) - plin_coupon_amt ss_net_paid,
+       ((plin_sale_price * plin_quantity) - plin_coupon_amt)
+         * (1 + s_tax_percentage) ss_net_paid_inc_tax,
+       ((plin_sale_price * plin_quantity) - plin_coupon_amt)
+         - (plin_quantity * i_wholesale_cost) ss_net_profit
+FROM s_purchase
+LEFT OUTER JOIN customer ON (purc_customer_id = c_customer_id)
+LEFT OUTER JOIN store ON (purc_store_id = s_store_id)
+LEFT OUTER JOIN date_dim ON (CAST(purc_purchase_date AS DATE) = d_date)
+LEFT OUTER JOIN time_dim ON (purc_purchase_time = t_time)
+JOIN s_purchase_lineitem ON (purc_purchase_id = plin_purchase_id)
+LEFT OUTER JOIN promotion ON (plin_promotion_id = p_promo_id)
+LEFT OUTER JOIN item ON (plin_item_id = i_item_id AND i_rec_end_date IS NULL)""",
+    "srv" -> """SELECT d_date_sk sr_returned_date_sk, t_time_sk sr_return_time_sk,
+       i_item_sk sr_item_sk, c_customer_sk sr_customer_sk,
+       c_current_cdemo_sk sr_cdemo_sk, c_current_hdemo_sk sr_hdemo_sk,
+       c_current_addr_sk sr_addr_sk, s_store_sk sr_store_sk,
+       r_reason_sk sr_reason_sk, sret_purchase_id sr_ticket_number,
+       sret_return_qty sr_return_quantity, sret_return_amt sr_return_amt,
+       sret_return_tax sr_return_tax,
+       sret_return_amt + sret_return_tax sr_return_amt_inc_tax,
+       sret_return_fee sr_fee, sret_return_ship_cost sr_return_ship_cost,
+       sret_refunded_cash sr_refunded_cash,
+       sret_reversed_charge sr_reversed_charge,
+       sret_store_credit sr_store_credit,
+       sret_return_amt + sret_return_tax + sret_return_fee
+         - sret_refunded_cash - sret_reversed_charge - sret_store_credit sr_net_loss
+FROM s_store_returns
+LEFT OUTER JOIN date_dim ON (CAST(sret_return_date AS DATE) = d_date)
+LEFT OUTER JOIN time_dim ON (sret_return_time = t_time)
+LEFT OUTER JOIN item ON (sret_item_id = i_item_id AND i_rec_end_date IS NULL)
+LEFT OUTER JOIN customer ON (sret_customer_id = c_customer_id)
+LEFT OUTER JOIN store ON (sret_store_id = s_store_id)
+LEFT OUTER JOIN reason ON (sret_reason_id = r_reason_id)""",
+    "csv_v" -> """SELECT d1.d_date_sk cs_sold_date_sk, t_time_sk cs_sold_time_sk,
+       d2.d_date_sk cs_ship_date_sk,
+       c1.c_customer_sk cs_bill_customer_sk,
+       c1.c_current_cdemo_sk cs_bill_cdemo_sk,
+       c1.c_current_hdemo_sk cs_bill_hdemo_sk,
+       c1.c_current_addr_sk cs_bill_addr_sk,
+       c2.c_customer_sk cs_ship_customer_sk,
+       c2.c_current_cdemo_sk cs_ship_cdemo_sk,
+       c2.c_current_hdemo_sk cs_ship_hdemo_sk,
+       c2.c_current_addr_sk cs_ship_addr_sk,
+       cc_call_center_sk cs_call_center_sk,
+       cp_catalog_page_sk cs_catalog_page_sk,
+       sm_ship_mode_sk cs_ship_mode_sk,
+       w_warehouse_sk cs_warehouse_sk,
+       i_item_sk cs_item_sk, p_promo_sk cs_promo_sk,
+       cord_order_id cs_order_number, clin_quantity cs_quantity,
+       i_wholesale_cost cs_wholesale_cost, i_current_price cs_list_price,
+       clin_sale_price cs_sales_price,
+       (i_current_price - clin_sale_price) * clin_quantity cs_ext_discount_amt,
+       clin_sale_price * clin_quantity cs_ext_sales_price,
+       i_wholesale_cost * clin_quantity cs_ext_wholesale_cost,
+       i_current_price * clin_quantity cs_ext_list_price,
+       clin_coupon_amt cs_coupon_amt, clin_ship_cost cs_ext_ship_cost,
+       (clin_sale_price * clin_quantity) - clin_coupon_amt cs_net_paid,
+       (clin_sale_price * clin_quantity) - clin_coupon_amt
+         - (clin_quantity * i_wholesale_cost) cs_net_profit
+FROM s_catalog_order
+LEFT OUTER JOIN date_dim d1 ON (CAST(cord_order_date AS DATE) = d1.d_date)
+LEFT OUTER JOIN time_dim ON (cord_order_time = t_time)
+LEFT OUTER JOIN customer c1 ON (cord_bill_customer_id = c1.c_customer_id)
+LEFT OUTER JOIN customer c2 ON (cord_ship_customer_id = c2.c_customer_id)
+LEFT OUTER JOIN call_center ON (cord_call_center_id = cc_call_center_id)
+LEFT OUTER JOIN ship_mode ON (cord_ship_mode_id = sm_ship_mode_id)
+JOIN s_catalog_order_lineitem ON (cord_order_id = clin_order_id)
+LEFT OUTER JOIN date_dim d2 ON (CAST(clin_ship_date AS DATE) = d2.d_date)
+LEFT OUTER JOIN catalog_page ON (clin_catalog_page_id = cp_catalog_page_id)
+LEFT OUTER JOIN warehouse ON (clin_warehouse_id = w_warehouse_id)
+LEFT OUTER JOIN item ON (clin_item_id = i_item_id AND i_rec_end_date IS NULL)
+LEFT OUTER JOIN promotion ON (clin_promotion_id = p_promo_id)""",
+    "crv" -> """SELECT d_date_sk cr_returned_date_sk, t_time_sk cr_returned_time_sk,
+       i_item_sk cr_item_sk, c1.c_customer_sk cr_refunded_customer_sk,
+       c2.c_customer_sk cr_returning_customer_sk,
+       cc_call_center_sk cr_call_center_sk,
+       cp_catalog_page_sk cr_catalog_page_sk,
+       sm_ship_mode_sk cr_ship_mode_sk, w_warehouse_sk cr_warehouse_sk,
+       r_reason_sk cr_reason_sk, cret_order_id cr_order_number,
+       cret_return_qty cr_return_quantity, cret_return_amt cr_return_amount,
+       cret_return_tax cr_return_tax,
+       cret_return_amt + cret_return_tax cr_return_amt_inc_tax,
+       cret_return_fee cr_fee, cret_return_ship_cost cr_return_ship_cost,
+       cret_refunded_cash cr_refunded_cash,
+       cret_reversed_charge cr_reversed_charge,
+       cret_account_credit cr_store_credit,
+       cret_return_amt + cret_return_tax + cret_return_fee
+         - cret_refunded_cash - cret_reversed_charge - cret_account_credit cr_net_loss
+FROM s_catalog_returns
+LEFT OUTER JOIN date_dim ON (CAST(cret_return_date AS DATE) = d_date)
+LEFT OUTER JOIN time_dim ON (cret_return_time = t_time)
+LEFT OUTER JOIN item ON (cret_item_id = i_item_id)
+LEFT OUTER JOIN customer c1 ON (cret_refund_customer_id = c1.c_customer_id)
+LEFT OUTER JOIN customer c2 ON (cret_return_customer_id = c2.c_customer_id)
+LEFT OUTER JOIN reason ON (cret_reason_id = r_reason_id)
+LEFT OUTER JOIN call_center ON (cret_call_center_id = cc_call_center_id)
+LEFT OUTER JOIN catalog_page ON (cret_catalog_page_id = cp_catalog_page_id)
+LEFT OUTER JOIN ship_mode ON (cret_shipmode_id = sm_ship_mode_id)
+LEFT OUTER JOIN warehouse ON (cret_warehouse_id = w_warehouse_id)""",
+    "wsv" -> """SELECT d1.d_date_sk ws_sold_date_sk, t_time_sk ws_sold_time_sk,
+       d2.d_date_sk ws_ship_date_sk, i_item_sk ws_item_sk,
+       c1.c_customer_sk ws_bill_customer_sk,
+       c1.c_current_cdemo_sk ws_bill_cdemo_sk,
+       c1.c_current_hdemo_sk ws_bill_hdemo_sk,
+       c1.c_current_addr_sk ws_bill_addr_sk,
+       c2.c_customer_sk ws_ship_customer_sk,
+       c2.c_current_cdemo_sk ws_ship_cdemo_sk,
+       c2.c_current_hdemo_sk ws_ship_hdemo_sk,
+       c2.c_current_addr_sk ws_ship_addr_sk,
+       wp_web_page_sk ws_web_page_sk, web_site_sk ws_web_site_sk,
+       sm_ship_mode_sk ws_ship_mode_sk, w_warehouse_sk ws_warehouse_sk,
+       p_promo_sk ws_promo_sk, word_order_id ws_order_number,
+       wlin_quantity ws_quantity, i_wholesale_cost ws_wholesale_cost,
+       i_current_price ws_list_price, wlin_sale_price ws_sales_price,
+       (i_current_price - wlin_sale_price) * wlin_quantity ws_ext_discount_amt,
+       wlin_sale_price * wlin_quantity ws_ext_sales_price,
+       i_wholesale_cost * wlin_quantity ws_ext_wholesale_cost,
+       i_current_price * wlin_quantity ws_ext_list_price,
+       wlin_coupon_amt ws_coupon_amt, wlin_ship_cost ws_ext_ship_cost,
+       (wlin_sale_price * wlin_quantity) - wlin_coupon_amt ws_net_paid,
+       (wlin_sale_price * wlin_quantity) - wlin_coupon_amt
+         - (wlin_quantity * i_wholesale_cost) ws_net_profit
+FROM s_web_order
+LEFT OUTER JOIN date_dim d1 ON (CAST(word_order_date AS DATE) = d1.d_date)
+LEFT OUTER JOIN time_dim ON (word_order_time = t_time)
+LEFT OUTER JOIN customer c1 ON (word_bill_customer_id = c1.c_customer_id)
+LEFT OUTER JOIN customer c2 ON (word_ship_customer_id = c2.c_customer_id)
+LEFT OUTER JOIN web_site ON (word_web_site_id = web_site_id)
+LEFT OUTER JOIN ship_mode ON (word_ship_mode_id = sm_ship_mode_id)
+JOIN s_web_order_lineitem ON (word_order_id = wlin_order_id)
+LEFT OUTER JOIN date_dim d2 ON (CAST(wlin_ship_date AS DATE) = d2.d_date)
+LEFT OUTER JOIN item ON (wlin_item_id = i_item_id AND i_rec_end_date IS NULL)
+LEFT OUTER JOIN web_page ON (wlin_web_page_id = wp_web_page_id)
+LEFT OUTER JOIN warehouse ON (wlin_warehouse_id = w_warehouse_id)
+LEFT OUTER JOIN promotion ON (wlin_promotion_id = p_promo_id)""",
+    "wrv" -> """SELECT d_date_sk wr_returned_date_sk, t_time_sk wr_returned_time_sk,
+       i_item_sk wr_item_sk, c1.c_customer_sk wr_refunded_customer_sk,
+       c2.c_customer_sk wr_returning_customer_sk,
+       wp_web_page_sk wr_web_page_sk, r_reason_sk wr_reason_sk,
+       wret_order_id wr_order_number, wret_return_qty wr_return_quantity,
+       wret_return_amt wr_return_amt, wret_return_tax wr_return_tax,
+       wret_return_amt + wret_return_tax wr_return_amt_inc_tax,
+       wret_return_fee wr_fee, wret_return_ship_cost wr_return_ship_cost,
+       wret_refunded_cash wr_refunded_cash,
+       wret_reversed_charge wr_reversed_charge,
+       wret_account_credit wr_account_credit,
+       wret_return_amt + wret_return_tax + wret_return_fee
+         - wret_refunded_cash - wret_reversed_charge - wret_account_credit wr_net_loss
+FROM s_web_returns
+LEFT OUTER JOIN date_dim ON (CAST(wret_return_date AS DATE) = d_date)
+LEFT OUTER JOIN time_dim ON (wret_return_time = t_time)
+LEFT OUTER JOIN item ON (wret_item_id = i_item_id)
+LEFT OUTER JOIN customer c1 ON (wret_refund_customer_id = c1.c_customer_id)
+LEFT OUTER JOIN customer c2 ON (wret_return_customer_id = c2.c_customer_id)
+LEFT OUTER JOIN reason ON (wret_reason_id = r_reason_id)
+LEFT OUTER JOIN web_page ON (wret_web_page_id = wp_web_page_id)""",
+    "iv" -> """SELECT w_warehouse_sk inv_warehouse_sk, i_item_sk inv_item_sk,
+       d_date_sk inv_date_sk, invn_qty_on_hand inv_quantity_on_hand
+FROM s_inventory
+LEFT OUTER JOIN warehouse ON (invn_warehouse_id = w_warehouse_id)
+LEFT OUTER JOIN item ON (invn_item_id = i_item_id AND i_rec_end_date IS NULL)
+LEFT OUTER JOIN date_dim ON (CAST(invn_date AS DATE) = d_date)""")
+
+  /** Tables (sources + dimensions) each view's SQL references. */
+  val refreshViewSources: Map[String, Seq[String]] = Map(
+    "ssv" -> Seq("s_purchase", "s_purchase_lineitem", "customer", "store", "date_dim", "time_dim", "promotion", "item"),
+    "srv" -> Seq("s_store_returns", "date_dim", "time_dim", "item", "customer", "store", "reason"),
+    "csv_v" -> Seq("s_catalog_order", "s_catalog_order_lineitem", "date_dim", "time_dim", "customer", "call_center", "ship_mode", "catalog_page", "warehouse", "item", "promotion"),
+    "crv" -> Seq("s_catalog_returns", "date_dim", "time_dim", "item", "customer", "reason", "call_center", "catalog_page", "ship_mode", "warehouse"),
+    "wsv" -> Seq("s_web_order", "s_web_order_lineitem", "date_dim", "time_dim", "customer", "web_site", "ship_mode", "item", "web_page", "warehouse", "promotion"),
+    "wrv" -> Seq("s_web_returns", "date_dim", "time_dim", "item", "customer", "reason", "web_page"),
+    "iv" -> Seq("s_inventory", "warehouse", "item", "date_dim"))
+
+  /** Gate-entry summary over the 7 views: row counts, resolved-key
+    * counts, and exact-decimal checksums surfaced as DOUBLE. */
+  val refreshSummary: String = """SELECT * FROM (
+  SELECT 'ssv' AS view_name, COUNT(*) AS n_rows,
+         COUNT(ss_item_sk) AS n_resolved,
+         CAST(SUM(ss_net_paid) AS DOUBLE) AS checksum
+  FROM ssv
+  UNION ALL
+  SELECT 'srv', COUNT(*), COUNT(sr_item_sk),
+         CAST(SUM(sr_return_amt) AS DOUBLE) FROM srv
+  UNION ALL
+  SELECT 'csv', COUNT(*), COUNT(cs_item_sk),
+         CAST(SUM(cs_net_paid) AS DOUBLE) FROM csv_v
+  UNION ALL
+  SELECT 'crv', COUNT(*), COUNT(cr_item_sk),
+         CAST(SUM(cr_return_amount) AS DOUBLE) FROM crv
+  UNION ALL
+  SELECT 'wsv', COUNT(*), COUNT(ws_item_sk),
+         CAST(SUM(ws_net_paid) AS DOUBLE) FROM wsv
+  UNION ALL
+  SELECT 'wrv', COUNT(*), COUNT(wr_item_sk),
+         CAST(SUM(wr_return_amt) AS DOUBLE) FROM wrv
+  UNION ALL
+  SELECT 'iv', COUNT(*), COUNT(inv_item_sk),
+         CAST(SUM(CAST(inv_quantity_on_hand AS BIGINT)) AS DOUBLE) FROM iv)
+ORDER BY view_name"""
 }
