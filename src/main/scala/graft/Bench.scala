@@ -44,7 +44,24 @@ object Bench {
     val results = Harness.runQueries(spark, sfDir, queries, iterations)
     results.filterNot(_.ok).foreach(r =>
       System.err.println(s"[bench] ${r.name} failed: ${r.errorOpt.get}"))
-    val json = Harness.reportJson(results, sfDir, Harness.envInfo(spark))
+    // protocol sweeps (merge-micro CoW/MoR crossover, file-count planning
+    // tiers) run once after the query loop; a failing sweep must not kill
+    // the round's report
+    val runExtras = only.isEmpty || sys.env.contains("SPARK_GRAFT_EXTRAS")
+    val extras =
+      if (!runExtras) Seq.empty // dev-loop subset: skip the sweeps
+      else try {
+        val mm = operators.BenchExtras.mergeMicroSweep(spark)
+        Scratch.sweep(spark)
+        val fc = operators.BenchExtras.fileCountTiers(spark)
+        Scratch.sweep(spark)
+        mm ++ fc
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] extras failed: ${e.getMessage}")
+          Seq.empty
+      }
+    val json = Harness.reportJson(results, sfDir, Harness.envInfo(spark), extras)
     // Full CSV + JSON reports go to files (reference A3 shape); stdout gets
     // a compact line that fits the driver's 2000-char tail capture.
     val reportDir = sys.env.getOrElse("SPARK_GRAFT_REPORT_DIR", "bench_reports")
@@ -54,7 +71,8 @@ object Bench {
     java.nio.file.Files.writeString(base.resolve("bench_report.csv"),
       Harness.reportCsv(results))
     java.nio.file.Files.writeString(jsonPath, json)
-    println(Harness.compactJson(results, sfDir, jsonPath.toString))
+    println(Harness.compactJson(results, sfDir, jsonPath.toString,
+      extras = extras))
     spark.stop()
   }
 }

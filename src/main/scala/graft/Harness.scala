@@ -148,16 +148,19 @@ object Harness {
   /** Full JSON report (every query + planning split + env) — written to
     * the report file; too long for the driver's 2000-char stdout capture. */
   def reportJson(results: Seq[QueryResult], sfDir: String,
-      env: Map[String, String] = Map.empty): String = {
+      env: Map[String, String] = Map.empty,
+      extras: Seq[(String, Double)] = Seq.empty): String = {
     val qs = results.map(r => jstr(r.name) + ":" +
       (if (r.ok) num(r.medianSec) else "-1")).mkString("{", ",", "}")
     val planning = results.filter(_.ok).map(r =>
       jstr(r.name) + ":" + num(r.medianPlanningSec)).mkString("{", ",", "}")
     val envJson = env.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val extraJson = extras.map { case (k, v) => jstr(k) + ":" + num(v) }
+      .mkString("{", ",", "}")
     val total = results.filter(_.ok).map(_.medianSec).sum
     s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
-      s""""planning":$planning,"env":$envJson,"sf":"$sfDir"}"""
+      s""""planning":$planning,"extras":$extraJson,"env":$envJson,"sf":"$sfDir"}"""
   }
 
   /** Queries surfaced in the one-line stdout report. Kept to a fixed
@@ -188,7 +191,8 @@ object Harness {
     * epilogue), so it carries the total, counts, a headline subset, and a
     * pointer to the full file report. Trims headline entries if needed. */
   def compactJson(results: Seq[QueryResult], sfDir: String,
-      reportPath: String, maxLen: Int = 1700): String = {
+      reportPath: String, maxLen: Int = 1700,
+      extras: Seq[(String, Double)] = Seq.empty): String = {
     val ok = results.filter(_.ok)
     val total = ok.map(_.medianSec).sum
     val planningTotal = ok.map(_.medianPlanningSec).sum
@@ -197,9 +201,14 @@ object Harness {
       val qs = names.flatMap(n => byName.get(n)).map(r =>
         jstr(r.name) + ":" + (if (r.ok) num(r.medianSec) else "-1"))
         .mkString("{", ",", "}")
+      // extras (merge-micro sweep, file-count tiers) always ship in the
+      // compact line — the headline query subset absorbs the trimming
+      val ex = if (extras.isEmpty) ""
+        else s""""extras":${extras.map { case (k, v) => jstr(k) + ":" + num(v) }
+          .mkString("{", ",", "}")},"""
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"n_failed":${results.size - ok.size},""" +
-        s""""planning_total":${num(planningTotal)},"queries":$qs,""" +
+        s""""planning_total":${num(planningTotal)},$ex"queries":$qs,""" +
         s""""report":${jstr(reportPath)},"sf":"$sfDir"}"""
     }
     var names = headlineQueries

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.sources.{Ingest, SnapshotTable}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Protocol sweeps reported as bench extra metrics (not gate entries —
+  * their deliverable is the timing curve, not a relation).
+  *
+  * 1. Merge-micro sweep (reference MergeMicroBenchmark.scala:100-103,
+  *    225-251): MERGE update sets spanning three orders of magnitude
+  *    into a copy-on-write clone and a deferred merge-on-read clone of
+  *    the same staged base, timing the merge and the post-merge read.
+  *    CoW pays the rewrite at merge time and reads clean; MoR commits
+  *    O(delta) and pays resolution at read time — the crossover the
+  *    reference measures.
+  *
+  * 2. File-count planning tiers (reference FileCountBenchmark.scala:
+  *    172-178, which sweeps 1k..200k files): the same data laid out as
+  *    100 / 1k / 10k files, timing the manifest-only COUNT and the
+  *    stats-pruned range-read PLANNING step per tier. Planning runs on
+  *    the manifest (one JSON object, no filesystem listing), so the time
+  *    must stay flat while the file count grows 100x.
+  */
+object BenchExtras {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def sec(d: Double): Double = math.rint(d * 10000) / 10000
+
+  /** 8 rows of (metric, seconds): {cow,mor} x {merge,read} x sizes. */
+  def mergeMicroSweep(spark: SparkSession): Seq[(String, Double)] = {
+    val rows = 200000L
+    val base = Ingest.synthetic(spark, rows, numSplits = 8)
+    val staged = new SnapshotTable(spark, graft.Scratch.dir("mm_base"))
+      .create(base, partitionBy = Some("partition"))
+    // update fractions 0.01% / 0.1% / 1% / 10% -> 20 / 200 / 2k / 20k rows
+    val sizes = Seq(10000L -> "20", 1000L -> "200", 100L -> "2k", 10L -> "20k")
+    sizes.flatMap { case (nth, label) =>
+      val src = Ingest.mergeSource(base, "key", updateEveryNth = nth,
+        insertEveryNth = nth * 2, insertKeyOffset = rows)
+      Seq("cow", "mor").flatMap { mode =>
+        val clone = staged.shallowCloneTo(graft.Scratch.dir(s"mm_${mode}_$label"))
+        val (_, wSec) = time {
+          if (mode == "cow")
+            clone.merge(src, keys = Seq("key", "partition"),
+              partitionBy = Some("partition"))
+          else
+            clone.mergeDeferred(src, keys = Seq("key", "partition"),
+              partitionBy = Some("partition"))
+        }
+        val (_, rSec) = time {
+          clone.read().agg(sum(col("value"))).collect()
+        }
+        Seq(s"mm_${mode}_merge_$label" -> sec(wSec),
+          s"mm_${mode}_read_$label" -> sec(rSec))
+      }
+    }
+  }
+
+  /** Per-tier (metric, seconds): manifest COUNT, range-read planning,
+    * and the pruned read's execution, at 100 / 1k / 10k files. */
+  def fileCountTiers(spark: SparkSession): Seq[(String, Double)] = {
+    val rows = 200000L
+    Seq(100, 1000, 10000).flatMap { nFiles =>
+      // disjoint per-file key ranges (sorted range layout) so the range
+      // probe's manifest pruning has real work to skip
+      val df = Ingest.synthetic(spark, rows, numSplits = 8)
+        .repartitionByRange(nFiles, col("key"))
+        .sortWithinPartitions("key")
+      val t = new SnapshotTable(spark, graft.Scratch.dir(s"fc_$nFiles"))
+        .create(df)
+      val (_, manifestSec) = time(t.countFromManifest)
+      // planning = manifest filter + scan construction, zero jobs
+      val (pruned, planSec) = time(t.readRange("key", 0.0, rows / 100.0))
+      val (_, execSec) = time(
+        pruned.filter(col("key") <= rows / 100).count())
+      Seq(s"fc_manifest_$nFiles" -> sec(manifestSec),
+        s"fc_plan_$nFiles" -> sec(planSec),
+        s"fc_read_$nFiles" -> sec(execSec))
+    }
+  }
+}

@@ -51,6 +51,22 @@ class FileCountSpec extends AnyFunSuite {
       .filter(col("l_quantity") >= 49.0).count() == expect)
   }
 
+  test("range pruning stays proportional at a 1k-file layout") {
+    // reference sweeps 1k..200k files (FileCountBenchmark.scala:172-178);
+    // the manifest must keep pruning proportional — a 1% key range over
+    // disjoint per-file ranges should plan ~1% of a 1000-file table
+    val df = graft.sources.Ingest.synthetic(spark, 50000L, numSplits = 4)
+      .repartitionByRange(1000, col("key"))
+      .sortWithinPartitions("key")
+    val t = new SnapshotTable(spark, tmp("fc1k")).create(df)
+    assert(t.files.size == 1000)
+    val picked = t.filesInRange("key", 0.0, 500.0)
+    assert(picked.nonEmpty && picked.size <= 20,
+      s"pruned to ${picked.size} files of 1000 — manifest pruning degraded")
+    assert(t.readRange("key", 0.0, 500.0)
+      .filter(col("key") <= 500).count() == 501)
+  }
+
   test("planning split reports a sub-total planning time") {
     val (total, planning) = Harness.timePlanned(spark, {
       Tables.load(spark, sf, "orders").groupBy("o_orderstatus").count()
