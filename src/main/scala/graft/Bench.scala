@@ -41,6 +41,14 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Pre-stage the TPC-DS + refresh-source tables OUTSIDE the timed loop
+    // (the reference's load-then-query split: TPCDSDataLoad stages once,
+    // TPCDSBenchmark times queries). Staging lazily inside the first timed
+    // iteration inflates that query AND leaves 34 tables of write/GC
+    // pressure inside the measurement window for everything after it.
+    if (queries.exists { case (n, _) =>
+        n.startsWith("tpcds_") || n == "refresh_pipeline_full" })
+      sources.Tpcds.ensureRefresh(spark, sfDir)
     val results = Harness.runQueries(spark, sfDir, queries, iterations)
     results.filterNot(_.ok).foreach(r =>
       System.err.println(s"[bench] ${r.name} failed: ${r.errorOpt.get}"))

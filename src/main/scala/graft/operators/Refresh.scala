@@ -180,9 +180,25 @@ object Refresh {
     (s, d) => {
       graft.sources.Tpcds.ensureRefresh(s, d)
       val cache = tmp("refresh_views")
-      graft.sources.TpcdsSchema.refreshViews.foreach { case (name, sql) =>
-        s.sql(sql).write.mode("overwrite").parquet(s"$cache/$name")
+      // The 7 staging writes are independent jobs — submit them
+      // concurrently and let Spark's scheduler interleave their stages
+      // (on a cluster this overlaps shuffle/write waves; serially each
+      // write's tail tasks would idle the executors).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = graft.sources.TpcdsSchema.refreshViews.map {
+        case (name, sql) => Future {
+          s.sql(sql).write.mode("overwrite").parquet(s"$cache/$name")
+          name
+        }
+      }
+      Await.result(Future.sequence(writes), Duration.Inf)
+      graft.sources.TpcdsSchema.refreshViews.foreach { case (name, _) =>
         s.read.parquet(s"$cache/$name").createOrReplaceTempView(name)
+        // staged views die with the scratch dir — register them for the
+        // same sweep so the catalog never holds views over deleted paths
+        graft.Scratch.view(name)
       }
       s.sql(graft.sources.TpcdsSchema.refreshSummary)
     })

@@ -41,9 +41,17 @@ object ScaleWindow {
       nName: String,
       sumCol: Option[(Column, String, String)] = None): DataFrame = {
     val pc = partCols.map(col)
-    // 1. ordered, contiguous key ranges (numPartitions = session default)
+    // 1. ordered, contiguous key ranges (numPartitions = session default).
+    //    `parted` feeds TWO plan branches (ranked rows + per-partition
+    //    offsets) that join on graft_pid — correctness requires both to
+    //    observe the SAME range boundaries / partition ids. Exchange reuse
+    //    normally guarantees that, but a replanned exchange could resample
+    //    RangePartitioner boundaries; persist() pins one materialization
+    //    (the ContextCleaner reclaims it once the result is computed and
+    //    the plan is GC'd).
     val parted = df.repartitionByRange((pc ++ sortCols): _*)
       .withColumn("graft_pid", spark_partition_id())
+      .persist()
     // 2. local rank / running sum per (range partition, group)
     val local = Window.partitionBy((col("graft_pid") +: pc): _*)
       .orderBy(sortCols: _*)

@@ -525,7 +525,11 @@ inv AS (
  SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy, stdev, mean,
         CASE mean WHEN 0 THEN NULL ELSE stdev / mean END cov
  FROM (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
-              STDDEV_SAMP(inv_quantity_on_hand) stdev,
+              CASE WHEN COUNT(*) > 1 THEN SQRT(GREATEST(
+                (CAST(SUM(CAST(inv_quantity_on_hand AS BIGINT) * inv_quantity_on_hand) AS DOUBLE)
+                 - CAST(SUM(inv_quantity_on_hand) AS DOUBLE) / COUNT(*)
+                   * CAST(SUM(inv_quantity_on_hand) AS DOUBLE))
+                / (COUNT(*) - 1), CAST(0 AS DOUBLE))) ELSE CAST(NULL AS DOUBLE) END stdev,
               CAST(SUM(inv_quantity_on_hand) AS DOUBLE) / COUNT(*) mean
        FROM inventory, item, warehouse, date_dim
        WHERE inv_item_sk = i_item_sk AND inv_warehouse_sk = w_warehouse_sk
@@ -551,7 +555,11 @@ inv AS (
  SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy, stdev, mean,
         CASE mean WHEN 0 THEN NULL ELSE stdev / mean END cov
  FROM (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
-              STDDEV_SAMP(inv_quantity_on_hand) stdev,
+              CASE WHEN COUNT(*) > 1 THEN SQRT(GREATEST(
+                (CAST(SUM(CAST(inv_quantity_on_hand AS BIGINT) * inv_quantity_on_hand) AS DOUBLE)
+                 - CAST(SUM(inv_quantity_on_hand) AS DOUBLE) / COUNT(*)
+                   * CAST(SUM(inv_quantity_on_hand) AS DOUBLE))
+                / (COUNT(*) - 1), CAST(0 AS DOUBLE))) ELSE CAST(NULL AS DOUBLE) END stdev,
               CAST(SUM(inv_quantity_on_hand) AS DOUBLE) / COUNT(*) mean
        FROM inventory, item, warehouse, date_dim
        WHERE inv_item_sk = i_item_sk AND inv_warehouse_sk = w_warehouse_sk
