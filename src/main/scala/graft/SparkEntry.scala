@@ -15,6 +15,8 @@ object SparkEntry {
     operators.Advanced.defs,
     operators.QueryShapes.defs,
     operators.TpcdsQueries.defs,
+    operators.TpcdsQueries2.defs,
+    operators.TpcdsQueries3.defs,
     operators.Temporal.defs,
     operators.Collections.defs,
     operators.Analytics.defs,
