@@ -17,6 +17,7 @@ object SparkEntry {
     operators.TpcdsQueries.defs,
     operators.TpcdsQueries2.defs,
     operators.TpcdsQueries3.defs,
+    operators.TpcdsQueries4.defs,
     operators.Temporal.defs,
     operators.Collections.defs,
     operators.Analytics.defs,
