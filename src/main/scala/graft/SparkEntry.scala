@@ -18,6 +18,7 @@ object SparkEntry {
     operators.TpcdsQueries2.defs,
     operators.TpcdsQueries3.defs,
     operators.TpcdsQueries4.defs,
+    operators.TpcdsQueries5.defs,
     operators.Temporal.defs,
     operators.Collections.defs,
     operators.Analytics.defs,

@@ -282,7 +282,10 @@ FROM range(0, 20) t(id)""",
     x.ckey                                          AS ss_customer_sk,
     (x.ckey * 59 + 23) % 7200 + 1                    AS ss_cdemo_sk,
     (x.ckey * 37 + 17) % 720 + 1                    AS ss_hdemo_sk,
-    x.ckey                                          AS ss_addr_sk,
+    -- purchase-time address: the mirror of the customer's CURRENT address
+    -- (q46/q68 compare bought-city vs current-city; ckey itself would make
+    -- the two identical and the comparison structurally empty)
+    (SELECT MAX(c_custkey) FROM customer_src) + 1 - x.ckey AS ss_addr_sk,
     x.skey % 12 + 1                                 AS ss_store_sk,
     x.promo_sk                                      AS ss_promo_sk,
     x.okey                                          AS ss_ticket_number,
@@ -333,7 +336,8 @@ FROM (
     r.ckey                                          AS sr_customer_sk,
     (r.ckey * 59 + 23) % 7200 + 1                    AS sr_cdemo_sk,
     (r.ckey * 37 + 17) % 720 + 1                    AS sr_hdemo_sk,
-    r.ckey                                          AS sr_addr_sk,
+    -- mirrors ss_addr_sk (the return is filed from the purchase address)
+    (SELECT MAX(c_custkey) FROM customer_src) + 1 - r.ckey AS sr_addr_sk,
     r.skey % 12 + 1                                 AS sr_store_sk,
     (r.okey * 3 + r.lnum) % 10 + 1                  AS sr_reason_sk,
     r.okey                                          AS sr_ticket_number,
