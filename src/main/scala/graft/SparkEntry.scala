@@ -19,6 +19,7 @@ object SparkEntry {
     operators.TpcdsQueries3.defs,
     operators.TpcdsQueries4.defs,
     operators.TpcdsQueries5.defs,
+    operators.TpcdsQueries6.defs,
     operators.Temporal.defs,
     operators.Collections.defs,
     operators.Analytics.defs,

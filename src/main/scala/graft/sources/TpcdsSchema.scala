@@ -666,7 +666,8 @@ CROSS JOIN (SELECT id AS day_id FROM range(0, 2922) t(id)
   /** Generators that read the base `customer` table, which a CTE named
     * `customer` cannot name in DuckDB (circular-reference rule) — they
     * reference `customer_src` instead; each engine aliases it. */
-  val needsCustomerSrc: Set[String] = Set("customer", "customer_address")
+  val needsCustomerSrc: Set[String] =
+    Set("customer", "customer_address", "store_sales", "store_returns")
 
   /** Flat ID-keyed refresh-source tables (reference: the s_* staged
     * sources of TPCDSRefreshSchema.scala:21-562), same dialect-common
