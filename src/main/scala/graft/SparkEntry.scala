@@ -20,6 +20,7 @@ object SparkEntry {
     operators.TpcdsQueries4.defs,
     operators.TpcdsQueries5.defs,
     operators.TpcdsQueries6.defs,
+    operators.TpcdsQueries7.defs,
     operators.Temporal.defs,
     operators.Collections.defs,
     operators.Analytics.defs,
