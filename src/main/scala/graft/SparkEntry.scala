@@ -21,6 +21,8 @@ object SparkEntry {
     operators.TpcdsQueries5.defs,
     operators.TpcdsQueries6.defs,
     operators.TpcdsQueries7.defs,
+    operators.TpcdsQueries8.defs,
+    operators.TpcdsQueries9.defs,
     operators.Temporal.defs,
     operators.Collections.defs,
     operators.Analytics.defs,
