@@ -203,5 +203,131 @@ object Refresh {
       s.sql(graft.sources.TpcdsSchema.refreshSummary)
     })
 
-  val defs: Seq[OpQuery] = Seq(pipeline, pipelineFull)
+  /** Dimension-side refresh round (TPCDSRefreshSchema.scala:28-562 dim
+    * sources + the protocol's dim maintenance): the s_* dimension deltas
+    * are MERGEd into item/customer/store — type-1 updates on the
+    * business key plus inserts under fresh keys — and the ssv view is
+    * rebuilt against the REFRESHED dimensions, so the deltas' price/tax
+    * changes flow into the fact-shaped rows. The summary covers all 10
+    * staged dim sources, the three merged dims, and the rebuilt view.
+    * Both engines run the identical text (merge = anti-join + union —
+    * the same semantics SnapshotTable.merge implements natively).
+    */
+  private val dimsBody = """WITH merged_item AS (
+ SELECT i.i_item_sk, i.i_item_id, i.i_rec_end_date,
+        s.item_list_price i_current_price,
+        s.item_wholesale_cost i_wholesale_cost
+ FROM item i JOIN s_item s ON i.i_item_id = s.item_item_id
+ UNION ALL
+ SELECT i_item_sk, i_item_id, i_rec_end_date, i_current_price,
+        i_wholesale_cost
+ FROM item
+ WHERE NOT EXISTS (SELECT 1 FROM s_item WHERE item_item_id = i_item_id)
+ UNION ALL
+ SELECT CAST(SUBSTR(s.item_item_id, 6) AS BIGINT)
+          + (SELECT MAX(i_item_sk) FROM item),
+        s.item_item_id, CAST(NULL AS DATE), s.item_list_price,
+        s.item_wholesale_cost
+ FROM s_item s WHERE s.item_item_id LIKE 'ITEMN%'),
+merged_customer AS (
+ SELECT c.c_customer_sk, c.c_customer_id, c.c_current_cdemo_sk,
+        c.c_current_hdemo_sk, c.c_current_addr_sk,
+        s.cust_email_address c_email_address
+ FROM customer c JOIN s_customer s ON c.c_customer_id = s.cust_customer_id
+ UNION ALL
+ SELECT c_customer_sk, c_customer_id, c_current_cdemo_sk,
+        c_current_hdemo_sk, c_current_addr_sk, c_email_address
+ FROM customer
+ WHERE NOT EXISTS (SELECT 1 FROM s_customer
+                   WHERE cust_customer_id = c_customer_id)
+ UNION ALL
+ SELECT CAST(SUBSTR(s.cust_customer_id, 6) AS BIGINT)
+          + (SELECT MAX(c_customer_sk) FROM customer),
+        s.cust_customer_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        CAST(NULL AS BIGINT), s.cust_email_address
+ FROM s_customer s WHERE s.cust_customer_id LIKE 'CUSTN%'),
+merged_store AS (
+ SELECT st.s_store_sk, st.s_store_id, s.stor_name s_store_name,
+        s.stor_employees s_number_employees,
+        s.stor_tax_percentage s_tax_percentage
+ FROM store st JOIN s_store s ON st.s_store_id = s.stor_store_id
+ UNION ALL
+ SELECT s_store_sk, s_store_id, s_store_name, s_number_employees,
+        s_tax_percentage
+ FROM store
+ WHERE NOT EXISTS (SELECT 1 FROM s_store WHERE stor_store_id = s_store_id)),
+ssv_d AS (
+ SELECT d_date_sk ss_sold_date_sk, t_time_sk ss_sold_time_sk,
+        i_item_sk ss_item_sk, c_customer_sk ss_customer_sk,
+        c_current_cdemo_sk ss_cdemo_sk, c_current_hdemo_sk ss_hdemo_sk,
+        c_current_addr_sk ss_addr_sk, s_store_sk ss_store_sk,
+        p_promo_sk ss_promo_sk, purc_purchase_id ss_ticket_number,
+        plin_quantity ss_quantity, i_wholesale_cost ss_wholesale_cost,
+        i_current_price ss_list_price, plin_sale_price ss_sales_price,
+        (i_current_price - plin_sale_price) * plin_quantity ss_ext_discount_amt,
+        plin_sale_price * plin_quantity ss_ext_sales_price,
+        i_wholesale_cost * plin_quantity ss_ext_wholesale_cost,
+        i_current_price * plin_quantity ss_ext_list_price,
+        i_current_price * s_tax_percentage ss_ext_tax,
+        plin_coupon_amt ss_coupon_amt,
+        (plin_sale_price * plin_quantity) - plin_coupon_amt ss_net_paid,
+        ((plin_sale_price * plin_quantity) - plin_coupon_amt)
+          * (1 + s_tax_percentage) ss_net_paid_inc_tax,
+        ((plin_sale_price * plin_quantity) - plin_coupon_amt)
+          - (plin_quantity * i_wholesale_cost) ss_net_profit
+ FROM s_purchase
+ LEFT OUTER JOIN merged_customer ON (purc_customer_id = c_customer_id)
+ LEFT OUTER JOIN merged_store ON (purc_store_id = s_store_id)
+ LEFT OUTER JOIN date_dim ON (CAST(purc_purchase_date AS DATE) = d_date)
+ LEFT OUTER JOIN time_dim ON (purc_purchase_time = t_time)
+ JOIN s_purchase_lineitem ON (purc_purchase_id = plin_purchase_id)
+ LEFT OUTER JOIN promotion ON (plin_promotion_id = p_promo_id)
+ LEFT OUTER JOIN merged_item ON (plin_item_id = i_item_id
+                                 AND i_rec_end_date IS NULL))
+SELECT * FROM (
+ SELECT 's_item' part, COUNT(*) n_rows,
+        CAST(SUM(item_list_price) AS DOUBLE) checksum FROM s_item
+ UNION ALL SELECT 's_customer', COUNT(*),
+        CAST(SUM(LENGTH(cust_email_address)) AS DOUBLE) FROM s_customer
+ UNION ALL SELECT 's_store', COUNT(*),
+        CAST(SUM(stor_employees) AS DOUBLE) FROM s_store
+ UNION ALL SELECT 's_call_center', COUNT(*),
+        CAST(SUM(call_center_employees) AS DOUBLE) FROM s_call_center
+ UNION ALL SELECT 's_web_site', COUNT(*),
+        CAST(SUM(LENGTH(wsit_site_name)) AS DOUBLE) FROM s_web_site
+ UNION ALL SELECT 's_warehouse', COUNT(*),
+        CAST(SUM(wrhs_warehouse_sq_ft) AS DOUBLE) FROM s_warehouse
+ UNION ALL SELECT 's_web_page', COUNT(*),
+        CAST(SUM(wpag_char_cnt) AS DOUBLE) FROM s_web_page
+ UNION ALL SELECT 's_promotion', COUNT(*),
+        CAST(SUM(prom_cost) AS DOUBLE) FROM s_promotion
+ UNION ALL SELECT 's_catalog_page', COUNT(*),
+        CAST(SUM(cpag_catalog_number) AS DOUBLE) FROM s_catalog_page
+ UNION ALL SELECT 's_zip_to_gmt', COUNT(*),
+        CAST(SUM(zipg_gmt_offset) AS DOUBLE) FROM s_zip_to_gmt
+ UNION ALL SELECT 'item_merged', COUNT(*),
+        CAST(SUM(i_current_price) AS DOUBLE) FROM merged_item
+ UNION ALL SELECT 'customer_merged', COUNT(*),
+        CAST(SUM(LENGTH(c_email_address)) AS DOUBLE) FROM merged_customer
+ UNION ALL SELECT 'store_merged', COUNT(*),
+        CAST(SUM(s_number_employees) AS DOUBLE) FROM merged_store
+ UNION ALL SELECT 'ssv_dims', COUNT(*),
+        CAST(SUM(ss_net_paid) AS DOUBLE) FROM ssv_d) x
+ORDER BY part"""
+
+  private val pipelineDims = OpQuery(
+    "refresh_pipeline_dims",
+    Some(graft.sources.Tpcds.oracle(
+      Seq("s_purchase", "s_purchase_lineitem", "item", "customer", "store",
+        "date_dim", "time_dim", "promotion", "s_item", "s_customer",
+        "s_store", "s_call_center", "s_web_site", "s_warehouse",
+        "s_web_page", "s_promotion", "s_catalog_page", "s_zip_to_gmt"),
+      dimsBody)),
+    (s, d) => {
+      graft.sources.Tpcds.ensureRefresh(s, d)
+      graft.sources.Tpcds.ensureRefreshDims(s, d)
+      s.sql(dimsBody)
+    })
+
+  val defs: Seq[OpQuery] = Seq(pipeline, pipelineFull, pipelineDims)
 }

@@ -89,14 +89,38 @@ object Tpcds {
     }
   }
 
+  /** Staged dimension-delta roots keyed by sf dir. */
+  private val refreshDimRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage (first use) and register the dimension-side s_* refresh
+    * sources (TPCDSRefreshSchema.scala:28-562 dimension tables) on top
+    * of [[ensure]]'s dimensions. */
+  def ensureRefreshDims(spark: SparkSession, sfDir: String): Unit = synchronized {
+    ensure(spark, sfDir)
+    val root = refreshDimRoots.computeIfAbsent(sfDir, { _ =>
+      val r = graft.Scratch.atExit(
+        Files.createTempDirectory("graft_stage_refdims").toString)
+      TpcdsSchema.refreshDimSources.foreach { case (name, sql) =>
+        spark.sql(sql).write.mode("overwrite").parquet(s"$r/$name")
+      }
+      r
+    })
+    TpcdsSchema.refreshDimSources.foreach { case (name, _) =>
+      spark.read.parquet(s"$root/$name").createOrReplaceTempView(name)
+    }
+  }
+
   /** The correctness gate always runs DuckDB at this sf (TESTDATA.md). */
   private val OracleSfDir = "/root/testdata/sf0.01"
 
   private def allGens: Seq[(String, String)] =
-    TpcdsSchema.generators ++ TpcdsSchema.refreshSources
+    TpcdsSchema.generators ++ TpcdsSchema.refreshSources ++
+      TpcdsSchema.refreshDimSources
 
   private def depsOf(t: String): Seq[String] =
-    TpcdsSchema.deps.getOrElse(t, TpcdsSchema.refreshDeps(t))
+    TpcdsSchema.deps.getOrElse(t,
+      TpcdsSchema.refreshDeps.getOrElse(t, TpcdsSchema.refreshDimDeps(t)))
 
   /** Assemble the DuckDB oracle: generator CTEs (transitive deps, in
     * declaration order) + the identical query body. */

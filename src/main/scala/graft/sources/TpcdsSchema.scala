@@ -1033,6 +1033,117 @@ CROSS JOIN (SELECT id AS day_id FROM range(0, 2922) t(id)
     "s_web_returns" -> Seq("date_dim"),
     "s_inventory" -> Seq())
 
+  /** Dimension-side refresh sources (TPCDSRefreshSchema.scala:28,91,202,
+    * 281,306,327,341,358,389,550): flat ID-keyed deltas for the
+    * dimensions the refresh protocol maintains — slowly-changing updates
+    * (every Nth business key, deterministic arithmetic) plus, for item
+    * and customer, inserts under fresh business keys. Same dual-engine
+    * text discipline as every other generator. */
+  val refreshDimSources: Seq[(String, String)] = Seq(
+    "s_item" -> """SELECT
+  i_item_id                                       AS item_item_id,
+  i_item_desc                                     AS item_item_description,
+  CAST(i_current_price + 1.00 AS DECIMAL(12,2))   AS item_list_price,
+  i_wholesale_cost                                AS item_wholesale_cost,
+  i_size                                          AS item_size,
+  'form' || CAST(i_item_sk % 10 AS STRING)        AS item_formulation,
+  i_color                                         AS item_color,
+  i_units                                         AS item_units,
+  i_container                                     AS item_container,
+  i_manager_id                                    AS item_manager_id
+FROM item WHERE i_item_sk % 7 = 0
+UNION ALL
+SELECT
+  'ITEMN' || LPAD(CAST(i_item_sk AS STRING), 9, '0'),
+  i_item_desc, i_current_price, i_wholesale_cost, i_size,
+  'form' || CAST(i_item_sk % 10 AS STRING), i_color, i_units, i_container,
+  i_manager_id
+FROM item WHERE i_item_sk % 13 = 0""",
+    "s_customer" -> """SELECT
+  c_customer_id                                   AS cust_customer_id,
+  c_salutation                                    AS cust_salutation,
+  c_last_name                                     AS cust_last_name,
+  c_first_name                                    AS cust_first_name,
+  c_preferred_cust_flag                           AS cust_preffered_flag,
+  c_birth_country                                 AS cust_birth_country,
+  c_login                                         AS cust_login_id,
+  'new_' || c_email_address                       AS cust_email_address
+FROM customer WHERE c_customer_sk % 11 = 0
+UNION ALL
+SELECT
+  'CUSTN' || LPAD(CAST(c_customer_sk AS STRING), 11, '0'),
+  c_salutation, c_last_name, c_first_name, c_preferred_cust_flag,
+  c_birth_country, c_login, c_email_address
+FROM customer WHERE c_customer_sk % 17 = 0""",
+    "s_store" -> """SELECT
+  s_store_id                                      AS stor_store_id,
+  s_store_name || 'R'                             AS stor_name,
+  CAST(s_number_employees + 10 AS INT)            AS stor_employees,
+  CAST(s_floor_space AS INT)                      AS stor_floor_space,
+  s_hours                                         AS stor_hours,
+  s_manager                                       AS stor_store_manager,
+  CAST(s_market_id AS INT)                        AS stor_market_id,
+  CAST(s_tax_percentage + 0.01 AS DECIMAL(5,2))   AS stor_tax_percentage
+FROM store WHERE s_store_sk % 2 = 0""",
+    "s_call_center" -> """SELECT
+  cc_call_center_id                               AS call_center_id,
+  cc_name                                         AS call_center_name,
+  cc_class                                        AS call_center_class,
+  CAST(cc_employees + 5 AS INT)                   AS call_center_employees,
+  cc_manager                                      AS call_center_manager
+FROM call_center""",
+    "s_web_site" -> """SELECT
+  web_site_id                                     AS wsit_web_site_id,
+  web_name || 'R'                                 AS wsit_site_name,
+  web_manager                                     AS wsit_site_manager
+FROM web_site""",
+    "s_warehouse" -> """SELECT
+  w_warehouse_id                                  AS wrhs_warehouse_id,
+  w_warehouse_name || ' desc'                     AS wrhs_warehouse_desc,
+  CAST(w_warehouse_sq_ft + 1000 AS INT)           AS wrhs_warehouse_sq_ft
+FROM warehouse""",
+    "s_web_page" -> """SELECT
+  wp_web_page_id                                  AS wpag_web_page_id,
+  wp_autogen_flag                                 AS wpag_autogen_flag,
+  CAST(wp_char_count + 10 AS INT)                 AS wpag_char_cnt,
+  CAST(wp_link_count AS INT)                      AS wpag_link_cnt
+FROM web_page""",
+    "s_promotion" -> """SELECT
+  p_promo_id                                      AS prom_promotion_id,
+  p_promo_name                                    AS prom_promotion_name,
+  CAST(p_cost + 50 AS DECIMAL(15,2))              AS prom_cost,
+  p_channel_dmail                                 AS prom_channel_dmail,
+  p_channel_email                                 AS prom_channel_email,
+  p_channel_catalog                               AS prom_channel_catalog,
+  p_channel_tv                                    AS prom_channel_tv,
+  p_channel_event                                 AS prom_channel_event,
+  p_purpose                                       AS prom_purpose,
+  p_discount_active                               AS prom_discount_active
+FROM promotion WHERE p_promo_sk % 3 = 0""",
+    "s_catalog_page" -> """SELECT
+  CAST(cp_catalog_number AS INT)                  AS cpag_catalog_number,
+  CAST(cp_catalog_page_number AS INT)             AS cpag_catalog_page_number,
+  cp_department                                   AS cpag_department,
+  cp_catalog_page_id                              AS cpag_id,
+  cp_type                                         AS cpag_type
+FROM catalog_page WHERE cp_catalog_page_sk % 2 = 0""",
+    "s_zip_to_gmt" -> """SELECT DISTINCT
+  ca_zip                                          AS zipg_zip,
+  CAST(ca_gmt_offset AS BIGINT)                   AS zipg_gmt_offset
+FROM customer_address""")
+
+  val refreshDimDeps: Map[String, Seq[String]] = Map(
+    "s_item" -> Seq("item"),
+    "s_customer" -> Seq("customer"),
+    "s_store" -> Seq("store"),
+    "s_call_center" -> Seq("call_center"),
+    "s_web_site" -> Seq("web_site"),
+    "s_warehouse" -> Seq("warehouse"),
+    "s_web_page" -> Seq("web_page"),
+    "s_promotion" -> Seq("promotion"),
+    "s_catalog_page" -> Seq("catalog_page"),
+    "s_zip_to_gmt" -> Seq("customer_address"))
+
   /** The 7 denormalizing refresh views (TPCDSRefreshSchema ssv..iv):
     * ID-joins resolve the flat sources against the dimensions into
     * fact-shaped rows. `csv` is named `csv_v` (CSV is a Spark format
