@@ -47,8 +47,10 @@ object Bench {
     // iteration inflates that query AND leaves 34 tables of write/GC
     // pressure inside the measurement window for everything after it.
     if (queries.exists { case (n, _) =>
-        n.startsWith("tpcds_") || n == "refresh_pipeline_full" })
+        n.startsWith("tpcds_") || n.startsWith("refresh_pipeline") }) {
       sources.Tpcds.ensureRefresh(spark, sfDir)
+      sources.Tpcds.ensureRefreshDims(spark, sfDir)
+    }
     val results = Harness.runQueries(spark, sfDir, queries, iterations)
     results.filterNot(_.ok).foreach(r =>
       System.err.println(s"[bench] ${r.name} failed: ${r.errorOpt.get}"))
@@ -63,7 +65,9 @@ object Bench {
         Scratch.sweep(spark)
         val fc = operators.BenchExtras.fileCountTiers(spark)
         Scratch.sweep(spark)
-        mm ++ fc
+        val ir = operators.BenchExtras.incrementalRounds(spark)
+        Scratch.sweep(spark)
+        mm ++ fc ++ ir
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] extras failed: ${e.getMessage}")

@@ -63,10 +63,14 @@ object BenchExtras {
   }
 
   /** Per-tier (metric, seconds): manifest COUNT, range-read planning,
-    * and the pruned read's execution, at 100 / 1k / 10k files. */
+    * and the pruned read's execution, at 100 / 1k / 10k / 100k files
+    * (the reference sweeps 1k→200k, FileCountBenchmark.scala:172-178).
+    * Planning is manifest-only ([[graft.sources.ManifestFileIndex]]:
+    * zero filesystem listing), so fc_plan must stay ~flat while the
+    * file count grows 1000×. */
   def fileCountTiers(spark: SparkSession): Seq[(String, Double)] = {
     val rows = 200000L
-    Seq(100, 1000, 10000).flatMap { nFiles =>
+    Seq(100, 1000, 10000, 100000).flatMap { nFiles =>
       // disjoint per-file key ranges (sorted range layout) so the range
       // probe's manifest pruning has real work to skip
       val df = Ingest.synthetic(spark, rows, numSplits = 8)
@@ -79,9 +83,49 @@ object BenchExtras {
       val (pruned, planSec) = time(t.readRange("key", 0.0, rows / 100.0))
       val (_, execSec) = time(
         pruned.filter(col("key") <= rows / 100).count())
+      graft.Scratch.sweep(spark)
       Seq(s"fc_manifest_$nFiles" -> sec(manifestSec),
         s"fc_plan_$nFiles" -> sec(planSec),
         s"fc_read_$nFiles" -> sec(execSec))
     }
+  }
+
+  /** 10-round incremental MERGE protocol (the reference's refresh loop,
+    * IncrementalTPCDSBenchmark.scala:161-204: load → query → 10 merge
+    * rounds of ~3% updates + ~1.5% inserts on distinct key slices →
+    * query → compact → query). ir_merge_N tracks the CoW rewrite cost
+    * as versions accumulate; the three ir_query_* probes measure scan
+    * cost before the rounds, on the 10-version table, and after
+    * compaction folds it back to a clean layout. */
+  def incrementalRounds(spark: SparkSession): Seq[(String, Double)] = {
+    val rows = 200000L
+    val base = Ingest.synthetic(spark, rows, numSplits = 8)
+    val t = new SnapshotTable(spark, graft.Scratch.dir("ir_base"))
+      .create(base, partitionBy = Some("partition"))
+    def probe(): Unit = {
+      t.read().groupBy("partition")
+        .agg(sum(col("value")), count(lit(1))).collect()
+      ()
+    }
+    val (_, preSec) = time(probe())
+    val merges = (1 to 10).map { i =>
+      // distinct per-round slices, like the reference's precomputed
+      // per-round refresh deltas (refreshTablePaths(i-1))
+      val src = base.filter(col("key") % 33 === (i % 33))
+        .withColumn("value", col("value") + i.toDouble)
+        .unionByName(base.filter(col("key") % 66 === (i % 66))
+          .withColumn("key", col("key") + rows * i))
+      val (_, mSec) = time {
+        t.merge(src, keys = Seq("key", "partition"),
+          partitionBy = Some("partition"))
+      }
+      s"ir_merge_$i" -> sec(mSec)
+    }
+    val (_, midSec) = time(probe())
+    val (_, cSec) = time(t.compact(numFiles = 8, partitionBy = Some("partition")))
+    val (_, postSec) = time(probe())
+    Seq("ir_query_pre" -> sec(preSec)) ++ merges ++ Seq(
+      "ir_query_mid" -> sec(midSec), "ir_compact" -> sec(cSec),
+      "ir_query_post" -> sec(postSec))
   }
 }

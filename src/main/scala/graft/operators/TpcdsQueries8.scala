@@ -231,23 +231,23 @@ WHERE ws_web_page_sk = wp_web_page_sk
         AND cd1.cd_marital_status = cd2.cd_marital_status
         AND cd1.cd_education_status = '2 yr Degree'
         AND cd1.cd_education_status = cd2.cd_education_status
-        AND ws_sales_price BETWEEN 1000.00 AND 1200.00)
+        AND ws_sales_price BETWEEN 50.00 AND 2000.00)
        OR (cd1.cd_marital_status = 'D'
            AND cd1.cd_marital_status = cd2.cd_marital_status
            AND cd1.cd_education_status = 'Advanced Degree'
            AND cd1.cd_education_status = cd2.cd_education_status
-           AND ws_sales_price BETWEEN 1200.00 AND 1500.00)
+           AND ws_sales_price BETWEEN 100.00 AND 5000.00)
        OR (cd1.cd_marital_status = 'W'
            AND cd1.cd_marital_status = cd2.cd_marital_status
            AND cd1.cd_education_status = '4 yr Degree'
            AND cd1.cd_education_status = cd2.cd_education_status
-           AND ws_sales_price BETWEEN 1500.00 AND 2000.00))
-  AND ((ca_country = 'United States' AND ca_state IN ('OK', 'TX', 'MO')
-        AND ws_net_profit BETWEEN 100 AND 5000)
-       OR (ca_country = 'United States' AND ca_state IN ('GA', 'KS', 'NC')
-           AND ws_net_profit BETWEEN 1000 AND 8000)
-       OR (ca_country = 'United States' AND ca_state IN ('VA', 'MI', 'MN')
-           AND ws_net_profit BETWEEN 500 AND 20000))
+           AND ws_sales_price BETWEEN 150.00 AND 30000.00))
+  AND ((ca_country = 'United States' AND ca_state IN ('OK', 'TX', 'MO', 'CA')
+        AND ws_net_profit BETWEEN 0 AND 10000)
+       OR (ca_country = 'United States' AND ca_state IN ('GA', 'KS', 'NC', 'NY')
+           AND ws_net_profit BETWEEN 50 AND 20000)
+       OR (ca_country = 'United States' AND ca_state IN ('VA', 'MI', 'MN', 'OH')
+           AND ws_net_profit BETWEEN 100 AND 40000))
 GROUP BY r_reason_desc
 ORDER BY reason_desc ASC NULLS FIRST, avg_qty ASC NULLS FIRST,
          avg_refunded ASC NULLS FIRST, avg_fee ASC NULLS FIRST

@@ -121,12 +121,30 @@ class SnapshotTable(spark: SparkSession, root: String) {
   def read(version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion else version
     val deltas = deltaEntries(v)
-    if (deltas.isEmpty) readPaths(fileEntries(v).map(_.path))
+    if (deltas.isEmpty) readEntries(fileEntries(v))
     else resolveMerged(fileEntries(v), deltas, mergeKeysOf(v))
   }
 
-  private def readPaths(paths: Seq[String]): DataFrame =
-    spark.read.parquet(paths: _*).drop(PartCol)
+  /** Manifest-planned scan: file list, sizes and splits come straight
+    * from the log via [[ManifestFileIndex]] — zero filesystem listing.
+    * The data schema is resolved once per distinct first-file (one
+    * footer read, process-cached); sound because a snapshot table's
+    * data files share one schema (commits rewrite or append
+    * same-schema rows; layout may evolve, the schema does not). */
+  private def readEntries(entries: Seq[FileEntry]): DataFrame = {
+    require(entries.nonEmpty, s"no data files to read at $root")
+    val schema = schemaCache.computeIfAbsent(entries.head.path,
+      p => spark.read.parquet(p).schema)
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new ManifestFileIndex(spark, rootPath, entries),
+      partitionSchema = new org.apache.spark.sql.types.StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation).drop(PartCol)
+  }
 
   /** MoR read resolution: per merge key keep the newest delta row
     * (origin-commit descending), drop matched base rows, union. One
@@ -136,14 +154,14 @@ class SnapshotTable(spark: SparkSession, root: String) {
     require(keys.nonEmpty, s"MoR table at $root has deltas but no merge keys")
     val byGen = deltas.groupBy(_.origin).toSeq.sortBy(_._1)
     val deltaDf = byGen.map { case (gen, es) =>
-      readPaths(es.map(_.path)).withColumn(GenCol, lit(gen))
+      readEntries(es).withColumn(GenCol, lit(gen))
     }.reduce(_ unionByName _)
     val newest = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(GenCol).desc)
     val latest = deltaDf
       .withColumn(RnCol, row_number().over(newest))
       .filter(col(RnCol) === 1).drop(RnCol, GenCol)
-    val baseDf = readPaths(base.map(_.path))
+    val baseDf = readEntries(base)
     baseDf.join(latest.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(latest)
   }
@@ -174,7 +192,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     require(entries.nonEmpty,
       s"version $version of $root carries no change files " +
         "(commit with trackChanges = true)")
-    readPaths(entries.map(_.path))
+    readEntries(entries)
   }
 
   /** Blind append commit: new files join the current file set; existing
@@ -208,9 +226,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
       s"readWhereCol on $root requires compacted state (pending MoR deltas)")
     val (pruned, residual) = planFiles(colName, value)
     val parts = Seq(
-      if (pruned.nonEmpty) Some(readPaths(pruned.map(_.path))) else None,
+      if (pruned.nonEmpty) Some(readEntries(pruned)) else None,
       if (residual.nonEmpty)
-        Some(readPaths(residual.map(_.path)).filter(col(colName) === value))
+        Some(readEntries(residual).filter(col(colName) === value))
       else None).flatten
     require(parts.nonEmpty, s"no files for $colName = $value")
     parts.reduce(_ unionByName _)
@@ -250,7 +268,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     if (picked.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read().schema)
-    else readPaths(picked.map(_.path))
+    else readEntries(picked)
   }
 
   /** Manifest-pruned read of one partition value: file selection is pure
@@ -263,7 +281,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val base = fileEntries(v).filter(_.partValue == partValue)
     val deltas = deltaEntries(v).filter(_.partValue == partValue)
     require(base.nonEmpty || deltas.nonEmpty, s"no files for partition $partValue")
-    if (deltas.isEmpty) readPaths(base.map(_.path))
+    if (deltas.isEmpty) readEntries(base)
     else resolveMerged(base, deltas, mergeKeysOf(v))
   }
 
@@ -401,7 +419,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val base =
       if (touched.isEmpty && touchedDeltas.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
-      else if (touchedDeltas.isEmpty) readPaths(touched.map(_.path))
+      else if (touchedDeltas.isEmpty) readEntries(touched)
       else resolveMerged(touched, touchedDeltas, mergeKeysOf(v))
     (base, carryOver)
   }
@@ -612,6 +630,12 @@ object SnapshotTable {
     * storage twice. */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
+
+  /** Process-wide data-schema cache keyed by a representative file path
+    * (one footer read per distinct table generation). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
 
   private val mapper = new ObjectMapper()
 
