@@ -57,17 +57,24 @@ object Bench {
     // protocol sweeps (merge-micro CoW/MoR crossover, file-count planning
     // tiers) run once after the query loop; a failing sweep must not kill
     // the round's report
-    val runExtras = only.isEmpty || sys.env.contains("SPARK_GRAFT_EXTRAS")
+    // SPARK_GRAFT_EXTRAS may name a subset (mm,fc,ir,irp) for the dev
+    // loop; unset with a full run, or set empty, means all sweeps.
+    val extrasSel = sys.env.get("SPARK_GRAFT_EXTRAS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val runExtras = only.isEmpty || extrasSel.isDefined
+    def want(tag: String) = extrasSel.forall(s => s.isEmpty || s(tag))
     val extras =
       if (!runExtras) Seq.empty // dev-loop subset: skip the sweeps
       else try {
-        val mm = operators.BenchExtras.mergeMicroSweep(spark)
-        Scratch.sweep(spark)
-        val fc = operators.BenchExtras.fileCountTiers(spark)
-        Scratch.sweep(spark)
-        val ir = operators.BenchExtras.incrementalRounds(spark)
-        Scratch.sweep(spark)
-        mm ++ fc ++ ir
+        Seq(
+          "mm" -> (() => operators.BenchExtras.mergeMicroSweep(spark)),
+          "fc" -> (() => operators.BenchExtras.fileCountTiers(spark)),
+          "ir" -> (() => operators.BenchExtras.incrementalRounds(spark)),
+          "irp" -> (() => operators.BenchExtras.refreshProtocol(spark, sfDir))
+        ).flatMap { case (tag, sweep) =>
+          if (!want(tag)) Seq.empty
+          else { val r = sweep(); Scratch.sweep(spark); r }
+        }
       } catch {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] extras failed: ${e.getMessage}")

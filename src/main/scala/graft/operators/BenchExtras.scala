@@ -128,4 +128,67 @@ object BenchExtras {
       "ir_query_mid" -> sec(midSec), "ir_compact" -> sec(cSec),
       "ir_query_post" -> sec(postSec))
   }
+
+  /** Incremental refresh protocol at corpus fidelity
+    * (IncrementalTPCDSBenchmark.scala:119, 161-204): `store_sales` is
+    * loaded into a copy-on-write snapshot table partitioned by a
+    * 16-bucket hash of the sold-date key; each of 10 rounds MERGEs a
+    * date-localized delta (~3% updates on existing tickets + ~1.5%
+    * inserts under fresh ticket numbers, confined to one date bucket so
+    * the CoW rewrite is partition-pruned to 1/16 of the table), then
+    * re-points the `store_sales` view at the table and runs the
+    * protocol's own query set {q3, q9, q34, q42, q59}; a final
+    * compaction folds the 10 versions back to a clean layout.
+    *
+    * irp_merge_N vs N shows merge cost as versions accumulate;
+    * irp_query_N vs irp_query_0 shows read-path stability (CoW reads
+    * stay manifest-planned and clean regardless of version count).
+    */
+  def refreshProtocol(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    graft.sources.Tpcds.ensure(spark, sfDir)
+    val partCol = "ss_part"
+    val staged = spark.table("store_sales")
+    val base = staged.withColumn(partCol,
+      pmod(coalesce(col("ss_sold_date_sk"), lit(0L)), lit(16)))
+    val t = new SnapshotTable(spark, graft.Scratch.dir("irp_store_sales"))
+      .create(base, partitionBy = Some(partCol))
+    val protocolQueries = Seq(
+      "q3" -> TpcdsQueries2.q3Body, "q9" -> TpcdsQueries.q9Body,
+      "q34" -> TpcdsQueries2.q34Body, "q42" -> TpcdsQueries2.q42Body,
+      "q59" -> TpcdsQueries2.q59Body)
+    def repoint(): Unit =
+      t.read().drop(partCol).createOrReplaceTempView("store_sales")
+    def queryBlock(): Unit =
+      protocolQueries.foreach { case (_, sql) => spark.sql(sql).collect(); () }
+    val maxTicket = staged.agg(max(col("ss_ticket_number"))).collect()(0).getLong(0)
+    try {
+      repoint()
+      val (_, q0) = time(queryBlock())
+      val rounds = (1 to 10).flatMap { i =>
+        // the round's delta lives in one date bucket — updates touch
+        // existing tickets there, inserts arrive under fresh tickets
+        val slice = base.filter(col(partCol) === (i % 16))
+        val delta = slice.filter(col("ss_ticket_number") % 2 === 0)
+          .withColumn("ss_quantity", col("ss_quantity") + 1)
+          .unionByName(slice.filter(col("ss_ticket_number") % 4 === 1)
+            .withColumn("ss_ticket_number",
+              col("ss_ticket_number") + maxTicket * i))
+        val (_, mSec) = time {
+          t.merge(delta, keys = Seq("ss_item_sk", "ss_ticket_number", partCol),
+            partitionBy = Some(partCol))
+        }
+        repoint()
+        val (_, qSec) = time(queryBlock())
+        Seq(s"irp_merge_$i" -> sec(mSec), s"irp_query_$i" -> sec(qSec))
+      }
+      val (_, cSec) = time(t.compact(numFiles = 16, partitionBy = Some(partCol)))
+      repoint()
+      val (_, qPost) = time(queryBlock())
+      Seq("irp_query_0" -> sec(q0)) ++ rounds ++ Seq(
+        "irp_compact" -> sec(cSec), "irp_query_post" -> sec(qPost))
+    } finally {
+      // hand the staged store_sales view back to whatever runs next
+      graft.sources.Tpcds.ensure(spark, sfDir)
+    }
+  }
 }

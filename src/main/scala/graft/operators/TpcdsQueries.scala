@@ -262,9 +262,10 @@ ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST, sales ASC NULLS FIRST,
          returns_amt ASC NULLS FIRST, profit ASC NULLS FIRST
 LIMIT 100""")
 
-  private val q9 = tq("tpcds_q9",
-    Seq("store_sales", "reason"),
-    """SELECT
+  /** Body shared with the incremental-refresh protocol sweep
+    * ([[BenchExtras.refreshProtocol]]), which re-points `store_sales`
+    * at a snapshot table between MERGE rounds. */
+  private[operators] val q9Body = """SELECT
   CASE WHEN (SELECT COUNT(*) FROM store_sales WHERE ss_quantity BETWEEN 1 AND 10) > 6000
        THEN (SELECT CAST(SUM(ss_ext_discount_amt) AS DOUBLE) / COUNT(*)
              FROM store_sales WHERE ss_quantity BETWEEN 1 AND 10)
@@ -290,7 +291,9 @@ LIMIT 100""")
              FROM store_sales WHERE ss_quantity BETWEEN 41 AND 50)
        ELSE (SELECT CAST(SUM(ss_net_paid) AS DOUBLE) / COUNT(*)
              FROM store_sales WHERE ss_quantity BETWEEN 41 AND 50) END bucket5
-FROM reason WHERE r_reason_sk = 1""")
+FROM reason WHERE r_reason_sk = 1"""
+
+  private val q9 = tq("tpcds_q9", Seq("store_sales", "reason"), q9Body)
 
   private val q14a = tq("tpcds_q14a",
     Seq("item", "store_sales", "catalog_sales", "web_sales", "date_dim"),

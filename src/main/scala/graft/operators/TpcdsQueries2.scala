@@ -84,9 +84,10 @@ FROM (SELECT wswscs.d_week_seq d_week_seq1, sun_sales sun_sales1,
 WHERE d_week_seq1 = d_week_seq2 - 53
 ORDER BY d_week_seq1 ASC NULLS FIRST""")
 
-  private val q3 = tq("tpcds_q3",
-    Seq("date_dim", "store_sales", "item"),
-    """SELECT dt.d_year, item.i_brand_id brand_id, item.i_brand brand,
+  /** q3/q34/q42/q59 bodies are shared with the incremental-refresh
+    * protocol sweep ([[BenchExtras.refreshProtocol]]), which re-points
+    * `store_sales` at a snapshot table between MERGE rounds. */
+  private[operators] val q3Body = """SELECT dt.d_year, item.i_brand_id brand_id, item.i_brand brand,
        CAST(SUM(ss_sales_price) AS DOUBLE) sum_agg
 FROM date_dim dt, store_sales, item
 WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
@@ -96,7 +97,10 @@ WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
 GROUP BY dt.d_year, item.i_brand, item.i_brand_id
 ORDER BY dt.d_year ASC NULLS FIRST, sum_agg DESC NULLS LAST,
          brand_id ASC NULLS FIRST, brand ASC NULLS FIRST
-LIMIT 100""")
+LIMIT 100"""
+
+  private val q3 = tq("tpcds_q3",
+    Seq("date_dim", "store_sales", "item"), q3Body)
 
   private val q6 = tq("tpcds_q6",
     Seq("customer_address", "customer", "store_sales", "date_dim", "item"),
@@ -181,9 +185,7 @@ WHERE d_date BETWEEN DATE '2000-02-01' AND DATE '2000-02-01' + 60
   AND NOT EXISTS (SELECT * FROM catalog_returns cr1
                   WHERE cs1.cs_order_number = cr1.cr_order_number)""")
 
-  private val q34 = tq("tpcds_q34",
-    Seq("store_sales", "date_dim", "store", "household_demographics", "customer"),
-    """SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+  private[operators] val q34Body = """SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
        ss_ticket_number, cnt
 FROM (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) cnt
       FROM store_sales, date_dim, store, household_demographics
@@ -205,11 +207,13 @@ FROM (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) cnt
 WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 2 AND 4
 ORDER BY c_last_name ASC NULLS FIRST, c_first_name ASC NULLS FIRST,
          c_salutation ASC NULLS FIRST, c_preferred_cust_flag DESC NULLS LAST,
-         ss_ticket_number ASC NULLS FIRST""")
+         ss_ticket_number ASC NULLS FIRST"""
 
-  private val q42 = tq("tpcds_q42",
-    Seq("date_dim", "store_sales", "item"),
-    """SELECT dt.d_year, item.i_category_id, item.i_category,
+  private val q34 = tq("tpcds_q34",
+    Seq("store_sales", "date_dim", "store", "household_demographics",
+      "customer"), q34Body)
+
+  private[operators] val q42Body = """SELECT dt.d_year, item.i_category_id, item.i_category,
        CAST(SUM(ss_ext_sales_price) AS DOUBLE) sum_sales
 FROM date_dim dt, store_sales, item
 WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
@@ -219,11 +223,12 @@ WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
 GROUP BY dt.d_year, item.i_category_id, item.i_category
 ORDER BY sum_sales DESC NULLS LAST, dt.d_year ASC NULLS FIRST,
          item.i_category_id ASC NULLS FIRST, item.i_category ASC NULLS FIRST
-LIMIT 100""")
+LIMIT 100"""
 
-  private val q59 = tq("tpcds_q59",
-    Seq("store_sales", "date_dim", "store"),
-    """WITH wss AS (
+  private val q42 = tq("tpcds_q42",
+    Seq("date_dim", "store_sales", "item"), q42Body)
+
+  private[operators] val q59Body = """WITH wss AS (
  SELECT d_week_seq, ss_store_sk,
         SUM(CASE WHEN d_day_name = 'Sunday' THEN ss_sales_price ELSE NULL END) sun_sales,
         SUM(CASE WHEN d_day_name = 'Monday' THEN ss_sales_price ELSE NULL END) mon_sales,
@@ -262,7 +267,10 @@ ORDER BY s_store_name1 ASC NULLS FIRST, s_store_id1 ASC NULLS FIRST,
          d_week_seq1 ASC NULLS FIRST, r_sun ASC NULLS FIRST,
          r_mon ASC NULLS FIRST, r_tue ASC NULLS FIRST, r_wed ASC NULLS FIRST,
          r_thu ASC NULLS FIRST, r_fri ASC NULLS FIRST, r_sat ASC NULLS FIRST
-LIMIT 100""")
+LIMIT 100"""
+
+  private val q59 = tq("tpcds_q59",
+    Seq("store_sales", "date_dim", "store"), q59Body)
 
   private val q95 = tq("tpcds_q95",
     Seq("web_sales", "date_dim", "customer_address", "web_site", "web_returns"),
