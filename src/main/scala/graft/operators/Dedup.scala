@@ -253,7 +253,7 @@ object Dedup {
   private val ccEdgeRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def ccBuild(s: SparkSession, d: String): DataFrame = {
+  private[operators] def ccBuild(s: SparkSession, d: String): DataFrame = {
     val stage = ccEdgeRoots.computeIfAbsent(d, _ => {
       val dir = tmp("cc_edges")
       val cand = minhashPairs(s, d).select("doc_a", "doc_b")
@@ -302,12 +302,14 @@ object Dedup {
     labels
   }
 
-  private val ccOracle: String = {
+  /** CTE chain through `reach` (the transitive-closure relation), shared
+    * with [[MlPipeline]]'s keep-best resolution so both oracles compute
+    * clusters from the identical SQL. */
+  private[operators] val ccPrelude: String = {
     val mins = (0 until MinhashPerms)
       .map(p => s"MIN((h * ${hashA(p)} + ${hashB(p)}) % $M)")
       .mkString("[", ",\n               ", "]")
-    s"""
-      WITH RECURSIVE sh AS ($duckShingleRows),
+    s"""WITH RECURSIVE sh AS ($duckShingleRows),
       h AS (SELECT doc_id, $duckH AS h FROM sh),
       sig AS (SELECT doc_id, $mins AS sig FROM h GROUP BY doc_id),
       cand AS (
@@ -323,11 +325,14 @@ object Dedup {
       reach AS (
         SELECT src AS id, src AS lbl FROM edges
         UNION
-        SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
+        SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)"""
+  }
+
+  private val ccOracle: String = s"""
+      $ccPrelude
       SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id
       ORDER BY doc_id
     """
-  }
 
   // SimHash near-dup pairs: 64 bit-planes stored as 4 × 16-bit chunk
   // values (portable: DuckDB BIGINT cannot shift into bit 63), blocked
