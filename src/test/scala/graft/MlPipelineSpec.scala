@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the ML-pipeline composites beyond the oracle hash:
+  * the clustering partitions the corpus, the dedup resolution emits a
+  * consistent survivor roster, and decontamination tallies conserve the
+  * corpus. (Value-level correctness is the DuckDB differential gate.) */
+class MlPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("embedding_kmeans partitions the corpus across the 8 seeds") {
+    val rows = run("embedding_kmeans").collect()
+    val total = Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet))
+    // every cluster's first member is a real member count lower bound
+    assert(rows.forall(r => r.getLong(1) >= 1L && r.getLong(2) >= 0L))
+  }
+
+  test("text_unigram_logprob scores every document with negative log-prob") {
+    val rows = run("text_unigram_logprob").collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.length == nDocs)
+    assert(rows.forall(_.getDouble(2) < 0.0)) // p(w) < 1 for all tokens
+    assert(rows.forall(_.getLong(1) > 0L))
+  }
+
+  test("dedup_keep_best emits one survivor per cluster, doc_ids unique") {
+    val roster = run("dedup_keep_best").collect()
+    val ids = roster.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+    val clusters = roster.map(_.getLong(1))
+    assert(clusters.distinct.length == clusters.length)
+    // roster size = corpus - clustered + clusters (one kept per cluster)
+    val cc = run("dedup_cluster_cc").collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    val nClusters = cc.map(_.getLong(1)).distinct.length
+    assert(roster.length == nDocs - cc.length + nClusters)
+    // multi-member rows only for real clusters
+    assert(roster.filter(_.getLong(2) > 1L).map(_.getLong(1)).toSet
+      .subsetOf(cc.map(_.getLong(1)).toSet))
+  }
+
+  test("doc_decontaminate tallies conserve the corpus minus the eval set") {
+    val rows = run("doc_decontaminate").collect()
+    val corpus = Tables.load(spark, sf, "documents")
+      .filter("doc_id >= 5").count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == corpus)
+    assert(rows.forall(r => r.getLong(1) >= 0L && r.getLong(2) >= 0L))
+  }
+}
