@@ -60,6 +60,15 @@ object Lakehouse {
     staged(s, d, "lineitem_parted")(r => new SnapshotTable(s, r)
       .create(Tables.load(s, d, "lineitem"), partitionBy = Some("l_returnflag")))
 
+  /** lineitem range-clustered on l_orderkey (8 files with disjoint key
+    * spans) — the predicate-DML target: deleteWhere/updateWhere rewrite
+    * only the files whose footer [min,max] intersects the predicate. */
+  private def stagedLineitemRange(s: SparkSession, d: String): SnapshotTable =
+    staged(s, d, "lineitem_range")(r => new SnapshotTable(s, r)
+      .create(Tables.load(s, d, "lineitem")
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")))
+
   // MERGE INTO … UPDATE SET * / INSERT * (reference:
   // IncrementalTPCDSBenchmark.scala:276-281), partition-pruned CoW on
   // o_orderstatus. Keys = (o_orderkey, o_orderstatus) = PK ∪ partition
@@ -741,10 +750,91 @@ object Lakehouse {
         .orderBy("zval", "o_orderkey").limit(100)
     })
 
+  // DELETE FROM … WHERE (Delta predicate delete) with data skipping:
+  // on the range-clustered layout only files intersecting the key range
+  // are rewritten; the rest carry over by reference (DmlSpec asserts the
+  // carry-over). NULL-keyed rows never match and are kept.
+  private val deleteWhereQ = OpQuery(
+    "delete_where",
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE NOT (l_orderkey BETWEEN 100 AND 700)
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """),
+    (s, d) => {
+      val t = stagedLineitemRange(s, d).shallowCloneTo(tmp("delw"))
+        .deleteWhere("l_orderkey", 100, 700)
+      t.read().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    })
+
+  // UPDATE … SET … WHERE (Delta predicate update), same skipping story;
+  // every SET expression evaluates against the OLD row in one projection.
+  private val updateWhereQ = OpQuery(
+    "update_where",
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(CASE WHEN l_orderkey BETWEEN 100 AND 700
+                                THEN l_quantity + 0.5 ELSE l_quantity END
+                       AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """),
+    (s, d) => {
+      val t = stagedLineitemRange(s, d).shallowCloneTo(tmp("updw"))
+        .updateWhere("l_orderkey", 100, 700,
+          Map("l_quantity" -> (col("l_quantity") + 0.5)))
+      t.read().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    })
+
+  // MERGE with schema evolution (Delta autoMerge on MERGE): the source
+  // brings a new o_channel column and touches ONE partition — that
+  // partition is rewritten in the widened schema, the others carry over
+  // untouched and null-fill o_channel at scan time (metadata-only
+  // evolution: no full-table rewrite).
+  private val mergeEvolve = OpQuery(
+    "merge_schema_evolution",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice,
+               o_orderdate, o_orderpriority, 'WEB' AS o_channel
+        FROM orders WHERE o_orderkey % 10 = 0 AND o_orderstatus = 'F'),
+      merged AS (
+        SELECT t.*, CAST(NULL AS VARCHAR) AS o_channel FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT * FROM src)
+      SELECT COUNT(*) AS n_rows, COUNT(o_channel) AS n_evolved,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM merged
+    """),
+    (s, d) => {
+      val src = Tables.load(s, d, "orders")
+        .filter(col("o_orderkey") % 10 === 0 && col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_channel", lit("WEB"))
+      val t = stagedOrders(s, d).shallowCloneTo(tmp("mevo"))
+        .merge(src, keys = Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = Some("o_orderstatus"), evolveSchema = true)
+      t.read().agg(count(lit(1)).as("n_rows"),
+        count(col("o_channel")).as("n_evolved"),
+        graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice")))).as("sum_price"))
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
     mergeDelete, timeTravel, csvMalformed, schemaEvolution, incrementalAgg,
     tableClone, mergeMorRead, vacuumRetention, zorderLayout, orcRoundtrip,
-    jsonIngest)
+    jsonIngest, deleteWhereQ, updateWhereQ, mergeEvolve)
 }

@@ -127,14 +127,25 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   /** Manifest-planned scan: file list, sizes and splits come straight
     * from the log via [[ManifestFileIndex]] — zero filesystem listing.
-    * The data schema is resolved once per distinct first-file (one
-    * footer read, process-cached); sound because a snapshot table's
-    * data files share one schema (commits rewrite or append
-    * same-schema rows; layout may evolve, the schema does not). */
+    * The data schema is the UNION over the distinct writing commits in
+    * the entry list (one cached footer read per origin — O(commits),
+    * never O(files)): a schema-evolving MERGE widens only the files it
+    * rewrites, and carried-over older files null-fill the added columns
+    * at scan time (Delta-style metadata-only evolution, no full
+    * rewrite). Field order is oldest-origin-first, so added columns
+    * append in evolution order. */
   private def readEntries(entries: Seq[FileEntry]): DataFrame = {
     require(entries.nonEmpty, s"no data files to read at $root")
-    val schema = schemaCache.computeIfAbsent(entries.head.path,
-      p => spark.read.parquet(p).schema)
+    val schema = entries.groupBy(_.origin).toSeq.sortBy(_._1)
+      .map { case (_, es) =>
+        schemaCache.computeIfAbsent(es.head.path,
+          p => spark.read.parquet(p).schema)
+      }
+      .reduceLeft { (a, b) =>
+        val known = a.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          a.fields ++ b.fields.filterNot(f => known.contains(f.name)))
+      }
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       new ManifestFileIndex(spark, rootPath, entries),
       partitionSchema = new org.apache.spark.sql.types.StructType(),
@@ -307,12 +318,21 @@ class SnapshotTable(spark: SparkSession, root: String) {
   /** Copy-on-write MERGE (UPDATE SET * / WHEN NOT MATCHED INSERT *):
     * result = target rows with no key match in source + all source rows.
     * Source must be unique on `keys`. Pending MoR deltas are folded in
-    * (the rewrite base is the resolved view of touched partitions). */
+    * (the rewrite base is the resolved view of touched partitions).
+    *
+    * `evolveSchema` (Delta `mergeSchema` on MERGE): source columns
+    * absent from the target are appended; only touched files are
+    * rewritten in the widened schema — untouched files carry over as-is
+    * and null-fill the new columns at scan time ([[readEntries]]). */
   def merge(source: DataFrame, keys: Seq[String], partitionBy: Option[String] = None,
-      trackChanges: Boolean = false): SnapshotTable = {
+      trackChanges: Boolean = false, evolveSchema: Boolean = false): SnapshotTable = {
     val v = currentVersion
     val (base, carryOver) = prunedBase(source, keys, partitionBy, source.schema)
-    val rewritten = base.join(source, keys, "left_anti").unionByName(source)
+    val rewritten =
+      if (evolveSchema)
+        base.join(source, keys, "left_anti")
+          .unionByName(source, allowMissingColumns = true)
+      else base.join(source, keys, "left_anti").unionByName(source)
     val written = writeData(rewritten, v + 1, partitionBy)
     // Change-data-feed capture (Delta CDF analog, cdc files written with
     // the commit): classify source rows against the touched base — keyed
@@ -353,6 +373,75 @@ class SnapshotTable(spark: SparkSession, root: String) {
         base.join(srcKeys, keys, "left_semi").withColumn(ChangeCol, lit("delete")),
         v + 1)
     writeManifest(Manifest(v + 1, "MERGE_DELETE", Seq.empty,
+      written ++ carryOver, Seq.empty, cdc))
+    this
+  }
+
+  /** Copy-on-write DELETE WHERE `colName BETWEEN lo AND hi` (Delta
+    * `DELETE FROM … WHERE` with data-skipping): only files whose footer
+    * [min,max] for `colName` intersects the range are rewritten —
+    * everything else carries over by reference, so on a range-clustered
+    * layout the rewrite touches O(matching files), not the table. Rows
+    * with NULL in `colName` never match and are kept (SQL semantics). */
+  def deleteWhere(colName: String, lo: Double, hi: Double,
+      partitionBy: Option[String] = None,
+      trackChanges: Boolean = false): SnapshotTable = {
+    val v = currentVersion
+    require(deltaEntries(v).isEmpty,
+      s"deleteWhere on $root requires compacted state (pending MoR deltas)")
+    val (touched, carryOver) =
+      fileEntries(v).partition(e => e.stats.get(colName) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no stats: must assume matches (soundness)
+      })
+    val matches = (col(colName) >= lo && col(colName) <= hi) <=> true
+    val written =
+      if (touched.isEmpty) Seq.empty
+      else writeData(readEntries(touched).filter(!matches), v + 1, partitionBy)
+    val cdc =
+      if (!trackChanges || touched.isEmpty) Seq.empty
+      else writeChanges(readEntries(touched).filter(matches)
+        .withColumn(ChangeCol, lit("delete")), v + 1)
+    writeManifest(Manifest(v + 1, "DELETE", Seq.empty,
+      written ++ carryOver, Seq.empty, cdc))
+    this
+  }
+
+  /** Copy-on-write UPDATE … SET `set` WHERE `colName BETWEEN lo AND hi`
+    * (Delta `UPDATE` with data-skipping): file pruning as in
+    * [[deleteWhere]]. All SET expressions evaluate against the OLD row
+    * (single projection, standard UPDATE semantics — `SET a = b, b = a`
+    * swaps). The partition column cannot be assigned (rows never move
+    * between partitions, which keeps the carry-over sound). */
+  def updateWhere(colName: String, lo: Double, hi: Double,
+      set: Map[String, org.apache.spark.sql.Column],
+      partitionBy: Option[String] = None,
+      trackChanges: Boolean = false): SnapshotTable = {
+    val v = currentVersion
+    require(deltaEntries(v).isEmpty,
+      s"updateWhere on $root requires compacted state (pending MoR deltas)")
+    require(!partitionBy.exists(set.contains),
+      s"UPDATE on $root must not assign the partition column")
+    val (touched, carryOver) =
+      fileEntries(v).partition(e => e.stats.get(colName) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      })
+    val matches = (col(colName) >= lo && col(colName) <= hi) <=> true
+    def applied(df: DataFrame): DataFrame = df.select(df.columns.map { c =>
+      set.get(c) match {
+        case Some(e) => when(matches, e).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val written =
+      if (touched.isEmpty) Seq.empty
+      else writeData(applied(readEntries(touched)), v + 1, partitionBy)
+    val cdc =
+      if (!trackChanges || touched.isEmpty) Seq.empty
+      else writeChanges(applied(readEntries(touched)).filter(matches)
+        .withColumn(ChangeCol, lit("update_postimage")), v + 1)
+    writeManifest(Manifest(v + 1, "UPDATE", Seq.empty,
       written ++ carryOver, Seq.empty, cdc))
     this
   }
