@@ -502,6 +502,84 @@ object Lakehouse {
       snap(0).unionByName(snap(1)).orderBy("version")
     })
 
+  // TIMESTAMP AS OF time travel: the same clone→merge lifecycle read
+  // back through readAsOf(commit instant) instead of version numbers —
+  // resolution is pure manifest metadata (monotonic commit timestamps).
+  private val timeTravelTs = OpQuery(
+    "time_travel_timestamp",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'O', o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0),
+      merged AS (
+        SELECT o_totalprice FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT o_totalprice FROM src)
+      SELECT 0 AS snap, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      UNION ALL
+      SELECT 1, COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM merged
+      ORDER BY snap
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val table = stagedOrders(s, d).shallowCloneTo(tmp("ttts"))
+        .merge(mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = Some("o_orderstatus"))
+      def snap(v: Int) = table.readAsOf(table.commitTimestamp(v))
+        .agg(count(lit(1)).as("n_rows"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+        .select(lit(v).as("snap"), col("n_rows"), col("sum_price"))
+      snap(0).unionByName(snap(1)).orderBy("snap")
+    })
+
+  // Optimistic concurrency: two writers MERGE disjoint partition slices
+  // (status F / status O) from racing threads — both commit (a lost
+  // manifest race retries metadata-only, ConcurrencySpec pins the
+  // interleavings deterministically); the final state is order-
+  // independent because the slices are disjoint.
+  private val concurrentMerge = OpQuery(
+    "concurrent_merge_disjoint",
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(CASE
+               WHEN o_orderkey % 10 = 0 AND o_orderstatus = 'F'
+                 THEN o_totalprice + 111.0
+               WHEN o_orderkey % 10 = 0 AND o_orderstatus = 'O'
+                 THEN o_totalprice + 222.0
+               ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+    """),
+    (s, d) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val o = Tables.load(s, d, "orders")
+      val t = stagedOrders(s, d).shallowCloneTo(tmp("occ"))
+      def src(status: String, bump: Double) =
+        o.filter(col("o_orderkey") % 10 === 0 && col("o_orderstatus") === status)
+          .withColumn("o_totalprice", col("o_totalprice") + bump)
+      val merges = Seq(("F", 111.0), ("O", 222.0)).map { case (st, b) =>
+        Future(t.mergeConcurrent(src(st, b),
+          keys = Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = "o_orderstatus"))
+      }
+      Await.result(Future.sequence(merges), Duration.Inf)
+      t.read().agg(count(lit(1)).as("n_rows"),
+        graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+          .as("sum_price"))
+    })
+
   // Malformed-row CSV ingest: PERMISSIVE parse with a corrupt-record
   // column — bad rows are captured, not dropped or fatal (the ingest
   // robustness a real pipeline needs; reference CSV loads assume clean
@@ -836,5 +914,6 @@ object Lakehouse {
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
     mergeDelete, timeTravel, csvMalformed, schemaEvolution, incrementalAgg,
     tableClone, mergeMorRead, vacuumRetention, zorderLayout, orcRoundtrip,
-    jsonIngest, deleteWhereQ, updateWhereQ, mergeEvolve)
+    jsonIngest, deleteWhereQ, updateWhereQ, mergeEvolve, timeTravelTs,
+    concurrentMerge)
 }

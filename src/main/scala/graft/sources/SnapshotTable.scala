@@ -100,10 +100,18 @@ class SnapshotTable(spark: SparkSession, root: String) {
     new Path(logDir, f"$version%05d.json")
 
   /** Parse (or fetch from the process-wide cache) one committed
-    * manifest. Manifests are write-once, so caching is sound. */
+    * manifest. Manifests are write-once, so caching is sound. The
+    * cache-miss read takes [[SnapshotTable.commitLock]]: the local
+    * filesystem exposes a created-but-not-yet-written manifest to
+    * listers, so an unlocked read racing a committer could parse a
+    * half-written file (all committers in this engine live in the one
+    * driver JVM — the same single-commit-point assumption Delta's
+    * LogStore makes per cluster). */
   private def manifestOf(version: Int): Manifest =
     manifestCache.computeIfAbsent(manifestPath(version).toString, p =>
-      parseManifest(readFileString(fs, new Path(p))))
+      commitLock.synchronized {
+        parseManifest(readFileString(fs, new Path(p)))
+      })
 
   private def fileEntries(version: Int): Seq[FileEntry] =
     manifestOf(version).files
@@ -180,6 +188,24 @@ class SnapshotTable(spark: SparkSession, root: String) {
   /** Manifest-planned file list (path, part_value, bytes, rows) at the
     * latest version — the metadata probes read this, not the filesystem. */
   def files: Seq[FileEntry] = fileEntries(currentVersion)
+
+  /** Wall-clock commit instant of `version` (monotonically increasing
+    * across versions — see [[writeManifest]]). 0 for manifests written
+    * before timestamps existed. */
+  def commitTimestamp(version: Int): Long = manifestOf(version).ts
+
+  /** TIMESTAMP AS OF resolution: the latest version committed at or
+    * before `ts` — pure manifest metadata, no data files touched. */
+  def versionAsOf(ts: Long): Int = {
+    val vs = versions.sorted.filter(commitTimestamp(_) <= ts)
+    require(vs.nonEmpty,
+      s"no commit at or before ts=$ts in $root " +
+        s"(earliest is ${commitTimestamp(versions.min)})")
+    vs.max
+  }
+
+  /** Time travel by timestamp (Delta `TIMESTAMP AS OF` analog). */
+  def readAsOf(ts: Long): DataFrame = read(versionAsOf(ts))
 
   /** RESTORE TABLE … VERSION AS OF analog (Delta RESTORE): a new commit
     * whose file list IS the target version's — metadata-only, zero data
@@ -351,6 +377,80 @@ class SnapshotTable(spark: SparkSession, root: String) {
       }
     writeManifest(Manifest(v + 1, "MERGE", Seq.empty, written ++ carryOver,
       Seq.empty, cdc))
+    this
+  }
+
+  /** Copy-on-write MERGE under optimistic concurrency (Delta OCC,
+    * partition-disjoint auto-resolution): N writers merging disjoint
+    * partition slices of the same table all commit. The data rewrite
+    * runs once against the snapshot version observed at entry; losing
+    * the write-once manifest race triggers a METADATA-ONLY retry — the
+    * attempt re-validates that every file of its touched partitions is
+    * unchanged since its rewrite base (so its new files are still
+    * correct), re-targets its carry-over list at the winner's manifest,
+    * and commits the next version. A winner that touched one of our
+    * partitions (or pending MoR deltas appearing) is a true conflict →
+    * ConcurrentModificationException, exactly Delta's behavior.
+    *
+    * Requires a partitioned table whose every file is laid out under
+    * `partitionBy` (mixed layouts can hide matching rows from the
+    * disjointness check). `beforeCommit` is a test seam to interleave a
+    * competing commit deterministically between rewrite and commit. */
+  def mergeConcurrent(source: DataFrame, keys: Seq[String], partitionBy: String,
+      maxAttempts: Int = 10,
+      beforeCommit: () => Unit = () => ()): SnapshotTable = {
+    require(keys.contains(partitionBy),
+      s"mergeConcurrent keys $keys must include partition column $partitionBy")
+    val v0 = currentVersion
+    require(deltaEntries(v0).isEmpty,
+      s"mergeConcurrent on $root requires compacted state")
+    require(fileEntries(v0).forall(e =>
+      e.partValue != null && e.partCol == partitionBy),
+      s"mergeConcurrent requires every file of $root laid out under $partitionBy")
+    val vals = source.select(col(partitionBy).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(vals.nonEmpty, s"mergeConcurrent on $root with an empty source")
+    def mine(e: FileEntry) = vals.contains(e.partValue)
+    val baseEntries = fileEntries(v0).filter(mine)
+    val base =
+      if (baseEntries.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema)
+      else readEntries(baseEntries)
+    val rewritten = base.join(source, keys, "left_anti").unionByName(source)
+    val basePaths = baseEntries.map(_.path).toSet
+    var v = v0
+    var attempt = 0
+    var committed = false
+    var attemptFiles: Seq[FileEntry] = Seq.empty
+    while (!committed) {
+      attempt += 1
+      // written on the first pass only — the rewrite stays valid across
+      // retries once the disjointness validation passes, so a retry is
+      // metadata-only
+      if (attempt == 1) attemptFiles = writeData(rewritten, v + 1, Some(partitionBy))
+      beforeCommit()
+      val carryOver = fileEntries(v).filterNot(mine)
+      try {
+        // origin tracks the committing version (a retry re-targets it)
+        writeManifest(Manifest(v + 1, "MERGE", Seq.empty,
+          attemptFiles.map(_.copy(origin = (v + 1).toLong)) ++ carryOver,
+          Seq.empty))
+        committed = true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException
+            | _: java.nio.file.FileAlreadyExistsException =>
+          val newV = currentVersion
+          val stillMine = fileEntries(newV).filter(mine).map(_.path).toSet
+          if (stillMine != basePaths || deltaEntries(newV).nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"concurrent commit to $root touched partitions $vals " +
+                s"(or appended deltas) — rewrite base is stale")
+          if (attempt >= maxAttempts)
+            throw new java.util.ConcurrentModificationException(
+              s"gave up committing to $root after $maxAttempts attempts")
+          v = newV
+      }
+    }
     this
   }
 
@@ -671,14 +771,23 @@ class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   /** Persist one commit's manifest as a write-once JSON file and prime
-    * the cache. Create-no-overwrite keeps ErrorIfExists semantics. */
-  private def writeManifest(m: Manifest): Unit = {
+    * the cache. Create-no-overwrite keeps ErrorIfExists semantics — a
+    * racing writer's second attempt at the same version FAILS here,
+    * which is the engine's whole concurrency-control point (see
+    * [[mergeConcurrent]]). The commit timestamp is stamped strictly
+    * above the previous version's so AS-OF-timestamp order == version
+    * order. */
+  private def writeManifest(m: Manifest): Unit = commitLock.synchronized {
     val p = manifestPath(m.version)
     fs.mkdirs(logDir)
+    val prevTs =
+      if (m.version == 0) 0L else manifestOf(m.version - 1).ts
+    val stamped = m.copy(ts = math.max(System.currentTimeMillis(), prevTs + 1))
     val out = fs.create(p, /* overwrite = */ false)
-    try out.write(manifestJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(manifestJson(stamped)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    manifestCache.put(p.toString, m)
+    manifestCache.put(p.toString, stamped)
   }
 }
 
@@ -705,11 +814,15 @@ object SnapshotTable {
       stats: Map[String, (Double, Double)] = Map.empty)
 
   /** One immutable commit: base file entries + pending MoR deltas +
-    * the commit's change-data-feed files (empty unless tracked). */
+    * the commit's change-data-feed files (empty unless tracked).
+    * `ts` = commit wall-clock millis, stamped monotonically at write
+    * (strictly greater than the previous commit's, like Delta's
+    * in-commit-timestamp adjustment) so TIMESTAMP AS OF resolution is
+    * total-ordered even under same-millisecond commits. */
   private final case class Manifest(
       version: Int, operation: String, mergeKeys: Seq[String],
       files: Seq[FileEntry], deltas: Seq[FileEntry],
-      changes: Seq[FileEntry] = Seq.empty) {
+      changes: Seq[FileEntry] = Seq.empty, ts: Long = 0L) {
     def numRows: Long = (files ++ deltas).map(_.rows).sum
     def numFiles: Long = (files.size + deltas.size).toLong
   }
@@ -719,6 +832,12 @@ object SnapshotTable {
     * storage twice. */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
+
+  /** Serializes manifest commits (and cache-miss manifest reads)
+    * within the driver JVM so a racing reader never observes a
+    * half-written log entry; the write-once create inside remains the
+    * cross-writer commit point. */
+  private val commitLock = new Object
 
   /** Process-wide data-schema cache keyed by a representative file path
     * (one footer read per distinct table generation). */
@@ -759,6 +878,7 @@ object SnapshotTable {
     rootN.set[JsonNode]("files", arr(m.files))
     rootN.set[JsonNode]("deltas", arr(m.deltas))
     if (m.changes.nonEmpty) rootN.set[JsonNode]("changes", arr(m.changes))
+    if (m.ts != 0L) rootN.put("ts", m.ts)
     rootN.toString
   }
 
@@ -798,7 +918,8 @@ object SnapshotTable {
       else Seq.empty,
       entries("files"),
       entries("deltas"),
-      entries("changes"))
+      entries("changes"),
+      if (n.has("ts")) n.get("ts").asLong() else 0L)
   }
 
   private def readFileString(fs: FileSystem, p: Path): String = {

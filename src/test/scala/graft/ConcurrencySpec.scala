@@ -1,0 +1,88 @@
+package graft
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Optimistic concurrency + timestamp travel, with the racing commit
+  * injected DETERMINISTICALLY through mergeConcurrent's beforeCommit
+  * seam (a thread race would exercise whichever interleaving the
+  * scheduler picks; the seam pins both the lost-race-retry path and the
+  * true-conflict path every run). */
+class ConcurrencySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def mkTable(prefix: String): (SnapshotTable, String) = {
+    import spark.implicits._
+    val df = (0 until 40)
+      .map(i => (i.toLong, if (i % 2 == 0) "A" else "B", i * 1.0))
+      .toDF("k", "p", "v")
+    val root = Scratch.dir(prefix)
+    (new SnapshotTable(spark, root).create(df, partitionBy = Some("p")), root)
+  }
+
+  // partition A holds even keys, B odd keys; the slice is that
+  // partition's keys below 10 (A: 0,2,4,6,8 / B: 1,3,5,7,9)
+  private def src(part: String, bump: Double) = {
+    import spark.implicits._
+    (0 until 40).map(i => (i.toLong, if (i % 2 == 0) "A" else "B", i * 1.0))
+      .toDF("k", "p", "v")
+      .filter(col("p") === part && col("k") < 10)
+      .withColumn("v", col("v") + bump)
+  }
+
+  test("lost manifest race on a DISJOINT partition retries and commits") {
+    val (t, root) = mkTable("occ_retry")
+    val rival = new SnapshotTable(spark, root)
+    var injected = false
+    t.mergeConcurrent(src("B", 100.0), keys = Seq("k", "p"),
+      partitionBy = "p",
+      beforeCommit = () => if (!injected) {
+        injected = true
+        // rival wins version 1 touching only partition A
+        rival.merge(src("A", 1000.0), keys = Seq("k", "p"),
+          partitionBy = Some("p"))
+      })
+    assert(injected)
+    assert(t.currentVersion == 2) // rival's commit + our retried commit
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got(0L) == 1000.0) // A-slice bump from the rival
+    assert(got(12L) == 12.0) // A but k >= 10: untouched
+    assert(got(11L) == 11.0) // B but k >= 10: untouched
+    assert(got(9L) == 109.0) // B-slice bump from our merge (9 + 100)
+  }
+
+  test("a rival touching OUR partition is a true conflict") {
+    val (t, root) = mkTable("occ_conflict")
+    val rival = new SnapshotTable(spark, root)
+    var injected = false
+    intercept[java.util.ConcurrentModificationException] {
+      t.mergeConcurrent(src("B", 100.0), keys = Seq("k", "p"),
+        partitionBy = "p",
+        beforeCommit = () => if (!injected) {
+          injected = true
+          rival.merge(src("B", 7.0), keys = Seq("k", "p"),
+            partitionBy = Some("p"))
+        })
+    }
+    // the rival's commit is intact and ours left no manifest
+    assert(t.currentVersion == 1)
+    val got = t.read().filter(col("k") === 9).select("v").head.getDouble(0)
+    assert(got == 16.0) // 9 + 7 from the rival only
+  }
+
+  test("commit timestamps are strictly increasing; AS OF resolves them") {
+    val (t, _) = mkTable("occ_ts")
+    t.merge(src("A", 50.0), keys = Seq("k", "p"), partitionBy = Some("p"))
+    val (ts0, ts1) = (t.commitTimestamp(0), t.commitTimestamp(1))
+    assert(ts0 > 0L && ts1 > ts0)
+    assert(t.versionAsOf(ts0) == 0 && t.versionAsOf(ts1) == 1)
+    assert(t.versionAsOf(ts1 + 1000) == 1)
+    assert(t.readAsOf(ts0).filter(col("k") === 0).select("v")
+      .head.getDouble(0) == 0.0)
+    assert(t.readAsOf(ts1).filter(col("k") === 0).select("v")
+      .head.getDouble(0) == 50.0)
+    intercept[IllegalArgumentException](t.versionAsOf(ts0 - 1))
+  }
+}
