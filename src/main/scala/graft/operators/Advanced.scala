@@ -468,8 +468,43 @@ object Advanced {
       }.reduce(_ crossJoin _)
     })
 
+  // WITH RECURSIVE over an implicit binary-heap hierarchy on customer
+  // keys (node i's parent is i div 2, root 1): per-depth node counts —
+  // the org-chart / BOM-explosion traversal shape. Spark 4's recursive
+  // CTE executes as UnionLoop: each iteration joins the (depth-sized)
+  // frontier against the keyed customer scan, so work per round is
+  // O(frontier), rounds = tree depth = log2(|customer|) — at 100 TB the
+  // frontier join shuffles on the key like any equi-join and the loop
+  // terminates in ~40 rounds. Spark-side text uses `div`, oracle `//`
+  // (same BIGINT semantics); everything else is exact integer math.
+  private val recursiveHierarchy = OpQuery(
+    "recursive_hierarchy",
+    Some("""
+      WITH RECURSIVE tree AS (
+        SELECT c_custkey AS node, 0 AS depth FROM customer WHERE c_custkey = 1
+        UNION ALL
+        SELECT c.c_custkey, t.depth + 1
+        FROM customer c JOIN tree t ON c.c_custkey // 2 = t.node)
+      SELECT depth, COUNT(*) AS n_nodes,
+             MIN(node) AS min_node, MAX(node) AS max_node
+      FROM tree GROUP BY depth ORDER BY depth
+    """),
+    (s, d) => {
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        WITH RECURSIVE tree AS (
+          SELECT c_custkey AS node, 0 AS depth FROM customer WHERE c_custkey = 1
+          UNION ALL
+          SELECT c.c_custkey, t.depth + 1
+          FROM customer c JOIN tree t ON c.c_custkey div 2 = t.node)
+        SELECT depth, COUNT(*) AS n_nodes,
+               MIN(node) AS min_node, MAX(node) AS max_node
+        FROM tree GROUP BY depth ORDER BY depth""")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     groupingSetsQ, cubeQ, pivotQ, intervalJoin, scalarCase,
     cumulativeCompare, movingAvg, likeBattery, intersectAll, exceptAll,
-    skewSalted, condBattery, corrExact, channelRollup, q88Buckets)
+    skewSalted, condBattery, corrExact, channelRollup, q88Buckets,
+    recursiveHierarchy)
 }

@@ -209,7 +209,38 @@ object Governance {
           moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
     })
 
+  // Bloom-filter point lookup: the table is laid out ADVERSARIALLY for
+  // min/max skipping (hash-scattered across 16 files, every footer spans
+  // the full key range) and created with a parquet-native bloom filter
+  // on `key` ([[graft.sources.SnapshotTable.withBloomFilters]]). The IN
+  // probe pushes down to the parquet reader, whose BLOOMFILTER row-group
+  // level rejects groups that cannot contain the probed keys — the
+  // high-cardinality equality-skipping path min/max stats cannot serve.
+  // At 100 TB: blooms cost O(rows) hashing once at write, and turn a
+  // needle-in-haystack lookup from "scan every overlapping file" into
+  // "decode only row groups whose bloom fires".
+  private val bloomPointLookup = OpQuery(
+    "bloom_point_lookup",
+    Some("""
+      SELECT id AS key,
+             ((id * 2654435761) % 1000003) / 1000.0 AS value,
+             'v' || CAST((id * 31) % 97 AS VARCHAR) AS value2,
+             id % 7 AS partition
+      FROM range(0, 100000) t(id)
+      WHERE id IN (7, 777, 7777, 77777)
+      ORDER BY key
+    """),
+    (s, _) => {
+      val t = new graft.sources.SnapshotTable(s, tmp("bloom"))
+        .withBloomFilters("key")
+        .create(graft.sources.Ingest.synthetic(s, 100000L)
+          .repartition(16, col("value2"))) // scatter: min/max can't skip
+      t.read()
+        .filter(col("key").isin(7L, 777L, 7777L, 77777L))
+        .orderBy("key")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     restoreVersion, cdcReadChanges, partitionEvolution, statsSkippingRead,
-    statsMinmax, constraintEnforce, optimizeZorder)
+    statsMinmax, constraintEnforce, optimizeZorder, bloomPointLookup)
 }

@@ -206,6 +206,103 @@ object MlPipeline {
         .orderBy("source")
     })
 
+  // Training-shard sequence packing (concat-and-chunk): per source the
+  // token stream is laid out doc after doc in doc_id order and cut into
+  // fixed-capacity sequences; a document whose tokens straddle a cut
+  // belongs to both bins. Per-bin accounting (docs touching the bin,
+  // tokens in the bin, continuation docs carried over the cut) is the
+  // shard-export manifest a trainer consumes.
+  //
+  // Scale: the only shuffle is the per-source window (packing is by
+  // construction a per-shard-stream operation; at 100 TB the partition
+  // key widens to source × writer-shard, same plan shape). Everything
+  // else is row-local integer arithmetic — offsets via one running sum,
+  // bin spans via integer division, the bin explode emits
+  // ceil(n_tokens/C) ≈ 1 row per doc. No doubles anywhere.
+  private val seqPack = OpQuery(
+    "corpus_seq_pack",
+    Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM t WHERE n_tokens > 0),
+      b AS (
+        SELECT source, doc_id, n_tokens, off,
+               unnest(generate_series(off // 512, (off + n_tokens - 1) // 512)) AS bin
+        FROM o)
+      SELECT source, bin, COUNT(*) AS n_docs,
+             CAST(SUM(least((bin + 1) * 512, off + n_tokens)
+                      - greatest(bin * 512, off)) AS BIGINT) AS n_tokens,
+             COUNT(CASE WHEN off < bin * 512 THEN 1 END) AS n_carried,
+             MIN(doc_id) AS first_doc
+      FROM b GROUP BY source, bin ORDER BY source, bin
+    """),
+    (s, d) => {
+      val cap = lit(512L)
+      val t = docs(s, d).select(col("source"), col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= ""))
+          .cast("long").as("n_tokens"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val o = t.filter(col("n_tokens") > 0)
+        .withColumn("off", coalesce(sum("n_tokens").over(w), lit(0L)))
+      val b = o.withColumn("bin",
+        explode(sequence(expr("off div 512"),
+          expr("(off + n_tokens - 1) div 512"))))
+      b.groupBy("source", "bin").agg(
+          count(lit(1)).as("n_docs"),
+          sum(least((col("bin") + 1) * cap, col("off") + col("n_tokens"))
+            - greatest(col("bin") * cap, col("off")))
+            .cast("long").as("n_tokens"),
+          count(when(col("off") < col("bin") * cap, lit(1))).as("n_carried"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source", "bin")
+    })
+
+  // Temperature-weighted mixture sampling (α = 0.5): down-sample each
+  // source so the mixture follows N_s^α — the rarest source survives
+  // whole, a source k× larger keeps ~√(min/N_s) of its docs. The keep
+  // decision h·h·N_s < min_N·10¹² (h = multiplicative doc-id hash in
+  // [0, 10⁶)) realizes the √ rate in pure BIGINT arithmetic: no sqrt,
+  // no doubles, no rand() — both engines agree bit-for-bit and the
+  // sample is reproducible row-locally on any executor.
+  //
+  // Scale: per-source counts are dimension-sized (broadcast), the
+  // global min is a broadcast scalar, the filter is row-local; one
+  // partial-agg shuffle over the corpus total.
+  private val sampleTemperature = OpQuery(
+    "sample_temperature",
+    Some("""
+      WITH n AS (SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+      m AS (SELECT MIN(n_total) AS min_n FROM n),
+      h AS (SELECT source, (doc_id * 2654435761) % 1000000 AS h FROM documents)
+      SELECT h.source, n.n_total,
+             COUNT(CASE WHEN h.h * h.h * n.n_total < m.min_n * 1000000000000
+                   THEN 1 END) AS n_kept
+      FROM h JOIN n ON h.source = n.source CROSS JOIN m
+      GROUP BY h.source, n.n_total ORDER BY h.source
+    """),
+    (s, d) => {
+      val d0 = docs(s, d)
+      val n = d0.groupBy("source").agg(count(lit(1)).as("n_total"))
+      val m = n.agg(min("n_total").as("min_n"))
+      d0.join(broadcast(n), "source")
+        .crossJoin(broadcast(m))
+        .withColumn("h", (col("doc_id") * 2654435761L) % 1000000L)
+        .groupBy("source", "n_total")
+        .agg(count(when(
+          col("h") * col("h") * col("n_total") < col("min_n") * 1000000000000L,
+          lit(1))).as("n_kept"))
+        .select("source", "n_total", "n_kept")
+        .orderBy("source")
+    })
+
   def defs: Seq[OpQuery] =
-    Seq(kmeans, unigramLogprob, keepBest, decontaminate)
+    Seq(kmeans, unigramLogprob, keepBest, decontaminate, seqPack,
+      sampleTemperature)
 }

@@ -85,9 +85,54 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   def exists: Boolean = fs.exists(logDir)
 
+  // ------------------------------------------------- table properties
+  // Tiny side-car JSON in the log dir (no manifest-format change, absent
+  // file = defaults) for durable write-path knobs. Today: the columns
+  // that get parquet-native bloom filters on every data write.
+  private def propsPath = new Path(logDir, "_properties.json")
+
+  @volatile private var bloomColsCache: Option[Seq[String]] = None
+
+  private def bloomCols: Seq[String] = {
+    val cached = bloomColsCache
+    if (cached.isDefined) cached.get
+    else {
+      val loaded =
+        if (!fs.exists(propsPath)) Seq.empty[String]
+        else {
+          val node = new ObjectMapper().readTree(readFileString(fs, propsPath))
+          val arr = node.get("bloomFilterCols")
+          if (arr == null) Seq.empty[String]
+          else (0 until arr.size).map(arr.get(_).asText())
+        }
+      bloomColsCache = Some(loaded)
+      loaded
+    }
+  }
+
+  /** Declare columns that every subsequent data write (CREATE / MERGE /
+    * COMPACT) protects with a parquet-native bloom filter
+    * (`parquet.bloom.filter.enabled#col`). Equality/IN probes on these
+    * columns then skip row groups whose bloom rejects the value — the
+    * high-cardinality-key complement to min/max skipping (which is
+    * useless once every file spans the full key range). Persisted as a
+    * table property, so reopened handles keep writing blooms. */
+  def withBloomFilters(cols: String*): SnapshotTable = commitLock.synchronized {
+    fs.mkdirs(logDir)
+    val json = new ObjectMapper().createObjectNode()
+    val arr = json.putArray("bloomFilterCols")
+    cols.foreach(arr.add)
+    val out = fs.create(propsPath, /* overwrite = */ true)
+    try out.write(json.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    bloomColsCache = Some(cols)
+    this
+  }
+
   private def versions: Seq[Int] =
     fs.listStatus(logDir).toSeq
-      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.getPath.getName)
+      .filter(_.matches("\\d+\\.json")) // skip side-cars (_properties.json)
       .map(_.stripSuffix(".json").toInt)
 
   def currentVersion: Int = {
@@ -749,6 +794,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
           .write.partitionBy(PartCol)
       case None => df.write
     }
+    // Table-property bloom columns ride along on every data write; the
+    // filter costs O(rows) hashing at write and buys row-group-level
+    // skipping for equality probes at read (parquet-mr BLOOMFILTER
+    // row-group filter level, engaged by Spark's pushed In/EqualTo).
+    bloomCols.foreach(c =>
+      writer.option(s"parquet.bloom.filter.enabled#$c", "true"))
     writer.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val conf = spark.sessionState.newHadoopConf()
     import scala.collection.parallel.CollectionConverters._

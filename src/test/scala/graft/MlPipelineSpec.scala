@@ -45,6 +45,41 @@ class MlPipelineSpec extends AnyFunSuite {
       .subsetOf(cc.map(_.getLong(1)).toSet))
   }
 
+  test("corpus_seq_pack cuts exact 512-token bins and conserves tokens") {
+    import org.apache.spark.sql.functions._
+    val bins = run("corpus_seq_pack").collect()
+    // bins per source are dense 0..max and every non-final bin is full
+    bins.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq ==
+        (0L until sorted.length.toLong).toSeq)
+      assert(sorted.init.forall(_.getLong(3) == 512L),
+        "non-final bin not at capacity")
+      assert(sorted.last.getLong(3) <= 512L)
+    }
+    // packing conserves the token stream exactly
+    val tokenTotal = Tables.load(spark, sf, "documents")
+      .select(size(filter(split(col("text"), " "), x => x =!= ""))
+        .cast("long").as("n")).agg(sum("n")).collect()(0).getLong(0)
+    assert(bins.map(_.getLong(3)).sum == tokenTotal)
+  }
+
+  test("sample_temperature keeps the rarest source whole, rates ~ sqrt") {
+    val rows = run("sample_temperature").collect()
+    val minRow = rows.minBy(_.getLong(1))
+    assert(minRow.getLong(2) == minRow.getLong(1),
+      "smallest source must survive whole")
+    // realized rate within sampling noise of sqrt(min/n): |kept - n*sqrt(min/n)|
+    // < 4*sqrt(n) (deterministic hash, but bound loose on purpose)
+    val minN = minRow.getLong(1).toDouble
+    rows.foreach { r =>
+      val n = r.getLong(1).toDouble
+      val expect = n * math.sqrt(minN / n)
+      assert(math.abs(r.getLong(2) - expect) < 4 * math.sqrt(n) + 8,
+        s"${r.getString(0)}: kept ${r.getLong(2)} vs expected ~$expect")
+    }
+  }
+
   test("doc_decontaminate tallies conserve the corpus minus the eval set") {
     val rows = run("doc_decontaminate").collect()
     val corpus = Tables.load(spark, sf, "documents")
