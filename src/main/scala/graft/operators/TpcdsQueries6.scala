@@ -91,6 +91,50 @@ ORDER BY avg_quarterly_sales ASC NULLS FIRST, sum_sales ASC NULLS FIRST,
          i_manufact_id ASC NULLS FIRST
 LIMIT 100""")
 
+  // q54: cross-channel "my_customers" cohort (bought Music/ECONOMY via
+  // catalog or web in 2001-07) × their store revenue in the following
+  // quarter, bucketed into $50 segments. Geo-constrained to customers
+  // whose address county+state hosts a store (12 store pairs at any sf —
+  // the join is dimension × dimension, then one fact probe). The segment
+  // cut is FLOOR(CAST(.. AS DOUBLE)/50): both engines run the identical
+  // IEEE divide+floor on the exact decimal sum (CAST double→INT would
+  // diverge: Spark truncates, DuckDB rounds).
+  private val q54 = tq("tpcds_q54",
+    Seq("catalog_sales", "web_sales", "item", "date_dim", "customer",
+      "store_sales", "customer_address", "store"),
+    """WITH my_customers AS (
+ SELECT DISTINCT c_customer_sk, c_current_addr_sk
+ FROM (SELECT cs_sold_date_sk sold_date_sk, cs_bill_customer_sk customer_sk,
+              cs_item_sk item_sk
+       FROM catalog_sales
+       UNION ALL
+       SELECT ws_sold_date_sk sold_date_sk, ws_bill_customer_sk customer_sk,
+              ws_item_sk item_sk
+       FROM web_sales) cs_or_ws_sales, item, date_dim, customer
+ WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
+   AND i_category = 'Music' AND i_class = 'ECONOMY'
+   AND c_customer_sk = customer_sk
+   AND d_moy = 7 AND d_year = 2001),
+my_revenue AS (
+ SELECT c_customer_sk, SUM(ss_ext_sales_price) AS revenue
+ FROM my_customers, store_sales, customer_address, store, date_dim
+ WHERE c_current_addr_sk = ca_address_sk
+   AND ca_county = s_county AND ca_state = s_state
+   AND ss_sold_date_sk = d_date_sk AND c_customer_sk = ss_customer_sk
+   AND d_month_seq BETWEEN (SELECT DISTINCT d_month_seq + 1 FROM date_dim
+                            WHERE d_year = 2001 AND d_moy = 7)
+                       AND (SELECT DISTINCT d_month_seq + 3 FROM date_dim
+                            WHERE d_year = 2001 AND d_moy = 7)
+ GROUP BY c_customer_sk),
+segments AS (
+ SELECT CAST(FLOOR(CAST(revenue AS DOUBLE) / 50) AS BIGINT) AS segment
+ FROM my_revenue)
+SELECT segment, CAST(COUNT(*) AS BIGINT) num_customers,
+       segment * 50 AS segment_base
+FROM segments GROUP BY segment
+ORDER BY segment ASC NULLS FIRST, num_customers ASC NULLS FIRST
+LIMIT 100""")
+
   private val q55 = tq("tpcds_q55",
     Seq("date_dim", "store_sales", "item"),
     """SELECT i_brand_id brand_id, i_brand brand,
@@ -316,5 +360,5 @@ ORDER BY s_store_name ASC NULLS FIRST, i_item_desc ASC NULLS FIRST,
 LIMIT 100""")
 
   val defs: Seq[OpQuery] =
-    Seq(q50, q52, q53, q55, q56, q58, q60, q61, q62, q63, q65)
+    Seq(q50, q52, q53, q54, q55, q56, q58, q60, q61, q62, q63, q65)
 }
