@@ -258,15 +258,25 @@ WHERE (CASE WHEN inv_before > 0
 ORDER BY w_warehouse_name ASC NULLS FIRST, i_item_id ASC NULLS FIRST
 LIMIT 100""")
 
+  // The spec shape rolls up the raw inventory join, so Spark's Expand
+  // multiplies every fact row x5 (one per grouping set) before any
+  // aggregation; at 100 TB that is 5x the scan feeding the shuffle. SUM
+  // and COUNT are decomposable over the item-attribute grouping sets, so
+  // pre-aggregating per inv_item_sk first shrinks the rollup input from
+  // |inventory| to |item| rows. Same exact BIGINT sums, same single IEEE
+  // division — oracle-identical in both engines.
   private val q22 = tq("tpcds_q22",
     Seq("inventory", "date_dim", "item"),
     """SELECT i_product_name, i_brand, i_class, i_category,
-       CAST(SUM(CAST(inv_quantity_on_hand AS BIGINT)) AS DOUBLE)
-         / COUNT(*) qoh
-FROM inventory, date_dim, item
-WHERE inv_date_sk = d_date_sk
-  AND inv_item_sk = i_item_sk
-  AND d_month_seq BETWEEN 120 AND 120 + 11
+       CAST(SUM(qty_sum) AS DOUBLE) / SUM(n_obs) qoh
+FROM (SELECT inv_item_sk,
+             SUM(CAST(inv_quantity_on_hand AS BIGINT)) qty_sum,
+             COUNT(*) n_obs
+      FROM inventory, date_dim
+      WHERE inv_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 120 AND 120 + 11
+      GROUP BY inv_item_sk) pre, item
+WHERE inv_item_sk = i_item_sk
 GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
 ORDER BY qoh ASC NULLS FIRST, i_product_name ASC NULLS FIRST,
          i_brand ASC NULLS FIRST, i_class ASC NULLS FIRST,

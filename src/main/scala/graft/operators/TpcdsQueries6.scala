@@ -91,14 +91,17 @@ ORDER BY avg_quarterly_sales ASC NULLS FIRST, sum_sales ASC NULLS FIRST,
          i_manufact_id ASC NULLS FIRST
 LIMIT 100""")
 
-  // q54: cross-channel "my_customers" cohort (bought Music/ECONOMY via
-  // catalog or web in 2001-07) × their store revenue in the following
-  // quarter, bucketed into $50 segments. Geo-constrained to customers
-  // whose address county+state hosts a store (12 store pairs at any sf —
-  // the join is dimension × dimension, then one fact probe). The segment
-  // cut is FLOOR(CAST(.. AS DOUBLE)/50): both engines run the identical
-  // IEEE divide+floor on the exact decimal sum (CAST double→INT would
-  // diverge: Spark truncates, DuckDB rounds).
+  // q54: cross-channel "my_customers" cohort (bought Music/Books/Home via
+  // catalog or web during 2001) × their store revenue in the quarter after
+  // 2001-07, bucketed into $50 segments. Geo-constrained to customers
+  // whose address county+state hosts a store — the generator emits only 12
+  // store (county,state) pairs against 600 customer combinations, so ~2%
+  // of customers can ever pass; the cohort is widened to 3 categories ×
+  // the full year (vs the spec's 1 category/class × 1 month) so the
+  // surviving segment set is non-empty at sf0.001 and multi-row at sf0.01.
+  // The segment cut is FLOOR(CAST(.. AS DOUBLE)/50): both engines run the
+  // identical IEEE divide+floor on the exact decimal sum (CAST double→INT
+  // would diverge: Spark truncates, DuckDB rounds).
   private val q54 = tq("tpcds_q54",
     Seq("catalog_sales", "web_sales", "item", "date_dim", "customer",
       "store_sales", "customer_address", "store"),
@@ -112,9 +115,9 @@ LIMIT 100""")
               ws_item_sk item_sk
        FROM web_sales) cs_or_ws_sales, item, date_dim, customer
  WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
-   AND i_category = 'Music' AND i_class = 'ECONOMY'
+   AND i_category IN ('Music', 'Books', 'Home')
    AND c_customer_sk = customer_sk
-   AND d_moy = 7 AND d_year = 2001),
+   AND d_year = 2001),
 my_revenue AS (
  SELECT c_customer_sk, SUM(ss_ext_sales_price) AS revenue
  FROM my_customers, store_sales, customer_address, store, date_dim
