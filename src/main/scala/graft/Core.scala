@@ -29,10 +29,14 @@ object Tables {
 
   /** Path-addressed parquet scan; Catalyst pushes filters/pruning into it.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; we read it as raw nanos (legacy conf) and
-    * surface it as a microsecond TimestampType column — the same
-    * truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP.
+    * `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations (which Spark's vectorized reader rejects — read as raw
+    * nanos via the legacy conf and truncate to micros, same as DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP cast) and as TIMESTAMP(MICROS) in others
+    * (arrives as TIMESTAMP_NTZ — session TZ is pinned to UTC everywhere,
+    * so casting to TimestampType is value-identical). Normalize both to
+    * a microsecond TimestampType column so downstream operators see one
+    * schema regardless of fixture vintage.
     */
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
@@ -42,8 +46,13 @@ object Tables {
       // shared session; the value never changes, so guard on current).
       if (spark.conf.getOption(NanosConf) != Some("true"))
         spark.conf.set(NanosConf, "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
