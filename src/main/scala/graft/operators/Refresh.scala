@@ -206,10 +206,13 @@ object Refresh {
   /** Dimension-side refresh round (TPCDSRefreshSchema.scala:28-562 dim
     * sources + the protocol's dim maintenance): the s_* dimension deltas
     * are MERGEd into item/customer/store — type-1 updates on the
-    * business key plus inserts under fresh keys — and the ssv view is
-    * rebuilt against the REFRESHED dimensions, so the deltas' price/tax
-    * changes flow into the fact-shaped rows. The summary covers all 10
-    * staged dim sources, the three merged dims, and the rebuilt view.
+    * business key plus inserts under fresh keys — and the store, catalog
+    * and web sales views (ssv/csv/wsv) are rebuilt against the REFRESHED
+    * dimensions, so the deltas' price/tax changes flow into the
+    * fact-shaped rows. The summary covers all 10 staged dim sources, the
+    * three merged dims, and the rebuilt views (the *_price/csv/wsv
+    * checksums sum i_current_price-derived columns, which only match if
+    * the item delta actually routed through the views).
     * Both engines run the identical text (merge = anti-join + union —
     * the same semantics SnapshotTable.merge implements natively).
     */
@@ -283,6 +286,28 @@ ssv_d AS (
  JOIN s_purchase_lineitem ON (purc_purchase_id = plin_purchase_id)
  LEFT OUTER JOIN promotion ON (plin_promotion_id = p_promo_id)
  LEFT OUTER JOIN merged_item ON (plin_item_id = i_item_id
+                                 AND i_rec_end_date IS NULL)),
+csv_d AS (
+ SELECT i_item_sk cs_item_sk, c1.c_customer_sk cs_bill_customer_sk,
+        clin_quantity cs_quantity,
+        i_current_price * clin_quantity cs_ext_list_price,
+        (clin_sale_price * clin_quantity) - clin_coupon_amt cs_net_paid
+ FROM s_catalog_order
+ JOIN s_catalog_order_lineitem ON (cord_order_id = clin_order_id)
+ LEFT OUTER JOIN merged_customer c1
+   ON (cord_bill_customer_id = c1.c_customer_id)
+ LEFT OUTER JOIN merged_item ON (clin_item_id = i_item_id
+                                 AND i_rec_end_date IS NULL)),
+wsv_d AS (
+ SELECT i_item_sk ws_item_sk, c1.c_customer_sk ws_bill_customer_sk,
+        wlin_quantity ws_quantity,
+        i_current_price * wlin_quantity ws_ext_list_price,
+        (wlin_sale_price * wlin_quantity) - wlin_coupon_amt ws_net_paid
+ FROM s_web_order
+ JOIN s_web_order_lineitem ON (word_order_id = wlin_order_id)
+ LEFT OUTER JOIN merged_customer c1
+   ON (word_bill_customer_id = c1.c_customer_id)
+ LEFT OUTER JOIN merged_item ON (wlin_item_id = i_item_id
                                  AND i_rec_end_date IS NULL))
 SELECT * FROM (
  SELECT 's_item' part, COUNT(*) n_rows,
@@ -312,16 +337,24 @@ SELECT * FROM (
  UNION ALL SELECT 'store_merged', COUNT(*),
         CAST(SUM(s_number_employees) AS DOUBLE) FROM merged_store
  UNION ALL SELECT 'ssv_dims', COUNT(*),
-        CAST(SUM(ss_net_paid) AS DOUBLE) FROM ssv_d) x
+        CAST(SUM(ss_net_paid) AS DOUBLE) FROM ssv_d
+ UNION ALL SELECT 'ssv_dims_price', COUNT(ss_item_sk),
+        CAST(SUM(ss_ext_list_price) AS DOUBLE) FROM ssv_d
+ UNION ALL SELECT 'csv_dims', COUNT(cs_item_sk),
+        CAST(SUM(cs_ext_list_price) AS DOUBLE) FROM csv_d
+ UNION ALL SELECT 'wsv_dims', COUNT(ws_item_sk),
+        CAST(SUM(ws_ext_list_price) AS DOUBLE) FROM wsv_d) x
 ORDER BY part"""
 
   private val pipelineDims = OpQuery(
     "refresh_pipeline_dims",
     Some(graft.sources.Tpcds.oracle(
-      Seq("s_purchase", "s_purchase_lineitem", "item", "customer", "store",
-        "date_dim", "time_dim", "promotion", "s_item", "s_customer",
-        "s_store", "s_call_center", "s_web_site", "s_warehouse",
-        "s_web_page", "s_promotion", "s_catalog_page", "s_zip_to_gmt"),
+      Seq("s_purchase", "s_purchase_lineitem", "s_catalog_order",
+        "s_catalog_order_lineitem", "s_web_order", "s_web_order_lineitem",
+        "item", "customer", "store", "date_dim", "time_dim", "promotion",
+        "s_item", "s_customer", "s_store", "s_call_center", "s_web_site",
+        "s_warehouse", "s_web_page", "s_promotion", "s_catalog_page",
+        "s_zip_to_gmt"),
       dimsBody)),
     (s, d) => {
       graft.sources.Tpcds.ensureRefresh(s, d)
