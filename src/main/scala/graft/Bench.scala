@@ -50,6 +50,14 @@ object Bench {
         n.startsWith("tpcds_") || n.startsWith("refresh_pipeline") }) {
       sources.Tpcds.ensureRefresh(spark, sfDir)
       sources.Tpcds.ensureRefreshDims(spark, sfDir)
+      // Settle after the 38-table staging burst: reclaim the generator
+      // garbage and re-prime the execution path so the first timed
+      // entries (alphabetically the agg_* family) don't absorb the
+      // staging's GC/page-cache debt — in the r7 full run they measured
+      // 2-6x their isolated numbers purely from this residue.
+      System.gc()
+      Harness.warmup(spark)
+      Harness.warmTables(spark, sfDir)
     }
     val results = Harness.runQueries(spark, sfDir, queries, iterations)
     results.filterNot(_.ok).foreach(r =>

@@ -197,25 +197,31 @@ object Harness {
     val total = ok.map(_.medianSec).sum
     val planningTotal = ok.map(_.medianPlanningSec).sum
     val byName = results.map(r => r.name -> r).toMap
-    def render(names: Seq[String]): String = {
+    def render(names: Seq[String], ex: Seq[(String, Double)]): String = {
       val qs = names.flatMap(n => byName.get(n)).map(r =>
         jstr(r.name) + ":" + (if (r.ok) num(r.medianSec) else "-1"))
         .mkString("{", ",", "}")
-      // extras (merge-micro sweep, file-count tiers) always ship in the
-      // compact line — the headline query subset absorbs the trimming
-      val ex = if (extras.isEmpty) ""
-        else s""""extras":${extras.map { case (k, v) => jstr(k) + ":" + num(v) }
+      val exPart = if (ex.isEmpty) ""
+        else s""""extras":${ex.map { case (k, v) => jstr(k) + ":" + num(v) }
           .mkString("{", ",", "}")},"""
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"n_failed":${results.size - ok.size},""" +
-        s""""planning_total":${num(planningTotal)},$ex"queries":$qs,""" +
+        s""""planning_total":${num(planningTotal)},$exPart"queries":$qs,""" +
         s""""report":${jstr(reportPath)},"sf":"$sfDir"}"""
     }
+    // The full report always carries everything; the compact line must
+    // survive the driver's 2000-char stdout capture as VALID JSON. Trim
+    // headline queries first, then trailing extras (the protocol sweeps
+    // grew past what 1700 chars can hold alongside any queries) — an
+    // over-long line would truncate to unparseable JSON and zero the
+    // round's bench report.
     var names = headlineQueries
-    var line = render(names)
-    while (line.length > maxLen && names.nonEmpty) {
-      names = names.dropRight(1)
-      line = render(names)
+    var ex = extras
+    var line = render(names, ex)
+    while (line.length > maxLen && (names.nonEmpty || ex.nonEmpty)) {
+      if (names.nonEmpty) names = names.dropRight(1)
+      else ex = ex.dropRight(1)
+      line = render(names, ex)
     }
     line
   }
