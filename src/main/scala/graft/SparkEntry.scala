@@ -30,6 +30,7 @@ object SparkEntry {
     operators.Pipeline.defs,
     operators.Sessions.defs,
     operators.Dedup.defs,
+    operators.CorpusOps.defs,
     operators.MlPipeline.defs,
     operators.Similarity.defs,
     operators.Lakehouse.defs,

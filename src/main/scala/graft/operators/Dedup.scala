@@ -45,10 +45,12 @@ object Dedup {
   private def scratch(prefix: String): String = graft.Scratch.dir(prefix)
 
   /** Universal-hash constants for permutations/bit-planes: deterministic,
-    * embedded as literals in both the Spark plan and the DuckDB oracle. */
-  private val M = 1000000007L
-  private def hashA(i: Int): Long = ((i + 1) * 2654435761L) % M
-  private def hashB(i: Int): Long = ((i + 1) * 40503L + 2531011L) % M
+    * embedded as literals in both the Spark plan and the DuckDB oracle.
+    * Shared with [[CorpusOps]] so the incremental-dedup index uses the
+    * SAME signature family as the batch LSH suite. */
+  private[operators] val M = 1000000007L
+  private[operators] def hashA(i: Int): Long = ((i + 1) * 2654435761L) % M
+  private[operators] def hashB(i: Int): Long = ((i + 1) * 40503L + 2531011L) % M
 
   // Exact dedup: canonical row per identical text. Phase 1 groups on the
   // 64-bit text hash (shuffle carries (hash, id), not documents); phase 2
@@ -162,20 +164,39 @@ object Dedup {
   // ------------------------------------------------------------------
   // Shared DuckDB oracle fragments: word-trigram shingles + portable
   // per-shingle hash (mirrors shingles()/polyHash exactly).
-  private val duckShingleRows = """
+  private[operators] val duckShingleRows = """
       SELECT doc_id, unnest(list_distinct(
                list_transform(range(1, len(w) - 1),
                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
       FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)"""
-  private val duckH = duckPolyHash("s")
+  private[operators] val duckH = duckPolyHash("s")
 
   // MinHash (16 perms) + LSH (4 bands × 4 rows): candidate pairs whose
   // estimated similarity (matching signature fraction) >= 0.5. Band keys
   // are the raw 4-value signature slices (no extra hashing → portable).
-  private val MinhashPerms = 16
+  private[operators] val MinhashPerms = 16
 
   private def minhashLshBuild(s: SparkSession, d: String): DataFrame =
     minhashPairs(s, d).orderBy("doc_a", "doc_b")
+
+  /** (doc_id, sig) — the 16-permutation MinHash signature per document.
+    * Map-reduce formulation: explode distinct shingles once, hash each
+    * once (codegen'd graft_polyhash), then 16 codegen'd
+    * min((a_p*h+b_p) mod M) partial aggregates — ONE groupBy(doc_id)
+    * shuffle carrying (doc_id, 16 longs), never text. Shared by the
+    * batch LSH suite and [[CorpusOps]]' incremental index. */
+  private[operators] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.registerAll(s)
+    val sh = docs(s, d).select(
+      col("doc_id"), explode(array_distinct(expr("graft_shingles(text, 3)"))).as("s"))
+      .withColumn("h", expr("graft_polyhash(s)"))
+    val sigCols = (0 until MinhashPerms).map(p =>
+      min((col("h") * hashA(p) + hashB(p)) % M).as(s"m$p"))
+    sh.groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashPerms).map(p => col(s"m$p")): _*).as("sig"))
+  }
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // Map-reduce MinHash: explode distinct shingles once, hash each
@@ -184,18 +205,8 @@ object Dedup {
     // formulation. Signatures stage through parquet so the two band-join
     // sides read one materialized copy (persist() would leak executor
     // cache across the Verify/Bench session).
-    GraftFunctions.registerAll(s)
-    val sh = docs(s, d).select(
-      col("doc_id"), explode(array_distinct(expr("graft_shingles(text, 3)"))).as("s"))
-      .withColumn("h", expr("graft_polyhash(s)"))
-    val sigCols = (0 until MinhashPerms).map(p =>
-      min((col("h") * hashA(p) + hashB(p)) % M).as(s"m$p"))
     val stage = scratch("minhash_sig")
-    sh.groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until MinhashPerms).map(p => col(s"m$p")): _*).as("sig"))
-      .write.mode("overwrite").parquet(stage)
+    minhashSignatures(s, d).write.mode("overwrite").parquet(stage)
     val sig = s.read.parquet(stage)
     val bands = sig.select(
       col("doc_id"), col("sig"),

@@ -54,9 +54,11 @@ object Governance {
     })
 
   // Change-data-feed (Delta `table_changes` analog): the MERGE commit
-  // writes cdc files alongside the rewrite — inserts and update
-  // post-images with `_change_type` — and reading them back is
-  // O(changed rows), never a diff of two table versions.
+  // writes cdc files alongside the rewrite — inserts plus update pre-
+  // AND post-images with `_change_type` (full Delta CDF parity: the
+  // preimage lets a downstream consumer decrement an aggregate it
+  // maintains) — and reading them back is O(changed rows), never a diff
+  // of two table versions.
   private val cdcReadChanges = OpQuery(
     "cdc_read_changes",
     Some("""
@@ -67,6 +69,10 @@ object Governance {
         UNION ALL
         SELECT 'update_postimage', COUNT(*),
                CAST(SUM(CAST(o_totalprice + 1000.0 AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT 'update_preimage', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         FROM orders WHERE o_orderkey % 10 = 0)
       ORDER BY change_type
     """),

@@ -73,7 +73,7 @@ object Lakehouse {
   // IncrementalTPCDSBenchmark.scala:276-281), partition-pruned CoW on
   // o_orderstatus. Keys = (o_orderkey, o_orderstatus) = PK ∪ partition
   // key, the reference's own key rule (:274).
-  private[operators] def mergeSource(o: DataFrame): DataFrame =
+  private[graft] def mergeSource(o: DataFrame): DataFrame =
     o.filter(col("o_orderkey") % 10 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
       .unionByName(

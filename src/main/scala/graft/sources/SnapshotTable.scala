@@ -407,17 +407,25 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val written = writeData(rewritten, v + 1, partitionBy)
     // Change-data-feed capture (Delta CDF analog, cdc files written with
     // the commit): classify source rows against the touched base — keyed
-    // matches are updates, the rest inserts. Cost is O(source + touched
+    // matches are updates (pre- AND post-image, Delta CDF parity: the
+    // preimage is what lets a downstream consumer decrement an aggregate
+    // it maintains), the rest inserts. Cost is O(source + touched
     // partitions), never the whole table.
     val cdc =
       if (!trackChanges) Seq.empty
       else {
         val baseKeys = base.select(keys.map(col): _*)
+        val srcKeys = source.select(keys.map(col): _*)
         writeChanges(
           source.join(baseKeys, keys, "left_semi")
             .withColumn(ChangeCol, lit("update_postimage"))
             .unionByName(source.join(baseKeys, keys, "left_anti")
-              .withColumn(ChangeCol, lit("insert"))),
+              .withColumn(ChangeCol, lit("insert")))
+            // preimages come from the (possibly narrower) base schema —
+            // under evolveSchema the new columns null-fill
+            .unionByName(base.join(srcKeys, keys, "left_semi")
+              .withColumn(ChangeCol, lit("update_preimage")),
+              allowMissingColumns = true),
           v + 1)
       }
     writeManifest(Manifest(v + 1, "MERGE", Seq.empty, written ++ carryOver,
@@ -584,8 +592,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
       else writeData(applied(readEntries(touched)), v + 1, partitionBy)
     val cdc =
       if (!trackChanges || touched.isEmpty) Seq.empty
-      else writeChanges(applied(readEntries(touched)).filter(matches)
-        .withColumn(ChangeCol, lit("update_postimage")), v + 1)
+      else writeChanges(
+        applied(readEntries(touched)).filter(matches)
+          .withColumn(ChangeCol, lit("update_postimage"))
+          .unionByName(readEntries(touched).filter(matches)
+            .withColumn(ChangeCol, lit("update_preimage"))),
+        v + 1)
     writeManifest(Manifest(v + 1, "UPDATE", Seq.empty,
       written ++ carryOver, Seq.empty, cdc))
     this

@@ -94,7 +94,8 @@ object Streams {
     * query pins its shuffle width at first start from the session conf;
     * production would size this to keyspace ÷ target-state-per-task, not
     * to scan parallelism. The conf is restored after the run. */
-  private def runToMemory(df: DataFrame, prefix: String): DataFrame = {
+  private def runToMemory(df: DataFrame, prefix: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
     val spark = df.sparkSession
     val qn = s"graft_${prefix}_${runId.incrementAndGet()}"
     val key = "spark.sql.shuffle.partitions"
@@ -104,7 +105,7 @@ object Streams {
       val q = df.writeStream
         .format("memory")
         .queryName(qn)
-        .outputMode(OutputMode.Append)
+        .outputMode(mode)
         .option("checkpointLocation", scratch(s"${prefix}_ckpt"))
         .trigger(Trigger.AvailableNow())
         .start()
@@ -430,7 +431,78 @@ object Streams {
         .orderBy("user_id", "click_id", "buy_id")
     })
 
+  // ------------------------------------------------------------------
+  // Streaming CDC apply: consume a snapshot table's change-data feed as
+  // a stream and maintain a downstream aggregate incrementally — the
+  // materialized-view-maintenance pattern (Delta CDF → streaming agg).
+  // Two tracked commits produce the feed: a MERGE (inserts + update
+  // pre/post images) and a range DELETE. Signed application — +1 for
+  // insert/update_postimage, -1 for delete/update_preimage — turns the
+  // feed into per-status net deltas; correctness REQUIRES the preimages
+  // the CDC capture emits (post-only feeds cannot decrement). At 100 TB
+  // the consumer's cost is O(changed rows) per commit, never a rescan
+  // of the table; state is status-cardinality-sized.
+  private val streamCdcApply = OpQuery(
+    "stream_cdc_apply",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'O', o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 17 = 0),
+      merged AS (
+        SELECT * FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT * FROM src),
+      cdc AS (
+        -- commit 1 (MERGE): every %10 key matches → pre+post; %17 clones insert
+        SELECT o_orderstatus, o_totalprice + 1000.0 AS p, 1 AS sgn
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice, -1 FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT 'O', o_totalprice, 1 FROM orders WHERE o_orderkey % 17 = 0
+        UNION ALL
+        -- commit 2 (DELETE WHERE price BETWEEN 0 AND 2000) over the merged state
+        SELECT o_orderstatus, o_totalprice, -1 FROM merged
+        WHERE o_totalprice BETWEEN 0 AND 2000)
+      SELECT o_orderstatus, CAST(SUM(sgn) AS BIGINT) AS net_rows,
+             CAST(SUM(CAST(p AS DECIMAL(18,2)) * sgn) AS DOUBLE) AS net_price
+      FROM cdc GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val root = scratch("cdc_stream")
+      graft.operators.Lakehouse.stagedOrders(s, d)
+        .shallowCloneTo(root)
+        .merge(graft.operators.Lakehouse.mergeSource(o),
+          Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = Some("o_orderstatus"), trackChanges = true)
+        .deleteWhere("o_totalprice", 0.0, 2000.0,
+          partitionBy = Some("o_orderstatus"), trackChanges = true)
+      val cdcSchema = StructType(
+        o.schema.fields :+
+          org.apache.spark.sql.types.StructField(
+            graft.sources.SnapshotTable.ChangeCol,
+            org.apache.spark.sql.types.StringType))
+      val sgn = when(col(graft.sources.SnapshotTable.ChangeCol)
+        .isin("insert", "update_postimage"), 1).otherwise(-1)
+      val feed = s.readStream.schema(cdcSchema)
+        .option("maxFilesPerTrigger", "1") // several micro-batches: the
+        .parquet(s"$root/data/*_cdc_*")    // agg state genuinely accumulates
+        .groupBy("o_orderstatus")
+        .agg(sum(sgn).cast("long").as("net_rows"),
+          moneyOut(sum(dec(col("o_totalprice")) * sgn)).as("net_price"))
+      runToMemory(feed, "cdcapply", OutputMode.Complete)
+        .orderBy("o_orderstatus")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     windowedAgg, streamDedup, streamSessionize, streamEnrich, streamMerge,
-    streamStreamJoin, slidingWindowAgg)
+    streamStreamJoin, slidingWindowAgg, streamCdcApply)
 }

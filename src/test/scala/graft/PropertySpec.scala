@@ -136,7 +136,8 @@ class PropertySpec extends AnyFunSuite {
         .create(base, Some("p"))
         .merge(src, Seq("k", "p"), Some("p"), trackChanges = true)
       // replay: base rows without a change key + change post-images
-      val ch = t.changes(1)
+      // (preimages describe the replaced state — they are not applied)
+      val ch = t.changes(1).filter(col("_change_type") =!= "update_preimage")
       val replay = base.join(ch.select("k", "p"), Seq("k", "p"), "left_anti")
         .unionByName(ch.drop("_change_type"))
         .orderBy("k", "p").collect().toSeq

@@ -178,9 +178,10 @@ class SnapshotTableSpec extends AnyFunSuite {
       .create(Seq((1L, "a", 10.0), (2L, "a", 20.0)).toDF("k", "p", "v"), Some("p"))
     t.merge(Seq((2L, "a", 99.0), (3L, "a", 30.0)).toDF("k", "p", "v"),
       Seq("k", "p"), Some("p"), trackChanges = true)
-    val ch = t.changes(1).orderBy("k").collect()
+    val ch = t.changes(1).orderBy("k", "_change_type").collect()
       .map(r => (r.getLong(0), r.getDouble(2), r.getString(3))).toSeq
-    assert(ch == Seq((2L, 99.0, "update_postimage"), (3L, 30.0, "insert")))
+    assert(ch == Seq((2L, 99.0, "update_postimage"), (2L, 20.0, "update_preimage"),
+      (3L, 30.0, "insert")))
     t.mergeDelete(Seq((1L, "a")).toDF("k", "p"), Seq("k", "p"), Some("p"),
       trackChanges = true)
     val del = t.changes(2).collect()
@@ -260,7 +261,7 @@ class SnapshotTableSpec extends AnyFunSuite {
       .create(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
     t.merge(Seq((1L, 9.0)).toDF("k", "v"), Seq("k"), trackChanges = true)
     t.vacuum(retainVersions = 1)
-    assert(t.changes(1).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(t.changes(1).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 1L))
   }
 
   test("commit of an already-written version fails loudly, winner intact") {
