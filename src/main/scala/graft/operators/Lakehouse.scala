@@ -763,6 +763,70 @@ object Lakehouse {
         .orderBy("o_orderkey", "o_orderstatus")
     })
 
+  // Merge-on-read DELETE (Iceberg equality-delete analog): tombstone
+  // delta files holding only keys — commit is O(delete keys) — resolved
+  // at read with last-writer-wins ACROSS kinds. Protocol exercised:
+  // upsert → delete %13 keys → re-upsert %26 (a subset of the deleted
+  // keys, proving a re-upserted key resurfaces with the newer row). The
+  // oracle applies the three commits compositionally.
+  private val mergeMorDelete = OpQuery(
+    "merge_mor_delete",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'O', o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 17 = 0),
+      r3 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 5000.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 26 = 0),
+      state1 AS (
+        SELECT * FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT * FROM src),
+      state2 AS (
+        SELECT * FROM state1 t
+        WHERE NOT EXISTS (SELECT 1 FROM orders d
+                          WHERE d.o_orderkey % 13 = 0
+                            AND d.o_orderkey = t.o_orderkey
+                            AND d.o_orderstatus = t.o_orderstatus)),
+      state3 AS (
+        SELECT * FROM state2 t
+        WHERE NOT EXISTS (SELECT 1 FROM r3 s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT * FROM r3)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+      FROM state3
+      ORDER BY o_orderkey, o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val keys = Seq("o_orderkey", "o_orderstatus")
+      val table = stagedOrders(s, d).shallowCloneTo(tmp("mordel"))
+        .mergeDeferred(mergeSource(o), keys, partitionBy = Some("o_orderstatus"))
+        .mergeDeleteDeferred(
+          o.filter(col("o_orderkey") % 13 === 0)
+            .select("o_orderkey", "o_orderstatus"),
+          keys, partitionBy = Some("o_orderstatus"))
+        .mergeDeferred(
+          o.filter(col("o_orderkey") % 26 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 5000.0),
+          keys, partitionBy = Some("o_orderstatus"))
+      table.read()
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .orderBy("o_orderkey", "o_orderstatus")
+    })
+
   // VACUUM: after a CoW merge rewrites partitions, the superseded
   // version-0 files under the table's own root are physically deleted;
   // the retained current version must still read correctly. The oracle
@@ -913,7 +977,7 @@ object Lakehouse {
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
     mergeDelete, timeTravel, csvMalformed, schemaEvolution, incrementalAgg,
-    tableClone, mergeMorRead, vacuumRetention, zorderLayout, orcRoundtrip,
+    tableClone, mergeMorRead, mergeMorDelete, vacuumRetention, zorderLayout, orcRoundtrip,
     jsonIngest, deleteWhereQ, updateWhereQ, mergeEvolve, timeTravelTs,
     concurrentMerge)
 }

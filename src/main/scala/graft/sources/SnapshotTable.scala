@@ -217,17 +217,29 @@ class SnapshotTable(spark: SparkSession, root: String) {
       base: Seq[FileEntry], deltas: Seq[FileEntry], keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, s"MoR table at $root has deltas but no merge keys")
     val byGen = deltas.groupBy(_.origin).toSeq.sortBy(_._1)
+    // tombstone gens carry only (keys, __graft_del) — name-union with
+    // null-fill gives one frame where upsert rows have DelCol null
     val deltaDf = byGen.map { case (gen, es) =>
       readEntries(es).withColumn(GenCol, lit(gen))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
     val newest = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(GenCol).desc)
     val latest = deltaDf
       .withColumn(RnCol, row_number().over(newest))
       .filter(col(RnCol) === 1).drop(RnCol, GenCol)
     val baseDf = readEntries(base)
+    // last-writer-wins ACROSS kinds: a key whose newest delta row is a
+    // tombstone is gone (base copy anti-joined out, no survivor row); a
+    // key upserted again after a delete resurfaces with the upsert row
+    val survivors =
+      if (latest.columns.contains(DelCol))
+        latest.filter(!(col(DelCol) <=> true)).drop(DelCol)
+      else latest
+    // allowMissingColumns: when every pending delta is a tombstone,
+    // survivors is empty with a key-only schema — the union must still
+    // resolve (and contributes nothing)
     baseDf.join(latest.select(keys.map(col): _*), keys, "left_anti")
-      .unionByName(latest)
+      .unionByName(survivors, allowMissingColumns = true)
   }
 
   /** Manifest-planned file list (path, part_value, bytes, rows) at the
@@ -621,6 +633,28 @@ class SnapshotTable(spark: SparkSession, root: String) {
     this
   }
 
+  /** Merge-on-read DELETE (Iceberg equality-delete analog): append
+    * tombstone delta files holding only the deleted KEYS plus a marker
+    * column — commit cost is O(delete keys), no base file touched. Reads
+    * resolve tombstones with last-writer-wins across kinds (a key
+    * re-upserted after a delete resurfaces); [[compact]] folds them away
+    * like upsert deltas. The delta side a scan shuffles stays key-width,
+    * never row-width — the property that makes high-churn deletes
+    * affordable at 100 TB. */
+  def mergeDeleteDeferred(source: DataFrame, keys: Seq[String],
+      partitionBy: Option[String] = None): SnapshotTable = {
+    val v = currentVersion
+    val prior = mergeKeysOf(v)
+    require(prior.isEmpty || prior == keys,
+      s"deferred-delete keys $keys differ from table's $prior")
+    val tomb = source.select(keys.map(col): _*).distinct()
+      .withColumn(DelCol, lit(true))
+    val written = writeData(tomb, v + 1, partitionBy)
+    writeManifest(Manifest(v + 1, "DELETE_MOR", keys, fileEntries(v),
+      deltaEntries(v) ++ written))
+    this
+  }
+
   /** Shared CoW prologue: split the current file set into partitions the
     * source touches (re-read as the rewrite base, with MoR resolution if
     * deltas are pending) and untouched BASE entries (carried over by
@@ -859,6 +893,8 @@ object SnapshotTable {
   val PartCol = "__p"
   /** `_change_type` column on change-data-feed rows (Delta CDF name). */
   val ChangeCol = "_change_type"
+  /** Marker column on equality-delete tombstone delta rows. */
+  val DelCol = "__graft_del"
   private val GenCol = "__gen"
   private val RnCol = "__rn"
   /** Per-file numeric stats are kept for at most this many columns

@@ -493,8 +493,11 @@ object Streams {
       val sgn = when(col(graft.sources.SnapshotTable.ChangeCol)
         .isin("insert", "update_postimage"), 1).otherwise(-1)
       val feed = s.readStream.schema(cdcSchema)
-        .option("maxFilesPerTrigger", "1") // several micro-batches: the
-        .parquet(s"$root/data/*_cdc_*")    // agg state genuinely accumulates
+        // several micro-batches so the agg state genuinely accumulates —
+        // but not one per file: each commit's cdc lands as one file per
+        // shuffle partition, and per-batch overhead would swamp the entry
+        .option("maxFilesPerTrigger", "8")
+        .parquet(s"$root/data/*_cdc_*")
         .groupBy("o_orderstatus")
         .agg(sum(sgn).cast("long").as("net_rows"),
           moneyOut(sum(dec(col("o_totalprice")) * sgn)).as("net_price"))

@@ -41,6 +41,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("random deferred upsert/delete interleavings match a map-model reference") {
+    import spark.implicits._
+    val rnd = new Random(41)
+    for (trial <- 1 to 3) {
+      val model = scala.collection.mutable.Map[(Long, String), Double]()
+      val base = (0 until 30).map { k =>
+        val row = (k.toLong, s"p${k % 3}", rnd.nextDouble())
+        model((row._1, row._2)) = row._3
+        row
+      }
+      var t = new SnapshotTable(spark, tmp(s"mdd$trial"))
+        .create(base.toDF("k", "p", "v"), Some("p"))
+      for (round <- 1 to 4 + rnd.nextInt(3)) {
+        if (rnd.nextBoolean()) {
+          // upsert a random batch (some existing, some fresh keys)
+          val rows = (0 until 1 + rnd.nextInt(10)).map { _ =>
+            val k = rnd.nextInt(45).toLong
+            (k, s"p${k % 3}", round * 1000.0 + k)
+          }.distinct
+          rows.foreach(r => model((r._1, r._2)) = r._3)
+          t = t.mergeDeferred(rows.toDF("k", "p", "v"), Seq("k", "p"), Some("p"))
+        } else {
+          // delete a random key batch (hits and misses both legal)
+          val keys = (0 until 1 + rnd.nextInt(8)).map { _ =>
+            val k = rnd.nextInt(45).toLong
+            (k, s"p${k % 3}")
+          }.distinct
+          keys.foreach(model.remove)
+          t = t.mergeDeleteDeferred(keys.toDF("k", "p"), Seq("k", "p"), Some("p"))
+        }
+        val got = t.read().select("k", "p", "v").collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+        assert(got == model.toMap, s"trial $trial round $round")
+      }
+      // compaction must preserve the resolved state exactly
+      t.compact(2, Some("p"))
+      val afterCompact = t.read().select("k", "p", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(afterCompact == model.toMap, s"trial $trial post-compact")
+    }
+  }
+
   test("merge is idempotent: re-merging the same source changes nothing") {
     import spark.implicits._
     val rnd = new Random(11)

@@ -114,6 +114,35 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.countFromManifest == 4)
   }
 
+  test("mergeDeleteDeferred tombstones delete at read; re-upsert resurrects") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("k", "p", "v")
+    val t = new SnapshotTable(spark, tmp("mordel"))
+      .create(base, Some("p"))
+      .mergeDeferred(Seq((4L, "b", 40.0)).toDF("k", "p", "v"),
+        Seq("k", "p"), Some("p"))
+      .mergeDeleteDeferred(Seq((2L, "a"), (4L, "b")).toDF("k", "p"),
+        Seq("k", "p"), Some("p"))
+    // base files untouched — tombstones are delta files of keys only
+    assert(t.files.forall(_.path.contains("c00000")))
+    assert(t.read().orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // a key upserted AFTER its tombstone resurfaces with the newer row
+    t.mergeDeferred(Seq((2L, "a", 55.0)).toDF("k", "p", "v"),
+      Seq("k", "p"), Some("p"))
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 55.0), (3L, 30.0)))
+    // partition-scoped read applies tombstones within the partition
+    assert(t.readWhere("b").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // compaction folds tombstones away; no marker column leaks
+    t.compact(1)
+    assert(t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq == got)
+    assert(!t.read().columns.contains(SnapshotTable.DelCol))
+    assert(t.countFromManifest == 3)
+  }
+
   test("CoW merge on a table with pending deltas folds them in") {
     import spark.implicits._
     val t = new SnapshotTable(spark, tmp("morc"))
