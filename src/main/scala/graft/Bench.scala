@@ -88,6 +88,32 @@ object Bench {
           System.err.println(s"[bench] extras failed: ${e.getMessage}")
           Seq.empty
       }
+    // Compact-line priority order (trimming drops from the END): the two
+    // incremental-refresh protocols and the file-count tiers are the
+    // newest deliverables; the merge-micro sweep leads with its LARGEST
+    // sizes so the CoW/MoR crossover survives even when small tiers trim.
+    val extrasOrdered = {
+      val (ir, rest1) = extras.partition(_._1.startsWith("ir_"))
+      val (irp, rest2) = rest1.partition(_._1.startsWith("irp_"))
+      val (fc, rest3) = rest2.partition(_._1.startsWith("fc_"))
+      val (mm, other) = rest3.partition(_._1.startsWith("mm_"))
+      // stable sorts: largest tier first within each sweep, so trimming
+      // eats the long-established small tiers, not the new extremes
+      val fcBySize = fc.sortBy { case (k, _) =>
+        -k.split('_').last.toLongOption.getOrElse(0L)
+      }
+      val mmBySize = mm.sortBy { case (k, _) =>
+        val suffix = k.split('_').last
+        -(suffix match {
+          case "20"   => 20L
+          case "200"  => 200L
+          case "2k"   => 2000L
+          case "20k"  => 20000L
+          case _      => 0L
+        })
+      }
+      ir ++ irp ++ fcBySize ++ mmBySize ++ other
+    }
     val json = Harness.reportJson(results, sfDir, Harness.envInfo(spark), extras)
     // Full CSV + JSON reports go to files (reference A3 shape); stdout gets
     // a compact line that fits the driver's 2000-char tail capture.
@@ -99,7 +125,7 @@ object Bench {
       Harness.reportCsv(results))
     java.nio.file.Files.writeString(jsonPath, json)
     println(Harness.compactJson(results, sfDir, jsonPath.toString,
-      extras = extras))
+      extras = extrasOrdered))
     spark.stop()
   }
 }

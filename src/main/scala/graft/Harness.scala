@@ -169,29 +169,35 @@ object Harness {
     * parse — headline entries + totals here, everything in the file
     * report. */
   val headlineQueries: Seq[String] = Seq(
-    "q1_agg", "q3_star_topk", "q5_join6", "join_semi_in",
-    "join_anti_notexists", "agg_rollup_grouping", "window_topk_per_group",
-    "window_running_sum", "setop_union_all", "subquery_correlated",
-    "sort_multi_mixed", "merge_upsert", "compaction_roundtrip",
-    "refresh_pipeline", "filecount_probes", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_embedding_ann", "simsearch_topk",
-    "text_quality_score", "sessionize_gap", "stream_window_agg",
-    "stream_dedup", "stream_sessionize",
-    "join_asof", "dedup_cluster_cc", "simsearch_ivf", "merge_delete",
-    "events_funnel", "incremental_agg_maintenance",
-    "merge_mor_read", "table_clone", "vacuum_retention", "layout_zorder",
-    "text_tfidf_topk", "text_chunk_split", "q88_time_buckets",
-    "stream_stream_join", "stats_skipping_read", "cdc_read_changes",
-    "partition_evolution", "restore_version", "q23_semi_scalar",
-    "q31_qoq_ratio", "q78_returns_excluded", "join_range_bucketed",
-    "quality_filter_pipeline", "embedding_quantize", "agg_approx_distinct")
+    // round-over-round comparison set first — trimming drops from the
+    // END, and these are the entries the per-round drift check reads
+    // (prior weak/drift items + one representative per family)
+    "q1_agg", "q3_star_topk", "q5_join6", "join_asof", "merge_upsert",
+    "refresh_pipeline", "refresh_pipeline_full", "dedup_minhash_lsh",
+    "sessionize_gap", "customers_rfm", "compaction_roundtrip",
+    "stream_window_agg", "simsearch_ivf", "window_topk_per_group",
+    "agg_rollup_grouping", "subquery_correlated", "merge_mor_read",
+    "merge_mor_delete", "dedup_incremental", "tpcds_q72",
+    // second tier — survives only when space allows
+    "join_semi_in", "join_anti_notexists", "window_running_sum",
+    "setop_union_all", "sort_multi_mixed", "filecount_probes",
+    "dedup_exact", "dedup_embedding_ann", "simsearch_topk",
+    "text_quality_score", "stream_dedup", "stream_sessionize",
+    "dedup_cluster_cc", "merge_delete", "events_funnel",
+    "incremental_agg_maintenance", "table_clone", "vacuum_retention",
+    "layout_zorder", "text_tfidf_topk", "text_chunk_split",
+    "q88_time_buckets", "stream_stream_join", "stats_skipping_read",
+    "cdc_read_changes", "partition_evolution", "restore_version",
+    "q23_semi_scalar", "q31_qoq_ratio", "q78_returns_excluded",
+    "join_range_bucketed", "quality_filter_pipeline",
+    "embedding_quantize", "agg_approx_distinct")
 
   /** Compact one-line JSON for stdout. Must stay short enough to fit
     * entirely inside the driver's tail capture (2000 chars incl. the sbt
     * epilogue), so it carries the total, counts, a headline subset, and a
     * pointer to the full file report. Trims headline entries if needed. */
   def compactJson(results: Seq[QueryResult], sfDir: String,
-      reportPath: String, maxLen: Int = 1700,
+      reportPath: String, maxLen: Int = 1860,
       extras: Seq[(String, Double)] = Seq.empty): String = {
     val ok = results.filter(_.ok)
     val total = ok.map(_.medianSec).sum
@@ -210,17 +216,24 @@ object Harness {
         s""""report":${jstr(reportPath)},"sf":"$sfDir"}"""
     }
     // The full report always carries everything; the compact line must
-    // survive the driver's 2000-char stdout capture as VALID JSON. Trim
-    // headline queries first, then trailing extras (the protocol sweeps
-    // grew past what 1700 chars can hold alongside any queries) — an
+    // survive the driver's 2000-char stdout capture as VALID JSON (the
+    // capture holds line + ~75-char sbt epilogue, so 1860 is safe). An
     // over-long line would truncate to unparseable JSON and zero the
-    // round's bench report.
+    // round's bench report. Both halves matter to the round report —
+    // per-query medians for the drift check, protocol extras for the
+    // sweeps — so trim headline queries down to a floor of 20 first,
+    // then trailing extras (both lists are priority-ordered), and only
+    // then give up the floor.
     var names = headlineQueries
     var ex = extras
     var line = render(names, ex)
-    while (line.length > maxLen && (names.nonEmpty || ex.nonEmpty)) {
-      if (names.nonEmpty) names = names.dropRight(1)
+    while (line.length > maxLen && (names.size > 20 || ex.nonEmpty)) {
+      if (names.size > 20) names = names.dropRight(1)
       else ex = ex.dropRight(1)
+      line = render(names, ex)
+    }
+    while (line.length > maxLen && names.nonEmpty) {
+      names = names.dropRight(1)
       line = render(names, ex)
     }
     line

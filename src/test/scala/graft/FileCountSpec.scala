@@ -77,20 +77,45 @@ class FileCountSpec extends AnyFunSuite {
 
   test("compact stdout report fits the driver's 2000-char tail capture") {
     // Simulate the full gate surface: every SparkEntry query name with a
-    // plausible timing — the stdout line must still fit, with room for the
-    // sbt epilogue that shares the capture window.
+    // plausible timing, PLUS a protocol-extras load matching the real
+    // sweeps (mm 16 + fc 12 + ir 14 + irp 24) — the stdout line must
+    // still fit alongside the ~75-char sbt epilogue that shares the
+    // capture window, and the priority entries must survive trimming.
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n =>
       Harness.QueryResult(n, Seq(1.2345, 2.3456), Seq(0.0123, 0.0456), None))
+    val extras =
+      (1 to 10).map(i => s"ir_merge_$i" -> 1.2345) ++
+        Seq("ir_query_pre" -> 0.2, "ir_query_mid" -> 0.2,
+          "ir_compact" -> 0.6, "ir_query_post" -> 0.2) ++
+        (0 to 10).flatMap(i => Seq(s"irp_merge_$i" -> 2.345,
+          s"irp_query_$i" -> 4.567)) ++
+        Seq("irp_compact" -> 4.2, "irp_query_post" -> 3.6) ++
+        Seq(100000, 10000, 1000, 100).flatMap(n => Seq(
+          s"fc_manifest_$n" -> 0.002, s"fc_plan_$n" -> 0.05,
+          s"fc_read_$n" -> 0.08)) ++
+        Seq("20k", "2k", "200", "20").flatMap(s => Seq(
+          s"mm_cow_merge_$s" -> 0.9, s"mm_cow_read_$s" -> 0.1,
+          s"mm_mor_merge_$s" -> 0.4, s"mm_mor_read_$s" -> 0.4))
     val line = Harness.compactJson(results, "/root/testdata/sf0.1",
-      "bench_reports/bench_report.json")
-    assert(line.length <= 1700, s"line too long: ${line.length}")
+      "bench_reports/bench_report.json", extras = extras)
+    assert(line.length <= 1860, s"line too long: ${line.length}")
     assert(!line.contains("\n"))
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.endsWith("""}"""))
     assert(line.contains(s""""n_queries":${results.size}"""))
-    // headline entries survive untrimmed at the current corpus size
+    // the drift-check floor survives the heaviest extras load
     assert(line.contains("\"q3_star_topk\":"))
-    assert(line.contains("\"stream_sessionize\":"))
+    assert(line.contains("\"join_asof\":"))
+    assert(line.contains("\"tpcds_q72\":"))
+    // priority extras survive ahead of trailing ones
+    assert(line.contains("\"ir_merge_10\":"))
+    assert(line.contains("\"irp_query_post\":"))
+    assert(line.contains("\"fc_plan_100000\":"))
+    // with no extras at all, the full headline list fits
+    val bare = Harness.compactJson(results, "/root/testdata/sf0.1",
+      "bench_reports/bench_report.json")
+    assert(bare.length <= 1860)
+    assert(bare.contains("\"stream_sessionize\":"))
   }
 
   test("csv report carries one row per query plus header") {
