@@ -71,6 +71,11 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val runExtras = only.isEmpty || extrasSel.isDefined
     def want(tag: String) = extrasSel.forall(s => s.isEmpty || s(tag))
+    // Settle before the protocol sweeps: they run after 266×N timed
+    // queries and otherwise absorb the loop's accumulated GC/page-cache
+    // debt (isolated irp queries are flat ~2 s; at the tail of a full
+    // run the same rounds drifted to 5-27 s).
+    if (runExtras) { System.gc(); Harness.warmup(spark) }
     val extras =
       if (!runExtras) Seq.empty // dev-loop subset: skip the sweeps
       else try {

@@ -261,5 +261,61 @@ object Similarity {
         .orderBy("probe_id", "rank")
     })
 
-  val defs: Seq[OpQuery] = Seq(bruteTopk, lshTopk, centroids, ivfTopk)
+  // Recall@10 of the sign-LSH candidate set against the brute-force
+  // ground truth — the evaluation every ANN deployment runs before
+  // trusting the approximate path. One brute pass computes both sides:
+  // each exact top-10 neighbor carries an in_bucket flag (would LSH have
+  // scored it?), so recall needs no second scan. At scale the probe set
+  // stays broadcast-sized and ground truth is only computed for probes —
+  // the candidate corpus is scanned once.
+  private val recallEval = OpQuery(
+    "simsearch_recall",
+    Some {
+      val folds = duckBucketExpr()
+      s"""
+      WITH bkt AS (
+        SELECT vec_id, $folds AS bucket
+        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)),
+      exact AS (
+        SELECT probe_id, neighbor_id, in_bucket FROM (
+          SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                 (ba.bucket = bb.bucket) AS in_bucket,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                            b.vec_id) AS rn
+          FROM embeddings a
+          JOIN embeddings b ON a.vec_id <> b.vec_id
+          JOIN bkt ba ON ba.vec_id = a.vec_id
+          JOIN bkt bb ON bb.vec_id = b.vec_id
+          WHERE a.vec_id < 5)
+        WHERE rn <= 10)
+      SELECT probe_id, COUNT(*) AS n_exact,
+             CAST(SUM(CASE WHEN in_bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             CAST(SUM(CASE WHEN in_bucket THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+      FROM exact GROUP BY probe_id ORDER BY probe_id
+      """
+    },
+    (s, d) => {
+      val planes = hyperplanes()
+      val e = emb(s, d).withColumn("bucket", bucketCol(planes))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("v"), col("norm"), col("bucket")).as("a")
+      val cand = e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm"),
+        col("bucket").as("cbucket")).as("b")
+      val sim = round(cosine("a", "b"), 6)
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      cand.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"), sim.as("sim"),
+          (col("bucket") === col("cbucket")).as("in_bucket"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("in_bucket"), 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+        .orderBy("probe_id")
+    })
+
+  val defs: Seq[OpQuery] = Seq(bruteTopk, lshTopk, centroids, ivfTopk, recallEval)
 }
