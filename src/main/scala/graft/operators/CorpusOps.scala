@@ -254,9 +254,15 @@ object CorpusOps {
       val tot = stats.agg(
         sum("chars_s").cast("long").as("total_chars"),
         sum("wgt").cast("long").as("sum_w"))
-      val quota = stats.crossJoin(broadcast(tot)).selectExpr(
+      // quota feeds TWO branches (the kept-side broadcast filter and the
+      // final projection); staged through parquet so the corpus stats agg
+      // — a full scan at 100 TB — runs once, not once per branch
+      val quotaStage = graft.Scratch.dir("domain_quota")
+      stats.crossJoin(broadcast(tot)).selectExpr(
         "source", "n_total", "chars_s",
         "least(10000L, ((total_chars * 2 * wgt) div (5 * sum_w)) * 10000L div chars_s) AS cutoff")
+        .coalesce(1).write.mode("overwrite").parquet(quotaStage)
+      val quota = s.read.parquet(quotaStage)
       val kept = docsDf
         .join(broadcast(quota.select("source", "cutoff")), "source")
         .filter((col("doc_id") * 2654435761L) % M % 10000 < col("cutoff"))

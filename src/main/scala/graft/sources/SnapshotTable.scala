@@ -802,6 +802,15 @@ class SnapshotTable(spark: SparkSession, root: String) {
     removed.size
   }
 
+  /** Time-based retention (Delta `VACUUM … RETAIN n HOURS` analog):
+    * drop every version whose commit instant precedes the newest commit
+    * at or before `ts` — time travel to any instant >= `ts` keeps
+    * working, older reclaims. Metadata resolution via [[versionAsOf]]
+    * (pure manifest), deletion via [[vacuum]]. The current version is
+    * always retained (versionAsOf <= currentVersion by construction). */
+  def vacuumOlderThan(ts: Long): Int =
+    vacuum(retainVersions = currentVersion - versionAsOf(ts) + 1)
+
   /** DESCRIBE HISTORY analog: (version, operation, num_files, num_rows).
     * Built from the cached log — no data or parquet reads. */
   def history: DataFrame = {

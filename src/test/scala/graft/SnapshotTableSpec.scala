@@ -293,6 +293,22 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.changes(1).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 1L))
   }
 
+  test("vacuumOlderThan drops versions before the instant, keeps later reads") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("vts"))
+      .create(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    t.merge(Seq((1L, 9.0)).toDF("k", "v"), Seq("k"))
+    val tsAfterV1 = t.commitTimestamp(1)
+    t.merge(Seq((2L, 8.0)).toDF("k", "v"), Seq("k"))
+    // retain from the newest commit at-or-before tsAfterV1 (= v1) on
+    t.vacuumOlderThan(tsAfterV1)
+    assert(t.read(1).orderBy("k").collect().map(_.getDouble(1)).toSeq
+      == Seq(9.0, 2.0)) // v1 state: k1 updated, k2 original
+    assert(t.read().orderBy("k").collect().map(_.getDouble(1)).toSeq == Seq(9.0, 8.0))
+    // version 0 is gone — time travel below the cutoff fails
+    assertThrows[Exception](t.read(0).collect())
+  }
+
   test("commit of an already-written version fails loudly, winner intact") {
     import spark.implicits._
     val root = tmp("occ")
