@@ -82,6 +82,7 @@ object Bench {
         Seq(
           "mm" -> (() => operators.BenchExtras.mergeMicroSweep(spark)),
           "fc" -> (() => operators.BenchExtras.fileCountTiers(spark)),
+          "dm" -> (() => operators.BenchExtras.deleteMicroSweep(spark)),
           "ir" -> (() => operators.BenchExtras.incrementalRounds(spark)),
           "irp" -> (() => operators.BenchExtras.refreshProtocol(spark, sfDir))
         ).flatMap { case (tag, sweep) =>
@@ -101,7 +102,8 @@ object Bench {
       val (ir, rest1) = extras.partition(_._1.startsWith("ir_"))
       val (irp, rest2) = rest1.partition(_._1.startsWith("irp_"))
       val (fc, rest3) = rest2.partition(_._1.startsWith("fc_"))
-      val (mm, other) = rest3.partition(_._1.startsWith("mm_"))
+      val (dm, rest4) = rest3.partition(_._1.startsWith("dm_"))
+      val (mm, other) = rest4.partition(_._1.startsWith("mm_"))
       // stable sorts: largest tier first within each sweep, so trimming
       // eats the long-established small tiers, not the new extremes
       val fcBySize = fc.sortBy { case (k, _) =>
@@ -117,7 +119,7 @@ object Bench {
           case _      => 0L
         })
       }
-      ir ++ irp ++ fcBySize ++ mmBySize ++ other
+      ir ++ irp ++ fcBySize ++ dm ++ mmBySize ++ other
     }
     val json = Harness.reportJson(results, sfDir, Harness.envInfo(spark), extras)
     // Full CSV + JSON reports go to files (reference A3 shape); stdout gets

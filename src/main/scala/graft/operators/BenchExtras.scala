@@ -62,6 +62,40 @@ object BenchExtras {
     }
   }
 
+  /** 4 rows of (metric, seconds): {cow,mor} x {delete} at the two
+    * extreme delete-set sizes — CoW DELETE pays the partition rewrite,
+    * a MoR equality delete commits key-only tombstone files in
+    * O(delete keys). The same trade as the merge sweep, on the delete
+    * path the reference's protocol exercises via MERGE DELETE. */
+  def deleteMicroSweep(spark: SparkSession): Seq[(String, Double)] = {
+    val rows = 200000L
+    val base = Ingest.synthetic(spark, rows, numSplits = 8)
+    val staged = new SnapshotTable(spark, graft.Scratch.dir("dm_base"))
+      .create(base, partitionBy = Some("partition"))
+    // largest delete set first — the compact line trims from the end,
+    // and the 10% tier is where the CoW-rewrite vs tombstone gap shows
+    Seq(10L -> "20k", 10000L -> "20").flatMap { case (nth, label) =>
+      val keys = base.filter(col("key") % nth === 0)
+        .select("key", "partition")
+      Seq("cow", "mor").flatMap { mode =>
+        val clone = staged.shallowCloneTo(graft.Scratch.dir(s"dm_${mode}_$label"))
+        val (_, wSec) = time {
+          if (mode == "cow")
+            clone.mergeDelete(keys, keys = Seq("key", "partition"),
+              partitionBy = Some("partition"))
+          else
+            clone.mergeDeleteDeferred(keys, keys = Seq("key", "partition"),
+              partitionBy = Some("partition"))
+        }
+        val (_, rSec) = time {
+          clone.read().agg(sum(col("value"))).collect()
+        }
+        Seq(s"dm_${mode}_del_$label" -> sec(wSec),
+          s"dm_${mode}_read_$label" -> sec(rSec))
+      }
+    }
+  }
+
   /** Per-tier (metric, seconds): manifest COUNT, range-read planning,
     * and the pruned read's execution, at 100 / 1k / 10k / 100k files
     * (the reference sweeps 1k→200k, FileCountBenchmark.scala:172-178).

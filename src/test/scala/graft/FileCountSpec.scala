@@ -93,6 +93,9 @@ class FileCountSpec extends AnyFunSuite {
         Seq(100000, 10000, 1000, 100).flatMap(n => Seq(
           s"fc_manifest_$n" -> 0.002, s"fc_plan_$n" -> 0.05,
           s"fc_read_$n" -> 0.08)) ++
+        Seq("20k", "20").flatMap(s => Seq(
+          s"dm_cow_del_$s" -> 0.8, s"dm_cow_read_$s" -> 0.1,
+          s"dm_mor_del_$s" -> 0.2, s"dm_mor_read_$s" -> 0.5)) ++
         Seq("20k", "2k", "200", "20").flatMap(s => Seq(
           s"mm_cow_merge_$s" -> 0.9, s"mm_cow_read_$s" -> 0.1,
           s"mm_mor_merge_$s" -> 0.4, s"mm_mor_read_$s" -> 0.4))
@@ -111,6 +114,7 @@ class FileCountSpec extends AnyFunSuite {
     assert(line.contains("\"ir_merge_10\":"))
     assert(line.contains("\"irp_query_post\":"))
     assert(line.contains("\"fc_plan_100000\":"))
+    assert(line.contains("\"dm_mor_del_20k\":"))
     // with no extras at all, the full headline list fits
     val bare = Harness.compactJson(results, "/root/testdata/sf0.1",
       "bench_reports/bench_report.json")
