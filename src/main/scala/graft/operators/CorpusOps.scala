@@ -150,6 +150,80 @@ object CorpusOps {
         .orderBy("doc_id")
     })
 
+  // Index maintenance after an ingest: the batch's UNIQUE documents
+  // (neither exact nor near duplicates of the corpus) join the standing
+  // LSH index so the NEXT increment deduplicates against them too. The
+  // extension cost is unique-batch-sized (their band rows union the
+  // persisted index parquet); the result here goes to its own staged
+  // copy — never mutating the shared index the classification entry
+  // reads, which must stay a pure function of the corpus for the
+  // iteration/oracle protocol. Output: per-band row and distinct-key
+  // counts of the extended index — the quantities an index operator
+  // monitors for bucket skew.
+  private val indexExtendOracle: String = {
+    val mins = (0 until Dedup.MinhashPerms)
+      .map(p => s"MIN((h * ${Dedup.hashA(p)} + ${Dedup.hashB(p)}) % $M)")
+      .mkString("[", ",\n               ", "]")
+    s"""
+      WITH sh AS (${Dedup.duckShingleRows}),
+      h AS (SELECT doc_id, ${Dedup.duckH} AS h FROM sh),
+      sig AS (SELECT doc_id, $mins AS sig FROM h GROUP BY doc_id),
+      th AS (SELECT doc_id, ${duckPolyHash("text")} AS th FROM documents),
+      batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 >= 7),
+      ex AS (
+        SELECT bt.doc_id AS doc_id, MIN(ct.doc_id) AS exact_id
+        FROM th bt JOIN th ct ON bt.th = ct.th AND ct.doc_id % 10 < 7
+        WHERE bt.doc_id % 10 >= 7
+        GROUP BY bt.doc_id),
+      cand AS (
+        SELECT sb.doc_id AS bid, sc.doc_id AS cid,
+               len(list_filter(range(1, 17), i -> sb.sig[i] = sc.sig[i])) / 16.0 AS est_sim
+        FROM sig sb JOIN sig sc
+          ON (sb.sig[1:4] = sc.sig[1:4] OR sb.sig[5:8] = sc.sig[5:8]
+              OR sb.sig[9:12] = sc.sig[9:12] OR sb.sig[13:16] = sc.sig[13:16])
+        WHERE sb.doc_id % 10 >= 7 AND sc.doc_id % 10 < 7),
+      near AS (
+        SELECT bid FROM cand WHERE est_sim >= 0.5 GROUP BY bid),
+      member AS (
+        SELECT doc_id FROM documents WHERE doc_id % 10 < 7
+        UNION ALL
+        SELECT b.doc_id FROM batch b
+        LEFT JOIN ex e ON b.doc_id = e.doc_id
+        LEFT JOIN near n ON b.doc_id = n.bid
+        WHERE e.exact_id IS NULL AND n.bid IS NULL),
+      bands AS (
+        SELECT m.doc_id, t.b AS band, s.sig[t.b*4+1 : t.b*4+4] AS k
+        FROM member m
+        JOIN sig s ON m.doc_id = s.doc_id
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t)
+      SELECT CAST(band AS INT) AS band, COUNT(*) AS n_rows,
+             CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys
+      FROM bands GROUP BY band ORDER BY band
+    """
+  }
+
+  private val indexExtend = OpQuery(
+    "dedup_index_extend",
+    Some(indexExtendOracle),
+    (s, d) => {
+      GraftFunctions.registerAll(s)
+      val allSig = Dedup.minhashSignatures(s, d)
+      // classify the batch exactly as dedup_incremental does, reusing
+      // the persisted corpus index (built on miss)
+      val classified = incremental.build(s, d)
+      val uniqIds = classified.filter(col("status") === "unique").select("doc_id")
+      val uniqBands = bandsOf(allSig.join(uniqIds, "doc_id"))
+      val extendStage = graft.Scratch.dir("inc_index_ext")
+      s.read.parquet(s"${indexRoots.get(d)}/bands")
+        .unionByName(uniqBands)
+        .write.mode("overwrite").parquet(extendStage)
+      s.read.parquet(extendStage)
+        .groupBy(col("b").cast("int").as("band"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("k")).as("n_keys"))
+        .orderBy("band")
+    })
+
   // Deterministic shard-shuffled export: the pre-training write path.
   // Every document gets a multiplicative-hash key; shard = hkey mod 8,
   // within-shard order = (hkey, doc_id) — a reproducible global shuffle
@@ -276,5 +350,5 @@ object CorpusOps {
         .orderBy("source")
     })
 
-  val defs: Seq[OpQuery] = Seq(incremental, shuffleExport, domainMix)
+  val defs: Seq[OpQuery] = Seq(incremental, indexExtend, shuffleExport, domainMix)
 }
