@@ -109,7 +109,7 @@ object CorpusOps {
       val idx = indexRoots.computeIfAbsent(d, _ => {
         val root = graft.Scratch.atExit(
           java.nio.file.Files.createTempDirectory("graft_inc_index").toString)
-        bandsOf(Dedup.minhashSignatures(s, d).filter(isCorpus))
+        bandsOf(Dedup.minhashSignaturesOf(s, docs(s, d).filter(isCorpus)))
           .write.mode("overwrite").parquet(s"$root/bands")
         docs(s, d).filter(isCorpus)
           .select(col("doc_id"), expr("graft_polyhash(text)").as("th"))
@@ -128,7 +128,7 @@ object CorpusOps {
         .agg(min(col("ct.doc_id")).as("exact_id"))
       // near tier: batch band rows probe the index on (band, key); the
       // signature-fraction estimate is computed per colliding pair only
-      val cand = bandsOf(Dedup.minhashSignatures(s, d).filter(!isCorpus)).as("a")
+      val cand = bandsOf(Dedup.minhashSignaturesOf(s, batch)).as("a")
         .join(corpusBands.as("b"),
           col("a.b") === col("b.b") && col("a.k") === col("b.k"))
         .select(col("a.doc_id").as("bid"), col("b.doc_id").as("cid"),
@@ -207,12 +207,17 @@ object CorpusOps {
     Some(indexExtendOracle),
     (s, d) => {
       GraftFunctions.registerAll(s)
-      val allSig = Dedup.minhashSignatures(s, d)
       // classify the batch exactly as dedup_incremental does, reusing
       // the persisted corpus index (built on miss)
       val classified = incremental.build(s, d)
       val uniqIds = classified.filter(col("status") === "unique").select("doc_id")
-      val uniqBands = bandsOf(allSig.join(uniqIds, "doc_id"))
+      // signatures for the unique docs ONLY: restrict the docs frame
+      // BEFORE shingling (uniqIds ⊆ batch) — joining doc_ids onto an
+      // already-aggregated all-corpus signature frame cannot be pushed
+      // below the groupBy, so it would redo corpus-sized signature work
+      // on every call
+      val uniqBands = bandsOf(
+        Dedup.minhashSignaturesOf(s, docs(s, d).join(uniqIds, "doc_id")))
       val extendStage = graft.Scratch.dir("inc_index_ext")
       s.read.parquet(s"${indexRoots.get(d)}/bands")
         .unionByName(uniqBands)
@@ -240,7 +245,7 @@ object CorpusOps {
     "corpus_shuffle_export",
     Some(s"""
       WITH a AS (
-        SELECT doc_id, n_chars, (doc_id * 2654435761) % $M AS hkey
+        SELECT doc_id, n_chars, ((doc_id % $M) * 2654435761) % $M AS hkey
         FROM documents),
       b AS (SELECT *, CAST(hkey % 8 AS INT) AS shard FROM a),
       p AS (SELECT shard, n_chars, hkey,
@@ -253,9 +258,12 @@ object CorpusOps {
       FROM p GROUP BY shard ORDER BY shard
     """),
     (s, d) => {
+      // reduce doc_id mod M BEFORE the multiply: the raw product overflows
+      // Long for doc_id ≳ 3.5e9 (Spark would wrap silently, DuckDB would
+      // raise) — (M-1) * 2654435761 ≈ 2.65e18 always fits
       val base = docs(s, d).select(
           col("doc_id"), col("n_chars"),
-          ((col("doc_id") * 2654435761L) % M).as("hkey"))
+          (((col("doc_id") % M) * 2654435761L) % M).as("hkey"))
         .withColumn("shard", (col("hkey") % 8).cast("int"))
       val placed = ScaleWindow.orderStats(
         base, Seq("shard"), Seq(col("hkey"), col("doc_id")), "pos", "n_in_shard")
@@ -310,7 +318,7 @@ object CorpusOps {
         SELECT d.source, COUNT(*) AS n_kept,
                CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
         FROM documents d JOIN quota q ON d.source = q.source
-        WHERE (d.doc_id * 2654435761) % $M % 10000 < q.cutoff
+        WHERE ((d.doc_id % $M) * 2654435761) % $M % 10000 < q.cutoff
         GROUP BY d.source)
       SELECT q.source, q.n_total,
              CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
@@ -339,7 +347,8 @@ object CorpusOps {
       val quota = s.read.parquet(quotaStage)
       val kept = docsDf
         .join(broadcast(quota.select("source", "cutoff")), "source")
-        .filter((col("doc_id") * 2654435761L) % M % 10000 < col("cutoff"))
+        // mod-first like corpus_shuffle_export: no Long overflow at any id
+        .filter(((col("doc_id") % M) * 2654435761L) % M % 10000 < col("cutoff"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum("n_chars").cast("long").as("chars_kept"))
       quota.join(kept, Seq("source"), "left")

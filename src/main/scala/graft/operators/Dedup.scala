@@ -185,9 +185,19 @@ object Dedup {
     * min((a_p*h+b_p) mod M) partial aggregates — ONE groupBy(doc_id)
     * shuffle carrying (doc_id, 16 longs), never text. Shared by the
     * batch LSH suite and [[CorpusOps]]' incremental index. */
-  private[operators] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+  private[operators] def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    minhashSignaturesOf(s, docs(s, d))
+
+  /** Signature pipeline over an explicit (doc_id, text) frame. Callers
+    * that need signatures for a SUBSET (CorpusOps' batch probe / index
+    * extension) must filter/join the docs BEFORE this call: a doc_id
+    * restriction applied above the groupBy (e.g. a join on the
+    * aggregated frame) cannot be pushed below it by Catalyst, so the
+    * shingle explode + 16 min-aggregates would run corpus-sized. */
+  private[operators] def minhashSignaturesOf(
+      s: SparkSession, docsDf: DataFrame): DataFrame = {
     GraftFunctions.registerAll(s)
-    val sh = docs(s, d).select(
+    val sh = docsDf.select(
       col("doc_id"), explode(array_distinct(expr("graft_shingles(text, 3)"))).as("s"))
       .withColumn("h", expr("graft_polyhash(s)"))
     val sigCols = (0 until MinhashPerms).map(p =>

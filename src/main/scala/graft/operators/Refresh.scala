@@ -185,15 +185,26 @@ object Refresh {
       // (on a cluster this overlaps shuffle/write waves; serially each
       // write's tail tasks would idle the executors).
       import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
       val writes = graft.sources.TpcdsSchema.refreshViews.map {
-        case (name, sql) => Future {
+        case (name, sql) => name -> Future {
           s.sql(sql).write.mode("overwrite").parquet(s"$cache/$name")
-          name
         }
       }
-      Await.result(Future.sequence(writes), Duration.Inf)
+      // generous shared deadline (each view is seconds of work even at
+      // sf0.1): a hung write fails LOUD naming the stuck view instead of
+      // stalling the bench forever
+      val deadline = System.nanoTime() + 30.minutes.toNanos
+      writes.foreach { case (name, f) =>
+        try Await.result(f,
+          math.max(1L, deadline - System.nanoTime()).nanos)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new IllegalStateException(
+              s"refresh view staging timed out (30 min budget) waiting on '$name'")
+        }
+      }
       graft.sources.TpcdsSchema.refreshViews.foreach { case (name, _) =>
         s.read.parquet(s"$cache/$name").createOrReplaceTempView(name)
         // staged views die with the scratch dir — register them for the

@@ -604,12 +604,17 @@ class SnapshotTable(spark: SparkSession, root: String) {
       else writeData(applied(readEntries(touched)), v + 1, partitionBy)
     val cdc =
       if (!trackChanges || touched.isEmpty) Seq.empty
-      else writeChanges(
-        applied(readEntries(touched)).filter(matches)
-          .withColumn(ChangeCol, lit("update_postimage"))
-          .unionByName(readEntries(touched).filter(matches)
-            .withColumn(ChangeCol, lit("update_preimage"))),
-        v + 1)
+      else {
+        // both images derive from the SAME pre-update row set: filtering
+        // post-update rows would unpair the feed when a SET assigns the
+        // predicate column (a row updated out of [lo,hi] must still emit
+        // its postimage)
+        val old = readEntries(touched).filter(matches)
+        writeChanges(
+          applied(old).withColumn(ChangeCol, lit("update_postimage"))
+            .unionByName(old.withColumn(ChangeCol, lit("update_preimage"))),
+          v + 1)
+      }
     writeManifest(Manifest(v + 1, "UPDATE", Seq.empty,
       written ++ carryOver, Seq.empty, cdc))
     this
