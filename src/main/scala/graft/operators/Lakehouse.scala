@@ -827,6 +827,65 @@ object Lakehouse {
         .orderBy("o_orderkey", "o_orderstatus")
     })
 
+  // Change-data-feed on the MERGE-ON-READ path (Delta/Hudi expose CDF
+  // regardless of CoW/MoR): a tracked deferred upsert and a tracked
+  // deferred delete over a table that ALREADY carries pending deltas.
+  // Resolution-awareness is what the oracle pins: the first (untracked)
+  // MoR round bumps %10 keys by +1000, so the tracked rounds' pre-images
+  // MUST come from the resolved view — the %20 update pre-images carry
+  // +1000 (every %20 key is a %10 key), and the %13 delete pre-images
+  // carry the LATEST delta value (+500 for %20 keys — the second upsert
+  // REPLACES the first, it does not accumulate — +1000 for other %10
+  // keys). An implementation that read pre-images from base files alone
+  // would hash-mismatch every one of those sums.
+  private val cdcMorRead = OpQuery(
+    "cdc_mor_read",
+    Some("""
+      SELECT * FROM (
+        SELECT 'insert' AS change_type, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders WHERE o_orderkey % 23 = 0
+        UNION ALL
+        SELECT 'update_postimage', COUNT(*),
+               CAST(SUM(CAST(o_totalprice + 500.0 AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 20 = 0
+        UNION ALL
+        SELECT 'update_preimage', COUNT(*),
+               CAST(SUM(CAST(o_totalprice + 1000.0 AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 20 = 0
+        UNION ALL
+        SELECT 'delete', COUNT(*),
+               CAST(SUM(CAST(o_totalprice
+                 + CASE WHEN o_orderkey % 20 = 0 THEN 500.0
+                        WHEN o_orderkey % 10 = 0 THEN 1000.0
+                        ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 13 = 0)
+      ORDER BY change_type
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val keys = Seq("o_orderkey", "o_orderstatus")
+      val src2 = o.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+        .unionByName(o.filter(col("o_orderkey") % 23 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+          .withColumn("o_orderstatus", lit("P")))
+      val table = stagedOrders(s, d).shallowCloneTo(tmp("cdcmor"))
+        .mergeDeferred(mergeSource(o), keys, partitionBy = Some("o_orderstatus"))
+        .mergeDeferred(src2, keys, partitionBy = Some("o_orderstatus"),
+          trackChanges = true)
+        .mergeDeleteDeferred(
+          o.filter(col("o_orderkey") % 13 === 0)
+            .select("o_orderkey", "o_orderstatus"),
+          keys, partitionBy = Some("o_orderstatus"), trackChanges = true)
+      table.changes(2).unionByName(table.changes(3))
+        .groupBy(col(SnapshotTable.ChangeCol).as("change_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+        .orderBy("change_type")
+    })
+
   // VACUUM: after a CoW merge rewrites partitions, the superseded
   // version-0 files under the table's own root are physically deleted;
   // the retained current version must still read correctly. The oracle
@@ -977,7 +1036,8 @@ object Lakehouse {
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
     mergeDelete, timeTravel, csvMalformed, schemaEvolution, incrementalAgg,
-    tableClone, mergeMorRead, mergeMorDelete, vacuumRetention, zorderLayout, orcRoundtrip,
+    tableClone, mergeMorRead, mergeMorDelete, cdcMorRead, vacuumRetention,
+    zorderLayout, orcRoundtrip,
     jsonIngest, deleteWhereQ, updateWhereQ, mergeEvolve, timeTravelTs,
     concurrentMerge)
 }

@@ -627,14 +627,37 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * in. All deferred merges on a table must use the same `keys`
     * (enforced), mirroring a fixed primary key. Upsert-only (no
     * deferred delete), like the reference's MERGE update-all/insert-all. */
-  def mergeDeferred(source: DataFrame, keys: Seq[String], partitionBy: Option[String] = None): SnapshotTable = {
+  def mergeDeferred(source: DataFrame, keys: Seq[String], partitionBy: Option[String] = None,
+      trackChanges: Boolean = false): SnapshotTable = {
     val v = currentVersion
     val prior = mergeKeysOf(v)
     require(prior.isEmpty || prior == keys,
       s"deferred-merge keys $keys differ from table's $prior")
     val written = writeData(source, v + 1, partitionBy)
+    // CDF on the MoR path (Delta/Hudi expose the change feed regardless
+    // of CoW/MoR): classification is against the RESOLVED view of the
+    // touched partitions — a key whose current value lives in a pending
+    // delta gets that delta row as its update preimage, and a key whose
+    // newest delta is a tombstone classifies as an insert (resurrection).
+    // Cost: O(source + touched partitions), same shape as the CoW capture
+    // — the commit itself stays O(source).
+    val cdc =
+      if (!trackChanges) Seq.empty
+      else {
+        val (pre0, _) = prunedBase(source, keys, partitionBy, source.schema)
+        val srcKeys = source.select(keys.map(col): _*)
+        val pre = pre0.join(srcKeys, keys, "left_semi")
+        val preKeys = pre.select(keys.map(col): _*)
+        writeChanges(
+          source.join(preKeys, keys, "left_semi")
+            .withColumn(ChangeCol, lit("update_postimage"))
+            .unionByName(source.join(preKeys, keys, "left_anti")
+              .withColumn(ChangeCol, lit("insert")))
+            .unionByName(pre.withColumn(ChangeCol, lit("update_preimage"))),
+          v + 1)
+      }
     writeManifest(Manifest(v + 1, "MERGE_MOR", keys, fileEntries(v),
-      deltaEntries(v) ++ written))
+      deltaEntries(v) ++ written, cdc))
     this
   }
 
@@ -647,7 +670,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * never row-width — the property that makes high-churn deletes
     * affordable at 100 TB. */
   def mergeDeleteDeferred(source: DataFrame, keys: Seq[String],
-      partitionBy: Option[String] = None): SnapshotTable = {
+      partitionBy: Option[String] = None,
+      trackChanges: Boolean = false): SnapshotTable = {
     val v = currentVersion
     val prior = mergeKeysOf(v)
     require(prior.isEmpty || prior == keys,
@@ -655,8 +679,21 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val tomb = source.select(keys.map(col): _*).distinct()
       .withColumn(DelCol, lit(true))
     val written = writeData(tomb, v + 1, partitionBy)
+    // CDF delete rows are FULL-WIDTH pre-images from the resolved view
+    // (a key whose latest value sits in a pending upsert delta emits
+    // that row, not the stale base copy; an already-tombstoned or absent
+    // key emits nothing — deleting a non-row is a no-op in the feed).
+    val cdc =
+      if (!trackChanges) Seq.empty
+      else {
+        val (pre0, _) = prunedBase(source, keys, partitionBy, read(v).schema)
+        writeChanges(
+          pre0.join(tomb.drop(DelCol), keys, "left_semi")
+            .withColumn(ChangeCol, lit("delete")),
+          v + 1)
+      }
     writeManifest(Manifest(v + 1, "DELETE_MOR", keys, fileEntries(v),
-      deltaEntries(v) ++ written))
+      deltaEntries(v) ++ written, cdc))
     this
   }
 

@@ -221,6 +221,38 @@ class SnapshotTableSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](t.changes(3))
   }
 
+  test("MoR CDC: deferred merge/delete changes resolve pre-images from pending deltas") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("morcdc"))
+      .create(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("k", "p", "v"), Some("p"))
+    // v1: untracked deferred upsert bumps k=1 to 11.0 (pending delta)
+    t.mergeDeferred(Seq((1L, "a", 11.0)).toDF("k", "p", "v"), Seq("k", "p"), Some("p"))
+    // v2 tracked: k=1's update preimage MUST be the pending delta row
+    // (11.0), not the stale base copy (10.0); k=4 is an insert
+    t.mergeDeferred(Seq((1L, "a", 12.0), (4L, "b", 40.0)).toDF("k", "p", "v"),
+      Seq("k", "p"), Some("p"), trackChanges = true)
+    val ch = t.changes(2).orderBy("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3))).toSeq
+    assert(ch == Seq((1L, 12.0, "update_postimage"), (1L, 11.0, "update_preimage"),
+      (4L, 40.0, "insert")))
+    // v3 tracked delete: k=1's pre-image is its NEWEST delta (12.0);
+    // deleting the absent k=9 emits no change row
+    t.mergeDeleteDeferred(Seq((1L, "a"), (9L, "a")).toDF("k", "p"),
+      Seq("k", "p"), Some("p"), trackChanges = true)
+    val del = t.changes(3).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3))).toSeq
+    assert(del == Seq((1L, 12.0, "delete")))
+    // v4 tracked: re-upserting the tombstoned key classifies as INSERT
+    t.mergeDeferred(Seq((1L, "a", 13.0)).toDF("k", "p", "v"),
+      Seq("k", "p"), Some("p"), trackChanges = true)
+    assert(t.changes(4).collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+      == Seq((1L, "insert")))
+    // the resolved read agrees with the applied change feed
+    assert(t.read().orderBy("k").collect().map(_.getDouble(2)).toSeq
+      == Seq(13.0, 20.0, 30.0, 40.0))
+  }
+
   test("partition evolution: old layout prunes on metadata, new layout gets residual filter") {
     import spark.implicits._
     val t = new SnapshotTable(spark, tmp("pevo"))
