@@ -227,7 +227,6 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val latest = deltaDf
       .withColumn(RnCol, row_number().over(newest))
       .filter(col(RnCol) === 1).drop(RnCol, GenCol)
-    val baseDf = readEntries(base)
     // last-writer-wins ACROSS kinds: a key whose newest delta row is a
     // tombstone is gone (base copy anti-joined out, no survivor row); a
     // key upserted again after a delete resurfaces with the upsert row
@@ -235,6 +234,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
       if (latest.columns.contains(DelCol))
         latest.filter(!(col(DelCol) <=> true)).drop(DelCol)
       else latest
+    val baseDf =
+      if (base.nonEmpty) readEntries(base)
+      // all-delta slice (a folded partition set with no base files yet):
+      // the resolution is the survivors alone
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], survivors.schema)
     // allowMissingColumns: when every pending delta is a tombstone,
     // survivors is empty with a key-only schema — the union must still
     // resolve (and contributes nothing)
@@ -450,39 +455,54 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * partition slices of the same table all commit. The data rewrite
     * runs once against the snapshot version observed at entry; losing
     * the write-once manifest race triggers a METADATA-ONLY retry — the
-    * attempt re-validates that every file of its touched partitions is
-    * unchanged since its rewrite base (so its new files are still
-    * correct), re-targets its carry-over list at the winner's manifest,
-    * and commits the next version. A winner that touched one of our
-    * partitions (or pending MoR deltas appearing) is a true conflict →
+    * attempt re-validates that its partition SLICE (base files AND
+    * pending deltas) is unchanged since its rewrite base (so its new
+    * files are still correct), re-targets its carry-over lists at the
+    * winner's manifest, and commits the next version. A winner that
+    * touched our slice is a true conflict →
     * ConcurrentModificationException, exactly Delta's behavior.
     *
-    * Requires a partitioned table whose every file is laid out under
-    * `partitionBy` (mixed layouts can hide matching rows from the
-    * disjointness check). `beforeCommit` is a test seam to interleave a
-    * competing commit deterministically between rewrite and commit. */
+    * Pending MoR deltas are supported: deltas laid out under
+    * `partitionBy` classify exactly — those in touched partitions
+    * resolve into the rewrite (their files retire with this commit),
+    * the rest carry over as still-pending deltas. A delta WITHOUT that
+    * layout may span partitions, so it forces a full fold (every file
+    * and delta joins the rewrite base) — correct, just unprunable, and
+    * any concurrent commit then conflicts. Base files under a foreign
+    * layout are treated as always-touched (same rule as [[prunedBase]]):
+    * their rows fold into the rewrite, and writers that share them
+    * conflict instead of corrupting.
+    *
+    * `beforeCommit` is a test seam to interleave a competing commit
+    * deterministically between rewrite and commit. */
   def mergeConcurrent(source: DataFrame, keys: Seq[String], partitionBy: String,
       maxAttempts: Int = 10,
       beforeCommit: () => Unit = () => ()): SnapshotTable = {
     require(keys.contains(partitionBy),
       s"mergeConcurrent keys $keys must include partition column $partitionBy")
     val v0 = currentVersion
-    require(deltaEntries(v0).isEmpty,
-      s"mergeConcurrent on $root requires compacted state")
-    require(fileEntries(v0).forall(e =>
-      e.partValue != null && e.partCol == partitionBy),
-      s"mergeConcurrent requires every file of $root laid out under $partitionBy")
     val vals = source.select(col(partitionBy).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     require(vals.nonEmpty, s"mergeConcurrent on $root with an empty source")
-    def mine(e: FileEntry) = vals.contains(e.partValue)
-    val baseEntries = fileEntries(v0).filter(mine)
+    def foreign(e: FileEntry) = e.partValue == null || e.partCol != partitionBy
+    def mine(e: FileEntry) = foreign(e) || vals.contains(e.partValue)
+    // the slice this writer folds into its rewrite at a given version:
+    // (base files, pending deltas). A partition-spanning delta widens the
+    // slice to the whole table — its rows may update ANY partition, so
+    // partial carry-over would duplicate or shadow them.
+    def slice(v: Int): (Seq[FileEntry], Seq[FileEntry]) =
+      if (deltaEntries(v).exists(foreign)) (fileEntries(v), deltaEntries(v))
+      else (fileEntries(v).filter(mine),
+        deltaEntries(v).filter(e => vals.contains(e.partValue)))
+    val (baseEntries, foldDeltas) = slice(v0)
     val base =
-      if (baseEntries.isEmpty) spark.createDataFrame(
+      if (baseEntries.isEmpty && foldDeltas.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema)
-      else readEntries(baseEntries)
+      else if (foldDeltas.isEmpty) readEntries(baseEntries)
+      else resolveMerged(baseEntries, foldDeltas, mergeKeysOf(v0))
     val rewritten = base.join(source, keys, "left_anti").unionByName(source)
     val basePaths = baseEntries.map(_.path).toSet
+    val foldDeltaPaths = foldDeltas.map(_.path).toSet
     var v = v0
     var attempt = 0
     var committed = false
@@ -490,26 +510,32 @@ class SnapshotTable(spark: SparkSession, root: String) {
     while (!committed) {
       attempt += 1
       // written on the first pass only — the rewrite stays valid across
-      // retries once the disjointness validation passes, so a retry is
+      // retries once the slice validation passes, so a retry is
       // metadata-only
       if (attempt == 1) attemptFiles = writeData(rewritten, v + 1, Some(partitionBy))
       beforeCommit()
-      val carryOver = fileEntries(v).filterNot(mine)
+      val carryOver = fileEntries(v).filterNot(e => basePaths(e.path))
+      val carryDeltas = deltaEntries(v).filterNot(e => foldDeltaPaths(e.path))
       try {
-        // origin tracks the committing version (a retry re-targets it)
-        writeManifest(Manifest(v + 1, "MERGE", Seq.empty,
+        // origin tracks the committing version (a retry re-targets it);
+        // carried deltas keep their original origins so last-writer-wins
+        // ordering against future deltas is unchanged
+        writeManifest(Manifest(v + 1, "MERGE",
+          if (carryDeltas.isEmpty) Seq.empty else mergeKeysOf(v),
           attemptFiles.map(_.copy(origin = (v + 1).toLong)) ++ carryOver,
-          Seq.empty))
+          carryDeltas))
         committed = true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException
             | _: java.nio.file.FileAlreadyExistsException =>
           val newV = currentVersion
-          val stillMine = fileEntries(newV).filter(mine).map(_.path).toSet
-          if (stillMine != basePaths || deltaEntries(newV).nonEmpty)
+          val (nowBase, nowDeltas) = slice(newV)
+          if (nowBase.map(_.path).toSet != basePaths ||
+              nowDeltas.map(_.path).toSet != foldDeltaPaths)
             throw new java.util.ConcurrentModificationException(
               s"concurrent commit to $root touched partitions $vals " +
-                s"(or appended deltas) — rewrite base is stale")
+                "(this writer's slice of files or deltas changed) — " +
+                "rewrite base is stale")
           if (attempt >= maxAttempts)
             throw new java.util.ConcurrentModificationException(
               s"gave up committing to $root after $maxAttempts attempts")

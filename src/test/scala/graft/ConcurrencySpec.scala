@@ -72,6 +72,72 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(got == 16.0) // 9 + 7 from the rival only
   }
 
+  test("OCC merge with pending MoR deltas folds its slice, carries the rest") {
+    import spark.implicits._
+    val (t, _) = mkTable("occ_mor")
+    // pending deltas: one in OUR partition (B: k=9 -> 900), one in A
+    t.mergeDeferred(Seq((9L, "B", 900.0)).toDF("k", "p", "v"),
+      Seq("k", "p"), Some("p"))
+    t.mergeDeferred(Seq((0L, "A", 500.0)).toDF("k", "p", "v"),
+      Seq("k", "p"), Some("p"))
+    t.mergeConcurrent(src("B", 100.0), keys = Seq("k", "p"), partitionBy = "p")
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got(9L) == 109.0)  // B's delta was folded, then the source won
+    assert(got(0L) == 500.0)  // A's delta carried over, still resolves
+    assert(got(11L) == 11.0)  // B outside the slice: untouched
+    // the carried delta is still PENDING metadata, not folded data
+    assert(t.history.orderBy(col("version").desc).limit(1)
+      .collect()(0).getString(1) == "MERGE")
+  }
+
+  test("a rival appending a delta to OUR partition is a true conflict") {
+    import spark.implicits._
+    val (t, root) = mkTable("occ_mor_conflict")
+    val rival = new SnapshotTable(spark, root)
+    var injected = false
+    intercept[java.util.ConcurrentModificationException] {
+      t.mergeConcurrent(src("B", 100.0), keys = Seq("k", "p"),
+        partitionBy = "p",
+        beforeCommit = () => if (!injected) {
+          injected = true
+          rival.mergeDeferred(Seq((9L, "B", 77.0)).toDF("k", "p", "v"),
+            Seq("k", "p"), Some("p"))
+        })
+    }
+    // the rival's delta commit is intact; ours left no manifest
+    assert(t.currentVersion == 1)
+    assert(t.read().filter(col("k") === 9).select("v").head.getDouble(0) == 77.0)
+  }
+
+  test("mixed-layout OCC folds foreign-layout files; rival commit conflicts") {
+    import spark.implicits._
+    val (t, root) = mkTable("occ_mixed")
+    // evolve: two rows appended under a DIFFERENT partition layout — those
+    // files say nothing about p, so every OCC writer must fold them
+    t.append(Seq((100L, "A", 100.0), (101L, "B", 101.0)).toDF("k", "p", "v"),
+      partitionBy = Some("v"))
+    t.mergeConcurrent(src("B", 100.0), keys = Seq("k", "p"), partitionBy = "p")
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.size == 42 && got(9L) == 109.0 && got(11L) == 11.0)
+    assert(got(100L) == 100.0 && got(101L) == 101.0) // folded, not lost
+    // re-evolve, then race: the foreign file is in BOTH writers' slices,
+    // so the loser must conflict rather than resurrect stale rows
+    t.append(Seq((102L, "A", 102.0)).toDF("k", "p", "v"), partitionBy = Some("v"))
+    val rival = new SnapshotTable(spark, root)
+    var injected = false
+    intercept[java.util.ConcurrentModificationException] {
+      t.mergeConcurrent(src("B", 7.0), keys = Seq("k", "p"), partitionBy = "p",
+        beforeCommit = () => if (!injected) {
+          injected = true
+          rival.merge(src("A", 1000.0), keys = Seq("k", "p"),
+            partitionBy = Some("p"))
+        })
+    }
+    assert(t.read().filter(col("k") === 0).select("v").head.getDouble(0) == 1000.0)
+  }
+
   test("commit timestamps are strictly increasing; AS OF resolves them") {
     val (t, _) = mkTable("occ_ts")
     t.merge(src("A", 50.0), keys = Seq("k", "p"), partitionBy = Some("p"))
