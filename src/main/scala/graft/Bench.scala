@@ -65,8 +65,8 @@ object Bench {
     // protocol sweeps (merge-micro CoW/MoR crossover, file-count planning
     // tiers) run once after the query loop; a failing sweep must not kill
     // the round's report
-    // SPARK_GRAFT_EXTRAS may name a subset (mm,fc,ir,irp) for the dev
-    // loop; unset with a full run, or set empty, means all sweeps.
+    // SPARK_GRAFT_EXTRAS may name a subset (mm,fc,dm,ir,irp,inc,skip)
+    // for the dev loop; unset with a full run, or set empty, means all.
     val extrasSel = sys.env.get("SPARK_GRAFT_EXTRAS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val runExtras = only.isEmpty || extrasSel.isDefined
@@ -84,7 +84,9 @@ object Bench {
           "fc" -> (() => operators.BenchExtras.fileCountTiers(spark)),
           "dm" -> (() => operators.BenchExtras.deleteMicroSweep(spark)),
           "ir" -> (() => operators.BenchExtras.incrementalRounds(spark)),
-          "irp" -> (() => operators.BenchExtras.refreshProtocol(spark, sfDir))
+          "irp" -> (() => operators.BenchExtras.refreshProtocol(spark, sfDir)),
+          "inc" -> (() => operators.BenchExtras.incrementalDedupRounds(spark, sfDir)),
+          "skip" -> (() => operators.BenchExtras.skipRatios(spark, sfDir))
         ).flatMap { case (tag, sweep) =>
           if (!want(tag)) Seq.empty
           else { val r = sweep(); Scratch.sweep(spark); r }
@@ -94,20 +96,26 @@ object Bench {
           System.err.println(s"[bench] extras failed: ${e.getMessage}")
           Seq.empty
       }
-    // Compact-line priority order (trimming drops from the END): the two
-    // incremental-refresh protocols and the file-count tiers are the
-    // newest deliverables; the merge-micro sweep leads with its LARGEST
-    // sizes so the CoW/MoR crossover survives even when small tiers trim.
+    // Compact-line priority order (trimming drops from the END): this
+    // round's deliverables lead — the incremental-dedup flatness curve,
+    // the 200k-file tier (with the 1k tier right behind it for the
+    // ≲2x comparison), the skip ratios — then the established protocol
+    // sweeps: delete crossover, incremental merges, corpus-fidelity
+    // refresh, merge micro (largest sizes first within each).
     val extrasOrdered = {
-      val (ir, rest1) = extras.partition(_._1.startsWith("ir_"))
-      val (irp, rest2) = rest1.partition(_._1.startsWith("irp_"))
-      val (fc, rest3) = rest2.partition(_._1.startsWith("fc_"))
-      val (dm, rest4) = rest3.partition(_._1.startsWith("dm_"))
-      val (mm, other) = rest4.partition(_._1.startsWith("mm_"))
-      // stable sorts: largest tier first within each sweep, so trimming
-      // eats the long-established small tiers, not the new extremes
-      val fcBySize = fc.sortBy { case (k, _) =>
-        -k.split('_').last.toLongOption.getOrElse(0L)
+      val (inc, rest0) = extras.partition(_._1.startsWith("inc_"))
+      val (skip, rest1) = rest0.partition(_._1.startsWith("skip_"))
+      val (ir, rest2) = rest1.partition(_._1.startsWith("ir_"))
+      val (irp, rest3) = rest2.partition(_._1.startsWith("irp_"))
+      val (fc, rest4) = rest3.partition(_._1.startsWith("fc_"))
+      val (dm, rest5) = rest4.partition(_._1.startsWith("dm_"))
+      val (mm, other) = rest5.partition(_._1.startsWith("mm_"))
+      // fc: the headline 200k tier first, then the 1k baseline it is
+      // compared against, then the middle tiers
+      val fcRank = Map(200000L -> 0L, 1000L -> 1L, 100000L -> 2L,
+        10000L -> 3L, 100L -> 4L)
+      val fcOrdered = fc.sortBy { case (k, _) =>
+        fcRank.getOrElse(k.split('_').last.toLongOption.getOrElse(0L), 9L)
       }
       val mmBySize = mm.sortBy { case (k, _) =>
         val suffix = k.split('_').last
@@ -119,7 +127,7 @@ object Bench {
           case _      => 0L
         })
       }
-      ir ++ irp ++ fcBySize ++ dm ++ mmBySize ++ other
+      inc ++ fcOrdered ++ skip ++ dm ++ ir ++ irp ++ mmBySize ++ other
     }
     val json = Harness.reportJson(results, sfDir, Harness.envInfo(spark), extras)
     // Full CSV + JSON reports go to files (reference A3 shape); stdout gets

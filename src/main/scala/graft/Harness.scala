@@ -178,7 +178,9 @@ object Harness {
     "stream_window_agg", "simsearch_ivf", "window_topk_per_group",
     "agg_rollup_grouping", "subquery_correlated", "merge_mor_read",
     "merge_mor_delete", "dedup_incremental", "tpcds_q72",
-    // second tier — survives only when space allows
+    // second tier — survives only when space allows (cdc_mor_read leads:
+    // new entries have no prior-round drift number, so they trim first)
+    "cdc_mor_read",
     "join_semi_in", "join_anti_notexists", "window_running_sum",
     "setop_union_all", "sort_multi_mixed", "filecount_probes",
     "dedup_exact", "dedup_embedding_ann", "simsearch_topk",

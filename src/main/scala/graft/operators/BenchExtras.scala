@@ -97,31 +97,133 @@ object BenchExtras {
   }
 
   /** Per-tier (metric, seconds): manifest COUNT, range-read planning,
-    * and the pruned read's execution, at 100 / 1k / 10k / 100k files
-    * (the reference sweeps 1k→200k, FileCountBenchmark.scala:172-178).
+    * and the pruned read's execution, at 100 / 1k / 10k / 100k / 200k
+    * files — 200k is the reference's own headline operating point (its
+    * sweep tops out there, FileCountBenchmark.scala:172-178, and the
+    * published 7-20x metadata win is measured AT 200k, README.md:43).
     * Planning is manifest-only ([[graft.sources.ManifestFileIndex]]:
     * zero filesystem listing), so fc_plan must stay ~flat while the
-    * file count grows 1000×. */
+    * file count grows 2000×. */
   def fileCountTiers(spark: SparkSession): Seq[(String, Double)] = {
     val rows = 200000L
-    Seq(100, 1000, 10000, 100000).flatMap { nFiles =>
+    Seq(100, 1000, 10000, 100000, 200000).flatMap { nFiles =>
       // disjoint per-file key ranges (sorted range layout) so the range
-      // probe's manifest pruning has real work to skip
-      val df = Ingest.synthetic(spark, rows, numSplits = 8)
-        .repartitionByRange(nFiles, col("key"))
-        .sortWithinPartitions("key")
+      // probe's manifest pruning has real work to skip. STAGING (untimed)
+      // must not dominate the sweep: one write task per file means 200k
+      // Spark tasks at the top tier (~15 min of pure task overhead), so
+      // the big tiers write 64 sorted range partitions and split files
+      // with maxRecordsPerFile — same layout (per-file disjoint spans,
+      // footer stats intact), 3000x fewer tasks.
+      val base = Ingest.synthetic(spark, rows, numSplits = 8)
       val t = new SnapshotTable(spark, graft.Scratch.dir(s"fc_$nFiles"))
-        .create(df)
+      if (nFiles <= 1000) {
+        t.create(base.repartitionByRange(nFiles, col("key"))
+          .sortWithinPartitions("key"))
+      } else {
+        spark.conf.set("spark.sql.files.maxRecordsPerFile",
+          (rows / nFiles).toString)
+        try t.create(base.repartitionByRange(64, col("key"))
+          .sortWithinPartitions("key"))
+        finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+      }
       val (_, manifestSec) = time(t.countFromManifest)
-      // planning = manifest filter + scan construction, zero jobs
-      val (pruned, planSec) = time(t.readRange("key", 0.0, rows / 100.0))
-      val (_, execSec) = time(
-        pruned.filter(col("key") <= rows / 100).count())
+      // planning = manifest filter + scan construction, zero jobs. The
+      // probe's key range spans ~20 FILES at every tier (constant result
+      // size), so fc_plan isolates metadata cost against file count —
+      // a fixed-fraction range would instead grow the planned set 200x
+      // and measure scan construction, not planning.
+      val hi = rows * 20.0 / nFiles
+      val (pruned, planSec) = time(t.readRange("key", 0.0, hi))
+      val (_, execSec) = time(pruned.filter(col("key") <= hi).count())
       graft.Scratch.sweep(spark)
       Seq(s"fc_manifest_$nFiles" -> sec(manifestSec),
         s"fc_plan_$nFiles" -> sec(planSec),
         s"fc_read_$nFiles" -> sec(execSec))
     }
+  }
+
+  /** Multi-batch incremental-dedup protocol: the discipline
+    * [[incrementalRounds]] proves for MERGE, applied to the standing
+    * corpus LSH index ([[CorpusOps]]). A 50%-of-corpus seed builds the
+    * band + text-hash index ONCE (staging, untimed); then 5 successive
+    * 10% ingest batches each (a) probe the index for exact/near/unique
+    * classification — inc_probe_N — and (b) APPEND the unique docs'
+    * band/hash rows to the index — inc_extend_N. Both costs must stay
+    * flat as the index grows from 50% to ~100% of the corpus: the probe
+    * is batch-signature work + a bucket equi-join, and the extension is
+    * an append (never an index rewrite). A rising inc_probe curve would
+    * mean per-ingest cost scales with corpus size — the formulation that
+    * is unaffordable at 100 TB. */
+  def incrementalDedupRounds(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.DataFrame
+    graft.functions.GraftFunctions.registerAll(spark)
+    val docsAll = graft.Tables.load(spark, sfDir, "documents")
+    val root = graft.Scratch.dir("incproto")
+    val bandsDir = s"$root/bands"; val thDir = s"$root/th"
+    def bandsFor(df: DataFrame) =
+      CorpusOps.bandsOf(Dedup.minhashSignaturesOf(spark, df))
+    def thFor(df: DataFrame) =
+      df.select(col("doc_id"), expr("graft_polyhash(text)").as("th"))
+    val seed = docsAll.filter(col("doc_id") % 10 < 5)
+    bandsFor(seed).write.parquet(bandsDir)
+    thFor(seed).write.parquet(thDir)
+    (1 to 5).flatMap { i =>
+      val batch = docsAll.filter(col("doc_id") % 10 === 4 + i)
+      val stage = s"$root/cls_$i"
+      val (_, probeSec) = time {
+        val exact = thFor(batch).as("bt")
+          .join(spark.read.parquet(thDir).as("ct"), col("bt.th") === col("ct.th"))
+          .select(col("bt.doc_id").as("doc_id")).distinct()
+        val near = bandsFor(batch).as("a")
+          .join(spark.read.parquet(bandsDir).as("b"),
+            col("a.b") === col("b.b") && col("a.k") === col("b.k"))
+          .select(col("a.doc_id").as("doc_id"),
+            (expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))") / 16.0)
+              .as("est_sim"))
+          .filter(col("est_sim") >= 0.5)
+          .select("doc_id").distinct()
+        batch.select("doc_id")
+          .join(exact.withColumn("ex", lit(1)), Seq("doc_id"), "left")
+          .join(near.withColumn("nr", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("ex").isNotNull, "exact")
+              .when(col("nr").isNotNull, "near_dup")
+              .otherwise("unique").as("status"))
+          .write.parquet(stage)
+      }
+      val (_, extendSec) = time {
+        val uniq = spark.read.parquet(stage)
+          .filter(col("status") === "unique").select("doc_id")
+        val uniqDocs = docsAll.join(uniq, "doc_id")
+        // append-only index growth: the standing parquet dirs gain the
+        // unique batch's rows; nothing corpus-sized is rewritten
+        bandsFor(uniqDocs).write.mode("append").parquet(bandsDir)
+        thFor(uniqDocs).write.mode("append").parquet(thDir)
+      }
+      Seq(s"inc_probe_$i" -> sec(probeSec), s"inc_extend_$i" -> sec(extendSec))
+    }
+  }
+
+  /** File-skip observability for the two stats-pruned read entries:
+    * planned-files / total-files per probe (smaller = more skipped).
+    * Green hashes prove the pruned read is CORRECT; these ratios surface
+    * that it actually PRUNES — the operator's whole point at 100 TB,
+    * where an unskipped scan is the difference between reading 8 files
+    * and reading the table. */
+  def skipRatios(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    def ratio(t: SnapshotTable, colName: String, lo: Double, hi: Double): Double = {
+      val total = t.files.size
+      val planned = t.filesInRange(colName, lo, hi).size
+      math.rint(planned.toDouble / total * 10000) / 10000
+    }
+    val ranged = Governance.stagedLineitemRanged(spark, sfDir)
+    val z = Governance.stagedOrdersZorder(spark, sfDir)
+    Seq(
+      // stats_skipping_read's probe: l_quantity >= 49 over 8 range files
+      "skip_ratio_stats" -> ratio(ranged, "l_quantity", 49.0, Double.MaxValue),
+      // layout_zorder's probes: BOTH curve dimensions must prune
+      "skip_ratio_zorder_cust" -> ratio(z, "o_custkey", 100.0, 200.0),
+      "skip_ratio_zorder_key" -> ratio(z, "o_orderkey", 1000.0, 2000.0))
   }
 
   /** 10-round incremental MERGE protocol (the reference's refresh loop,

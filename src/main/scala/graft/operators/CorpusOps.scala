@@ -39,8 +39,9 @@ object CorpusOps {
 
   /** Band rows (doc_id, sig, b, k) for a signature frame — 4 bands × 4
     * rows over the 16-permutation MinHash signature, same banding as
-    * [[Dedup]]'s batch LSH (one explode, equi-join-able keys). */
-  private def bandsOf(sig: DataFrame): DataFrame =
+    * [[Dedup]]'s batch LSH (one explode, equi-join-able keys). Shared
+    * with [[BenchExtras]]' multi-batch incremental-dedup protocol. */
+  private[operators] def bandsOf(sig: DataFrame): DataFrame =
     sig.select(
       col("doc_id"), col("sig"),
       explode(expr(

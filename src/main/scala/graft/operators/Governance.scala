@@ -25,6 +25,14 @@ object Governance {
     * the engineered-layout idea of the reference's file-count table
     * (FileCountBenchmark.scala:230-232 sortWithinPartitions for disjoint
     * file stats). */
+  /** orders rewritten on the (o_custkey, o_orderkey) Z-curve — shared by
+    * the optimize entry and the skip-ratio bench metrics. */
+  private[operators] def stagedOrdersZorder(s: org.apache.spark.sql.SparkSession, d: String): SnapshotTable =
+    Lakehouse.staged(s, d, "orders_zorder")(r =>
+      new SnapshotTable(s, r)
+        .create(Tables.load(s, d, "orders"))
+        .compactZOrder(16, "o_custkey", "o_orderkey"): Unit)
+
   private[operators] def stagedLineitemRanged(s: org.apache.spark.sql.SparkSession, d: String): SnapshotTable =
     Lakehouse.staged(s, d, "lineitem_ranged")(r => new SnapshotTable(s, r)
       .create(Tables.load(s, d, "lineitem")
@@ -205,10 +213,7 @@ object Governance {
       FROM orders WHERE o_custkey BETWEEN 100 AND 200
     """),
     (s, d) => {
-      val table = Lakehouse.staged(s, d, "orders_zorder")(r =>
-        new SnapshotTable(s, r)
-          .create(Tables.load(s, d, "orders"))
-          .compactZOrder(16, "o_custkey", "o_orderkey"): Unit)
+      val table = stagedOrdersZorder(s, d)
       table.readRange("o_custkey", 100.0, 200.0)
         .filter(col("o_custkey").between(100, 200))
         .agg(count(lit(1)).as("n"),

@@ -78,24 +78,29 @@ class FileCountSpec extends AnyFunSuite {
   test("compact stdout report fits the driver's 2000-char tail capture") {
     // Simulate the full gate surface: every SparkEntry query name with a
     // plausible timing, PLUS a protocol-extras load matching the real
-    // sweeps (mm 16 + fc 12 + ir 14 + irp 24) — the stdout line must
-    // still fit alongside the ~75-char sbt epilogue that shares the
-    // capture window, and the priority entries must survive trimming.
+    // sweeps in Bench's priority order (inc 10 + fc 15 + skip 3 + dm 8 +
+    // ir 15 + irp 23 + mm 16) — the stdout line must still fit alongside
+    // the ~75-char sbt epilogue that shares the capture window, and the
+    // priority entries must survive trimming.
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n =>
       Harness.QueryResult(n, Seq(1.2345, 2.3456), Seq(0.0123, 0.0456), None))
     val extras =
-      (1 to 10).map(i => s"ir_merge_$i" -> 1.2345) ++
+      (1 to 5).flatMap(i =>
+        Seq(s"inc_probe_$i" -> 0.74, s"inc_extend_$i" -> 0.51)) ++
+        Seq(200000, 1000, 100000, 10000, 100).flatMap(n => Seq(
+          s"fc_manifest_$n" -> 0.002, s"fc_plan_$n" -> 0.05,
+          s"fc_read_$n" -> 0.08)) ++
+        Seq("skip_ratio_stats" -> 0.125, "skip_ratio_zorder_cust" -> 0.375,
+          "skip_ratio_zorder_key" -> 0.25) ++
+        Seq("20k", "20").flatMap(s => Seq(
+          s"dm_cow_del_$s" -> 0.8, s"dm_cow_read_$s" -> 0.1,
+          s"dm_mor_del_$s" -> 0.2, s"dm_mor_read_$s" -> 0.5)) ++
+        (1 to 10).map(i => s"ir_merge_$i" -> 1.2345) ++
         Seq("ir_query_pre" -> 0.2, "ir_query_mid" -> 0.2,
           "ir_compact" -> 0.6, "ir_query_post" -> 0.2) ++
         (0 to 10).flatMap(i => Seq(s"irp_merge_$i" -> 2.345,
           s"irp_query_$i" -> 4.567)) ++
         Seq("irp_compact" -> 4.2, "irp_query_post" -> 3.6) ++
-        Seq(100000, 10000, 1000, 100).flatMap(n => Seq(
-          s"fc_manifest_$n" -> 0.002, s"fc_plan_$n" -> 0.05,
-          s"fc_read_$n" -> 0.08)) ++
-        Seq("20k", "20").flatMap(s => Seq(
-          s"dm_cow_del_$s" -> 0.8, s"dm_cow_read_$s" -> 0.1,
-          s"dm_mor_del_$s" -> 0.2, s"dm_mor_read_$s" -> 0.5)) ++
         Seq("20k", "2k", "200", "20").flatMap(s => Seq(
           s"mm_cow_merge_$s" -> 0.9, s"mm_cow_read_$s" -> 0.1,
           s"mm_mor_merge_$s" -> 0.4, s"mm_mor_read_$s" -> 0.4))
@@ -110,10 +115,13 @@ class FileCountSpec extends AnyFunSuite {
     assert(line.contains("\"q3_star_topk\":"))
     assert(line.contains("\"join_asof\":"))
     assert(line.contains("\"tpcds_q72\":"))
-    // priority extras survive ahead of trailing ones
-    assert(line.contains("\"ir_merge_10\":"))
-    assert(line.contains("\"irp_query_post\":"))
-    assert(line.contains("\"fc_plan_100000\":"))
+    // this round's deliverables survive ahead of trailing ones: the
+    // flat incremental-dedup curve, the 200k tier AND its 1k baseline,
+    // the skip ratios, the delete crossover
+    assert(line.contains("\"inc_probe_5\":"))
+    assert(line.contains("\"fc_plan_200000\":"))
+    assert(line.contains("\"fc_plan_1000\":"))
+    assert(line.contains("\"skip_ratio_stats\":"))
     assert(line.contains("\"dm_mor_del_20k\":"))
     // with no extras at all, the full headline list fits
     val bare = Harness.compactJson(results, "/root/testdata/sf0.1",
