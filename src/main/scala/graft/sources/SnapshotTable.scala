@@ -925,9 +925,14 @@ class SnapshotTable(spark: SparkSession, root: String) {
       writer.option(s"parquet.bloom.filter.enabled#$c", "true"))
     writer.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val conf = spark.sessionState.newHadoopConf()
+    // one ParquetReadOptions shared by every footer read: the no-options
+    // open() builds a FRESH Hadoop Configuration per file (re-parsing
+    // core-default.xml each time) — at a 200k-file commit that is
+    // minutes of XML parsing and lock contention, not metadata reads
+    val readOptions = org.apache.parquet.HadoopReadOptions.builder(conf).build()
     import scala.collection.parallel.CollectionConverters._
     listDataFiles(fs, dataDir).par.map { case (p, pv, len) =>
-      val (rows, stats) = footerInfo(conf, p)
+      val (rows, stats) = footerInfo(conf, readOptions, p)
       FileEntry(p, pv, len, rows, version.toLong, partitionBy.orNull, stats)
     }.seq.toSeq
   }
@@ -939,8 +944,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
       f"data/c$version%05d_cdc_" + java.util.UUID.randomUUID().toString.take(8))
     df.write.mode(SaveMode.Overwrite).parquet(cdcDir.toString)
     val conf = spark.sessionState.newHadoopConf()
+    val readOptions = org.apache.parquet.HadoopReadOptions.builder(conf).build()
     listDataFiles(fs, cdcDir).map { case (p, _, len) =>
-      FileEntry(p, null, len, footerInfo(conf, p)._1, version.toLong)
+      FileEntry(p, null, len, footerInfo(conf, readOptions, p)._1, version.toLong)
     }
   }
 
@@ -1119,10 +1125,11 @@ object SnapshotTable {
     * makes file-level pruning unsound → the column is dropped); at most
     * [[MaxStatCols]] columns are kept, in schema order. */
   private def footerInfo(
-      conf: Configuration, path: String): (Long, Map[String, (Double, Double)]) = {
+      conf: Configuration, options: org.apache.parquet.ParquetReadOptions,
+      path: String): (Long, Map[String, (Double, Double)]) = {
     import scala.jdk.CollectionConverters._
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(path), conf))
+      HadoopInputFile.fromPath(new Path(path), conf), options)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val order = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -1170,14 +1177,40 @@ object SnapshotTable {
 
   private def listDataFiles(fs: FileSystem, dir: Path): Seq[(String, String, Long)] = {
     if (!fs.exists(dir)) return Seq.empty
-    val it = fs.listFiles(dir, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_"))
-        buf += ((st.getPath.toString, partValueOf(st.getPath.toString), st.getLen))
+    if (fs.getScheme == "file") listDataFilesNio(dir)
+    else {
+      val it = fs.listFiles(dir, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_"))
+          buf += ((st.getPath.toString, partValueOf(st.getPath.toString), st.getLen))
+      }
+      buf.toSeq
     }
+  }
+
+  /** NIO listing fast-path for local roots. Hadoop's RawLocalFileSystem
+    * builds each LocatedFileStatus by FORKING a shell to read the file's
+    * permissions when native IO libs are absent — at a 200k-file commit
+    * that is minutes of serialized process spawning on the driver; a
+    * direct filesystem walk is milliseconds. Paths render exactly as the
+    * Hadoop listing would ("file:" + absolute path) so manifests stay
+    * byte-compatible across both branches. Object-store schemes keep the
+    * FileSystem listing (their LIST carries size/type without stat-ing). */
+  private def listDataFilesNio(dir: Path): Seq[(String, String, Long)] = {
+    val root = java.nio.file.Paths.get(dir.toUri.getPath)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val stream = java.nio.file.Files.walk(root)
+    try stream.forEach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".parquet") && !name.startsWith("_") &&
+          java.nio.file.Files.isRegularFile(p)) {
+        val full = "file:" + p.toAbsolutePath.toString
+        buf += ((full, partValueOf(full), java.nio.file.Files.size(p)))
+      }
+    } finally stream.close()
     buf.toSeq
   }
 }

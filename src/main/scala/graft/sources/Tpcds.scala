@@ -26,6 +26,29 @@ object Tpcds {
   private val stagedRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Resolved-DataFrame cache for staged parquet, keyed by path. Every
+    * tpcds_q* build re-registers the 24 staged views (another operator
+    * may have re-pointed a same-named view between queries), and a bare
+    * `spark.read.parquet` pays directory listing + footer schema
+    * inference EACH time — ~24 small I/O round-trips per query build,
+    * the bulk of the corpus sweep's fixed per-query floor. The staged
+    * dirs are write-once, so the resolved relation is reusable;
+    * re-registration becomes a pure catalog operation. Value carries the
+    * owning session: a rebind (tests + bench in one JVM) recomputes. */
+  private val dfCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, org.apache.spark.sql.DataFrame)]()
+
+  private def stagedDf(
+      spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val cached = dfCache.get(path)
+    if (cached != null && (cached._1 eq spark)) cached._2
+    else {
+      val df = spark.read.parquet(path)
+      dfCache.put(path, (spark, df))
+      df
+    }
+  }
+
   private val baseTables =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
@@ -50,7 +73,7 @@ object Tpcds {
       r
     })
     TpcdsSchema.generators.foreach { case (name, _) =>
-      spark.read.parquet(s"$root/$name").createOrReplaceTempView(name)
+      stagedDf(spark, s"$root/$name").createOrReplaceTempView(name)
     }
   }
 
@@ -85,7 +108,7 @@ object Tpcds {
       r
     })
     TpcdsSchema.refreshSources.foreach { case (name, _) =>
-      spark.read.parquet(s"$root/$name").createOrReplaceTempView(name)
+      stagedDf(spark, s"$root/$name").createOrReplaceTempView(name)
     }
   }
 
@@ -107,7 +130,7 @@ object Tpcds {
       r
     })
     TpcdsSchema.refreshDimSources.foreach { case (name, _) =>
-      spark.read.parquet(s"$root/$name").createOrReplaceTempView(name)
+      stagedDf(spark, s"$root/$name").createOrReplaceTempView(name)
     }
   }
 
