@@ -127,7 +127,22 @@ object Bench {
           case _      => 0L
         })
       }
-      inc ++ fcOrdered ++ skip ++ dm ++ ir ++ irp ++ mmBySize ++ other
+      // each refresh protocol's HEADLINE stats (the query probes, the
+      // compaction, the first and last merge round) go ahead of either
+      // protocol's flat middle rounds, so both curves' endpoints survive
+      // trimming even when the full round detail does not
+      def headThenRest(xs: Seq[(String, Double)], top: Seq[String])
+          : (Seq[(String, Double)], Seq[(String, Double)]) = {
+        val (h, r) = xs.partition(e => top.contains(e._1))
+        (h.sortBy(e => top.indexOf(e._1)), r)
+      }
+      val (irTop, irRest) = headThenRest(ir, Seq("ir_query_pre",
+        "ir_query_mid", "ir_query_post", "ir_compact", "ir_merge_1",
+        "ir_merge_10"))
+      val (irpTop, irpRest) = headThenRest(irp, Seq("irp_query_0",
+        "irp_query_post", "irp_compact", "irp_merge_1", "irp_merge_10"))
+      inc ++ fcOrdered ++ skip ++ dm ++ irTop ++ irpTop ++
+        irRest ++ irpRest ++ mmBySize ++ other
     }
     val json = Harness.reportJson(results, sfDir, Harness.envInfo(spark), extras)
     // Full CSV + JSON reports go to files (reference A3 shape); stdout gets

@@ -99,24 +99,30 @@ object CorpusOps {
     """
   }
 
+  /** Build (once per sf dir) and return the standing corpus index root:
+    * LSH band rows + full-text polyhash, both parquet — the persisted
+    * artifact the incremental and streaming dedup entries probe. */
+  private def ensureIndex(s: SparkSession, d: String): String =
+    indexRoots.computeIfAbsent(d, _ => {
+      GraftFunctions.registerAll(s)
+      val root = graft.Scratch.atExit(
+        java.nio.file.Files.createTempDirectory("graft_inc_index").toString)
+      bandsOf(Dedup.minhashSignaturesOf(s, docs(s, d).filter(isCorpus)))
+        .write.mode("overwrite").parquet(s"$root/bands")
+      docs(s, d).filter(isCorpus)
+        .select(col("doc_id"), expr("graft_polyhash(text)").as("th"))
+        .write.mode("overwrite").parquet(s"$root/th")
+      root
+    })
+
   private val incremental = OpQuery(
     "dedup_incremental",
     Some(incrementalOracle),
     (s, d) => {
       GraftFunctions.registerAll(s)
       // Standing corpus index, built once per sf dir and reused across
-      // iterations (the persisted-artifact semantics): LSH band rows +
-      // full-text polyhash, both parquet.
-      val idx = indexRoots.computeIfAbsent(d, _ => {
-        val root = graft.Scratch.atExit(
-          java.nio.file.Files.createTempDirectory("graft_inc_index").toString)
-        bandsOf(Dedup.minhashSignaturesOf(s, docs(s, d).filter(isCorpus)))
-          .write.mode("overwrite").parquet(s"$root/bands")
-        docs(s, d).filter(isCorpus)
-          .select(col("doc_id"), expr("graft_polyhash(text)").as("th"))
-          .write.mode("overwrite").parquet(s"$root/th")
-        root
-      })
+      // iterations (the persisted-artifact semantics).
+      val idx = ensureIndex(s, d)
       val corpusBands = s.read.parquet(s"$idx/bands")
       val corpusTh = s.read.parquet(s"$idx/th")
       val batch = docs(s, d).filter(!isCorpus)
@@ -360,5 +366,169 @@ object CorpusOps {
         .orderBy("source")
     })
 
-  val defs: Seq[OpQuery] = Seq(incremental, indexExtend, shuffleExport, domainMix)
+  // Streaming near-dup admission gate (the ingest-time dedup a training
+  // pipeline runs continuously): document batches arrive as ORDERED
+  // micro-batches; each is classified against the standing index —
+  // corpus plus every PREVIOUSLY ACCEPTED batch doc — and only unique
+  // docs extend the index. Sequential semantics matter: round 8's
+  // near-duplicate of a round-7 unique is rejected, which an order-blind
+  // batch dedup cannot express. Per-round cost is batch-sized (batch
+  // signatures + bucket equi-join probes; index growth is append-only);
+  // micro-batch order is pinned by source-file modification times and
+  // the oracle replays the identical three-round admission in SQL.
+  private val streamDedupLshOracle: String = {
+    val mins = (0 until Dedup.MinhashPerms)
+      .map(p => s"MIN((h * ${Dedup.hashA(p)} + ${Dedup.hashB(p)}) % $M)")
+      .mkString("[", ",\n               ", "]")
+    val bandEq =
+      """(sb.sig[1:4] = sc.sig[1:4] OR sb.sig[5:8] = sc.sig[5:8]
+              OR sb.sig[9:12] = sc.sig[9:12] OR sb.sig[13:16] = sc.sig[13:16])"""
+    // one admission round: exact tier vs the accepted set, near tier on
+    // colliding bands vs the accepted set (exact-classified docs are not
+    // double-counted), uniques join the next accepted set
+    def round(m: Int, acc: String, accNext: String): String = s"""
+      ex$m AS (
+        SELECT DISTINCT bt.doc_id FROM th bt
+        JOIN th ct ON bt.th = ct.th
+        JOIN $acc a ON ct.doc_id = a.doc_id
+        WHERE bt.doc_id % 10 = $m),
+      nr$m AS (
+        SELECT DISTINCT sb.doc_id FROM sig sb
+        JOIN sig sc ON $bandEq
+        JOIN $acc a ON sc.doc_id = a.doc_id
+        WHERE sb.doc_id % 10 = $m
+          AND len(list_filter(range(1, 17), i -> sb.sig[i] = sc.sig[i])) / 16.0 >= 0.5
+          AND sb.doc_id NOT IN (SELECT doc_id FROM ex$m)),
+      u$m AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 10 = $m
+          AND doc_id NOT IN (SELECT doc_id FROM ex$m)
+          AND doc_id NOT IN (SELECT doc_id FROM nr$m)),
+      $accNext AS (SELECT doc_id FROM $acc UNION ALL SELECT doc_id FROM u$m)"""
+    s"""
+      WITH sh AS (${Dedup.duckShingleRows}),
+      h AS (SELECT doc_id, ${Dedup.duckH} AS h FROM sh),
+      sig AS (SELECT doc_id, $mins AS sig FROM h GROUP BY doc_id),
+      th AS (SELECT doc_id, ${duckPolyHash("text")} AS th FROM documents),
+      acc0 AS (SELECT doc_id FROM documents WHERE doc_id % 10 < 7),
+      ${round(7, "acc0", "acc1")},
+      ${round(8, "acc1", "acc2")},
+      ${round(9, "acc2", "acc3")}
+      SELECT CAST(batch AS INT) AS batch,
+             CAST(n_exact AS BIGINT) AS n_exact,
+             CAST(n_near AS BIGINT) AS n_near,
+             CAST(n_unique AS BIGINT) AS n_unique
+      FROM (
+        SELECT 7 AS batch, (SELECT COUNT(*) FROM ex7) AS n_exact,
+               (SELECT COUNT(*) FROM nr7) AS n_near,
+               (SELECT COUNT(*) FROM u7) AS n_unique
+        UNION ALL
+        SELECT 8, (SELECT COUNT(*) FROM ex8), (SELECT COUNT(*) FROM nr8),
+               (SELECT COUNT(*) FROM u8)
+        UNION ALL
+        SELECT 9, (SELECT COUNT(*) FROM ex9), (SELECT COUNT(*) FROM nr9),
+               (SELECT COUNT(*) FROM u9))
+      ORDER BY batch
+    """
+  }
+
+  /** Staged per-sf streaming source dirs (read-only micro-batch input). */
+  private val streamSourceRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val streamDedupLsh = OpQuery(
+    "stream_dedup_lsh",
+    Some(streamDedupLshOracle),
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      GraftFunctions.registerAll(s)
+      val docsDf = docs(s, d)
+      // one source file per arrival round (doc_id % 10 = 7 / 8 / 9),
+      // modification times strictly increasing so the file source
+      // replays the rounds in admission order, one micro-batch each
+      val srcDir = streamSourceRoots.computeIfAbsent(d, _ => {
+        val dir = graft.Scratch.atExit(
+          java.nio.file.Files.createTempDirectory("graft_sdl_src").toString)
+        Seq(7, 8, 9).zipWithIndex.foreach { case (m, i) =>
+          val stage = java.nio.file.Files.createTempDirectory("graft_sdl_stage")
+          docsDf.filter(col("doc_id") % 10 === m).coalesce(1)
+            .write.mode("overwrite").parquet(stage.toString)
+          val part = new java.io.File(stage.toString).listFiles()
+            .find(f => f.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(dir, f"round_$i%d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+          stage.toFile.listFiles().foreach(_.delete()); stage.toFile.delete()
+        }
+        dir
+      })
+      // per-RUN mutable index cloned from the staged corpus index (the
+      // run appends accepted docs; the shared seed must stay pure)
+      val seed = ensureIndex(s, d)
+      val idx = graft.Scratch.dir("sdl_idx")
+      def copyDir(from: String, to: String): Unit = {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(to))
+        new java.io.File(from).listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith("."))
+          .foreach(f => java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(to, f.getName)))
+      }
+      copyDir(s"$seed/bands", s"$idx/bands")
+      copyDir(s"$seed/th", s"$idx/th")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+      val q = s.readStream.schema(docsDf.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val m = batch.select(pmod(col("doc_id"), lit(10)).cast("int"))
+            .head().getInt(0)
+          // stage this round's signatures once — classification probes
+          // and the index extension read the same materialized copy
+          val stage = graft.Scratch.dir(s"sdl_round")
+          bandsOf(Dedup.minhashSignaturesOf(s, batch))
+            .write.parquet(s"$stage/bands")
+          batch.select(col("doc_id"), expr("graft_polyhash(text)").as("th"))
+            .write.parquet(s"$stage/th")
+          val bBands = s.read.parquet(s"$stage/bands")
+          val bTh = s.read.parquet(s"$stage/th")
+          val exact = bTh.as("bt")
+            .join(s.read.parquet(s"$idx/th").as("ct"),
+              col("bt.th") === col("ct.th"))
+            .select(col("bt.doc_id").as("doc_id")).distinct()
+          val near = bBands.as("a")
+            .join(s.read.parquet(s"$idx/bands").as("b"),
+              col("a.b") === col("b.b") && col("a.k") === col("b.k"))
+            .select(col("a.doc_id").as("doc_id"),
+              (expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))") / 16.0)
+                .as("est_sim"))
+            .filter(col("est_sim") >= 0.5)
+            .select("doc_id").distinct()
+            .join(exact, Seq("doc_id"), "left_anti")
+          val nEx = exact.count()
+          val nNear = near.count()
+          val accepted = bTh.select("doc_id")
+            .join(exact, Seq("doc_id"), "left_anti")
+            .join(near, Seq("doc_id"), "left_anti")
+          // append-only index growth: accepted docs' rows join the index
+          bBands.join(accepted, "doc_id")
+            .write.mode("append").parquet(s"$idx/bands")
+          bTh.join(accepted, "doc_id")
+            .write.mode("append").parquet(s"$idx/th")
+          val nAll = batch.count()
+          out += ((m, nEx, nNear, nAll - nEx - nNear))
+          ()
+        }
+        .option("checkpointLocation", graft.Scratch.dir("sdl_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import s.implicits._
+      out.toSeq.sortBy(_._1)
+        .toDF("batch", "n_exact", "n_near", "n_unique")
+        .orderBy("batch")
+    })
+
+  val defs: Seq[OpQuery] = Seq(
+    incremental, indexExtend, shuffleExport, domainMix, streamDedupLsh)
 }

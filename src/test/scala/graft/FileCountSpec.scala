@@ -95,12 +95,18 @@ class FileCountSpec extends AnyFunSuite {
         Seq("20k", "20").flatMap(s => Seq(
           s"dm_cow_del_$s" -> 0.8, s"dm_cow_read_$s" -> 0.1,
           s"dm_mor_del_$s" -> 0.2, s"dm_mor_read_$s" -> 0.5)) ++
-        (1 to 10).map(i => s"ir_merge_$i" -> 1.2345) ++
+        // protocol endpoints lead (mirrors Bench's interleaving), flat
+        // middle rounds trail
         Seq("ir_query_pre" -> 0.2, "ir_query_mid" -> 0.2,
-          "ir_compact" -> 0.6, "ir_query_post" -> 0.2) ++
-        (0 to 10).flatMap(i => Seq(s"irp_merge_$i" -> 2.345,
+          "ir_query_post" -> 0.2, "ir_compact" -> 0.6,
+          "ir_merge_1" -> 1.2, "ir_merge_10" -> 1.2) ++
+        Seq("irp_query_0" -> 4.5, "irp_query_post" -> 3.6,
+          "irp_compact" -> 4.2, "irp_merge_1" -> 2.3,
+          "irp_merge_10" -> 2.3) ++
+        (2 to 9).map(i => s"ir_merge_$i" -> 1.2345) ++
+        ((2 to 9).flatMap(i => Seq(s"irp_merge_$i" -> 2.345,
           s"irp_query_$i" -> 4.567)) ++
-        Seq("irp_compact" -> 4.2, "irp_query_post" -> 3.6) ++
+          Seq("irp_query_1" -> 4.5, "irp_query_10" -> 4.5)) ++
         Seq("20k", "2k", "200", "20").flatMap(s => Seq(
           s"mm_cow_merge_$s" -> 0.9, s"mm_cow_read_$s" -> 0.1,
           s"mm_mor_merge_$s" -> 0.4, s"mm_mor_read_$s" -> 0.4))
@@ -123,6 +129,9 @@ class FileCountSpec extends AnyFunSuite {
     assert(line.contains("\"fc_plan_1000\":"))
     assert(line.contains("\"skip_ratio_stats\":"))
     assert(line.contains("\"dm_mor_del_20k\":"))
+    // both refresh protocols' endpoint stats outrank their middle rounds
+    assert(line.contains("\"ir_merge_10\":"))
+    assert(line.contains("\"irp_query_post\":"))
     // with no extras at all, the full headline list fits
     val bare = Harness.compactJson(results, "/root/testdata/sf0.1",
       "bench_reports/bench_report.json")
