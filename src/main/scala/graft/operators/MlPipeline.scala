@@ -302,7 +302,56 @@ object MlPipeline {
         .orderBy("source")
     })
 
+  // Model-based quality filtering (fastText/CCNet-style classifier
+  // inference): each token hashes into a D=4096 feature bucket whose
+  // weight is a fixed integer milli-unit in [-1000, 1000]; the document
+  // score is the mean token weight and the keep decision is its sign.
+  // Weights here are hash-derived (deterministic, embeddable in the
+  // oracle); a production model swaps in a broadcast D-length INT array
+  // — the plan shape is identical: a row-local codegen'd fold per
+  // document, ZERO shuffle, linear at any corpus size. The milli-weight
+  // sum stays in exact BIGINT (order-independent across engines and
+  // partitionings); the only float op is one final division, and the
+  // keep flag compares the exact integer sum — no IEEE drift can flip a
+  // classification.
+  private val qualityClassifier = OpQuery(
+    "text_quality_classifier", {
+      val duckW =
+        s"""((${graft.functions.TextFunctions.duckPolyHash("t")} % 4096)
+           |  * 2654435761) % 2001 - 1000""".stripMargin
+      Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> '')) AS t
+        FROM documents),
+      w AS (SELECT doc_id, $duckW AS w FROM tok),
+      agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                     CAST(SUM(w) AS BIGINT) AS score_milli
+              FROM w GROUP BY doc_id)
+      SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, score_milli,
+             CAST(score_milli AS DOUBLE) / (n_tokens * 1000.0) AS score,
+             score_milli > 0 AS keep
+      FROM agg ORDER BY doc_id
+      """)
+    },
+    (s, d) => {
+      GraftFunctions.registerAll(s)
+      val toks = "filter(split(lower(text), ' '), t -> t <> '')"
+      docs(s, d).select(
+          col("doc_id"),
+          expr(s"size($toks)").as("n_tokens"),
+          expr(
+            s"""aggregate($toks, CAST(0 AS BIGINT),
+               |  (acc, t) -> acc +
+               |    ((graft_polyhash(t) % 4096) * 2654435761) % 2001 - 1000)"""
+              .stripMargin).as("score_milli"))
+        .withColumn("score",
+          col("score_milli").cast("double") / (col("n_tokens") * 1000.0))
+        .withColumn("keep", col("score_milli") > 0)
+        .orderBy("doc_id")
+    })
+
   def defs: Seq[OpQuery] =
     Seq(kmeans, unigramLogprob, keepBest, decontaminate, seqPack,
-      sampleTemperature)
+      sampleTemperature, qualityClassifier)
 }
