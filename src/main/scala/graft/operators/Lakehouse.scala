@@ -955,6 +955,33 @@ object Lakehouse {
   // on the range-clustered layout only files intersecting the key range
   // are rewritten; the rest carry over by reference (DmlSpec asserts the
   // carry-over). NULL-keyed rows never match and are kept.
+  // Positional DELETE via deletion vectors (Iceberg position-delete /
+  // Delta deletion-vector analog): the commit records each matching
+  // row's (file, row-position) address — ZERO base files rewritten
+  // (DeletionVectorSpec asserts the file set is byte-identical), and the
+  // read resolves marks with one anti-join whose build side is
+  // O(deleted rows). The third DML strategy next to CoW rewrite
+  // (delete_where) and key-equality tombstones (merge_mor_delete): at
+  // 100 TB a sparse predicate delete costs marks + metadata instead of
+  // rewriting every stat-intersecting file; compaction folds marks away.
+  private val deleteDvQ = OpQuery(
+    "delete_dv_read",
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE NOT (l_orderkey BETWEEN 200 AND 900)
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """),
+    (s, d) => {
+      val t = stagedLineitemRange(s, d).shallowCloneTo(tmp("deldv"))
+        .deleteWherePositional("l_orderkey", 200, 900)
+      t.read().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    })
+
   private val deleteWhereQ = OpQuery(
     "delete_where",
     Some("""
@@ -1038,6 +1065,6 @@ object Lakehouse {
     mergeDelete, timeTravel, csvMalformed, schemaEvolution, incrementalAgg,
     tableClone, mergeMorRead, mergeMorDelete, cdcMorRead, vacuumRetention,
     zorderLayout, orcRoundtrip,
-    jsonIngest, deleteWhereQ, updateWhereQ, mergeEvolve, timeTravelTs,
+    jsonIngest, deleteWhereQ, deleteDvQ, updateWhereQ, mergeEvolve, timeTravelTs,
     concurrentMerge)
 }

@@ -167,16 +167,46 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private def mergeKeysOf(version: Int): Seq[String] =
     manifestOf(version).mergeKeys
 
+  private def dvEntries(version: Int): Seq[FileEntry] =
+    manifestOf(version).dvs
+
   /** Read the table at `version` (default: latest) straight from the
     * manifest's file list — no directory listing. If the version carries
     * MoR delta files, the scan resolves them transparently (base rows
-    * without a delta key match + the latest delta row per key). */
+    * without a delta key match + the latest delta row per key); pending
+    * deletion vectors anti-join out their (file, position) marks first. */
   def read(version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion else version
     val deltas = deltaEntries(v)
-    if (deltas.isEmpty) readEntries(fileEntries(v))
-    else resolveMerged(fileEntries(v), deltas, mergeKeysOf(v))
+    if (deltas.isEmpty) baseScan(fileEntries(v), dvEntries(v))
+    else resolveMerged(fileEntries(v), deltas, mergeKeysOf(v), dvEntries(v))
   }
+
+  /** Scan `entries` with each row's physical address attached — the
+    * parquet scan's `_metadata.file_path` / `_metadata.row_index`
+    * columns, resolved through the manifest-planned relation. Address
+    * strings render identically at capture and at read (both come from
+    * the same scan machinery), so DV anti-joins match exactly. */
+  private def readEntriesAddressed(entries: Seq[FileEntry]): DataFrame =
+    readEntries(entries).select(col("*"),
+      col("_metadata.file_path").as(DvFileCol),
+      col("_metadata.row_index").as(DvPosCol))
+
+  /** Addressed scan minus deletion-vector marks: one hash anti-join on
+    * (file, pos). The DV side is O(deleted rows) — dimension-sized next
+    * to the base scan; AQE broadcasts it when small, and at a large
+    * deleted fraction the join degrades gracefully to a shuffled anti
+    * join keyed by file path, never a full-table rewrite. */
+  private def addressedMinusDvs(
+      entries: Seq[FileEntry], dvs: Seq[FileEntry]): DataFrame =
+    readEntriesAddressed(entries)
+      .join(readEntries(dvs), Seq(DvFileCol, DvPosCol), "left_anti")
+
+  /** Base-layer scan with deletion vectors applied (no-op scan when none
+    * are pending — the address projection is only paid on DV tables). */
+  private def baseScan(entries: Seq[FileEntry], dvs: Seq[FileEntry]): DataFrame =
+    if (dvs.isEmpty) readEntries(entries)
+    else addressedMinusDvs(entries, dvs).drop(DvFileCol, DvPosCol)
 
   /** Manifest-planned scan: file list, sizes and splits come straight
     * from the log via [[ManifestFileIndex]] — zero filesystem listing.
@@ -214,7 +244,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * (origin-commit descending), drop matched base rows, union. One
     * shuffle on the merge keys serves both the window and the anti join. */
   private def resolveMerged(
-      base: Seq[FileEntry], deltas: Seq[FileEntry], keys: Seq[String]): DataFrame = {
+      base: Seq[FileEntry], deltas: Seq[FileEntry], keys: Seq[String],
+      dvs: Seq[FileEntry] = Seq.empty): DataFrame = {
     require(keys.nonEmpty, s"MoR table at $root has deltas but no merge keys")
     val byGen = deltas.groupBy(_.origin).toSeq.sortBy(_._1)
     // tombstone gens carry only (keys, __graft_del) — name-union with
@@ -235,7 +266,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
         latest.filter(!(col(DelCol) <=> true)).drop(DelCol)
       else latest
     val baseDf =
-      if (base.nonEmpty) readEntries(base)
+      if (base.nonEmpty) baseScan(base, dvs)
       // all-delta slice (a folded partition set with no base files yet):
       // the resolution is the survivors alone
       else spark.createDataFrame(
@@ -250,6 +281,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
   /** Manifest-planned file list (path, part_value, bytes, rows) at the
     * latest version — the metadata probes read this, not the filesystem. */
   def files: Seq[FileEntry] = fileEntries(currentVersion)
+
+  /** Deletion-vector file list at the latest version (empty unless
+    * positional deletes are pending) — `rows` sums to the count of
+    * deleted (file, position) marks, the DV observability number. */
+  def dvFiles: Seq[FileEntry] = dvEntries(currentVersion)
 
   /** Wall-clock commit instant of `version` (monotonically increasing
     * across versions — see [[writeManifest]]). 0 for manifests written
@@ -277,7 +313,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val cur = currentVersion
     require(version >= 0 && version < cur, s"cannot restore to $version from $cur")
     val m = manifestOf(version)
-    writeManifest(Manifest(cur + 1, "RESTORE", m.mergeKeys, m.files, m.deltas))
+    writeManifest(Manifest(cur + 1, "RESTORE", m.mergeKeys, m.files, m.deltas,
+      dvs = m.dvs))
     this
   }
 
@@ -303,7 +340,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val v = currentVersion
     val written = writeData(df, v + 1, partitionBy)
     writeManifest(Manifest(v + 1, "APPEND", mergeKeysOf(v),
-      fileEntries(v) ++ written, deltaEntries(v)))
+      fileEntries(v) ++ written, deltaEntries(v), dvs = dvEntries(v)))
     this
   }
 
@@ -324,10 +361,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
     require(deltaEntries(currentVersion).isEmpty,
       s"readWhereCol on $root requires compacted state (pending MoR deltas)")
     val (pruned, residual) = planFiles(colName, value)
+    val dvs = dvEntries(currentVersion)
     val parts = Seq(
-      if (pruned.nonEmpty) Some(readEntries(pruned)) else None,
+      if (pruned.nonEmpty) Some(baseScan(pruned, dvs)) else None,
       if (residual.nonEmpty)
-        Some(readEntries(residual).filter(col(colName) === value))
+        Some(baseScan(residual, dvs).filter(col(colName) === value))
       else None).flatten
     require(parts.nonEmpty, s"no files for $colName = $value")
     parts.reduce(_ unionByName _)
@@ -342,8 +380,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
   def statsMinMax(colName: String): Option[(Double, Double)] = {
     val entries = fileEntries(currentVersion)
     val ss = entries.map(_.stats.get(colName))
+    // DV-deleted rows may have held the min/max — footer stats are only
+    // an upper bound on the live range, so decline like pending deltas
     if (entries.isEmpty || ss.exists(_.isEmpty) ||
-      deltaEntries(currentVersion).nonEmpty) None
+      deltaEntries(currentVersion).nonEmpty ||
+      dvEntries(currentVersion).nonEmpty) None
     else Some((ss.map(_.get._1).min, ss.map(_.get._2).max))
   }
 
@@ -367,7 +408,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     if (picked.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read().schema)
-    else readEntries(picked)
+    else baseScan(picked, dvEntries(currentVersion))
   }
 
   /** Manifest-pruned read of one partition value: file selection is pure
@@ -380,8 +421,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val base = fileEntries(v).filter(_.partValue == partValue)
     val deltas = deltaEntries(v).filter(_.partValue == partValue)
     require(base.nonEmpty || deltas.nonEmpty, s"no files for partition $partValue")
-    if (deltas.isEmpty) readEntries(base)
-    else resolveMerged(base, deltas, mergeKeysOf(v))
+    // DV rows addressing files outside this partition slice simply never
+    // match the anti-join — no per-partition DV bookkeeping needed
+    if (deltas.isEmpty) baseScan(base, dvEntries(v))
+    else resolveMerged(base, deltas, mergeKeysOf(v), dvEntries(v))
   }
 
   /** Footer-stat row count of the whole table straight from the manifest —
@@ -390,7 +433,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * the resolved scan.) */
   def countFromManifest: Long = {
     val v = currentVersion
-    if (deltaEntries(v).isEmpty) fileEntries(v).map(_.rows).sum
+    // dv marks are duplicate-free (captured from the DV-resolved scan),
+    // so their row counts subtract exactly from the footer sums
+    if (deltaEntries(v).isEmpty)
+      fileEntries(v).map(_.rows).sum - dvEntries(v).map(_.rows).sum
     else read(v).count()
   }
 
@@ -445,8 +491,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
               allowMissingColumns = true),
           v + 1)
       }
+    val keptPaths = carryOver.map(_.path).toSet
     writeManifest(Manifest(v + 1, "MERGE", Seq.empty, written ++ carryOver,
-      Seq.empty, cdc))
+      Seq.empty, cdc,
+      remainingDvs(v, fileEntries(v).map(_.path).filterNot(keptPaths).toSet,
+        v + 1)))
     this
   }
 
@@ -498,21 +547,29 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val base =
       if (baseEntries.isEmpty && foldDeltas.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema)
-      else if (foldDeltas.isEmpty) readEntries(baseEntries)
-      else resolveMerged(baseEntries, foldDeltas, mergeKeysOf(v0))
+      else if (foldDeltas.isEmpty) baseScan(baseEntries, dvEntries(v0))
+      else resolveMerged(baseEntries, foldDeltas, mergeKeysOf(v0), dvEntries(v0))
     val rewritten = base.join(source, keys, "left_anti").unionByName(source)
     val basePaths = baseEntries.map(_.path).toSet
     val foldDeltaPaths = foldDeltas.map(_.path).toSet
+    // deletion vectors are not partition-attributed, so ANY concurrent
+    // change to the DV set invalidates this writer's DV-resolved rewrite
+    // (conservative: a DV commit always conflicts with in-flight OCC)
+    val dvPaths0 = dvEntries(v0).map(_.path).toSet
     var v = v0
     var attempt = 0
     var committed = false
     var attemptFiles: Seq[FileEntry] = Seq.empty
+    var attemptDvs: Seq[FileEntry] = Seq.empty
     while (!committed) {
       attempt += 1
       // written on the first pass only — the rewrite stays valid across
       // retries once the slice validation passes, so a retry is
       // metadata-only
-      if (attempt == 1) attemptFiles = writeData(rewritten, v + 1, Some(partitionBy))
+      if (attempt == 1) {
+        attemptFiles = writeData(rewritten, v + 1, Some(partitionBy))
+        attemptDvs = remainingDvs(v0, basePaths, v + 1)
+      }
       beforeCommit()
       val carryOver = fileEntries(v).filterNot(e => basePaths(e.path))
       val carryDeltas = deltaEntries(v).filterNot(e => foldDeltaPaths(e.path))
@@ -523,7 +580,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
         writeManifest(Manifest(v + 1, "MERGE",
           if (carryDeltas.isEmpty) Seq.empty else mergeKeysOf(v),
           attemptFiles.map(_.copy(origin = (v + 1).toLong)) ++ carryOver,
-          carryDeltas))
+          carryDeltas, dvs = attemptDvs))
         committed = true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException
@@ -531,7 +588,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
           val newV = currentVersion
           val (nowBase, nowDeltas) = slice(newV)
           if (nowBase.map(_.path).toSet != basePaths ||
-              nowDeltas.map(_.path).toSet != foldDeltaPaths)
+              nowDeltas.map(_.path).toSet != foldDeltaPaths ||
+              dvEntries(newV).map(_.path).toSet != dvPaths0)
             throw new java.util.ConcurrentModificationException(
               s"concurrent commit to $root touched partitions $vals " +
                 "(this writer's slice of files or deltas changed) — " +
@@ -563,8 +621,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
       else writeChanges(
         base.join(srcKeys, keys, "left_semi").withColumn(ChangeCol, lit("delete")),
         v + 1)
+    val keptPaths = carryOver.map(_.path).toSet
     writeManifest(Manifest(v + 1, "MERGE_DELETE", Seq.empty,
-      written ++ carryOver, Seq.empty, cdc))
+      written ++ carryOver, Seq.empty, cdc,
+      remainingDvs(v, fileEntries(v).map(_.path).filterNot(keptPaths).toSet,
+        v + 1)))
     this
   }
 
@@ -588,13 +649,62 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val matches = (col(colName) >= lo && col(colName) <= hi) <=> true
     val written =
       if (touched.isEmpty) Seq.empty
-      else writeData(readEntries(touched).filter(!matches), v + 1, partitionBy)
+      else writeData(baseScan(touched, dvEntries(v)).filter(!matches),
+        v + 1, partitionBy)
     val cdc =
       if (!trackChanges || touched.isEmpty) Seq.empty
-      else writeChanges(readEntries(touched).filter(matches)
+      else writeChanges(baseScan(touched, dvEntries(v)).filter(matches)
         .withColumn(ChangeCol, lit("delete")), v + 1)
     writeManifest(Manifest(v + 1, "DELETE", Seq.empty,
-      written ++ carryOver, Seq.empty, cdc))
+      written ++ carryOver, Seq.empty, cdc,
+      remainingDvs(v, touched.map(_.path).toSet, v + 1)))
+    this
+  }
+
+  /** Positional DELETE WHERE `colName BETWEEN lo AND hi` (Iceberg
+    * position-delete / Delta deletion-vector analog): instead of
+    * rewriting matching files (CoW [[deleteWhere]]) or appending
+    * key-equality tombstones ([[mergeDeleteDeferred]]), the commit
+    * records each matching row's (file, position) address as a deletion
+    * vector — commit cost is O(candidate-file scan + matching rows)
+    * with NO base rewrite and NO key columns required (works on keyless
+    * tables). Reads resolve DVs with one (file, pos) anti-join whose
+    * build side is O(deleted rows); [[compact]] folds the marks away.
+    *
+    * File skipping mirrors [[deleteWhere]]: only files whose footer
+    * [min,max] intersects [lo,hi] are scanned for marks. The predicate
+    * is evaluated on the DV-RESOLVED scan, so overlapping re-deletes
+    * never duplicate marks (row accounting stays exact). DVs address
+    * BASE data files (exactly Iceberg position-delete semantics, which
+    * name data files); on a table with pending MoR deltas, delta rows
+    * are a later layer — a key whose newest version lives in a delta
+    * survives a positional delete of its stale base copy, and key-level
+    * deletes belong to [[mergeDeleteDeferred]]. */
+  def deleteWherePositional(colName: String, lo: Double, hi: Double,
+      trackChanges: Boolean = false): SnapshotTable = {
+    val v = currentVersion
+    val dvs = dvEntries(v)
+    val candidates = fileEntries(v).filter(e => e.stats.get(colName) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true // no stats: must scan for marks (soundness)
+    })
+    val matches = (col(colName) >= lo && col(colName) <= hi) <=> true
+    val written =
+      if (candidates.isEmpty) Seq.empty
+      else {
+        val addressed =
+          if (dvs.isEmpty) readEntriesAddressed(candidates)
+          else addressedMinusDvs(candidates, dvs)
+        writeData(addressed.filter(matches).select(col(DvFileCol), col(DvPosCol)),
+          v + 1, None).filter(_.rows > 0)
+      }
+    val cdc =
+      if (!trackChanges || candidates.isEmpty) Seq.empty
+      else writeChanges(
+        baseScan(candidates, dvs).filter(matches)
+          .withColumn(ChangeCol, lit("delete")), v + 1)
+    writeManifest(Manifest(v + 1, "DELETE_DV", mergeKeysOf(v), fileEntries(v),
+      deltaEntries(v), cdc, dvs ++ written))
     this
   }
 
@@ -627,7 +737,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     }: _*)
     val written =
       if (touched.isEmpty) Seq.empty
-      else writeData(applied(readEntries(touched)), v + 1, partitionBy)
+      else writeData(applied(baseScan(touched, dvEntries(v))), v + 1, partitionBy)
     val cdc =
       if (!trackChanges || touched.isEmpty) Seq.empty
       else {
@@ -635,14 +745,15 @@ class SnapshotTable(spark: SparkSession, root: String) {
         // post-update rows would unpair the feed when a SET assigns the
         // predicate column (a row updated out of [lo,hi] must still emit
         // its postimage)
-        val old = readEntries(touched).filter(matches)
+        val old = baseScan(touched, dvEntries(v)).filter(matches)
         writeChanges(
           applied(old).withColumn(ChangeCol, lit("update_postimage"))
             .unionByName(old.withColumn(ChangeCol, lit("update_preimage"))),
           v + 1)
       }
     writeManifest(Manifest(v + 1, "UPDATE", Seq.empty,
-      written ++ carryOver, Seq.empty, cdc))
+      written ++ carryOver, Seq.empty, cdc,
+      remainingDvs(v, touched.map(_.path).toSet, v + 1)))
     this
   }
 
@@ -683,7 +794,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
           v + 1)
       }
     writeManifest(Manifest(v + 1, "MERGE_MOR", keys, fileEntries(v),
-      deltaEntries(v) ++ written, cdc))
+      deltaEntries(v) ++ written, cdc, dvEntries(v)))
     this
   }
 
@@ -719,7 +830,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
           v + 1)
       }
     writeManifest(Manifest(v + 1, "DELETE_MOR", keys, fileEntries(v),
-      deltaEntries(v) ++ written, cdc))
+      deltaEntries(v) ++ written, cdc, dvEntries(v)))
     this
   }
 
@@ -767,9 +878,29 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val base =
       if (touched.isEmpty && touchedDeltas.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
-      else if (touchedDeltas.isEmpty) readEntries(touched)
-      else resolveMerged(touched, touchedDeltas, mergeKeysOf(v))
+      else if (touchedDeltas.isEmpty) baseScan(touched, dvEntries(v))
+      else resolveMerged(touched, touchedDeltas, mergeKeysOf(v), dvEntries(v))
     (base, carryOver)
+  }
+
+  /** Carry deletion vectors across a copy-on-write rewrite: marks
+    * addressing files that SURVIVE the commit stay valid; marks
+    * addressing rewritten files were already applied by the rewrite's
+    * DV-resolved base scan, so they are dropped — one O(dv rows) pass
+    * that also keeps the DV set from accumulating stale addresses (and
+    * keeps the manifest's exact row accounting sound). With no DVs or
+    * no rewritten files the carry is free (entries pass by reference). */
+  private def remainingDvs(
+      version: Int, rewrittenPaths: Set[String], newVersion: Int): Seq[FileEntry] = {
+    val dvs = dvEntries(version)
+    if (dvs.isEmpty || rewrittenPaths.isEmpty) dvs
+    else {
+      import spark.implicits._
+      val gone = rewrittenPaths.toSeq.toDF(DvFileCol)
+      val kept = readEntries(dvs)
+        .join(broadcast(gone), Seq(DvFileCol), "left_anti")
+      writeData(kept, newVersion, None).filter(_.rows > 0)
+    }
   }
 
   /** Bin-pack compaction: rewrite the current snapshot into
@@ -842,7 +973,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val v = currentVersion
     val clone = new SnapshotTable(spark, dst)
     clone.writeManifest(Manifest(0, "CLONE", mergeKeysOf(v), fileEntries(v),
-      deltaEntries(v)))
+      deltaEntries(v), dvs = dvEntries(v)))
     clone
   }
 
@@ -858,7 +989,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val cutoff = math.max(0, cur - retainVersions + 1)
     val keep: Set[String] = (cutoff to cur).flatMap { v =>
       val m = manifestOf(v)
-      (m.files ++ m.deltas ++ m.changes).map(_.path)
+      (m.files ++ m.deltas ++ m.changes ++ m.dvs).map(_.path)
     }.toSet
     val removed = listDataFiles(fs, dataRoot).map(_._1).filterNot(keep)
     removed.foreach(p => fs.delete(new Path(p), false))
@@ -978,6 +1109,11 @@ object SnapshotTable {
   val ChangeCol = "_change_type"
   /** Marker column on equality-delete tombstone delta rows. */
   val DelCol = "__graft_del"
+  /** Deletion-vector row address columns: the data file's path and the
+    * row's position within it (parquet `_metadata.file_path` /
+    * `_metadata.row_index`). */
+  val DvFileCol = "__graft_dv_file"
+  val DvPosCol = "__graft_dv_pos"
   private val GenCol = "__gen"
   private val RnCol = "__rn"
   /** Per-file numeric stats are kept for at most this many columns
@@ -1004,8 +1140,11 @@ object SnapshotTable {
   private final case class Manifest(
       version: Int, operation: String, mergeKeys: Seq[String],
       files: Seq[FileEntry], deltas: Seq[FileEntry],
-      changes: Seq[FileEntry] = Seq.empty, ts: Long = 0L) {
-    def numRows: Long = (files ++ deltas).map(_.rows).sum
+      changes: Seq[FileEntry] = Seq.empty, dvs: Seq[FileEntry] = Seq.empty,
+      ts: Long = 0L) {
+    // dv capture is duplicate-free by construction (marks come from the
+    // DV-resolved scan), so the logical row count subtracts exactly
+    def numRows: Long = (files ++ deltas).map(_.rows).sum - dvs.map(_.rows).sum
     def numFiles: Long = (files.size + deltas.size).toLong
   }
 
@@ -1060,6 +1199,7 @@ object SnapshotTable {
     rootN.set[JsonNode]("files", arr(m.files))
     rootN.set[JsonNode]("deltas", arr(m.deltas))
     if (m.changes.nonEmpty) rootN.set[JsonNode]("changes", arr(m.changes))
+    if (m.dvs.nonEmpty) rootN.set[JsonNode]("dvs", arr(m.dvs))
     if (m.ts != 0L) rootN.put("ts", m.ts)
     rootN.toString
   }
@@ -1101,6 +1241,7 @@ object SnapshotTable {
       entries("files"),
       entries("deltas"),
       entries("changes"),
+      entries("dvs"),
       if (n.has("ts")) n.get("ts").asLong() else 0L)
   }
 
