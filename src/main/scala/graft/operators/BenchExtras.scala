@@ -93,6 +93,24 @@ object BenchExtras {
         Seq(s"dm_${mode}_del_$label" -> sec(wSec),
           s"dm_${mode}_read_$label" -> sec(rSec))
       }
+    } ++ {
+      // predicate-delete pair on one 10% key span (20k of 200k rows):
+      // CoW deleteWhere rewrites every stat-intersecting file (the
+      // partition layout spreads the span across ALL files — the DV
+      // motivating case), deleteWherePositional writes 20k (file, pos)
+      // marks and no base file. Read-side: marked scan pays the
+      // anti-join, rewritten scan reads clean files.
+      Seq("cowp" -> ((t: SnapshotTable) => t.deleteWhere("key", 0, 19999)),
+        "dv" -> ((t: SnapshotTable) => t.deleteWherePositional("key", 0, 19999)))
+        .flatMap { case (mode, del) =>
+          val clone = staged.shallowCloneTo(graft.Scratch.dir(s"dm_${mode}_20k"))
+          val (_, wSec) = time { del(clone) }
+          val (_, rSec) = time {
+            clone.read().agg(sum(col("value"))).collect()
+          }
+          Seq(s"dm_${mode}_del_20k" -> sec(wSec),
+            s"dm_${mode}_read_20k" -> sec(rSec))
+        }
     }
   }
 
