@@ -209,6 +209,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("random DV-delete/merge/append/compact interleavings match a map model") {
+    import spark.implicits._
+    val rnd = new Random(29)
+    for (trial <- 1 to 3) {
+      // model: live rows keyed by k (p is always k % 3 → keys are unique)
+      val model = scala.collection.mutable.Map[Long, Double]()
+      val base = (0 until 40).map { k =>
+        val v = rnd.nextDouble(); model(k.toLong) = v
+        (k.toLong, s"p${k % 3}", v)
+      }
+      var nextK = 40L
+      val t = new SnapshotTable(spark, tmp(s"dvprop$trial"))
+        .create(base.toDF("k", "p", "v"), Some("p"))
+      for (round <- 1 to 5 + rnd.nextInt(3)) {
+        rnd.nextInt(4) match {
+          case 0 => // positional delete of a random key range
+            val lo = rnd.nextInt(60).toLong
+            val hi = lo + rnd.nextInt(20)
+            t.deleteWherePositional("k", lo.toDouble, hi.toDouble)
+            model --= model.keys.filter(k => k >= lo && k <= hi).toSeq
+          case 1 => // CoW merge of a random update/insert mix
+            val rows = (0 until 1 + rnd.nextInt(8)).map { _ =>
+              val k = rnd.nextInt(70).toLong
+              val v = rnd.nextDouble(); (k, s"p${k % 3}", v)
+            }.distinctBy(_._1)
+            t.merge(rows.toDF("k", "p", "v"), Seq("k", "p"), Some("p"))
+            rows.foreach { case (k, _, v) => model(k) = v }
+          case 2 => // append fresh keys only (k stays unique)
+            val rows = (0 until 1 + rnd.nextInt(5)).map { _ =>
+              val k = nextK; nextK += 1
+              val v = rnd.nextDouble(); (k, s"p${k % 3}", v)
+            }
+            t.append(rows.toDF("k", "p", "v"), Some("p"))
+            rows.foreach { case (k, _, v) => model(k) = v }
+          case 3 => // compaction folds marks; content must be invariant
+            t.compact(2, Some("p"))
+        }
+        assert(t.countFromManifest == model.size.toLong,
+          s"trial $trial round $round: metadata count drifted from model")
+      }
+      val got = t.read().select("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == model.toMap, s"trial $trial: content drifted from model")
+    }
+  }
+
   test("connected components match a BFS reference on random graphs") {
     import spark.implicits._
     val rnd = new Random(17)
