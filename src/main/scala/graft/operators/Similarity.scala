@@ -317,5 +317,140 @@ object Similarity {
         .orderBy("probe_id")
     })
 
-  val defs: Seq[OpQuery] = Seq(bruteTopk, lshTopk, centroids, ivfTopk, recallEval)
+  // ------------------------------------------------------------ IVF-PQ
+  // IVF + product quantization, the memory-compressed ANN layout (at
+  // 100 TB of embeddings the scanned side cannot carry raw floats):
+  // vectors split into M=8 subspaces of 8 dims; each subspace quantizes
+  // to the nearest of K=10 deterministic codebook entries (per-label
+  // subvector means — the same seeding discipline as the coarse/IVF
+  // centroids, embeddable in the oracle), so a candidate is M small
+  // codes instead of 64 doubles (32× compression at float32 parity).
+  // Search is the classic asymmetric-distance computation: each probe
+  // precomputes a K×M lookup table of subspace L2² terms ONCE, and a
+  // candidate's distance is the sum of M table lookups — no candidate
+  // vector is ever touched. Scale shape: codebooks and probe LUTs are
+  // broadcast-sized, candidates carry only (cell, codes), and the scan
+  // is restricted to the probe's IVF cell. Distance terms accumulate as
+  // exact 1e-4-unit BIGINTs (order-independent across engines); ranking
+  // ties break on neighbor id.
+  private val ivfpqTopk = OpQuery(
+    "simsearch_ivfpq",
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      flat AS (
+        SELECT vec_id, label, unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM v),
+      c0 AS (SELECT label, dim, SUM(x)/COUNT(*) AS cx FROM flat GROUP BY label, dim),
+      c AS (SELECT label AS clabel, list(cx ORDER BY dim) AS cv FROM c0 GROUP BY label),
+      sims AS (
+        SELECT vec_id, clabel,
+               round(list_cosine_similarity(CAST(v.v AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 4) AS csim
+        FROM v CROSS JOIN c),
+      cells AS (
+        SELECT vec_id, clabel AS cell FROM (
+          SELECT vec_id, clabel,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, clabel) AS rn
+          FROM sims) WHERE rn = 1),
+      subs AS (
+        SELECT vec_id, label, m, CAST(list_slice(v, m*8 + 1, m*8 + 8) AS DOUBLE[]) AS sv
+        FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS m)),
+      sflat AS (
+        SELECT label, m, unnest(sv) AS x, generate_subscripts(sv, 1) AS dim FROM subs),
+      cb0 AS (SELECT label, m, dim, SUM(x)/COUNT(*) AS cx FROM sflat GROUP BY label, m, dim),
+      cb AS (SELECT label AS code, m, CAST(list(cx ORDER BY dim) AS DOUBLE[]) AS cbv
+             FROM cb0 GROUP BY label, m),
+      terms AS (
+        SELECT s.vec_id, s.m, cb.code,
+               CAST(round((list_dot_product(s.sv, s.sv)
+                           - 2 * list_dot_product(s.sv, cb.cbv)
+                           + list_dot_product(cb.cbv, cb.cbv)) * 10000) AS BIGINT) AS dterm
+        FROM subs s JOIN cb USING (m)),
+      codes AS (
+        SELECT vec_id, m, code FROM (
+          SELECT vec_id, m, code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dterm, code) AS rn
+          FROM terms) WHERE rn = 1),
+      lut AS (SELECT vec_id AS probe_id, m, code, dterm FROM terms WHERE vec_id < 5),
+      probes AS (SELECT vec_id AS probe_id, cell FROM cells WHERE vec_id < 5),
+      cand AS (
+        SELECT c.vec_id AS neighbor_id, cl.cell, c.m, c.code
+        FROM codes c JOIN cells cl ON cl.vec_id = c.vec_id),
+      adc AS (
+        SELECT p.probe_id, cand.neighbor_id,
+               CAST(SUM(l.dterm) AS BIGINT) / 10000.0 AS adc
+        FROM cand
+        JOIN probes p ON cand.cell = p.cell AND cand.neighbor_id <> p.probe_id
+        JOIN lut l ON l.probe_id = p.probe_id AND l.m = cand.m AND l.code = cand.code
+        GROUP BY 1, 2)
+      SELECT probe_id, neighbor_id, adc, CAST(rn AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY adc, neighbor_id) AS rn
+        FROM adc)
+      WHERE rn <= 3
+      ORDER BY probe_id, rank
+    """),
+    (s, d) => {
+      val e = emb(s, d)
+      // coarse quantizer: label-mean centroids (same as simsearch_ivf)
+      val cent = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("label", "dim").agg((sum(col("x")) / count(lit(1))).as("cx"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), p -> p.cx)")
+          .as("cv"))
+        .withColumn("cnorm", expr("sqrt(graft_dot(cv, cv))"))
+        .select(col("label").as("clabel"), col("cv"), col("cnorm"))
+      val csim = round(expr("graft_dot(v, cv)") / (col("norm") * col("cnorm")), 4)
+      val cells = e.crossJoin(broadcast(cent))
+        .withColumn("csim", csim)
+        .groupBy("vec_id")
+        .agg(expr("max_by(clabel, struct(csim, -clabel))").as("cell"))
+      // subvectors: row-local explode into (vec, m, 8-dim slice)
+      val subs = e.select(col("vec_id"), col("label"),
+          explode(expr(
+            "transform(sequence(0, 7), m -> named_struct('m', m, 'sv', slice(v, m*8 + 1, 8)))"))
+            .as("p"))
+        .select(col("vec_id"), col("label"),
+          col("p.m").as("m"), col("p.sv").as("sv"))
+      // PQ codebooks: per (subspace, label) mean subvector — K×M×8
+      // numbers total, broadcast everywhere below
+      val cb = subs.select(col("label"), col("m"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy("label", "m", "dim").agg((sum(col("x")) / count(lit(1))).as("cx"))
+        .groupBy("label", "m")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cx))), p -> p.cx)")
+          .as("cbv"))
+        .select(col("label").as("code"), col("m"), col("cbv"))
+      // exact-integer subspace distance term (1e-4 units): L2² via the
+      // dot-product identity, one rounding point shared by both engines
+      val dInt = round((expr("graft_dot(sv, sv)")
+        - lit(2) * expr("graft_dot(sv, cbv)")
+        + expr("graft_dot(cbv, cbv)")) * 10000).cast("long")
+      val terms = subs.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("code"), dInt.as("dterm"))
+      // encode: per (vec, m) argmin over the K codebook entries
+      val codes = terms.groupBy("vec_id", "m")
+        .agg(expr("min_by(code, struct(dterm, code))").as("code"))
+      val lut = terms.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("m"), col("code"), col("dterm"))
+      val probeCells = cells.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("cell").as("pcell"))
+      val cand = codes.join(cells, "vec_id")
+        .select(col("vec_id").as("neighbor_id"), col("cell"), col("m"), col("code"))
+      // ADC: cell-restricted candidates sum M broadcast-LUT lookups
+      val w = Window.partitionBy("probe_id").orderBy(col("adc"), col("neighbor_id"))
+      cand.join(broadcast(probeCells),
+          col("cell") === col("pcell") && col("probe_id") =!= col("neighbor_id"))
+        .join(broadcast(lut), Seq("probe_id", "m", "code"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg((sum("dterm") / 10000.0).as("adc"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("probe_id"), col("neighbor_id"), col("adc"),
+          col("rank").cast(org.apache.spark.sql.types.IntegerType).as("rank"))
+        .orderBy("probe_id", "rank")
+    })
+
+  val defs: Seq[OpQuery] = Seq(bruteTopk, lshTopk, centroids, ivfTopk, recallEval,
+    ivfpqTopk)
 }
