@@ -505,7 +505,39 @@ object Streams {
         .orderBy("o_orderstatus")
     })
 
+  // Snapshot table as a streaming SOURCE in append-only mode (Delta's
+  // `readStream.table` basic mode): three append commits land as data
+  // files that the file stream picks up in micro-batches, and the
+  // running aggregate converges to the table's full state. On an
+  // append-only table the data-dir file set IS the log-referenced set,
+  // so the glob source sees exactly the committed files; a DML'd table
+  // would tail the change feed instead (stream_cdc_apply). Per-batch
+  // work is O(new files); aggregate state is group-cardinality-sized.
+  private val streamTableAppends = OpQuery(
+    "stream_table_appends",
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val root = scratch("tbl_stream")
+      val t = new graft.sources.SnapshotTable(s, root)
+        .create(o.filter(col("o_orderkey") % 3 === 0))
+      t.append(o.filter(col("o_orderkey") % 3 === 1))
+      t.append(o.filter(col("o_orderkey") % 3 === 2))
+      val feed = s.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(s"$root/data/*")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
+      runToMemory(feed, "tblappends", OutputMode.Complete)
+        .orderBy("o_orderpriority")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     windowedAgg, streamDedup, streamSessionize, streamEnrich, streamMerge,
-    streamStreamJoin, slidingWindowAgg, streamCdcApply)
+    streamStreamJoin, slidingWindowAgg, streamCdcApply, streamTableAppends)
 }
