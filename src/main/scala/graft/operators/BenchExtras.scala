@@ -133,7 +133,8 @@ object BenchExtras {
       // with maxRecordsPerFile — same layout (per-file disjoint spans,
       // footer stats intact), 3000x fewer tasks.
       val base = Ingest.synthetic(spark, rows, numSplits = 8)
-      val t = new SnapshotTable(spark, graft.Scratch.dir(s"fc_$nFiles"))
+      val root = graft.Scratch.dir(s"fc_$nFiles")
+      val t = new SnapshotTable(spark, root)
       if (nFiles <= 1000) {
         t.create(base.repartitionByRange(nFiles, col("key"))
           .sortWithinPartitions("key"))
@@ -153,10 +154,41 @@ object BenchExtras {
       val hi = rows * 20.0 / nFiles
       val (pruned, planSec) = time(t.readRange("key", 0.0, hi))
       val (_, execSec) = time(pruned.filter(col("key") <= hi).count())
+      // Manifest-tailed streaming at the file-count tiers (1k vs 200k):
+      // append ONE small commit, then drain a snapshot stream starting
+      // AT that commit. The source plans the micro-batch from the
+      // manifest version diff — O(new files of the commit) — so the
+      // drain must stay flat across a 200x file-count spread; a
+      // glob-driven FileStreamSource would instead LIST all 200k files
+      // and seed a seen-files map of the whole directory every trigger.
+      val streamMetric =
+        if (nFiles != 1000 && nFiles != 200000) Seq.empty
+        else {
+          val fromVersion = t.currentVersion + 1
+          t.append(Ingest.synthetic(spark, 2000L, numSplits = 2))
+          val qn = s"graft_fcstream_$nFiles"
+          val (_, streamSec) = time {
+            val q = spark.readStream.format("graft-snapshot")
+              .option("path", root)
+              .option("startingVersion", fromVersion.toString)
+              .load()
+              .agg(count(lit(1)).as("n"))
+              .writeStream.format("memory").queryName(qn)
+              .outputMode("complete")
+              .option("checkpointLocation", graft.Scratch.dir("fcstream_ckpt"))
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            q.awaitTermination()
+            val n = spark.table(qn).head().getLong(0)
+            spark.catalog.dropTempView(qn)
+            require(n == 2000L, s"fc stream drained $n rows, expected 2000")
+          }
+          Seq(s"fc_stream_$nFiles" -> sec(streamSec))
+        }
       graft.Scratch.sweep(spark)
       Seq(s"fc_manifest_$nFiles" -> sec(manifestSec),
         s"fc_plan_$nFiles" -> sec(planSec),
-        s"fc_read_$nFiles" -> sec(execSec))
+        s"fc_read_$nFiles" -> sec(execSec)) ++ streamMetric
     }
   }
 

@@ -492,10 +492,16 @@ object CorpusOps {
             .write.parquet(s"$stage/th")
           val bBands = s.read.parquet(s"$stage/bands")
           val bTh = s.read.parquet(s"$stage/th")
+          // persist the two classification frames: each feeds the counts
+          // AND both index-extension anti-joins below — without the cache
+          // the standing band/th index parquet is re-scanned ~4x per
+          // micro-batch (batch-sized today, 2-4x wasted ingest work at
+          // corpus scale)
           val exact = bTh.as("bt")
             .join(s.read.parquet(s"$idx/th").as("ct"),
               col("bt.th") === col("ct.th"))
             .select(col("bt.doc_id").as("doc_id")).distinct()
+            .persist()
           val near = bBands.as("a")
             .join(s.read.parquet(s"$idx/bands").as("b"),
               col("a.b") === col("b.b") && col("a.k") === col("b.k"))
@@ -505,18 +511,24 @@ object CorpusOps {
             .filter(col("est_sim") >= 0.5)
             .select("doc_id").distinct()
             .join(exact, Seq("doc_id"), "left_anti")
-          val nEx = exact.count()
-          val nNear = near.count()
-          val accepted = bTh.select("doc_id")
-            .join(exact, Seq("doc_id"), "left_anti")
-            .join(near, Seq("doc_id"), "left_anti")
-          // append-only index growth: accepted docs' rows join the index
-          bBands.join(accepted, "doc_id")
-            .write.mode("append").parquet(s"$idx/bands")
-          bTh.join(accepted, "doc_id")
-            .write.mode("append").parquet(s"$idx/th")
-          val nAll = batch.count()
-          out += ((m, nEx, nNear, nAll - nEx - nNear))
+            .persist()
+          try {
+            val nEx = exact.count()
+            val nNear = near.count()
+            val accepted = bTh.select("doc_id")
+              .join(exact, Seq("doc_id"), "left_anti")
+              .join(near, Seq("doc_id"), "left_anti")
+            // append-only index growth: accepted docs' rows join the index
+            bBands.join(accepted, "doc_id")
+              .write.mode("append").parquet(s"$idx/bands")
+            bTh.join(accepted, "doc_id")
+              .write.mode("append").parquet(s"$idx/th")
+            val nAll = batch.count()
+            out += ((m, nEx, nNear, nAll - nEx - nNear))
+          } finally {
+            exact.unpersist(false)
+            near.unpersist(false)
+          }
           ()
         }
         .option("checkpointLocation", graft.Scratch.dir("sdl_ckpt"))

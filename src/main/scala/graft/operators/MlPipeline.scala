@@ -345,6 +345,11 @@ object MlPipeline {
                |  (acc, t) -> acc +
                |    ((graft_polyhash(t) % 4096) * 2654435761) % 2001 - 1000)"""
               .stripMargin).as("score_milli"))
+        // zero-token documents have no classification (the oracle's
+        // token unnest omits them; a NULL-score row here would be a
+        // fixture-dependent schema divergence) — structural parity,
+        // and the production semantics: nothing to classify
+        .filter(col("n_tokens") > 0)
         .withColumn("score",
           col("score_milli").cast("double") / (col("n_tokens") * 1000.0))
         .withColumn("keep", col("score_milli") > 0)

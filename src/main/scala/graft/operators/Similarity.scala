@@ -317,25 +317,9 @@ object Similarity {
         .orderBy("probe_id")
     })
 
-  // ------------------------------------------------------------ IVF-PQ
-  // IVF + product quantization, the memory-compressed ANN layout (at
-  // 100 TB of embeddings the scanned side cannot carry raw floats):
-  // vectors split into M=8 subspaces of 8 dims; each subspace quantizes
-  // to the nearest of K=10 deterministic codebook entries (per-label
-  // subvector means — the same seeding discipline as the coarse/IVF
-  // centroids, embeddable in the oracle), so a candidate is M small
-  // codes instead of 64 doubles (32× compression at float32 parity).
-  // Search is the classic asymmetric-distance computation: each probe
-  // precomputes a K×M lookup table of subspace L2² terms ONCE, and a
-  // candidate's distance is the sum of M table lookups — no candidate
-  // vector is ever touched. Scale shape: codebooks and probe LUTs are
-  // broadcast-sized, candidates carry only (cell, codes), and the scan
-  // is restricted to the probe's IVF cell. Distance terms accumulate as
-  // exact 1e-4-unit BIGINTs (order-independent across engines); ranking
-  // ties break on neighbor id.
-  private val ivfpqTopk = OpQuery(
-    "simsearch_ivfpq",
-    Some("""
+  /** CTE prefix shared by the ivfpq oracle and the pq-recall oracle:
+    * everything up to the per-probe ADC distance relation `adc`. */
+  private val ivfpqOracleCtes: String = """
       WITH v AS (
         SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
@@ -382,7 +366,27 @@ object Similarity {
         FROM cand
         JOIN probes p ON cand.cell = p.cell AND cand.neighbor_id <> p.probe_id
         JOIN lut l ON l.probe_id = p.probe_id AND l.m = cand.m AND l.code = cand.code
-        GROUP BY 1, 2)
+        GROUP BY 1, 2)"""
+
+  // ------------------------------------------------------------ IVF-PQ
+  // IVF + product quantization, the memory-compressed ANN layout (at
+  // 100 TB of embeddings the scanned side cannot carry raw floats):
+  // vectors split into M=8 subspaces of 8 dims; each subspace quantizes
+  // to the nearest of K=10 deterministic codebook entries (per-label
+  // subvector means — the same seeding discipline as the coarse/IVF
+  // centroids, embeddable in the oracle), so a candidate is M small
+  // codes instead of 64 doubles (32× compression at float32 parity).
+  // Search is the classic asymmetric-distance computation: each probe
+  // precomputes a K×M lookup table of subspace L2² terms ONCE, and a
+  // candidate's distance is the sum of M table lookups — no candidate
+  // vector is ever touched. Scale shape: codebooks and probe LUTs are
+  // broadcast-sized, candidates carry only (cell, codes), and the scan
+  // is restricted to the probe's IVF cell. Distance terms accumulate as
+  // exact 1e-4-unit BIGINTs (order-independent across engines); ranking
+  // ties break on neighbor id.
+  private val ivfpqTopk = OpQuery(
+    "simsearch_ivfpq",
+    Some(ivfpqOracleCtes + """
       SELECT probe_id, neighbor_id, adc, CAST(rn AS INT) AS rank FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
                     ORDER BY adc, neighbor_id) AS rn
@@ -390,7 +394,15 @@ object Similarity {
       WHERE rn <= 3
       ORDER BY probe_id, rank
     """),
-    (s, d) => {
+    (s, d) => ivfpqRanked(s, d, 3)
+      .select(col("probe_id"), col("neighbor_id"), col("adc"),
+        col("rank").cast(org.apache.spark.sql.types.IntegerType).as("rank"))
+      .orderBy("probe_id", "rank"))
+
+  /** The IVF-PQ dataflow shared by [[ivfpqTopk]] and [[pqRecall]]:
+    * per-probe ADC-ranked neighbors (probe_id, neighbor_id, adc, rank)
+    * with rank ≤ k. See [[ivfpqTopk]] for the full design commentary. */
+  private def ivfpqRanked(s: SparkSession, d: String, k: Int): DataFrame = {
       val e = emb(s, d)
       // coarse quantizer: label-mean centroids (same as simsearch_ivf)
       val cent = e.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -445,12 +457,66 @@ object Similarity {
         .groupBy("probe_id", "neighbor_id")
         .agg((sum("dterm") / 10000.0).as("adc"))
         .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("probe_id"), col("neighbor_id"), col("adc"),
-          col("rank").cast(org.apache.spark.sql.types.IntegerType).as("rank"))
-        .orderBy("probe_id", "rank")
+        .filter(col("rank") <= k)
+  }
+
+  // Recall@10 of the IVF-PQ ADC ranking against the exact brute-force
+  // top-10 — the same evaluation discipline simsearch_recall applies to
+  // sign-LSH, here quantifying the ivfpq entry's TOTAL approximation
+  // loss (coarse-cell misses + PQ quantization error in one number; an
+  // unquantified ANN index is an untrustworthy one). One brute pass over
+  // the corpus computes ground truth for the broadcast-sized probe set;
+  // the ADC side reuses the exact ivfpq dataflow at k=10, and the
+  // per-probe hit count is a left join of the two small top-k sets.
+  private val pqRecall = OpQuery(
+    "simsearch_pq_recall",
+    Some {
+      ivfpqOracleCtes + """,
+      adc_topk AS (
+        SELECT probe_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                      ORDER BY adc, neighbor_id) AS rn
+          FROM adc)
+        WHERE rn <= 10),
+      exact AS (
+        SELECT probe_id, neighbor_id FROM (
+          SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                            b.vec_id) AS rn
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+          WHERE a.vec_id < 5)
+        WHERE rn <= 10)
+      SELECT e.probe_id, COUNT(*) AS n_exact,
+             CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall
+      FROM exact e
+      LEFT JOIN adc_topk t
+        ON t.probe_id = e.probe_id AND t.neighbor_id = e.neighbor_id
+      GROUP BY e.probe_id ORDER BY e.probe_id
+      """
+    },
+    (s, d) => {
+      val adcTop = ivfpqRanked(s, d, 10)
+        .select(col("probe_id"), col("neighbor_id")).withColumn("hit", lit(true))
+      val e = emb(s, d)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("v"), col("norm")).as("a")
+      val cand = e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")).as("b")
+      val sim = round(cosine("a", "b"), 6)
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      cand.join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"), sim.as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .join(broadcast(adcTop), Seq("probe_id", "neighbor_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+        .orderBy("probe_id")
     })
 
   val defs: Seq[OpQuery] = Seq(bruteTopk, lshTopk, centroids, ivfTopk, recallEval,
-    ivfpqTopk)
+    ivfpqTopk, pqRecall)
 }

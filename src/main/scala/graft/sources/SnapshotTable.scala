@@ -331,6 +331,52 @@ class SnapshotTable(spark: SparkSession, root: String) {
     readEntries(entries)
   }
 
+  // ------------------------------------------- streaming-source hooks
+  // (graft.streaming.SnapshotStreamSource tails the table by manifest
+  // version diffs — never by directory listing.)
+
+  /** The operation string of one committed version. */
+  private[graft] def commitOperation(version: Int): String =
+    manifestOf(version).operation
+
+  /** Data/delta files a commit ADDED relative to its predecessor — the
+    * per-version diff a manifest-tailed stream plans its micro-batch
+    * from. O(manifest) set difference, zero filesystem operations. */
+  private[graft] def commitAddedDataFiles(version: Int): Seq[FileEntry] = {
+    val cur = manifestOf(version)
+    if (version == 0) cur.files ++ cur.deltas
+    else {
+      val prevPaths = {
+        val prev = manifestOf(version - 1)
+        (prev.files ++ prev.deltas).map(_.path).toSet
+      }
+      (cur.files ++ cur.deltas).filterNot(e => prevPaths(e.path))
+    }
+  }
+
+  /** True iff a commit REMOVED (or replaced) files relative to its
+    * predecessor — the condition that makes plain-row streaming of the
+    * table unsound (removed rows already streamed cannot be retracted). */
+  private[graft] def commitRemovedFiles(version: Int): Boolean =
+    version > 0 && {
+      val prev = manifestOf(version - 1)
+      val curPaths = {
+        val cur = manifestOf(version)
+        (cur.files ++ cur.deltas).map(_.path).toSet
+      }
+      (prev.files ++ prev.deltas).exists(e => !curPaths(e.path))
+    }
+
+  /** One commit's change-data-feed file entries (empty unless the commit
+    * was tracked). */
+  private[graft] def commitChangeFiles(version: Int): Seq[FileEntry] =
+    manifestOf(version).changes
+
+  /** Manifest-planned scan of an arbitrary entry list (streaming-source
+    * micro-batch construction). */
+  private[graft] def readEntriesDf(entries: Seq[FileEntry]): DataFrame =
+    readEntries(entries)
+
   /** Blind append commit: new files join the current file set; existing
     * files and pending deltas are untouched — O(source) like a streaming
     * sink. `partitionBy` may differ from earlier commits (Iceberg-style
@@ -552,9 +598,15 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val rewritten = base.join(source, keys, "left_anti").unionByName(source)
     val basePaths = baseEntries.map(_.path).toSet
     val foldDeltaPaths = foldDeltas.map(_.path).toSet
-    // deletion vectors are not partition-attributed, so ANY concurrent
-    // change to the DV set invalidates this writer's DV-resolved rewrite
-    // (conservative: a DV commit always conflicts with in-flight OCC)
+    // Deletion vectors are not partition-attributed, so a concurrent DV
+    // change needs CONTENT-level validation on retry (conflictingNewDvMarks
+    // below): a mark ADDED since v0 that addresses a file in this writer's
+    // rewrite slice is a true conflict — the rewrite already copied that
+    // row forward, so committing would resurrect the deleted row. Marks
+    // added against carried-over files stay valid (they ride along), and
+    // marks that merely got REWRITTEN into new DV files by another CoW
+    // winner existed at v0 — this writer's DV-resolved base scan already
+    // applied them.
     val dvPaths0 = dvEntries(v0).map(_.path).toSet
     var v = v0
     var attempt = 0
@@ -588,12 +640,23 @@ class SnapshotTable(spark: SparkSession, root: String) {
           val newV = currentVersion
           val (nowBase, nowDeltas) = slice(newV)
           if (nowBase.map(_.path).toSet != basePaths ||
-              nowDeltas.map(_.path).toSet != foldDeltaPaths ||
-              dvEntries(newV).map(_.path).toSet != dvPaths0)
+              nowDeltas.map(_.path).toSet != foldDeltaPaths)
             throw new java.util.ConcurrentModificationException(
               s"concurrent commit to $root touched partitions $vals " +
                 "(this writer's slice of files or deltas changed) — " +
                 "rewrite base is stale")
+          if (dvEntries(newV).map(_.path).toSet != dvPaths0) {
+            // DV set changed since the rewrite base. Disjoint DV commits
+            // (marks only on carried-over files) resolve metadata-style:
+            // re-derive the carried DV set from the CURRENT version —
+            // O(dv rows), like Delta's winning-commit action check.
+            if (conflictingNewDvMarks(v0, newV, basePaths))
+              throw new java.util.ConcurrentModificationException(
+                s"concurrent deletion-vector commit to $root addressed " +
+                  s"files in this writer's rewrite slice (partitions $vals) " +
+                  "— the rewrite would resurrect deleted rows")
+            attemptDvs = remainingDvs(newV, basePaths, newV + 1)
+          }
           if (attempt >= maxAttempts)
             throw new java.util.ConcurrentModificationException(
               s"gave up committing to $root after $maxAttempts attempts")
@@ -700,9 +763,24 @@ class SnapshotTable(spark: SparkSession, root: String) {
       }
     val cdc =
       if (!trackChanges || candidates.isEmpty) Seq.empty
-      else writeChanges(
-        baseScan(candidates, dvs).filter(matches)
-          .withColumn(ChangeCol, lit("delete")), v + 1)
+      else {
+        // CDC is a LOGICAL feed: a base copy whose key carries a pending
+        // MoR delta row is not what the table resolves to — positionally
+        // deleting the stale copy reorganizes the base layer without
+        // changing the relation (an upsert delta still wins; a tombstone
+        // already deleted the key). Anti-join the captured pre-images
+        // against pending delta keys so the feed reports only logical
+        // deletes. Both sides are change-feed-sized, never a table scan.
+        val del = baseScan(candidates, dvs).filter(matches)
+        val deltas = deltaEntries(v)
+        val keys = mergeKeysOf(v)
+        val logical =
+          if (deltas.isEmpty || keys.isEmpty) del
+          else del.join(
+            readEntries(deltas).select(keys.map(col): _*).distinct(),
+            keys, "left_anti")
+        writeChanges(logical.withColumn(ChangeCol, lit("delete")), v + 1)
+      }
     writeManifest(Manifest(v + 1, "DELETE_DV", mergeKeysOf(v), fileEntries(v),
       deltaEntries(v), cdc, dvs ++ written))
     this
@@ -883,6 +961,30 @@ class SnapshotTable(spark: SparkSession, root: String) {
     (base, carryOver)
   }
 
+  /** True iff a deletion-vector mark committed AFTER `fromVersion`
+    * (present at `atVersion`, absent at `fromVersion` — content-level
+    * anti-join, since another CoW winner may have rewritten v0's marks
+    * into new files without adding any) addresses a file in
+    * `rewrittenPaths`. That is the one DV interleaving an OCC writer
+    * cannot absorb: its rewrite copied the row forward before the mark
+    * existed. Cost is O(dv rows) — conflict-resolution-sized, never a
+    * data scan. */
+  private def conflictingNewDvMarks(
+      fromVersion: Int, atVersion: Int, rewrittenPaths: Set[String]): Boolean = {
+    val now = dvEntries(atVersion)
+    if (now.isEmpty || rewrittenPaths.isEmpty) false
+    else {
+      import spark.implicits._
+      val old = dvEntries(fromVersion)
+      val nowMarks = readEntries(now)
+      val newMarks =
+        if (old.isEmpty) nowMarks
+        else nowMarks.join(readEntries(old), Seq(DvFileCol, DvPosCol), "left_anti")
+      val slice = rewrittenPaths.toSeq.toDF(DvFileCol)
+      !newMarks.join(broadcast(slice), Seq(DvFileCol), "left_semi").isEmpty
+    }
+  }
+
   /** Carry deletion vectors across a copy-on-write rewrite: marks
     * addressing files that SURVIVE the commit stay valid; marks
     * addressing rewritten files were already applied by the rewrite's
@@ -972,8 +1074,20 @@ class SnapshotTable(spark: SparkSession, root: String) {
   def shallowCloneTo(dst: String): SnapshotTable = {
     val v = currentVersion
     val clone = new SnapshotTable(spark, dst)
-    clone.writeManifest(Manifest(0, "CLONE", mergeKeysOf(v), fileEntries(v),
-      deltaEntries(v), dvs = dvEntries(v)))
+    // Re-base carried ORIGINS below the clone's own version numbering:
+    // the clone commits from version 1, so a carried pending delta with
+    // origin ≥ 1 (a commit of THIS table's history) would tie or outrank
+    // the clone's future deltas in last-writer-wins resolution — silent
+    // wrong answers on a cloned MoR table. An order-preserving shift
+    // into negatives keeps every carried generation strictly older than
+    // every clone commit, and composes (cloning a clone shifts again).
+    val all = fileEntries(v) ++ deltaEntries(v) ++ dvEntries(v)
+    val shift = if (all.isEmpty) 0L else all.map(_.origin).max + 1L
+    def rebased(es: Seq[FileEntry]): Seq[FileEntry] =
+      es.map(e => e.copy(origin = e.origin - shift))
+    clone.writeManifest(Manifest(0, "CLONE", mergeKeysOf(v),
+      rebased(fileEntries(v)), rebased(deltaEntries(v)),
+      dvs = rebased(dvEntries(v))))
     clone
   }
 
@@ -1010,21 +1124,30 @@ class SnapshotTable(spark: SparkSession, root: String) {
   def vacuumOlderThan(ts: Long): Int =
     vacuum(retainVersions = currentVersion - versionAsOf(ts) + 1)
 
-  /** DESCRIBE HISTORY analog: (version, operation, num_files, num_rows).
-    * Built from the cached log — no data or parquet reads. */
+  /** DESCRIBE HISTORY analog: (version, operation, num_files, num_rows,
+    * pending_delta_rows). Built from the cached log — no data or parquet
+    * reads. `num_rows` is the PHYSICAL count (base + pending delta rows,
+    * DV marks subtracted); when `pending_delta_rows > 0` some delta rows
+    * may shadow base rows, so the logical count can be lower — resolve
+    * it with [[countFromManifest]] (which detects the case and counts
+    * the resolved scan). */
   def history: DataFrame = {
     import spark.implicits._
     versions.sorted.map(manifestOf)
-      .map(m => (m.version, m.operation, m.numFiles, m.numRows))
-      .toDF("version", "operation", "num_files", "num_rows")
+      .map(m => (m.version, m.operation, m.numFiles, m.numRows, m.numDeltaRows))
+      .toDF("version", "operation", "num_files", "num_rows",
+        "pending_delta_rows")
   }
 
-  /** DESCRIBE DETAIL analog for the latest version. */
+  /** DESCRIBE DETAIL analog for the latest version; same physical-count
+    * semantics (and the same `pending_delta_rows` caveat) as [[history]]. */
   def detail: DataFrame = {
     import spark.implicits._
     val m = manifestOf(currentVersion)
-    Seq((m.version, m.numFiles, (m.files ++ m.deltas).map(_.bytes).sum, m.numRows))
-      .toDF("version", "num_files", "total_bytes", "num_rows")
+    Seq((m.version, m.numFiles, (m.files ++ m.deltas).map(_.bytes).sum,
+        m.numRows, m.numDeltaRows))
+      .toDF("version", "num_files", "total_bytes", "num_rows",
+        "pending_delta_rows")
   }
 
   // ------------------------------------------------------------------
@@ -1142,9 +1265,15 @@ object SnapshotTable {
       files: Seq[FileEntry], deltas: Seq[FileEntry],
       changes: Seq[FileEntry] = Seq.empty, dvs: Seq[FileEntry] = Seq.empty,
       ts: Long = 0L) {
-    // dv capture is duplicate-free by construction (marks come from the
-    // DV-resolved scan), so the logical row count subtracts exactly
+    // PHYSICAL row count: base + pending delta rows, DV marks subtracted
+    // (dv capture is duplicate-free by construction — marks come from the
+    // DV-resolved scan — so the subtraction is exact). Exactly the
+    // logical count when no deltas are pending; with pending deltas an
+    // upsert row may shadow a base row, so logical ≤ physical — history/
+    // detail surface numDeltaRows so the approximation is visible, and
+    // countFromManifest resolves the exact count.
     def numRows: Long = (files ++ deltas).map(_.rows).sum - dvs.map(_.rows).sum
+    def numDeltaRows: Long = deltas.map(_.rows).sum
     def numFiles: Long = (files.size + deltas.size).toLong
   }
 

@@ -1,0 +1,212 @@
+package graft.streaming
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.{DataFrame, GraftStreamShim, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Snapshot table as a streaming SOURCE, driven by the manifest log —
+  * the Delta `readStream.table` / DeltaSource analog.
+  *
+  * Each micro-batch is planned from a manifest VERSION DIFF: offset `v`
+  * means "versions ≤ v consumed", and the batch for (v₁, v₂] is the scan
+  * of exactly the files those commits added (`commitAddedDataFiles`,
+  * an O(manifest) in-memory set difference). The source never lists the
+  * data directory and keeps no seen-files state — per-trigger cost is
+  * O(new files of the commit), flat in table size and file count. A
+  * glob-driven FileStreamSource by contrast re-LISTS the directory every
+  * trigger and grows an unbounded seen-files map — at the 200k-file tier
+  * that listing is the metadata wall the reference's file-count
+  * benchmark exists to expose (FileCountBenchmark.scala:242-279).
+  *
+  * Modes:
+  *   - data (default): append-only tailing. Every streamed commit must
+  *     be CREATE/APPEND/CLONE; a commit that rewrote or logically
+  *     changed rows (MERGE, DELETE, MoR deltas, compaction) fails the
+  *     stream loudly — rows already emitted cannot be retracted
+  *     (exactly Delta's "detected a data update" error). CDC files, DV
+  *     mark files, and orphaned losing-OCC-attempt writes are invisible
+  *     by construction: they are never in the manifest's added-file set.
+  *   - readChangeFeed=true: streams the change-data feed. Tracked DML
+  *     commits contribute their captured change files (pre/post images
+  *     with `_change_type`); CREATE/APPEND/CLONE commits contribute
+  *     their added data files as `insert` rows (Delta CDF parity);
+  *     data-reorganization commits (COMPACT/ZORDER/RESTORE) are skipped
+  *     (no logical change). An untracked DML commit fails the stream —
+  *     its changes are unrecoverable after the fact.
+  *
+  * Options: `path` (table root, required), `startingVersion` (int, or
+  * "latest" = only commits after stream start; default 0 — Delta's
+  * startingVersion semantics), `maxVersionsPerTrigger` (rate limit;
+  * default: all available in one batch).
+  *
+  * Micro-batches keep full Catalyst planning: the batch DataFrame is the
+  * manifest-planned relation (ManifestFileIndex) re-flagged as streaming
+  * ([[GraftStreamShim.asStreamingBatch]]), so downstream filters and
+  * projections still push into the parquet scan.
+  */
+class SnapshotStreamSource(
+    spark: SparkSession,
+    table: SnapshotTable,
+    override val schema: StructType,
+    startingVersion: Long,
+    maxVersionsPerTrigger: Long,
+    changeFeed: Boolean)
+  extends Source with SupportsTriggerAvailableNow {
+
+  /** Versions ≤ this are exposed via getOffset (advances with rate
+    * limiting; re-synced from the checkpoint on restart via getBatch). */
+  private var lastReturned: Long = startingVersion - 1L
+
+  /** Trigger.AvailableNow end bound, captured once at stream start so
+    * the multi-batch drain has a fixed target (commits racing the drain
+    * belong to the next run). */
+  private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowEnd = Some(table.currentVersion.toLong)
+  }
+
+  override def getOffset: Option[Offset] = synchronized {
+    val latest = availableNowEnd.getOrElse(table.currentVersion.toLong)
+    val next =
+      if (maxVersionsPerTrigger <= 0) latest
+      else math.min(lastReturned + maxVersionsPerTrigger, latest)
+    if (next > lastReturned) lastReturned = next
+    if (lastReturned < startingVersion) None
+    else Some(SnapshotSourceOffset(lastReturned))
+  }
+
+  /** Admission-control entry point (the engine prefers it over
+    * [[getOffset]] once SupportsTriggerAvailableNow is in play; same
+    * pattern as FileStreamSource). Rate limiting is version-based and
+    * internal, so the engine-supplied ReadLimit stays allAvailable. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 =
+    getOffset.orNull
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = synchronized {
+    val endV = SnapshotSourceOffset.versionOf(end)
+    lastReturned = math.max(lastReturned, endV) // checkpoint-restart resync
+    val startV = start.map(SnapshotSourceOffset.versionOf(_) + 1L)
+      .getOrElse(startingVersion)
+    val frames = (startV to endV).flatMap(v => batchSlice(v.toInt))
+    if (frames.isEmpty) GraftStreamShim.emptyStreamingBatch(spark, schema)
+    else GraftStreamShim.asStreamingBatch(
+      frames.reduce(_ unionByName _).select(schema.fieldNames.map(col): _*))
+  }
+
+  /** One commit's contribution to the stream (None = adds no rows). */
+  private def batchSlice(v: Int): Option[DataFrame] = {
+    val op = table.commitOperation(v)
+    if (!changeFeed) {
+      if (!SnapshotStreamSource.AppendOps(op) || table.commitRemovedFiles(v))
+        throw new UnsupportedOperationException(
+          s"snapshot stream at version $v hit a non-append commit ($op): " +
+            "rows already emitted cannot be retracted. Stream the change " +
+            "feed instead (option readChangeFeed=true on commits tracked " +
+            "with trackChanges).")
+      val added = table.commitAddedDataFiles(v)
+      if (added.isEmpty) None else Some(table.readEntriesDf(added))
+    } else op match {
+      case op if SnapshotStreamSource.AppendOps(op) =>
+        val added = table.commitAddedDataFiles(v)
+        if (added.isEmpty) None
+        else Some(table.readEntriesDf(added)
+          .withColumn(SnapshotTable.ChangeCol, lit("insert")))
+      case "COMPACT" | "ZORDER" | "RESTORE" => None // no logical change
+      case op =>
+        val changes = table.commitChangeFiles(v)
+        if (changes.isEmpty)
+          throw new UnsupportedOperationException(
+            s"change-feed stream: version $v ($op) carries no change " +
+              "files — commit DML with trackChanges = true to stream it.")
+        Some(table.readEntriesDf(changes))
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"SnapshotStreamSource[${if (changeFeed) "cdc" else "data"}]"
+}
+
+object SnapshotStreamSource {
+  /** Commits whose added files are plain new rows. */
+  private val AppendOps = Set("CREATE", "APPEND", "CLONE")
+}
+
+/** Offset = highest manifest version consumed (total-ordered, compact —
+  * the manifest log is the write-ahead log, so the version number alone
+  * recovers the exact file set after a restart). */
+case class SnapshotSourceOffset(version: Long) extends Offset {
+  override def json: String = version.toString
+}
+
+object SnapshotSourceOffset {
+  def versionOf(o: Offset): Long = o match {
+    case SnapshotSourceOffset(v) => v
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+}
+
+/** `spark.readStream.format("graft-snapshot")` provider (also reachable
+  * by full class name). Schema derives from the table's current read
+  * schema (+ `_change_type` in change-feed mode) unless supplied. */
+class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  private def boolOpt(parameters: Map[String, String], key: String): Boolean =
+    parameters.get(key).exists(_.trim.equalsIgnoreCase("true"))
+
+  private def tableOf(sqlContext: SQLContext,
+      parameters: Map[String, String]): SnapshotTable = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot source requires option 'path' (the table root)"))
+    new SnapshotTable(sqlContext.sparkSession, path)
+  }
+
+  private def derivedSchema(table: SnapshotTable, changeFeed: Boolean): StructType = {
+    val base = table.read().schema
+    if (!changeFeed) base
+    else StructType(base.fields :+ StructField(SnapshotTable.ChangeCol, StringType))
+  }
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      derivedSchema(tableOf(sqlContext, parameters),
+        boolOpt(parameters, "readChangeFeed"))))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val table = tableOf(sqlContext, parameters)
+    val changeFeed = boolOpt(parameters, "readChangeFeed")
+    val starting = parameters.get("startingVersion").map(_.trim) match {
+      case Some(s) if s.equalsIgnoreCase("latest") => table.currentVersion + 1L
+      case Some(s) => s.toLong
+      case None => 0L
+    }
+    new SnapshotStreamSource(
+      sqlContext.sparkSession, table,
+      schema.getOrElse(derivedSchema(table, changeFeed)),
+      starting,
+      parameters.get("maxVersionsPerTrigger").map(_.trim.toLong).getOrElse(0L),
+      changeFeed)
+  }
+}

@@ -485,19 +485,19 @@ object Streams {
           partitionBy = Some("o_orderstatus"), trackChanges = true)
         .deleteWhere("o_totalprice", 0.0, 2000.0,
           partitionBy = Some("o_orderstatus"), trackChanges = true)
-      val cdcSchema = StructType(
-        o.schema.fields :+
-          org.apache.spark.sql.types.StructField(
-            graft.sources.SnapshotTable.ChangeCol,
-            org.apache.spark.sql.types.StringType))
       val sgn = when(col(graft.sources.SnapshotTable.ChangeCol)
         .isin("insert", "update_postimage"), 1).otherwise(-1)
-      val feed = s.readStream.schema(cdcSchema)
-        // several micro-batches so the agg state genuinely accumulates —
-        // but not one per file: each commit's cdc lands as one file per
-        // shuffle partition, and per-batch overhead would swamp the entry
-        .option("maxFilesPerTrigger", "8")
-        .parquet(s"$root/data/*_cdc_*")
+      // Manifest-tailed change-feed source: one micro-batch per tracked
+      // commit (versions 1..2; version 0 is the CLONE snapshot, skipped
+      // via startingVersion), planned from the manifest's change-file
+      // entries — never a directory listing, and losing-OCC orphans /
+      // DV marks can never leak into the feed.
+      val feed = s.readStream.format("graft-snapshot")
+        .option("path", root)
+        .option("startingVersion", "1")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
         .groupBy("o_orderstatus")
         .agg(sum(sgn).cast("long").as("net_rows"),
           moneyOut(sum(dec(col("o_totalprice")) * sgn)).as("net_price"))
@@ -506,13 +506,15 @@ object Streams {
     })
 
   // Snapshot table as a streaming SOURCE in append-only mode (Delta's
-  // `readStream.table` basic mode): three append commits land as data
-  // files that the file stream picks up in micro-batches, and the
-  // running aggregate converges to the table's full state. On an
-  // append-only table the data-dir file set IS the log-referenced set,
-  // so the glob source sees exactly the committed files; a DML'd table
-  // would tail the change feed instead (stream_cdc_apply). Per-batch
-  // work is O(new files); aggregate state is group-cardinality-sized.
+  // `readStream.table` basic mode): three append commits, one micro-
+  // batch each (maxVersionsPerTrigger=1), planned from manifest version
+  // diffs — the batch for commit v is exactly the files v added, an
+  // O(manifest) in-memory set difference with ZERO directory listing
+  // and no seen-files state (SnapshotStreamSource). The running
+  // aggregate converges to the table's full state; a non-append commit
+  // in the tailed range fails the stream loudly (rows cannot be
+  // retracted) — DML'd tables stream the change feed instead
+  // (stream_cdc_apply). Aggregate state is group-cardinality-sized.
   private val streamTableAppends = OpQuery(
     "stream_table_appends",
     Some("""
@@ -527,9 +529,11 @@ object Streams {
         .create(o.filter(col("o_orderkey") % 3 === 0))
       t.append(o.filter(col("o_orderkey") % 3 === 1))
       t.append(o.filter(col("o_orderkey") % 3 === 2))
-      val feed = s.readStream.schema(o.schema)
-        .option("maxFilesPerTrigger", "8")
-        .parquet(s"$root/data/*")
+      val feed = s.readStream.format("graft-snapshot")
+        .option("path", root)
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
@@ -537,7 +541,38 @@ object Streams {
         .orderBy("o_orderpriority")
     })
 
+  // startingVersion semantics (Delta `startingVersion` analog): the same
+  // three-commit table tailed FROM VERSION 2 — the stream replays only
+  // commits ≥ 2 (the %3=2 slice), proving offset resolution is by
+  // manifest version, not by what happens to sit in the data directory.
+  private val streamTableStartVersion = OpQuery(
+    "stream_table_startversion",
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_orderkey % 3 = 2
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val root = scratch("tbl_stream_sv")
+      val t = new graft.sources.SnapshotTable(s, root)
+        .create(o.filter(col("o_orderkey") % 3 === 0))
+      t.append(o.filter(col("o_orderkey") % 3 === 1))
+      t.append(o.filter(col("o_orderkey") % 3 === 2))
+      val feed = s.readStream.format("graft-snapshot")
+        .option("path", root)
+        .option("startingVersion", "2")
+        .load()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
+      runToMemory(feed, "tblsv", OutputMode.Complete)
+        .orderBy("o_orderpriority")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     windowedAgg, streamDedup, streamSessionize, streamEnrich, streamMerge,
-    streamStreamJoin, slidingWindowAgg, streamCdcApply, streamTableAppends)
+    streamStreamJoin, slidingWindowAgg, streamCdcApply, streamTableAppends,
+    streamTableStartVersion)
 }

@@ -1,0 +1,46 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.StructType
+
+/** Compile-time bridge into Spark's `private[sql]` surface, used by the
+  * snapshot-table streaming source (graft.streaming.SnapshotStreamSource).
+  *
+  * A v1 streaming `Source.getBatch` must return a DataFrame whose logical
+  * plan is flagged `isStreaming = true` (MicroBatchExecution asserts it),
+  * but every public DataFrame constructor produces batch plans. Delta's
+  * DeltaSource solves this with `SQLContext.internalCreateDataFrame(rdd,
+  * schema, isStreaming = true)`; both that method and `Dataset.ofRows`
+  * are `private[sql]`, so the bridge lives in this package — the standard
+  * connector pattern (spark-kafka, Delta, and most file-based sources
+  * ship classes inside org.apache.spark.sql for exactly this reason).
+  *
+  * [[asStreamingBatch]] is the higher-fidelity path: instead of detouring
+  * through a pre-planned RDD (which would freeze the physical plan and
+  * hide the scan from the optimizer), it re-flags the batch plan's
+  * `LogicalRelation` leaves as streaming — the micro-batch keeps full
+  * Catalyst planning over the manifest-backed relation (column pruning,
+  * filter pushdown into the parquet scan, whole-stage codegen).
+  */
+object GraftStreamShim {
+
+  /** Re-plan a batch DataFrame as a streaming micro-batch: identical
+    * relations, scan planning intact, `isStreaming = true` on the leaves. */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val plan: LogicalPlan = cdf.queryExecution.analyzed.transformUp {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+    }
+    classic.Dataset.ofRows(cdf.sparkSession, plan)
+  }
+
+  /** Zero-row streaming micro-batch with the given schema (a version
+    * range that added no data still has to produce a valid batch). */
+  def emptyStreamingBatch(spark: SparkSession, schema: StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      cs.sparkContext.emptyRDD[InternalRow], schema, isStreaming = true)
+  }
+}

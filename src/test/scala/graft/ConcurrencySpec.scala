@@ -138,6 +138,49 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.read().filter(col("k") === 0).select("v").head.getDouble(0) == 1000.0)
   }
 
+  test("a DV commit on UNTOUCHED files rides along with a retried OCC merge") {
+    val (t, root) = mkTable("occ_dv_disjoint")
+    val rival = new SnapshotTable(spark, root)
+    var injected = false
+    // writer merges partition B's slice; rival DV-deletes k=12 — an even
+    // key, so the mark addresses only partition A's file, outside the
+    // writer's rewrite slice. The loser must retry metadata-style and
+    // CARRY the new mark, not conflict (the r8 engine conflicted on any
+    // DV change).
+    t.mergeConcurrent(src("B", 100.0), keys = Seq("k", "p"),
+      partitionBy = "p",
+      beforeCommit = () => if (!injected) {
+        injected = true
+        rival.deleteWherePositional("k", 12, 12)
+      })
+    assert(injected)
+    assert(t.currentVersion == 2) // rival's DV commit + our retried commit
+    val got = t.read().orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(!got.contains(12L)) // the rival's positional delete survives
+    assert(got(9L) == 109.0) // our B-slice bump landed
+    assert(got(8L) == 8.0 && got.size == 39)
+  }
+
+  test("a DV commit addressing the writer's rewrite slice is a true conflict") {
+    val (t, root) = mkTable("occ_dv_conflict")
+    val rival = new SnapshotTable(spark, root)
+    var injected = false
+    // rival DV-deletes k=9 — odd key, partition B: the writer's rewrite
+    // already copied that row forward, so committing would resurrect it.
+    intercept[java.util.ConcurrentModificationException] {
+      t.mergeConcurrent(src("B", 100.0), keys = Seq("k", "p"),
+        partitionBy = "p",
+        beforeCommit = () => if (!injected) {
+          injected = true
+          rival.deleteWherePositional("k", 9, 9)
+        })
+    }
+    assert(t.currentVersion == 1) // the rival's DV commit is intact
+    val ks = t.read().select("k").collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(9L) && ks.contains(7L) && ks.size == 39)
+  }
+
   test("commit timestamps are strictly increasing; AS OF resolves them") {
     val (t, _) = mkTable("occ_ts")
     t.merge(src("A", 50.0), keys = Seq("k", "p"), partitionBy = Some("p"))

@@ -73,6 +73,24 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.read().filter(col("k").between(10, 20)).count() == 1L)
   }
 
+  test("tracked positional delete emits LOGICAL deletes only (delta keys excluded)") {
+    import spark.implicits._
+    val t = rangeTable("dv_cdc_mor")
+    // k=15's current value lives in a pending upsert delta; k=17 is
+    // already tombstoned. Positionally deleting their stale/retired base
+    // copies must NOT surface in the change feed — neither key's logical
+    // state changes (15 survives via the delta; 17 was already gone).
+    t.mergeDeferred(Seq((15L, 99L, "fresh")).toDF("k", "g", "s"), Seq("k"))
+    t.mergeDeleteDeferred(Seq(Tuple1(17L)).toDF("k"), Seq("k"))
+    t.deleteWherePositional("k", 10, 20, trackChanges = true)
+    val fed = t.changes(t.currentVersion)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(fed == ((10L to 20L).filterNot(k => k == 15L || k == 17L)),
+      s"feed must hold logical deletes only, got $fed")
+    // the resolved read agrees: 15 survives, the rest of [10,20] is gone
+    assert(t.read().filter(col("k").between(10, 20)).count() == 1L)
+  }
+
   test("CoW merge applies DV marks on touched partitions and carries the rest") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, (i % 4).toLong, s"r$i"))
@@ -135,7 +153,10 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ch.columns.contains("s"), "CDC rows carry the full row image")
   }
 
-  test("a concurrent DV commit conflicts with an in-flight OCC merge") {
+  // k ∈ [0,5] marks odd keys too — partition g=1 is the writer's rewrite
+  // slice, so this is a true conflict under the narrowed DV-aware OCC
+  // rule (disjoint DV commits ride along instead; see ConcurrencySpec).
+  test("a concurrent DV commit on the writer's slice conflicts with OCC merge") {
     import spark.implicits._
     val df = (0 until 40).map(i => (i.toLong, (i % 2).toLong, s"r$i"))
       .toDF("k", "g", "s")

@@ -21,6 +21,25 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(1) >= 1L && r.getLong(2) >= 0L))
   }
 
+  test("text_quality_classifier scores all docs; zero-token docs are excluded") {
+    import org.apache.spark.sql.functions._
+    val rows = run("text_quality_classifier").collect()
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(rows.length == nDocs) // fixture has no zero-token docs
+    assert(rows.forall(!_.isNullAt(3))) // every score defined
+    // structural pin (not fixture luck): a corpus WITH an all-whitespace
+    // doc must omit it — same shape as the oracle's token unnest
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc").toString
+    import spark.implicits._
+    Tables.load(spark, sf, "documents")
+      .unionByName(Seq((999999L, "   ", "en", "synthetic", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val withEmpty = SparkEntry.queries("text_quality_classifier")(spark, dir)
+    assert(withEmpty.filter(col("doc_id") === 999999L).isEmpty)
+    assert(withEmpty.count() == nDocs)
+  }
+
   test("text_unigram_logprob scores every document with negative log-prob") {
     val rows = run("text_unigram_logprob").collect()
     val nDocs = Tables.load(spark, sf, "documents").count()

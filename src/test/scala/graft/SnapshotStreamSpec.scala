@@ -1,0 +1,138 @@
+package graft
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryException, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Manifest-tailed snapshot streaming source (SnapshotStreamSource):
+  * micro-batches planned from manifest version diffs — batch granularity,
+  * startingVersion resolution, append-only enforcement, and change-feed
+  * mode, all without a single data-directory listing. */
+class SnapshotStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  /** id/k/v frame of one commit's rows: ids in [lo, hi). */
+  private def slice(lo: Int, hi: Int): DataFrame = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, i % 5, i * 10.0)).toDF("id", "k", "v")
+  }
+
+  /** Drain a snapshot stream (AvailableNow) into a memory sink; returns
+    * (rows, number of non-empty micro-batches). */
+  private def drain(root: String, opts: Map[String, String],
+      agg: DataFrame => DataFrame): (Seq[org.apache.spark.sql.Row], Long) = {
+    val name = s"snapstream_${System.nanoTime()}"
+    val src = opts.foldLeft(
+      spark.readStream.format("graft-snapshot").option("path", root)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+    val q = agg(src).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Complete)
+      .option("checkpointLocation", tmp("snapstream_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0).toLong
+    (spark.table(name).collect().toSeq, batches)
+  }
+
+  test("append-only tail: one micro-batch per version, converges to table") {
+    val root = tmp("snapstream_tbl")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100))
+    t.append(slice(100, 250))
+    t.append(slice(250, 300))
+    val (rows, batches) = drain(root,
+      Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "1"),
+      _.agg(count(lit(1)).as("n"), sum("v").as("sv")))
+    assert(rows.head.getLong(0) === 300L)
+    assert(rows.head.getDouble(1) === (0 until 300).map(_ * 10.0).sum)
+    assert(batches === 3L, "3 commits with maxVersionsPerTrigger=1 → 3 batches")
+  }
+
+  test("startingVersion skips earlier commits; 'latest' sees nothing") {
+    val root = tmp("snapstream_sv")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100))
+    t.append(slice(100, 250))
+    t.append(slice(250, 300))
+    val (rows, _) = drain(root, Map("startingVersion" -> "1"),
+      _.agg(count(lit(1)).as("n"), min("id").as("lo")))
+    assert(rows.head.getLong(0) === 200L)
+    assert(rows.head.getLong(1) === 100L)
+    val (latestRows, latestBatches) = drain(root,
+      Map("startingVersion" -> "latest"), _.agg(count(lit(1)).as("n")))
+    assert(latestBatches === 0L)
+    assert(latestRows.isEmpty || latestRows.head.getLong(0) === 0L)
+  }
+
+  test("non-append commit fails the data stream loudly") {
+    val root = tmp("snapstream_dml")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100))
+    t.append(slice(100, 200))
+    t.merge(slice(50, 60).withColumn("v", col("v") + 1.0), keys = Seq("id"))
+    val e = intercept[StreamingQueryException] {
+      drain(root, Map("startingVersion" -> "0"),
+        _.agg(count(lit(1)).as("n")))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("non-append commit")))
+  }
+
+  test("change feed streams tracked DML + appends-as-inserts, skips compaction") {
+    val root = tmp("snapstream_cdc")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100))
+    t.append(slice(100, 200))
+    t.compact(2)
+    t.merge(slice(150, 170).withColumn("v", col("v") + 0.5), keys = Seq("id"),
+      trackChanges = true)
+    val (rows, _) = drain(root,
+      Map("startingVersion" -> "1", "readChangeFeed" -> "true",
+        "maxVersionsPerTrigger" -> "1"),
+      _.groupBy(SnapshotTable.ChangeCol).agg(count(lit(1)).as("n")))
+    val byType = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") === 100L) // the APPEND commit's rows
+    assert(byType("update_preimage") === 20L)
+    assert(byType("update_postimage") === 20L)
+    assert(!byType.contains(null)) // compaction contributed nothing
+  }
+
+  test("change feed fails on an untracked DML commit") {
+    val root = tmp("snapstream_cdc_untracked")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100))
+    t.merge(slice(10, 20).withColumn("v", col("v") + 1.0), keys = Seq("id"))
+    val e = intercept[StreamingQueryException] {
+      drain(root, Map("startingVersion" -> "1", "readChangeFeed" -> "true"),
+        _.agg(count(lit(1)).as("n")))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("no change")))
+  }
+
+  test("commitAddedDataFiles is an exact per-version diff") {
+    val root = tmp("snapstream_diff")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100))
+    t.append(slice(100, 150))
+    val v0 = t.commitAddedDataFiles(0)
+    val v1 = t.commitAddedDataFiles(1)
+    assert(v0.map(_.rows).sum === 100L)
+    assert(v1.map(_.rows).sum === 50L)
+    assert(v0.map(_.path).toSet.intersect(v1.map(_.path).toSet).isEmpty)
+    assert(!t.commitRemovedFiles(1))
+    t.merge(slice(0, 10).withColumn("v", col("v") + 1.0), keys = Seq("id"))
+    assert(t.commitRemovedFiles(2))
+  }
+}

@@ -172,6 +172,28 @@ class SnapshotTableSpec extends AnyFunSuite {
       .forall(e => src.files.exists(_.path == e.path)))
   }
 
+  test("clone of a MoR table: the clone's new delta outranks carried deltas") {
+    import spark.implicits._
+    // source history: CREATE (v0) + deferred upsert (v1) — the carried
+    // delta's origin (1) would collide with the clone's first own commit
+    // without origin re-basing, making last-writer-wins a coin flip
+    val src = new SnapshotTable(spark, tmp("clmor_src"))
+      .create(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+      .mergeDeferred(Seq((1L, "carried")).toDF("k", "s"), Seq("k"))
+    val clone = src.shallowCloneTo(tmp("clmor_dst"))
+    clone.mergeDeferred(Seq((1L, "clone-wins")).toDF("k", "s"), Seq("k"))
+    val got = clone.read().orderBy("k").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("clone-wins", "b"), s"got $got")
+    // and a clone OF THE CLONE keeps the ordering (shift composes)
+    val c2 = clone.shallowCloneTo(tmp("clmor_dst2"))
+    c2.mergeDeferred(Seq((1L, "c2-wins")).toDF("k", "s"), Seq("k"))
+    assert(c2.read().orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("c2-wins", "b"))
+    // source resolution is untouched by its clones
+    assert(src.read().orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("carried", "b"))
+  }
+
   test("vacuum deletes files of dropped versions but keeps retained reads") {
     import spark.implicits._
     val t = new SnapshotTable(spark, tmp("vac"))
