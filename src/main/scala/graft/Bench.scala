@@ -18,7 +18,7 @@ object Bench {
     // (TPCDSBenchmark.scala:94-108; README.md:23) — the upper median of
     // three reports warm steady-state, not the cold first run.
     val iterations = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -31,7 +31,14 @@ object Bench {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Dev-loop conf overrides: SPARK_GRAFT_CONF="k=v;k=v" (A/B
+    // experiments without recompiling; unset in driver runs).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Harness.warmup(spark)
     Harness.warmTables(spark, sfDir)

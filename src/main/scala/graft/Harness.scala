@@ -192,7 +192,9 @@ object Harness {
     "cdc_read_changes", "partition_evolution", "restore_version",
     "q23_semi_scalar", "q31_qoq_ratio", "q78_returns_excluded",
     "join_range_bucketed", "quality_filter_pipeline",
-    "embedding_quantize", "agg_approx_distinct")
+    "embedding_quantize", "agg_approx_distinct",
+    "stream_table_appends", "simsearch_pq_recall",
+    "stream_table_startversion")
 
   /** Compact one-line JSON for stdout. Must stay short enough to fit
     * entirely inside the driver's tail capture (2000 chars incl. the sbt

@@ -122,6 +122,34 @@ class SnapshotStreamSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("no change")))
   }
 
+  test("checkpoint recovery: a restarted stream resumes at the logged version") {
+    val root = tmp("snapstream_restart")
+    val ckpt = tmp("snapstream_restart_ckpt")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100))
+    t.append(slice(100, 200))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", root).option("startingVersion", "0").load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          seen += batch.count(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainOnce() // versions 0..1
+    assert(seen.sum === 200L)
+    t.append(slice(200, 260))
+    t.append(slice(260, 300))
+    seen.clear()
+    drainOnce() // resumes from the checkpointed offset: versions 2..3 only
+    assert(seen.sum === 100L,
+      s"restart must replay only the new commits, got ${seen.sum} rows")
+  }
+
   test("commitAddedDataFiles is an exact per-version diff") {
     val root = tmp("snapstream_diff")
     val t = new SnapshotTable(spark, root).create(slice(0, 100))
