@@ -1086,6 +1086,105 @@ object Lakehouse {
         graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice")))).as("sum_price"))
     })
 
+  // Exactly-once streaming-sink discipline (Delta txnAppId/txnVersion
+  // analog): two append "micro-batches" commit with (appId, version)
+  // markers, then BOTH are re-delivered — exactly what checkpoint
+  // recovery does to the last batch after a crash. The replays are
+  // detected by the carried txn map and skipped, so the table holds each
+  // batch exactly once; the oracle is the single-application content.
+  // Without the markers the replayed APPENDs would double 2 of the 3
+  // branches (the require()s pin the skip; SnapshotTableSpec covers the
+  // marker algebra).
+  private val sinkExactlyOnce = OpQuery(
+    "sink_exactly_once",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 11 = 0)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val t = stagedOrders(s, d).shallowCloneTo(tmp("txnsink"))
+      def batch(m: Int) = o.filter(col("o_orderkey") % m === 0)
+      require(t.appendIdempotent(batch(7), "sink", 1, Some("o_orderstatus")))
+      require(t.appendIdempotent(batch(11), "sink", 2, Some("o_orderstatus")))
+      // checkpoint-recovery re-delivery: both batches replayed, both skipped
+      require(!t.appendIdempotent(batch(7), "sink", 1, Some("o_orderstatus")))
+      require(!t.appendIdempotent(batch(11), "sink", 2, Some("o_orderstatus")))
+      t.read().groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
+  // Dynamic partition overwrite (INSERT OVERWRITE / Delta replaceWhere
+  // at partition granularity): partition 'F' is replaced wholesale by a
+  // HALVED, re-priced slice — old 'F' files are never read (cost =
+  // O(new data)); every other partition carries over by reference
+  // (file identity asserted in SnapshotTableSpec).
+  private val insertOverwrite = OpQuery(
+    "insert_overwrite_partition",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM (
+        SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice + 100.0 FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val t = stagedOrders(s, d).shallowCloneTo(tmp("ovw"))
+      t.overwritePartitions(
+        o.filter(col("o_orderstatus") === "F" && col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100.0),
+        "o_orderstatus")
+      t.read().groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
+  // OPTIMIZE with a small-file threshold (Delta OPTIMIZE bin-packing,
+  // vs compaction_roundtrip's full rewrite): one big base file + a
+  // spray of small appended files; only the smalls fold (threshold =
+  // the largest current file, so the selection is scale-free), the big
+  // file carries by reference — cost ∝ small-file bytes, never table
+  // size. Content must be unchanged; the file-level carry is asserted
+  // in SnapshotTableSpec.
+  private val optimizeSmallFiles = OpQuery(
+    "optimize_small_files",
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM (
+        SELECT l_returnflag, l_quantity FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, l_quantity FROM lineitem WHERE l_orderkey % 200 < 4)
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """),
+    (s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val t = new SnapshotTable(s, tmp("optsf")).create(li.coalesce(1))
+      (0 until 4).foreach(i =>
+        t.append(li.filter(col("l_orderkey") % 200 === i).coalesce(1)))
+      t.compactSmallFiles(minBytes = t.files.map(_.bytes).max, targetFiles = 1)
+      t.read().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
@@ -1093,5 +1192,5 @@ object Lakehouse {
     tableClone, mergeMorRead, mergeMorDelete, cdcMorRead, vacuumRetention,
     zorderLayout, orcRoundtrip,
     jsonIngest, deleteWhereQ, deleteDvQ, updateWhereQ, mergeEvolve, timeTravelTs,
-    concurrentMerge)
+    concurrentMerge, sinkExactlyOnce, insertOverwrite, optimizeSmallFiles)
 }

@@ -505,8 +505,15 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * rewritten in the widened schema — untouched files carry over as-is
     * and null-fill the new columns at scan time ([[readEntries]]). */
   def merge(source: DataFrame, keys: Seq[String], partitionBy: Option[String] = None,
-      trackChanges: Boolean = false, evolveSchema: Boolean = false): SnapshotTable = {
+      trackChanges: Boolean = false, evolveSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): SnapshotTable = {
     val v = currentVersion
+    // txn marker (see [[appendIdempotent]]): a replayed micro-batch is
+    // detected by its (appId, version) and skipped — a keyed MERGE replay
+    // is content-idempotent, but the skip saves the whole rewrite
+    if (txn.exists { case (app, ver) =>
+        manifestOf(v).txns.get(app).exists(_ >= ver) })
+      return this
     val (base, carryOver) = prunedBase(source, keys, partitionBy, source.schema)
     val rewritten =
       if (evolveSchema)
@@ -541,7 +548,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     writeManifest(Manifest(v + 1, "MERGE", Seq.empty, written ++ carryOver,
       Seq.empty, cdc,
       remainingDvs(v, fileEntries(v).map(_.path).filterNot(keptPaths).toSet,
-        v + 1)))
+        v + 1),
+      txns = txn.map { case (app, ver) => Map(app -> ver) }.getOrElse(Map.empty)))
     this
   }
 
@@ -1005,6 +1013,102 @@ class SnapshotTable(spark: SparkSession, root: String) {
     }
   }
 
+  // ------------------------------------------- idempotent (txn) commits
+
+  /** Highest writer-supplied version recorded for `appId` (Delta
+    * `txnAppId`/`txnVersion` analog) — the exactly-once handshake for
+    * streaming sinks: a foreachBatch writer tags each commit with its
+    * micro-batch id, and a replayed batch (checkpoint recovery
+    * re-delivers the last batch) is detected and skipped instead of
+    * double-applied. Markers are carried forward by every commit. */
+  def txnVersion(appId: String): Option[Long] =
+    manifestOf(currentVersion).txns.get(appId)
+
+  /** Idempotent [[append]]: applies only if `version` is newer than the
+    * last recorded version for `appId`, recording (appId, version)
+    * ATOMICALLY with the commit (same manifest). Returns whether the
+    * append was applied — false means a replay was skipped. This is the
+    * operation where idempotence is load-bearing: a re-delivered APPEND
+    * would duplicate rows (a re-delivered keyed MERGE is content-
+    * idempotent, but still wasted work — see [[merge]]'s txn param). */
+  def appendIdempotent(df: DataFrame, appId: String, version: Long,
+      partitionBy: Option[String] = None): Boolean = {
+    val v = currentVersion
+    if (manifestOf(v).txns.get(appId).exists(_ >= version)) false
+    else {
+      val written = writeData(df, v + 1, partitionBy)
+      writeManifest(Manifest(v + 1, "APPEND", mergeKeysOf(v),
+        fileEntries(v) ++ written, deltaEntries(v), dvs = dvEntries(v),
+        txns = Map(appId -> version)))
+      true
+    }
+  }
+
+  /** Dynamic partition overwrite (`INSERT OVERWRITE` / Delta
+    * `replaceWhere` at partition granularity): partitions PRESENT in
+    * `df` are replaced wholesale — their old files are never read, cost
+    * is O(new data) — and every other partition carries over by
+    * reference. Files laid out under a DIFFERENT (or no) partition
+    * column may hold rows of both kinds, so they are rewritten with the
+    * overwritten partitions' rows filtered out (the residue rewrite
+    * that keeps mixed-layout tables correct). DV marks addressing
+    * replaced files die with them; marks on carried files ride along. */
+  def overwritePartitions(df: DataFrame, partitionBy: String): SnapshotTable = {
+    val v = currentVersion
+    require(deltaEntries(v).isEmpty,
+      s"overwritePartitions on $root requires compacted state (pending MoR deltas)")
+    val vals = df.select(col(partitionBy).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(vals.nonEmpty, s"overwritePartitions on $root with an empty source")
+    val entries = fileEntries(v)
+    val foreign = entries.filter(e => e.partValue == null || e.partCol != partitionBy)
+    val replaced = entries.filter(e =>
+      e.partValue != null && e.partCol == partitionBy && vals.contains(e.partValue))
+    val carry = entries.filterNot(e => foreign.contains(e) || replaced.contains(e))
+    val written = writeData(df, v + 1, Some(partitionBy))
+    val residue =
+      if (foreign.isEmpty) Seq.empty
+      else writeData(
+        baseScan(foreign, dvEntries(v))
+          .filter(!col(partitionBy).cast("string").isin(vals.toSeq: _*) ||
+            col(partitionBy).isNull),
+        v + 1, Some(partitionBy))
+    val gonePaths = (replaced ++ foreign).map(_.path).toSet
+    writeManifest(Manifest(v + 1, "OVERWRITE", Seq.empty,
+      written ++ residue ++ carry, Seq.empty,
+      dvs = remainingDvs(v, gonePaths, v + 1)))
+    this
+  }
+
+  /** OPTIMIZE with a small-file threshold (Delta `OPTIMIZE` bin-packing
+    * semantics, vs [[compact]]'s full rewrite): only files smaller than
+    * `minBytes` are folded into `targetFiles` bins (per partition value
+    * when the small set shares a layout); every already-compact file
+    * carries over by reference — cost ∝ small-file bytes, never table
+    * size. At 100 TB this is the difference between a nightly
+    * housekeeping job and a full rewrite. DV marks on rewritten files
+    * are applied and dropped; marks on carried files persist. */
+  def compactSmallFiles(minBytes: Long, targetFiles: Int = 1): SnapshotTable = {
+    val v = currentVersion
+    require(deltaEntries(v).isEmpty,
+      s"compactSmallFiles on $root requires compacted state (pending MoR deltas)")
+    val (small, big) = fileEntries(v).partition(_.bytes < minBytes)
+    if (small.size <= 1) this // nothing to gain: 0/1 small file
+    else {
+      val pcols = small.map(_.partCol).distinct
+      val partitionBy = if (pcols.size == 1) Option(pcols.head) else None
+      val df = partitionBy match {
+        case Some(p) => baseScan(small, dvEntries(v)).repartition(targetFiles, col(p))
+        case None    => baseScan(small, dvEntries(v)).repartition(targetFiles)
+      }
+      val written = writeData(df, v + 1, partitionBy)
+      writeManifest(Manifest(v + 1, "OPTIMIZE", mergeKeysOf(v),
+        written ++ big, Seq.empty,
+        dvs = remainingDvs(v, small.map(_.path).toSet, v + 1)))
+      this
+    }
+  }
+
   /** Bin-pack compaction: rewrite the current snapshot into
     * `numFiles` files (per partition when partitioned). Pending MoR
     * deltas are folded into the compacted base (Hudi-style compaction). */
@@ -1216,7 +1320,14 @@ class SnapshotTable(spark: SparkSession, root: String) {
     fs.mkdirs(logDir)
     val prevTs =
       if (m.version == 0) 0L else manifestOf(m.version - 1).ts
-    val stamped = m.copy(ts = math.max(System.currentTimeMillis(), prevTs + 1))
+    // txn markers accumulate: every commit carries the predecessor's map
+    // forward (newer writer versions win), so a marker set once is
+    // visible at every later version — one lookup, no log replay
+    val carriedTxns =
+      if (m.version == 0) m.txns
+      else manifestOf(m.version - 1).txns ++ m.txns
+    val stamped = m.copy(ts = math.max(System.currentTimeMillis(), prevTs + 1),
+      txns = carriedTxns)
     val out = fs.create(p, /* overwrite = */ false)
     try out.write(manifestJson(stamped)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1264,7 +1375,11 @@ object SnapshotTable {
       version: Int, operation: String, mergeKeys: Seq[String],
       files: Seq[FileEntry], deltas: Seq[FileEntry],
       changes: Seq[FileEntry] = Seq.empty, dvs: Seq[FileEntry] = Seq.empty,
-      ts: Long = 0L) {
+      ts: Long = 0L,
+      // writer transaction markers (Delta SetTransaction analog):
+      // appId → highest applied writer version; carried forward by every
+      // commit (writeManifest), so idempotence checks are one map lookup
+      txns: Map[String, Long] = Map.empty) {
     // PHYSICAL row count: base + pending delta rows, DV marks subtracted
     // (dv capture is duplicate-free by construction — marks come from the
     // DV-resolved scan — so the subtraction is exact). Exactly the
@@ -1330,6 +1445,11 @@ object SnapshotTable {
     if (m.changes.nonEmpty) rootN.set[JsonNode]("changes", arr(m.changes))
     if (m.dvs.nonEmpty) rootN.set[JsonNode]("dvs", arr(m.dvs))
     if (m.ts != 0L) rootN.put("ts", m.ts)
+    if (m.txns.nonEmpty) {
+      val t = mapper.createObjectNode()
+      m.txns.toSeq.sortBy(_._1).foreach { case (app, ver) => t.put(app, ver) }
+      rootN.set[JsonNode]("txns", t)
+    }
     rootN.toString
   }
 
@@ -1371,7 +1491,18 @@ object SnapshotTable {
       entries("deltas"),
       entries("changes"),
       entries("dvs"),
-      if (n.has("ts")) n.get("ts").asLong() else 0L)
+      if (n.has("ts")) n.get("ts").asLong() else 0L,
+      if (!n.has("txns")) Map.empty
+      else {
+        val t = n.get("txns")
+        val it = t.fieldNames()
+        val buf = Map.newBuilder[String, Long]
+        while (it.hasNext) {
+          val app = it.next()
+          buf += app -> t.get(app).asLong()
+        }
+        buf.result()
+      })
   }
 
   private def readFileString(fs: FileSystem, p: Path): String = {

@@ -119,7 +119,8 @@ class SnapshotStreamSource(
         if (added.isEmpty) None
         else Some(table.readEntriesDf(added)
           .withColumn(SnapshotTable.ChangeCol, lit("insert")))
-      case "COMPACT" | "ZORDER" | "RESTORE" => None // no logical change
+      case "COMPACT" | "OPTIMIZE" | "ZORDER" | "RESTORE" =>
+        None // data reorganization: no logical change
       case op =>
         val changes = table.commitChangeFiles(v)
         if (changes.isEmpty)

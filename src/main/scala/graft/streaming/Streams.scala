@@ -345,9 +345,14 @@ object Streams {
         .option("maxFilesPerTrigger", "1")
         .parquet(deltaDir)
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // exactly-once sink: the (appId, batchId) txn marker makes a
+          // checkpoint-recovery re-delivery of the last micro-batch a
+          // detected no-op instead of a second rewrite (Delta
+          // txnAppId/txnVersion discipline)
           table.merge(batch, keys = Seq("o_orderkey", "o_orderstatus"),
-            partitionBy = Some("o_orderstatus"))
+            partitionBy = Some("o_orderstatus"),
+            txn = Some(("stream_merge_upsert", batchId)))
           ()
         }
         .option("checkpointLocation", scratch("stream_merge_ckpt"))

@@ -172,6 +172,76 @@ class SnapshotTableSpec extends AnyFunSuite {
       .forall(e => src.files.exists(_.path == e.path)))
   }
 
+  test("txn markers: replays skip, newer versions apply, markers carry forward") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("txn"))
+      .create(Seq((1L, "a")).toDF("k", "s"))
+    assert(t.txnVersion("app") === None)
+    assert(t.appendIdempotent(Seq((2L, "b")).toDF("k", "s"), "app", 1))
+    assert(!t.appendIdempotent(Seq((2L, "b")).toDF("k", "s"), "app", 1),
+      "same (appId, version) must be a detected no-op")
+    assert(t.read().count() === 2L, "the replay must not duplicate rows")
+    assert(t.txnVersion("app") === Some(1L))
+    // an unrelated commit between batches must not lose the marker
+    t.merge(Seq((1L, "a2")).toDF("k", "s"), Seq("k"))
+    assert(t.txnVersion("app") === Some(1L))
+    assert(!t.appendIdempotent(Seq((2L, "b")).toDF("k", "s"), "app", 1))
+    // a NEWER version applies; other appIds are independent
+    assert(t.appendIdempotent(Seq((3L, "c")).toDF("k", "s"), "app", 2))
+    assert(t.appendIdempotent(Seq((4L, "d")).toDF("k", "s"), "other", 1))
+    assert(t.read().count() === 4L)
+    // merge-level txn: replayed keyed merge is skipped (version pinned)
+    val vBefore = t.currentVersion
+    t.merge(Seq((1L, "a3")).toDF("k", "s"), Seq("k"), txn = Some(("m", 1L)))
+    t.merge(Seq((1L, "IGNORED")).toDF("k", "s"), Seq("k"), txn = Some(("m", 1L)))
+    assert(t.currentVersion === vBefore + 1, "replayed merge must not commit")
+    assert(t.read().filter(col("k") === 1L).head().getString(1) === "a3")
+  }
+
+  test("overwritePartitions replaces named partitions, carries the rest by reference") {
+    import spark.implicits._
+    val df = (0 until 40).map(i => (i.toLong, if (i % 2 == 0) "A" else "B", i * 1.0))
+      .toDF("k", "p", "v")
+    val t = new SnapshotTable(spark, tmp("ovw"))
+      .create(df, partitionBy = Some("p"))
+    val bFiles = t.files.filter(_.partValue == "B").map(_.path).toSet
+    t.overwritePartitions(
+      Seq((100L, "A", 100.0), (101L, "A", 101.0)).toDF("k", "p", "v"), "p")
+    // A replaced wholesale; B carried by reference (same physical files)
+    val got = t.read().orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._2 == "A") === 2)
+    assert(got.count(_._2 == "B") === 20)
+    assert(t.files.filter(_.partValue == "B").map(_.path).toSet === bFiles)
+    // mixed layout: a foreign-layout append may hold BOTH kinds of rows —
+    // overwrite must rewrite it with the overwritten partition filtered out
+    t.append(Seq((200L, "A", 200.0), (201L, "B", 201.0)).toDF("k", "p", "v"))
+    t.overwritePartitions(Seq((300L, "A", 300.0)).toDF("k", "p", "v"), "p")
+    val ks = t.read().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ks.filter(_._2 == "A") === Set((300L, "A")),
+      "foreign-file A rows must not survive the overwrite")
+    assert(ks.contains((201L, "B")), "foreign-file B rows must survive")
+    assert(ks.count(_._2 == "B") === 21)
+  }
+
+  test("compactSmallFiles folds only sub-threshold files, carries big ones") {
+    import spark.implicits._
+    val big = (0 until 5000).map(i => (i.toLong, s"row$i")).toDF("k", "s")
+    val t = new SnapshotTable(spark, tmp("optsf")).create(big.coalesce(1))
+    val bigPath = t.files.head.path
+    (0 until 4).foreach(i =>
+      t.append(Seq((10000L + i, s"small$i")).toDF("k", "s").coalesce(1)))
+    assert(t.files.size === 5)
+    t.compactSmallFiles(minBytes = t.files.map(_.bytes).max, targetFiles = 1)
+    assert(t.files.map(_.path).contains(bigPath),
+      "the big file must carry over by reference, not be rewritten")
+    assert(t.files.size === 2, s"4 small files must fold into 1, got ${t.files.size}")
+    assert(t.read().count() === 5004L)
+    // idempotent when nothing qualifies: 0/1 small file → no new commit
+    val v = t.currentVersion
+    t.compactSmallFiles(minBytes = t.files.map(_.bytes).max, targetFiles = 1)
+    assert(t.currentVersion === v)
+  }
+
   test("clone of a MoR table: the clone's new delta outranks carried deltas") {
     import spark.implicits._
     // source history: CREATE (v0) + deferred upsert (v1) — the carried
