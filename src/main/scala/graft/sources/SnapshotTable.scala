@@ -151,12 +151,27 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * listers, so an unlocked read racing a committer could parse a
     * half-written file (all committers in this engine live in the one
     * driver JVM — the same single-commit-point assumption Delta's
-    * LogStore makes per cluster). */
-  private def manifestOf(version: Int): Manifest =
-    manifestCache.computeIfAbsent(manifestPath(version).toString, p =>
-      commitLock.synchronized {
-        parseManifest(readFileString(fs, new Path(p)))
-      })
+    * LogStore makes per cluster).
+    *
+    * Lock ORDER matters: always commitLock first, cache second. A
+    * `computeIfAbsent` whose mapping function takes commitLock would
+    * hold the map's bin lock while waiting — deadlocking against
+    * [[writeManifest]], which holds commitLock while reading/putting
+    * the cache (bin lock) for the predecessor manifest. */
+  private def manifestOf(version: Int): Manifest = {
+    val key = manifestPath(version).toString
+    val cached = manifestCache.get(key)
+    if (cached != null) cached
+    else commitLock.synchronized {
+      val again = manifestCache.get(key) // re-check: a committer may have cached it
+      if (again != null) again
+      else {
+        val m = parseManifest(readFileString(fs, new Path(key)))
+        manifestCache.put(key, m)
+        m
+      }
+    }
+  }
 
   private def fileEntries(version: Int): Seq[FileEntry] =
     manifestOf(version).files
@@ -381,13 +396,37 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * files and pending deltas are untouched — O(source) like a streaming
     * sink. `partitionBy` may differ from earlier commits (Iceberg-style
     * partition evolution): each file entry remembers ITS partition
-    * column, and [[readWhereCol]] prunes exactly where metadata allows. */
+    * column, and [[readWhereCol]] prunes exactly where metadata allows.
+    *
+    * Concurrency: appends NEVER semantically conflict with anything
+    * (Delta's append-vs-anything rule) — losing the write-once manifest
+    * race just re-targets the already-written files at the winner's
+    * state and retries metadata-only. N concurrent appenders all
+    * commit; the data is written exactly once per appender. */
   def append(df: DataFrame, partitionBy: Option[String] = None): SnapshotTable = {
-    val v = currentVersion
-    val written = writeData(df, v + 1, partitionBy)
-    writeManifest(Manifest(v + 1, "APPEND", mergeKeysOf(v),
-      fileEntries(v) ++ written, deltaEntries(v), dvs = dvEntries(v)))
+    val written = writeData(df, currentVersion + 1, partitionBy)
+    commitAppendWithRetry(written, txns = Map.empty)
     this
+  }
+
+  /** Commit `written` as an APPEND on top of whatever the current
+    * version is, retrying on a lost manifest race (see [[append]]).
+    * The attempt-unique data dir makes the retry metadata-only. */
+  private def commitAppendWithRetry(
+      written: Seq[FileEntry], txns: Map[String, Long]): Unit = {
+    var committed = false
+    while (!committed) {
+      val v = currentVersion
+      try {
+        writeManifest(Manifest(v + 1, "APPEND", mergeKeysOf(v),
+          fileEntries(v) ++ written.map(_.copy(origin = (v + 1).toLong)),
+          deltaEntries(v), dvs = dvEntries(v), txns = txns))
+        committed = true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException
+            | _: java.nio.file.FileAlreadyExistsException => // lost race: retry
+      }
+    }
   }
 
   /** Partition-evolution-aware file planning for `colName = value`:
@@ -1037,9 +1076,24 @@ class SnapshotTable(spark: SparkSession, root: String) {
     if (manifestOf(v).txns.get(appId).exists(_ >= version)) false
     else {
       val written = writeData(df, v + 1, partitionBy)
-      writeManifest(Manifest(v + 1, "APPEND", mergeKeysOf(v),
-        fileEntries(v) ++ written, deltaEntries(v), dvs = dvEntries(v),
-        txns = Map(appId -> version)))
+      // same retry discipline as [[append]] — but a racing writer of the
+      // SAME appId may have recorded this (or a newer) version while we
+      // wrote, so the idempotence check re-runs inside the loop
+      var committed = false
+      while (!committed) {
+        val cur = currentVersion
+        if (manifestOf(cur).txns.get(appId).exists(_ >= version)) return false
+        try {
+          writeManifest(Manifest(cur + 1, "APPEND", mergeKeysOf(cur),
+            fileEntries(cur) ++ written.map(_.copy(origin = (cur + 1).toLong)),
+            deltaEntries(cur), dvs = dvEntries(cur),
+            txns = Map(appId -> version)))
+          committed = true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException
+              | _: java.nio.file.FileAlreadyExistsException => // retry
+        }
+      }
       true
     }
   }

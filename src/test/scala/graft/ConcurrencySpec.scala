@@ -181,6 +181,34 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(!ks.contains(9L) && ks.contains(7L) && ks.size == 39)
   }
 
+  test("concurrent appenders all commit (append never conflicts)") {
+    import spark.implicits._
+    val root = Scratch.dir("occ_append")
+    val t = new SnapshotTable(spark, root)
+      .create(Seq((-1L, "seed")).toDF("k", "s"))
+    // 8 writers × 3 appends, all racing the write-once manifest: every
+    // lost race must retry metadata-only and commit (Delta's
+    // append-never-conflicts rule) — no writer may throw or drop rows
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val h = new SnapshotTable(spark, root)
+            (0 until 3).foreach { i =>
+              h.append(Seq((w * 10L + i, s"w$w-$i")).toDF("k", "s"))
+            }
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(t.currentVersion === 24, "24 append commits must all land")
+    assert(t.read().count() === 25L)
+    val ops = t.history.select("operation").collect().map(_.getString(0))
+    assert(ops.count(_ == "APPEND") === 24)
+  }
+
   test("commit timestamps are strictly increasing; AS OF resolves them") {
     val (t, _) = mkTable("occ_ts")
     t.merge(src("A", 50.0), keys = Seq("k", "p"), partitionBy = Some("p"))
