@@ -1185,6 +1185,69 @@ object Lakehouse {
         .orderBy("l_returnflag")
     })
 
+  // Hidden partitioning, time shape (Iceberg partition-transform analog:
+  // spec §"Partition Transforms"): the table is laid out by
+  // months(o_orderdate); the query filters the RAW timestamp column and
+  // the planner maps the range onto month partitions from the manifest
+  // alone — the 100 TB time-series shape, where a one-quarter query
+  // plans a handful of manifest entries whatever the table size. A
+  // second commit appends an UNPARTITIONED slice (layout evolution);
+  // the same read picks its rows up through the residual filter.
+  private val partitionXformTime = OpQuery(
+    "partition_xform_time",
+    Some("""
+      WITH t AS (
+        SELECT o_orderstatus, o_orderdate FROM orders
+        UNION ALL
+        SELECT o_orderstatus, o_orderdate FROM orders WHERE o_orderkey % 11 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(MIN(o_orderdate) AS DATE) AS min_d,
+             CAST(MAX(o_orderdate) AS DATE) AS max_d
+      FROM t
+      WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1995-03-31 23:59:59'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate")
+      val t = new SnapshotTable(s, tmp("pxt"))
+        .create(o.drop("o_orderkey"),
+          partitionBy = Some("months(o_orderdate)"))
+        .append(o.filter(col("o_orderkey") % 11 === 0).drop("o_orderkey"))
+      t.readWhereColRange("o_orderdate",
+          "1995-01-01 00:00:00", "1995-03-31 23:59:59")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderdate")).cast("date").as("min_d"),
+          max(col("o_orderdate")).cast("date").as("max_d"))
+        .orderBy("o_orderstatus")
+    })
+
+  // Hidden partitioning, point-lookup shape: bucket(8, o_custkey) lays
+  // the table out by a hash the user never sees; an equality probe on
+  // the raw key is planned onto exactly one bucket's files (CRC-32 of
+  // the literal, computed driver-side from the manifest) with the
+  // residual filter discarding the bucket's other keys.
+  private val partitionXformBucket = OpQuery(
+    "partition_xform_bucket",
+    Some("""
+      SELECT o_custkey, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_custkey = 1
+      GROUP BY o_custkey
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders").select("o_custkey", "o_totalprice")
+      val t = new SnapshotTable(s, tmp("pxb"))
+        .create(o, partitionBy = Some("bucket(8, o_custkey)"))
+      t.readWhereColXform("o_custkey", "1")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
@@ -1192,5 +1255,6 @@ object Lakehouse {
     tableClone, mergeMorRead, mergeMorDelete, cdcMorRead, vacuumRetention,
     zorderLayout, orcRoundtrip,
     jsonIngest, deleteWhereQ, deleteDvQ, updateWhereQ, mergeEvolve, timeTravelTs,
-    concurrentMerge, sinkExactlyOnce, insertOverwrite, optimizeSmallFiles)
+    concurrentMerge, sinkExactlyOnce, insertOverwrite, optimizeSmallFiles,
+    partitionXformTime, partitionXformBucket)
 }

@@ -456,6 +456,73 @@ class SnapshotTable(spark: SparkSession, root: String) {
     parts.reduce(_ unionByName _)
   }
 
+  /** Transform-aware file planning for `colName = value` over hidden
+    * partition layouts ([[PartitionTransform]]): returns (identity-pruned
+    * — every row matches, no filter needed; transform-pruned — the file's
+    * partition is `xf(value)` but may hold other values of the same
+    * day/bucket/prefix, residual filter required; unprunable — other
+    * layouts, residual filter required). Metadata-only: consults the
+    * manifest's per-file partition values, never the data. */
+  def planFilesXform(colName: String, value: String)
+      : (Seq[FileEntry], Seq[FileEntry], Seq[FileEntry]) = {
+    val entries = fileEntries(currentVersion)
+    val (ident, rest0) = entries.partition(_.partCol == colName)
+    val (xf, rest) = rest0.partition(e =>
+      e.xformCol == colName && e.xformTag != null)
+    (ident.filter(_.partValue == value),
+      xf.filter(e =>
+        e.partValue == PartitionTransform.applyLiteral(e.xformTag, value)),
+      rest)
+  }
+
+  /** Hidden-partition-aware point read: `colName = value` filtering on
+    * the RAW column while the layout is a transform of it — the day,
+    * bucket, or prefix containing `value` is located from the manifest
+    * alone and only those files (plus any foreign-layout files) are
+    * scanned, with the residual row filter applied where the partition
+    * value doesn't already guarantee every row. */
+  def readWhereColXform(colName: String, value: String): DataFrame = {
+    require(deltaEntries(currentVersion).isEmpty,
+      s"readWhereColXform on $root requires compacted state (pending MoR deltas)")
+    val (ident, xf, rest) = planFilesXform(colName, value)
+    val dvs = dvEntries(currentVersion)
+    val parts = Seq(
+      if (ident.nonEmpty) Some(baseScan(ident, dvs)) else None,
+      if (xf.nonEmpty)
+        Some(baseScan(xf, dvs).filter(col(colName) === value))
+      else None,
+      if (rest.nonEmpty)
+        Some(baseScan(rest, dvs).filter(col(colName) === value))
+      else None).flatten
+    require(parts.nonEmpty, s"no files for $colName = $value")
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Range read `lo <= colName <= hi` (canonical string forms, e.g. ISO
+    * dates) with metadata range pruning: identity layouts and
+    * order-preserving transforms (day/month/prefix — NOT buckets) keep
+    * only files whose partition value falls in the transformed range;
+    * bucketed and foreign layouts scan with the row filter. This is the
+    * time-series shape at 100 TB: `days(event_ts)` plans a one-day query
+    * from the manifest entries of that day, whatever the table size. */
+  def readWhereColRange(colName: String, lo: String, hi: String): DataFrame = {
+    require(deltaEntries(currentVersion).isEmpty,
+      s"readWhereColRange on $root requires compacted state (pending MoR deltas)")
+    val keep = fileEntries(currentVersion).filter { e =>
+      if (e.partCol == colName && e.partValue != null)
+        e.partValue >= lo && e.partValue <= hi
+      else if (e.xformCol == colName && e.xformTag != null &&
+          PartitionTransform.orderPreserving(e.xformTag))
+        e.partValue >= PartitionTransform.applyLiteral(e.xformTag, lo) &&
+          e.partValue <= PartitionTransform.applyLiteral(e.xformTag, hi)
+      else true // bucket / foreign layout: no metadata range pruning
+    }
+    require(keep.nonEmpty, s"no files for $colName in [$lo, $hi]")
+    baseScan(keep, dvEntries(currentVersion))
+      .filter(col(colName).cast("string") >= lo &&
+        col(colName).cast("string") <= hi)
+  }
+
   /** Manifest-only column MIN/MAX (ANALYZE-style): combined from the
     * per-file footer stats captured at commit — zero data files read.
     * Defined only when every current file carries stats for the column
@@ -1322,9 +1389,15 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // (exactly Delta's uniquely-named-files + atomic-log-entry model).
     val dataDir = new Path(root,
       f"data/c$version%05d_" + java.util.UUID.randomUUID().toString.take(8))
-    val writer = partitionBy match {
+    // `partitionBy` accepts hidden-partitioning transform specs
+    // ("days(c)", "bucket(8, c)", …) as well as a bare column name —
+    // the transformed value lands in __p, the raw column stays in the
+    // data files, and the manifest entry records which function maps
+    // one to the other (PartitionTransform).
+    val spec = partitionBy.map(PartitionTransform.parse)
+    val writer = spec match {
       case Some(p) =>
-        df.withColumn(PartCol, col(p).cast("string"))
+        df.withColumn(PartCol, PartitionTransform.writeColumn(p))
           .repartition(col(PartCol)) // cluster by partition → no file spray
           .write.partitionBy(PartCol)
       case None => df.write
@@ -1345,7 +1418,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
     import scala.collection.parallel.CollectionConverters._
     listDataFiles(fs, dataDir).par.map { case (p, pv, len) =>
       val (rows, stats) = footerInfo(conf, readOptions, p)
-      FileEntry(p, pv, len, rows, version.toLong, partitionBy.orNull, stats)
+      FileEntry(p, pv, len, rows, version.toLong,
+        spec.collect { case s if s.tag == null => s.col }.orNull, stats,
+        spec.collect { case s if s.tag != null => s.col }.orNull,
+        spec.collect { case s if s.tag != null => s.tag }.orNull)
     }.seq.toSeq
   }
 
@@ -1414,10 +1490,19 @@ object SnapshotTable {
     * `partCol` = the partition column THIS file was laid out under
     * (partition evolution: files of different layouts coexist);
     * `stats` = footer-derived per-column numeric (min, max). */
+  /** `partCol`/`partValue` describe an IDENTITY partition layout (the
+    * value is the column's own string form — prunable by every DML
+    * path). A hidden-partitioned layout ([[PartitionTransform]]) instead
+    * sets `xformCol`/`xformTag`, keeping `partCol` null so existing
+    * partition-pruning paths conservatively treat the file like an
+    * unpartitioned one; `partValue` then holds the TRANSFORMED value and
+    * only the transform-aware read paths ([[SnapshotTable.planFilesXform]])
+    * prune on it. */
   final case class FileEntry(
       path: String, partValue: String, bytes: Long, rows: Long,
       origin: Long = 0L, partCol: String = null,
-      stats: Map[String, (Double, Double)] = Map.empty)
+      stats: Map[String, (Double, Double)] = Map.empty,
+      xformCol: String = null, xformTag: String = null)
 
   /** One immutable commit: base file entries + pending MoR deltas +
     * the commit's change-data-feed files (empty unless tracked).
@@ -1478,6 +1563,8 @@ object SnapshotTable {
         n.put("path", e.path)
         if (e.partValue != null) n.put("part", e.partValue)
         if (e.partCol != null) n.put("pcol", e.partCol)
+        if (e.xformCol != null) n.put("xcol", e.xformCol)
+        if (e.xformTag != null) n.put("xf", e.xformTag)
         n.put("bytes", e.bytes)
         n.put("rows", e.rows)
         n.put("origin", e.origin)
@@ -1533,7 +1620,9 @@ object SnapshotTable {
           e.get("rows").asLong(),
           e.get("origin").asLong(),
           if (e.has("pcol")) e.get("pcol").asText() else null,
-          stats)
+          stats,
+          if (e.has("xcol")) e.get("xcol").asText() else null,
+          if (e.has("xf")) e.get("xf").asText() else null)
       }
     }
     Manifest(

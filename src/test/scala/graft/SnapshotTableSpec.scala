@@ -453,6 +453,50 @@ class SnapshotTableSpec extends AnyFunSuite {
       == Seq(1.0, 2.0))
   }
 
+  test("hidden partitioning: transform pruning is metadata-only and exact") {
+    import spark.implicits._
+    val rows = (1 to 120).map(i =>
+      (i.toLong, f"2024-${(i % 12) + 1}%02d-15 08:00:00", s"u${i % 10}"))
+    val df = rows.toDF("k", "ts0", "u")
+      .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+
+    // months(ts): 12 month partitions; an equality probe on the raw ts
+    // plans exactly one month's files, a quarter range plans three
+    val tm = new SnapshotTable(spark, tmp("pxm"))
+      .create(df, Some("months(ts)"))
+    val (id1, xf1, rest1) = tm.planFilesXform("ts", "2024-03-15 08:00:00")
+    assert(id1.isEmpty && rest1.isEmpty)
+    assert(xf1.nonEmpty && xf1.forall(_.partValue == "2024-03"))
+    assert(xf1.size < tm.files.size)
+    val q = tm.readWhereColRange("ts", "2024-02-01 00:00:00", "2024-04-30 23:59:59")
+    assert(q.count() == 30) // months 2,3,4 × 10 rows each
+    assert(tm.read().count() == 120)
+
+    // bucket(4, u): a point probe plans one bucket, result is exact
+    val tb = new SnapshotTable(spark, tmp("pxu"))
+      .create(df, Some("bucket(4, u)"))
+    val (_, xfB, restB) = tb.planFilesXform("u", "u7")
+    assert(restB.isEmpty && xfB.nonEmpty && xfB.size < tb.files.size)
+    assert(xfB.map(_.partValue).distinct.size == 1)
+    assert(tb.readWhereColXform("u", "u7").count() == 12)
+
+    // truncate(7, ...) on the string form == months for these values;
+    // manifest roundtrip must preserve the transform across a reopen
+    val rootT = tmp("pxr")
+    new SnapshotTable(spark, rootT)
+      .create(df.withColumn("s", col("ts").cast("string")).drop("ts"),
+        Some("truncate(7, s)"))
+    val reopened = new SnapshotTable(spark, rootT)
+    val (_, xfT, _) = reopened.planFilesXform("s", "2024-05-15 08:00:00")
+    assert(xfT.nonEmpty && xfT.forall(_.partValue == "2024-05"))
+
+    // layout evolution: append an UNPARTITIONED slice; range reads
+    // union it via residual filter, transform files still prune
+    tm.append(df.filter(col("k") <= 12))
+    val q2 = tm.readWhereColRange("ts", "2024-03-01 00:00:00", "2024-03-31 23:59:59")
+    assert(q2.count() == 11) // 10 march rows + k∈{2} from the slice (i%12==2 → month 3)
+  }
+
   test("detail aggregates manifest stats without scanning data") {
     import spark.implicits._
     val t = new SnapshotTable(spark, tmp("d"))
