@@ -387,6 +387,20 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private[graft] def commitChangeFiles(version: Int): Seq[FileEntry] =
     manifestOf(version).changes
 
+  /** True iff this commit establishes the table's FULL state (version 0,
+    * i.e. CREATE or a shallow CLONE) while that state carries pending
+    * MoR deltas or deletion-vector marks — the one case where emitting
+    * [[commitAddedDataFiles]] as plain rows is unsound: stale base
+    * copies would be emitted alongside the deltas that shadow them, and
+    * DV-deleted rows would resurface. (At version > 0 an append-only
+    * commit's added files are never delta files and never DV-addressed —
+    * DVs mark positions in files that existed before them.) */
+  private[graft] def commitEmitsUnresolvedState(version: Int): Boolean =
+    version == 0 && {
+      val m = manifestOf(version)
+      m.deltas.nonEmpty || m.dvs.nonEmpty
+    }
+
   /** Manifest-planned scan of an arbitrary entry list (streaming-source
     * micro-batch construction). */
   private[graft] def readEntriesDf(entries: Seq[FileEntry]): DataFrame =
@@ -1178,21 +1192,36 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val v = currentVersion
     require(deltaEntries(v).isEmpty,
       s"overwritePartitions on $root requires compacted state (pending MoR deltas)")
-    val vals = df.select(col(partitionBy).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
-    require(vals.nonEmpty, s"overwritePartitions on $root with an empty source")
+    val rawVals = df.select(col(partitionBy).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    require(rawVals.nonEmpty, s"overwritePartitions on $root with an empty source")
+    // NULL in the source replaces the null partition like any other
+    // value; on disk identity layouts hold it under the Hive
+    // default-partition sentinel, so that is the file-level match key
+    val hasNull = rawVals.contains(null)
+    val vals = rawVals.filter(_ != null).toSet
+    val diskVals = if (hasNull) vals + HiveNullPart else vals
     val entries = fileEntries(v)
     val foreign = entries.filter(e => e.partValue == null || e.partCol != partitionBy)
     val replaced = entries.filter(e =>
-      e.partValue != null && e.partCol == partitionBy && vals.contains(e.partValue))
+      e.partValue != null && e.partCol == partitionBy && diskVals.contains(e.partValue))
     val carry = entries.filterNot(e => foreign.contains(e) || replaced.contains(e))
     val written = writeData(df, v + 1, Some(partitionBy))
+    // rows of mixed-layout files that do NOT belong to a replaced
+    // partition survive the rewrite. isin over a null-bearing list is
+    // three-valued (non-matches go NULL and get filtered), so null
+    // membership is handled by predicate shape, never by isin(null).
+    val keepRow = {
+      val c = col(partitionBy).cast("string")
+      val nonNullKept =
+        if (vals.isEmpty) c.isNotNull
+        else c.isNotNull && !c.isin(vals.toSeq: _*)
+      if (hasNull) nonNullKept else nonNullKept || c.isNull
+    }
     val residue =
       if (foreign.isEmpty) Seq.empty
       else writeData(
-        baseScan(foreign, dvEntries(v))
-          .filter(!col(partitionBy).cast("string").isin(vals.toSeq: _*) ||
-            col(partitionBy).isNull),
+        baseScan(foreign, dvEntries(v)).filter(keepRow),
         v + 1, Some(partitionBy))
     val gonePaths = (replaced ++ foreign).map(_.path).toSet
     writeManifest(Manifest(v + 1, "OVERWRITE", Seq.empty,
@@ -1469,6 +1498,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
 object SnapshotTable {
   /** Duplicated hive-partition column name in data dirs. */
   val PartCol = "__p"
+
+  /** Directory name Spark's partitioned writer gives null partition
+    * values — the on-disk identity of the null partition. */
+  private val HiveNullPart = "__HIVE_DEFAULT_PARTITION__"
   /** `_change_type` column on change-data-feed rows (Delta CDF name). */
   val ChangeCol = "_change_type"
   /** Marker column on equality-delete tombstone delta rows. */

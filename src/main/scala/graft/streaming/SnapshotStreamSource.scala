@@ -25,10 +25,14 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * Modes:
   *   - data (default): append-only tailing. Every streamed commit must
-  *     be CREATE/APPEND/CLONE; a commit that rewrote or logically
-  *     changed rows (MERGE, DELETE, MoR deltas, compaction) fails the
-  *     stream loudly — rows already emitted cannot be retracted
-  *     (exactly Delta's "detected a data update" error). CDC files, DV
+  *     be CREATE/APPEND/CLONE; a commit that logically changed rows
+  *     (MERGE, DELETE, MoR deltas, RESTORE) fails the stream loudly —
+  *     rows already emitted cannot be retracted (exactly Delta's
+  *     "detected a data update" error). Data-reorganization commits
+  *     (COMPACT/OPTIMIZE/ZORDER) are skipped as logical no-ops, so
+  *     routine housekeeping never kills consumers (Delta's
+  *     dataChange=false). A CLONE carrying unresolved MoR/DV state
+  *     fails loudly rather than emit stale physical rows. CDC files, DV
   *     mark files, and orphaned losing-OCC-attempt writes are invisible
   *     by construction: they are never in the manifest's added-file set.
   *   - readChangeFeed=true: streams the change-data feed. Tracked DML
@@ -84,9 +88,21 @@ class SnapshotStreamSource(
   /** Admission-control entry point (the engine prefers it over
     * [[getOffset]] once SupportsTriggerAvailableNow is in play; same
     * pattern as FileStreamSource). Rate limiting is version-based and
-    * internal, so the engine-supplied ReadLimit stays allAvailable. */
+    * internal, so the engine-supplied ReadLimit stays allAvailable.
+    *
+    * `startOffset` is the restart resync point: after a checkpoint
+    * recovery whose last batch was fully committed, the engine calls
+    * latestOffset BEFORE any getBatch, so the internal cursor must
+    * catch up to the committed offset here — otherwise a rate-limited
+    * source (maxVersionsPerTrigger) would hand back an offset BELOW
+    * the checkpoint and replay already-emitted versions. */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 =
-    getOffset.orNull
+    synchronized {
+      if (startOffset != null)
+        lastReturned =
+          math.max(lastReturned, SnapshotSourceOffset.versionOf(startOffset))
+      getOffset.orNull
+    }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -105,14 +121,35 @@ class SnapshotStreamSource(
   private def batchSlice(v: Int): Option[DataFrame] = {
     val op = table.commitOperation(v)
     if (!changeFeed) {
-      if (!SnapshotStreamSource.AppendOps(op) || table.commitRemovedFiles(v))
-        throw new UnsupportedOperationException(
-          s"snapshot stream at version $v hit a non-append commit ($op): " +
-            "rows already emitted cannot be retracted. Stream the change " +
-            "feed instead (option readChangeFeed=true on commits tracked " +
-            "with trackChanges).")
-      val added = table.commitAddedDataFiles(v)
-      if (added.isEmpty) None else Some(table.readEntriesDf(added))
+      // Data reorganization (dataChange=false): the logical relation is
+      // unchanged, so the commit is skipped — emitting its rewritten
+      // files would duplicate rows, and failing would kill every tailed
+      // table that receives routine housekeeping (Delta likewise skips
+      // dataChange=false commits). RESTORE is NOT in this set: it
+      // changes the logical relation and must still fail below.
+      if (SnapshotStreamSource.ReorgOps(op)) None
+      else {
+        if (!SnapshotStreamSource.AppendOps(op) || table.commitRemovedFiles(v))
+          throw new UnsupportedOperationException(
+            s"snapshot stream at version $v hit a non-append commit ($op): " +
+              "rows already emitted cannot be retracted. Stream the change " +
+              "feed instead (option readChangeFeed=true on commits tracked " +
+              "with trackChanges).")
+        // A commit that establishes the table's FULL state (CREATE/CLONE
+        // at version 0) while carrying pending MoR deltas or DV marks —
+        // a shallow clone of an unresolved table — must not emit its
+        // physical files as plain rows: stale base copies would stream
+        // alongside the deltas that shadow them, and DV-deleted rows
+        // would resurface. Fail loudly; compact the clone first.
+        if (table.commitEmitsUnresolvedState(v))
+          throw new UnsupportedOperationException(
+            s"snapshot stream at version $v ($op) carries pending MoR " +
+              "deltas or deletion-vector marks: its physical files are " +
+              "not plain rows. Compact the table before streaming it " +
+              "(or start from a later, resolved version).")
+        val added = table.commitAddedDataFiles(v)
+        if (added.isEmpty) None else Some(table.readEntriesDf(added))
+      }
     } else op match {
       case op if SnapshotStreamSource.AppendOps(op) =>
         val added = table.commitAddedDataFiles(v)
@@ -141,6 +178,12 @@ class SnapshotStreamSource(
 object SnapshotStreamSource {
   /** Commits whose added files are plain new rows. */
   private val AppendOps = Set("CREATE", "APPEND", "CLONE")
+
+  /** Data-reorganization commits (rewrites with no logical change) —
+    * skipped by data mode. RESTORE deliberately excluded here: it
+    * rewinds the logical relation, which data mode cannot express (the
+    * change-feed branch skips it separately as a file-level no-op). */
+  private val ReorgOps = Set("COMPACT", "OPTIMIZE", "ZORDER")
 }
 
 /** Offset = highest manifest version consumed (total-ordered, compact —
@@ -151,7 +194,10 @@ case class SnapshotSourceOffset(version: Long) extends Offset {
 }
 
 object SnapshotSourceOffset {
-  def versionOf(o: Offset): Long = o match {
+  /** Accepts the v2 supertype: v1 `execution.streaming.Offset` extends
+    * `connector.read.streaming.Offset`, and [[SnapshotStreamSource
+    * .latestOffset]] receives the checkpointed offset as the v2 type. */
+  def versionOf(o: OffsetV2): Long = o match {
     case SnapshotSourceOffset(v) => v
     case s: SerializedOffset => s.json.trim.toLong
     case other => other.json.trim.toLong
@@ -199,7 +245,8 @@ class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegiste
     val table = tableOf(sqlContext, parameters)
     val changeFeed = boolOpt(parameters, "readChangeFeed")
     val starting = parameters.get("startingVersion").map(_.trim) match {
-      case Some(s) if s.equalsIgnoreCase("latest") => table.currentVersion + 1L
+      case Some(s) if s.equalsIgnoreCase("latest") =>
+        SnapshotStreamProvider.pinLatest(sqlContext, metadataPath, table)
       case Some(s) => s.toLong
       case None => 0L
     }
@@ -209,5 +256,45 @@ class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegiste
       starting,
       parameters.get("maxVersionsPerTrigger").map(_.trim.toLong).getOrElse(0L),
       changeFeed)
+  }
+}
+
+object SnapshotStreamProvider {
+  /** Resolve `startingVersion=latest` ONCE per checkpoint. v1 sources
+    * are re-created on every restart, and a query that checkpoints
+    * before producing its first batch (latest = nothing available yet)
+    * would otherwise re-base to the NEW latest after recovery and
+    * silently drop every commit made in between. Delta pins the
+    * resolved version in its source metadata; same discipline here —
+    * the pin persists under the engine-provided per-source
+    * `metadataPath` inside the checkpoint, written create-no-overwrite
+    * so a racing writer resolves to one winner. */
+  private[streaming] def pinLatest(
+      sqlContext: SQLContext, metadataPath: String,
+      table: SnapshotTable): Long = {
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val fs = dir.getFileSystem(
+      sqlContext.sparkSession.sessionState.newHadoopConf())
+    val pin = new org.apache.hadoop.fs.Path(dir, "graft-starting-version")
+    def readPin(): Long = {
+      val in = fs.open(pin)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    if (fs.exists(pin)) readPin()
+    else {
+      val resolved = table.currentVersion + 1L
+      try {
+        val out = fs.create(pin, false)
+        try out.write(resolved.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        resolved
+      } catch {
+        // lost the create race (or the file appeared between the exists
+        // check and create) — the winner's pin is the truth
+        case _: java.io.IOException => readPin()
+      }
+    }
   }
 }

@@ -150,6 +150,113 @@ class SnapshotStreamSpec extends AnyFunSuite {
       s"restart must replay only the new commits, got ${seen.sum} rows")
   }
 
+  test("rate-limited restart resumes at the committed offset (no replay)") {
+    val root = tmp("snapstream_rl")
+    val ckpt = tmp("snapstream_rl_ckpt")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100))
+    t.append(slice(100, 200))
+    t.append(slice(200, 300))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", root).option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) => seen += batch.count(); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainOnce() // versions 0..2, one per batch
+    assert(seen.sum === 300L)
+    t.append(slice(300, 350))
+    seen.clear()
+    // restart: latestOffset is called before any getBatch; with the rate
+    // limit the source must resync to the checkpointed offset instead of
+    // counting up from startingVersion and replaying versions 0..2
+    drainOnce()
+    assert(seen.sum === 50L,
+      s"restart must emit only the new commit's rows, got ${seen.sum}")
+  }
+
+  test("data mode skips compaction/optimize as logical no-ops") {
+    val root = tmp("snapstream_reorg")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100))
+    t.append(slice(100, 200))
+    t.compact(2) // rewrite, no logical change — must not kill the tail
+    t.append(slice(200, 250))
+    t.compactSmallFiles(minBytes = Long.MaxValue, targetFiles = 1) // OPTIMIZE
+    t.append(slice(250, 260))
+    val (rows, batches) = drain(root,
+      Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "1"),
+      _.agg(count(lit(1)).as("n"), sum("v").as("sv")))
+    assert(rows.head.getLong(0) === 260L,
+      "reorg commits contribute no rows (their files would duplicate)")
+    assert(rows.head.getDouble(1) === (0 until 260).map(_ * 10.0).sum)
+    assert(batches === 4L, "4 row-adding commits; 2 reorg commits skipped")
+  }
+
+  test("streaming a clone carrying unresolved MoR/DV state fails loudly") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // pending MoR deltas
+    val root = tmp("snapstream_clone_mor")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100))
+    t.mergeDeferred(slice(50, 60).withColumn("v", col("v") + 1.0), keys = Seq("id"))
+    val cloneRoot = tmp("snapstream_clone_mor_dst")
+    t.shallowCloneTo(cloneRoot)
+    val e = intercept[StreamingQueryException] {
+      drain(cloneRoot, Map("startingVersion" -> "0"), _.agg(count(lit(1)).as("n")))
+    }
+    assert(messages(e).exists(_.contains("pending MoR")))
+    // pending deletion-vector marks
+    val root2 = tmp("snapstream_clone_dv")
+    val t2 = new SnapshotTable(spark, root2).create(slice(0, 100))
+    t2.deleteWherePositional("id", 10, 30)
+    val cloneRoot2 = tmp("snapstream_clone_dv_dst")
+    t2.shallowCloneTo(cloneRoot2)
+    val e2 = intercept[StreamingQueryException] {
+      drain(cloneRoot2, Map("startingVersion" -> "0"), _.agg(count(lit(1)).as("n")))
+    }
+    assert(messages(e2).exists(_.contains("pending MoR")))
+    // a compacted clone streams fine (state resolved into plain files)
+    t2.compact(2)
+    val cloneRoot3 = tmp("snapstream_clone_ok")
+    t2.shallowCloneTo(cloneRoot3)
+    val (rows, _) = drain(cloneRoot3, Map("startingVersion" -> "0"),
+      _.agg(count(lit(1)).as("n")))
+    assert(rows.head.getLong(0) === 79L) // 100 - ids 10..30 deleted
+  }
+
+  test("startingVersion=latest is pinned per checkpoint across restarts") {
+    val root = tmp("snapstream_pin")
+    val ckpt = tmp("snapstream_pin_ckpt")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", root).option("startingVersion", "latest").load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) => seen += batch.count(); () }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainOnce() // nothing after 'latest' yet — but the resolution is pinned
+    assert(seen.sum === 0L)
+    t.append(slice(100, 160))
+    t.append(slice(160, 200))
+    seen.clear()
+    // restart with the same checkpoint: the source is re-created, but
+    // 'latest' must NOT re-resolve to the new head — the two commits
+    // made since the pin stream out
+    drainOnce()
+    assert(seen.sum === 100L,
+      s"commits between pin and restart must stream, got ${seen.sum}")
+  }
+
   test("commitAddedDataFiles is an exact per-version diff") {
     val root = tmp("snapstream_diff")
     val t = new SnapshotTable(spark, root).create(slice(0, 100))

@@ -223,6 +223,42 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(ks.count(_._2 == "B") === 21)
   }
 
+  test("overwritePartitions treats NULL as a replaceable partition") {
+    import spark.implicits._
+    def p(i: Int): String = i % 3 match {
+      case 0 => "A"; case 1 => "B"; case _ => null
+    }
+    val df = (0 until 30).map(i => (i.toLong, p(i), i * 1.0)).toDF("k", "p", "v")
+    val t = new SnapshotTable(spark, tmp("ovwnull"))
+      .create(df, partitionBy = Some("p"))
+    assert(t.read().filter(col("p").isNull).count() === 10L)
+    // source contains NULL rows → the null partition is REPLACED, not
+    // duplicated; named partitions in the source replace as usual
+    t.overwritePartitions(
+      Seq((100L, null.asInstanceOf[String], 100.0), (101L, "A", 101.0))
+        .toDF("k", "p", "v"), "p")
+    val got = t.read().collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.count(_._2.isEmpty) === 1, s"null partition must be replaced: ${got.toSeq}")
+    assert(got.filter(_._2.isEmpty).map(_._1).toSet === Set(100L))
+    assert(got.count(_._2.contains("A")) === 1)
+    assert(got.count(_._2.contains("B")) === 10, "B untouched")
+    // source WITHOUT nulls → the null partition survives untouched
+    t.overwritePartitions(Seq((200L, "B", 200.0)).toDF("k", "p", "v"), "p")
+    val after = t.read().collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(after.filter(_._2.isEmpty).map(_._1).toSet === Set(100L))
+    assert(after.count(_._2.contains("B")) === 1)
+    // mixed layout: an unpartitioned append holding null AND named rows —
+    // a null-replacing overwrite rewrites it keeping only the named rows
+    t.append(Seq((300L, null.asInstanceOf[String], 300.0), (301L, "B", 301.0))
+      .toDF("k", "p", "v"))
+    t.overwritePartitions(
+      Seq((400L, null.asInstanceOf[String], 400.0)).toDF("k", "p", "v"), "p")
+    val fin = t.read().collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(fin.filter(_._2.isEmpty).map(_._1).toSet === Set(400L),
+      "foreign-file null rows must not survive a null-replacing overwrite")
+    assert(fin.filter(_._2.contains("B")).map(_._1).toSet === Set(200L, 301L))
+  }
+
   test("compactSmallFiles folds only sub-threshold files, carries big ones") {
     import spark.implicits._
     val big = (0 until 5000).map(i => (i.toLong, s"row$i")).toDF("k", "s")
