@@ -165,7 +165,13 @@ object BenchExtras {
         if (nFiles != 1000 && nFiles != 200000) Seq.empty
         else {
           val fromVersion = t.currentVersion + 1
-          t.append(Ingest.synthetic(spark, 2000L, numSplits = 2))
+          // fc_commit: the APPEND's commit latency at this file count.
+          // The incremental log writes a DELTA record (O(new files));
+          // a full-manifest log would serialize all nFiles carried
+          // entries here — the 200k tier is where that wall shows.
+          val (_, commitSec) = time {
+            t.append(Ingest.synthetic(spark, 2000L, numSplits = 2))
+          }
           val qn = s"graft_fcstream_$nFiles"
           val (_, streamSec) = time {
             val q = spark.readStream.format("graft-snapshot")
@@ -183,7 +189,8 @@ object BenchExtras {
             spark.catalog.dropTempView(qn)
             require(n == 2000L, s"fc stream drained $n rows, expected 2000")
           }
-          Seq(s"fc_stream_$nFiles" -> sec(streamSec))
+          Seq(s"fc_commit_$nFiles" -> sec(commitSec),
+            s"fc_stream_$nFiles" -> sec(streamSec))
         }
       graft.Scratch.sweep(spark)
       Seq(s"fc_manifest_$nFiles" -> sec(manifestSec),

@@ -1,7 +1,7 @@
 package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import com.fasterxml.jackson.databind.node.ArrayNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
@@ -166,7 +166,13 @@ class SnapshotTable(spark: SparkSession, root: String) {
       val again = manifestCache.get(key) // re-check: a committer may have cached it
       if (again != null) again
       else {
-        val m = parseManifest(readFileString(fs, new Path(key)))
+        // DELTA records reconstruct against the predecessor — recursion
+        // bottoms out at the nearest FULL checkpoint (≤ CheckpointInterval
+        // steps; commitLock is reentrant) and every step lands in the cache
+        val m = parseRecord(readFileString(fs, new Path(key))) match {
+          case FullRecord(full) => full
+          case d: DeltaRecord => applyDelta(manifestOf(version - 1), d)
+        }
         manifestCache.put(key, m)
         m
       }
@@ -1361,12 +1367,35 @@ class SnapshotTable(spark: SparkSession, root: String) {
     }.toSet
     val removed = listDataFiles(fs, dataRoot).map(_._1).filterNot(keep)
     removed.foreach(p => fs.delete(new Path(p), false))
+    // The incremental log reconstructs DELTA records against their
+    // predecessors — deleting versions below the cutoff would orphan a
+    // delta chain whose checkpoint is being reclaimed. Materialize the
+    // cutoff as a FULL manifest first (content-identical rewrite of a
+    // write-once file, under the same single-JVM commit lock every log
+    // access takes), so the retained log is self-contained.
+    if (cutoff > 0) materializeCheckpoint(cutoff)
     (0 until cutoff).foreach { v =>
       val p = manifestPath(v)
       manifestCache.remove(p.toString)
       fs.delete(p, false)
     }
     removed.size
+  }
+
+  /** Rewrite version `v`'s log file as a FULL manifest if it is a DELTA
+    * record (no-op otherwise). Semantically identical content — only the
+    * encoding changes — so overwriting the write-once file is sound. */
+  private def materializeCheckpoint(v: Int): Unit = commitLock.synchronized {
+    val p = manifestPath(v)
+    parseRecord(readFileString(fs, p)) match {
+      case _: DeltaRecord =>
+        val full = manifestOf(v) // reconstructs (and caches) the state
+        val out = fs.create(p, /* overwrite = */ true)
+        try out.write(manifestJson(full)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      case _: FullRecord => ()
+    }
   }
 
   /** Time-based retention (Delta `VACUUM … RETAIN n HOURS` analog):
@@ -1477,19 +1506,28 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private def writeManifest(m: Manifest): Unit = commitLock.synchronized {
     val p = manifestPath(m.version)
     fs.mkdirs(logDir)
-    val prevTs =
-      if (m.version == 0) 0L else manifestOf(m.version - 1).ts
+    val prev = if (m.version == 0) null else manifestOf(m.version - 1)
     // txn markers accumulate: every commit carries the predecessor's map
     // forward (newer writer versions win), so a marker set once is
     // visible at every later version — one lookup, no log replay
     val carriedTxns =
-      if (m.version == 0) m.txns
-      else manifestOf(m.version - 1).txns ++ m.txns
-    val stamped = m.copy(ts = math.max(System.currentTimeMillis(), prevTs + 1),
+      if (prev == null) m.txns else prev.txns ++ m.txns
+    val stamped = m.copy(
+      ts = math.max(System.currentTimeMillis(),
+        (if (prev == null) 0L else prev.ts) + 1),
       txns = carriedTxns)
+    // Incremental log: checkpoint versions (0 and every
+    // CheckpointInterval-th) persist as FULL manifests; everything else
+    // as a DELTA against the predecessor — commit metadata written is
+    // O(changed files), not O(table files). deltaJson declines (→ FULL)
+    // when the diff isn't smaller or isn't path-representable.
+    val json =
+      if (prev == null || m.version % CheckpointInterval == 0)
+        manifestJson(stamped)
+      else deltaJson(stamped, prev, newTxns = m.txns)
+        .getOrElse(manifestJson(stamped))
     val out = fs.create(p, /* overwrite = */ false)
-    try out.write(manifestJson(stamped)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     manifestCache.put(p.toString, stamped)
   }
@@ -1584,50 +1622,137 @@ object SnapshotTable {
 
   private val mapper = new ObjectMapper()
 
+  /** Full-state checkpoint cadence of the incremental commit log: every
+    * CheckpointInterval-th version is written as a self-contained FULL
+    * manifest; versions in between are DELTA records (adds/removes vs
+    * the predecessor). Reconstruction walks back at most
+    * CheckpointInterval − 1 records before hitting a checkpoint (and the
+    * process-wide cache makes the walk one-time per version). Delta's
+    * log does exactly this (JSON actions + a parquet checkpoint every
+    * 10th commit) — at a 200k-file table it is the difference between
+    * O(changed files) and O(table files) of metadata written PER COMMIT:
+    * a 1-file append must not serialize 200k carried entries. */
+  private val CheckpointInterval = 10
+
+  /** One parsed log file: either a self-contained manifest or a delta
+    * record to apply on top of the reconstructed predecessor. */
+  private sealed trait LogRecord
+  private final case class FullRecord(m: Manifest) extends LogRecord
+  private final case class DeltaRecord(
+      version: Int, operation: String, mergeKeys: Seq[String],
+      addFiles: Seq[FileEntry], rmFiles: Set[String],
+      addDeltas: Seq[FileEntry], rmDeltas: Set[String],
+      addDvs: Seq[FileEntry], rmDvs: Set[String],
+      changes: Seq[FileEntry], ts: Long,
+      newTxns: Map[String, Long]) extends LogRecord
+
+  private def entryArray(es: Seq[FileEntry]): ArrayNode = {
+    val a = mapper.createArrayNode()
+    es.foreach { e =>
+      val n = mapper.createObjectNode()
+      n.put("path", e.path)
+      if (e.partValue != null) n.put("part", e.partValue)
+      if (e.partCol != null) n.put("pcol", e.partCol)
+      if (e.xformCol != null) n.put("xcol", e.xformCol)
+      if (e.xformTag != null) n.put("xf", e.xformTag)
+      n.put("bytes", e.bytes)
+      n.put("rows", e.rows)
+      n.put("origin", e.origin)
+      if (e.stats.nonEmpty) {
+        val s = mapper.createObjectNode()
+        e.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val pair = mapper.createArrayNode()
+          pair.add(mn); pair.add(mx)
+          s.set[JsonNode](c, pair)
+        }
+        n.set[JsonNode]("stats", s)
+      }
+      a.add(n)
+    }
+    a
+  }
+
+  private def txnNode(txns: Map[String, Long]): ObjectNode = {
+    val t = mapper.createObjectNode()
+    txns.toSeq.sortBy(_._1).foreach { case (app, ver) => t.put(app, ver) }
+    t
+  }
+
   private def manifestJson(m: Manifest): String = {
     val rootN = mapper.createObjectNode()
     rootN.put("version", m.version)
     rootN.put("operation", m.operation)
     if (m.mergeKeys.nonEmpty) rootN.put("merge_keys", m.mergeKeys.mkString(","))
-    def arr(es: Seq[FileEntry]): ArrayNode = {
-      val a = mapper.createArrayNode()
-      es.foreach { e =>
-        val n = mapper.createObjectNode()
-        n.put("path", e.path)
-        if (e.partValue != null) n.put("part", e.partValue)
-        if (e.partCol != null) n.put("pcol", e.partCol)
-        if (e.xformCol != null) n.put("xcol", e.xformCol)
-        if (e.xformTag != null) n.put("xf", e.xformTag)
-        n.put("bytes", e.bytes)
-        n.put("rows", e.rows)
-        n.put("origin", e.origin)
-        if (e.stats.nonEmpty) {
-          val s = mapper.createObjectNode()
-          e.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
-            val pair = mapper.createArrayNode()
-            pair.add(mn); pair.add(mx)
-            s.set[JsonNode](c, pair)
-          }
-          n.set[JsonNode]("stats", s)
-        }
-        a.add(n)
-      }
-      a
-    }
-    rootN.set[JsonNode]("files", arr(m.files))
-    rootN.set[JsonNode]("deltas", arr(m.deltas))
-    if (m.changes.nonEmpty) rootN.set[JsonNode]("changes", arr(m.changes))
-    if (m.dvs.nonEmpty) rootN.set[JsonNode]("dvs", arr(m.dvs))
+    rootN.set[JsonNode]("files", entryArray(m.files))
+    rootN.set[JsonNode]("deltas", entryArray(m.deltas))
+    if (m.changes.nonEmpty) rootN.set[JsonNode]("changes", entryArray(m.changes))
+    if (m.dvs.nonEmpty) rootN.set[JsonNode]("dvs", entryArray(m.dvs))
     if (m.ts != 0L) rootN.put("ts", m.ts)
-    if (m.txns.nonEmpty) {
-      val t = mapper.createObjectNode()
-      m.txns.toSeq.sortBy(_._1).foreach { case (app, ver) => t.put(app, ver) }
-      rootN.set[JsonNode]("txns", t)
-    }
+    if (m.txns.nonEmpty) rootN.set[JsonNode]("txns", txnNode(m.txns))
     rootN.toString
   }
 
-  private def parseManifest(json: String): Manifest = {
+  /** DELTA encoding of `m` against its reconstructed predecessor: adds
+    * (entries absent from prev) + removes (paths absent from cur), per
+    * entry kind. None when the state isn't path-diffable — an entry at
+    * an unchanged path changed fields (no current commit path does this,
+    * but the guard keeps any future one correct by falling back to a
+    * FULL write) — or when the diff would not be smaller than the full
+    * list. `newTxns` carries only this commit's markers; reconstruction
+    * re-merges them onto the predecessor's carried map. */
+  private def deltaJson(
+      m: Manifest, prev: Manifest,
+      newTxns: Map[String, Long]): Option[String] = {
+    def diff(cur: Seq[FileEntry], prevS: Seq[FileEntry])
+        : Option[(Seq[FileEntry], Seq[String])] = {
+      val prevBy = prevS.map(e => e.path -> e).toMap
+      val curPaths = cur.map(_.path).toSet
+      val adds = Seq.newBuilder[FileEntry]
+      var diffable = true
+      cur.foreach { e =>
+        prevBy.get(e.path) match {
+          case None => adds += e
+          case Some(p) => if (p != e) diffable = false
+        }
+      }
+      if (!diffable) None
+      else Some((adds.result(), prevS.map(_.path).filterNot(curPaths)))
+    }
+    for {
+      (fAdd, fRm) <- diff(m.files, prev.files)
+      (dAdd, dRm) <- diff(m.deltas, prev.deltas)
+      (vAdd, vRm) <- diff(m.dvs, prev.dvs)
+      touched = fAdd.size + fRm.size + dAdd.size + dRm.size + vAdd.size + vRm.size
+      full = m.files.size + m.deltas.size + m.dvs.size
+      if touched < full
+    } yield {
+      val rootN = mapper.createObjectNode()
+      rootN.put("version", m.version)
+      rootN.put("base", m.version - 1)
+      rootN.put("operation", m.operation)
+      if (m.mergeKeys.nonEmpty)
+        rootN.put("merge_keys", m.mergeKeys.mkString(","))
+      def strArr(xs: Seq[String]): ArrayNode = {
+        val a = mapper.createArrayNode(); xs.foreach(a.add); a
+      }
+      if (fAdd.nonEmpty) rootN.set[JsonNode]("add_files", entryArray(fAdd))
+      if (fRm.nonEmpty) rootN.set[JsonNode]("rm_files", strArr(fRm))
+      if (dAdd.nonEmpty) rootN.set[JsonNode]("add_deltas", entryArray(dAdd))
+      if (dRm.nonEmpty) rootN.set[JsonNode]("rm_deltas", strArr(dRm))
+      if (vAdd.nonEmpty) rootN.set[JsonNode]("add_dvs", entryArray(vAdd))
+      if (vRm.nonEmpty) rootN.set[JsonNode]("rm_dvs", strArr(vRm))
+      if (m.changes.nonEmpty)
+        rootN.set[JsonNode]("changes", entryArray(m.changes))
+      if (m.ts != 0L) rootN.put("ts", m.ts)
+      if (newTxns.nonEmpty) rootN.set[JsonNode]("txns", txnNode(newTxns))
+      rootN.toString
+    }
+  }
+
+  /** Parse one log file — a FULL manifest (no `base` field; every log
+    * written before the incremental format is this shape) or a DELTA
+    * record awaiting reconstruction against its predecessor. */
+  private def parseRecord(json: String): LogRecord = {
     val n = mapper.readTree(json)
     def entries(field: String): Seq[FileEntry] = {
       val a = n.get(field)
@@ -1658,17 +1783,17 @@ object SnapshotTable {
           if (e.has("xf")) e.get("xf").asText() else null)
       }
     }
-    Manifest(
-      n.get("version").asInt(),
-      n.get("operation").asText(),
+    def paths(field: String): Set[String] = {
+      val a = n.get(field)
+      if (a == null) Set.empty
+      else (0 until a.size()).map(a.get(_).asText()).toSet
+    }
+    val mergeKeys =
       if (n.has("merge_keys")) n.get("merge_keys").asText().split(",").toSeq
-      else Seq.empty,
-      entries("files"),
-      entries("deltas"),
-      entries("changes"),
-      entries("dvs"),
-      if (n.has("ts")) n.get("ts").asLong() else 0L,
-      if (!n.has("txns")) Map.empty
+      else Seq.empty
+    val ts = if (n.has("ts")) n.get("ts").asLong() else 0L
+    val txns =
+      if (!n.has("txns")) Map.empty[String, Long]
       else {
         val t = n.get("txns")
         val it = t.fieldNames()
@@ -1678,7 +1803,39 @@ object SnapshotTable {
           buf += app -> t.get(app).asLong()
         }
         buf.result()
-      })
+      }
+    if (n.has("base"))
+      DeltaRecord(
+        n.get("version").asInt(), n.get("operation").asText(), mergeKeys,
+        entries("add_files"), paths("rm_files"),
+        entries("add_deltas"), paths("rm_deltas"),
+        entries("add_dvs"), paths("rm_dvs"),
+        entries("changes"), ts, txns)
+    else
+      Manifest(
+        n.get("version").asInt(),
+        n.get("operation").asText(),
+        mergeKeys,
+        entries("files"),
+        entries("deltas"),
+        entries("changes"),
+        entries("dvs"),
+        ts,
+        txns) match { case m => FullRecord(m) }
+  }
+
+  /** Apply one delta record to its reconstructed predecessor. */
+  private def applyDelta(prev: Manifest, d: DeltaRecord): Manifest = {
+    require(prev.version == d.version - 1,
+      s"delta record v${d.version} applied to v${prev.version}")
+    Manifest(
+      d.version, d.operation, d.mergeKeys,
+      prev.files.filterNot(e => d.rmFiles(e.path)) ++ d.addFiles,
+      prev.deltas.filterNot(e => d.rmDeltas(e.path)) ++ d.addDeltas,
+      d.changes,
+      prev.dvs.filterNot(e => d.rmDvs(e.path)) ++ d.addDvs,
+      d.ts,
+      prev.txns ++ d.newTxns)
   }
 
   private def readFileString(fs: FileSystem, p: Path): String = {
