@@ -481,8 +481,13 @@ object CorpusOps {
         .parquet(srcDir)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val m = batch.select(pmod(col("doc_id"), lit(10)).cast("int"))
-            .head().getInt(0)
+          // one action for both batch facts (each file is one arrival
+          // round, so the modulus is constant within the batch)
+          val facts = batch.agg(
+            max(pmod(col("doc_id"), lit(10))).cast("int").as("m"),
+            count(lit(1)).as("n")).head()
+          val m = facts.getInt(0)
+          val nAll = facts.getLong(1)
           // stage this round's signatures once — classification probes
           // and the index extension read the same materialized copy
           val stage = graft.Scratch.dir(s"sdl_round")
@@ -523,7 +528,6 @@ object CorpusOps {
               .write.mode("append").parquet(s"$idx/bands")
             bTh.join(accepted, "doc_id")
               .write.mode("append").parquet(s"$idx/th")
-            val nAll = batch.count()
             out += ((m, nEx, nNear, nAll - nEx - nNear))
           } finally {
             exact.unpersist(false)
@@ -541,6 +545,79 @@ object CorpusOps {
         .orderBy("batch")
     })
 
+  // ------------------------------------------- INVERTED-INDEX SEARCH
+  // Term search against a STANDING inverted index: postings (term,
+  // doc_id, tf, idf-folded score) are a persisted artifact maintained
+  // beside the corpus (rebuilt/extended on ingest, like the LSH index),
+  // range-partitioned and sorted BY TERM so a query's `term IN (…)`
+  // probe is parquet row-group skipping over the matching term ranges —
+  // an index seek, never a corpus scan. At 100 TB the corpus text is
+  // petabytes while the postings slice a query touches is
+  // vocabulary-range-sized; full-scan scoring per query (the
+  // [[TextAnalysis]] tfidf entry's shape) is the formulation that does
+  // not survive scale. Scores are per-term micro-scaled BIGINTs summed
+  // exactly, so ranking is engine-deterministic (no float-sum order).
+  private val searchRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureSearchIndex(s: SparkSession, d: String): String =
+    searchRoots.computeIfAbsent(d, _ => {
+      val root = graft.Scratch.atExit(
+        java.nio.file.Files.createTempDirectory("graft_search_idx").toString)
+      val docsDf = docs(s, d)
+      val tf = docsDf
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docsDf.count()
+      tf.join(dfT, "term")
+        .withColumn("sm",
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e6)
+            .cast("long"))
+        .select("term", "doc_id", "tf", "sm")
+        .repartitionByRange(4, col("term")).sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$root/postings")
+      root
+    })
+
+  private val searchInverted = OpQuery(
+    "text_search_inverted",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      post AS (
+        SELECT t.doc_id,
+               CAST(ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df) * 1000000)
+                 AS BIGINT) AS sm
+        FROM tf t JOIN df d USING (term), n
+        WHERE t.term IN ('dup', 'vector', 'merge')),
+      hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(sm) AS BIGINT) AS sm
+        FROM post GROUP BY 1)
+      SELECT doc_id, n_terms,
+             CAST(CAST(sm AS DOUBLE) / 1000000 AS DOUBLE) AS score
+      FROM hits ORDER BY sm DESC, doc_id LIMIT 10
+    """),
+    (s, d) => {
+      val root = ensureSearchIndex(s, d)
+      val terms = Seq("dup", "vector", "merge")
+      s.read.parquet(s"$root/postings")
+        .filter(col("term").isin(terms: _*)) // pushed: row-group skip on sorted term
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("sm").as("sm"))
+        .orderBy(col("sm").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("n_terms"),
+          (col("sm").cast("double") / 1e6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    })
+
   val defs: Seq[OpQuery] = Seq(
-    incremental, indexExtend, shuffleExport, domainMix, streamDedupLsh)
+    incremental, indexExtend, shuffleExport, domainMix, streamDedupLsh,
+    searchInverted)
 }

@@ -266,14 +266,24 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * shuffle on the merge keys serves both the window and the anti join. */
   private def resolveMerged(
       base: Seq[FileEntry], deltas: Seq[FileEntry], keys: Seq[String],
-      dvs: Seq[FileEntry] = Seq.empty): DataFrame = {
+      dvs: Seq[FileEntry] = Seq.empty,
+      keyProbe: Option[DataFrame] = None): DataFrame = {
     require(keys.nonEmpty, s"MoR table at $root has deltas but no merge keys")
+    // key-restricted resolution (CDC pre-image capture): both layers are
+    // semi-joined down to the probe's keys BEFORE the resolution window,
+    // so the shuffle carries O(probe-matched rows), not the touched
+    // partitions — per-key last-writer-wins is independent across keys,
+    // so restrict-then-resolve equals resolve-then-filter. The probe is
+    // merge-batch-sized: broadcast it.
+    def restrict(df: DataFrame): DataFrame =
+      keyProbe.map(kp => df.join(broadcast(kp), keys, "left_semi"))
+        .getOrElse(df)
     val byGen = deltas.groupBy(_.origin).toSeq.sortBy(_._1)
     // tombstone gens carry only (keys, __graft_del) — name-union with
     // null-fill gives one frame where upsert rows have DelCol null
-    val deltaDf = byGen.map { case (gen, es) =>
+    val deltaDf = restrict(byGen.map { case (gen, es) =>
       readEntries(es).withColumn(GenCol, lit(gen))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }.reduce(_.unionByName(_, allowMissingColumns = true)))
     val newest = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(GenCol).desc)
     val latest = deltaDf
@@ -287,7 +297,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
         latest.filter(!(col(DelCol) <=> true)).drop(DelCol)
       else latest
     val baseDf =
-      if (base.nonEmpty) baseScan(base, dvs)
+      if (base.nonEmpty) restrict(baseScan(base, dvs))
       // all-delta slice (a folded partition set with no base files yet):
       // the resolution is the survivors alone
       else spark.createDataFrame(
@@ -993,9 +1003,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val cdc =
       if (!trackChanges) Seq.empty
       else {
-        val (pre0, _) = prunedBase(source, keys, partitionBy, source.schema)
-        val srcKeys = source.select(keys.map(col): _*)
-        val pre = pre0.join(srcKeys, keys, "left_semi")
+        // pre-images: the resolved view restricted to the SOURCE's keys
+        // up front (keyProbe) — the resolution shuffle is batch-sized,
+        // never touched-partition-sized
+        val srcKeys = source.select(keys.map(col): _*).distinct()
+        val (pre, _) = prunedBase(source, keys, partitionBy, source.schema,
+          keyProbe = Some(srcKeys))
         val preKeys = pre.select(keys.map(col): _*)
         writeChanges(
           source.join(preKeys, keys, "left_semi")
@@ -1035,11 +1048,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val cdc =
       if (!trackChanges) Seq.empty
       else {
-        val (pre0, _) = prunedBase(source, keys, partitionBy, read(v).schema)
-        writeChanges(
-          pre0.join(tomb.drop(DelCol), keys, "left_semi")
-            .withColumn(ChangeCol, lit("delete")),
-          v + 1)
+        // key-restricted resolution (see mergeDeferred): only the
+        // tombstoned keys' rows are resolved for full-width pre-images
+        val (pre, _) = prunedBase(source, keys, partitionBy, read(v).schema,
+          keyProbe = Some(tomb.drop(DelCol)))
+        writeChanges(pre.withColumn(ChangeCol, lit("delete")), v + 1)
       }
     writeManifest(Manifest(v + 1, "DELETE_MOR", keys, fileEntries(v),
       deltaEntries(v) ++ written, cdc, dvEntries(v)))
@@ -1055,7 +1068,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
       source: DataFrame,
       keys: Seq[String],
       partitionBy: Option[String],
-      baseSchema: org.apache.spark.sql.types.StructType)
+      baseSchema: org.apache.spark.sql.types.StructType,
+      keyProbe: Option[DataFrame] = None)
       : (DataFrame, Seq[FileEntry]) = {
     val v = currentVersion
     val entries = fileEntries(v)
@@ -1090,8 +1104,13 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val base =
       if (touched.isEmpty && touchedDeltas.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
-      else if (touchedDeltas.isEmpty) baseScan(touched, dvEntries(v))
-      else resolveMerged(touched, touchedDeltas, mergeKeysOf(v), dvEntries(v))
+      else if (touchedDeltas.isEmpty) {
+        val scan = baseScan(touched, dvEntries(v))
+        keyProbe.map(kp => scan.join(broadcast(kp), keys, "left_semi"))
+          .getOrElse(scan)
+      }
+      else resolveMerged(touched, touchedDeltas, mergeKeysOf(v), dvEntries(v),
+        keyProbe)
     (base, carryOver)
   }
 
