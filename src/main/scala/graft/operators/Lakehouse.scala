@@ -1248,6 +1248,72 @@ object Lakehouse {
             .as("sum_price"))
     })
 
+  // SHOW PARTITIONS / Iceberg `partitions` metadata table analog:
+  // per-partition file and row counts answered FROM THE MANIFEST alone —
+  // footer-derived row counts summed per partition value, zero data
+  // files opened. At 100 TB this is the difference between a catalog
+  // lookup and a petabyte scan; the oracle recomputes the same numbers
+  // from the raw table, so the gate proves manifest metadata == data.
+  private val metadataPartitions = OpQuery(
+    "metadata_partitions",
+    Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS num_rows
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      import s.implicits._
+      stagedOrders(s, d).files
+        .groupBy(_.partValue)
+        .map { case (p, es) => (p, es.map(_.rows).sum) }
+        .toSeq.sortBy(_._1)
+        .toDF("o_orderstatus", "num_rows")
+        .orderBy("o_orderstatus")
+    })
+
+  // Symlink-manifest export (Delta `GENERATE symlink_format_manifest`):
+  // a post-merge snapshot is exported as a plain file list and read back
+  // through ONLY that list — the result must equal the merged state, so
+  // the gate proves the export excludes superseded pre-merge files,
+  // losing-OCC orphans, and CDC side-cars (an external engine reading
+  // the manifest sees exactly the committed snapshot).
+  private val exportSymlink = OpQuery(
+    "export_symlink_manifest",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'O', o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0),
+      merged AS (
+        SELECT o_orderstatus, o_totalprice FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM src)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val t = stagedOrders(s, d).shallowCloneTo(tmp("symlink"))
+        .merge(mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = Some("o_orderstatus"))
+      val manifest = t.generateSymlinkManifest()
+      val paths = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(new java.net.URI(
+          if (manifest.startsWith("file:")) manifest else s"file:$manifest"))),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+      s.read.parquet(paths: _*)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
@@ -1256,5 +1322,6 @@ object Lakehouse {
     zorderLayout, orcRoundtrip,
     jsonIngest, deleteWhereQ, deleteDvQ, updateWhereQ, mergeEvolve, timeTravelTs,
     concurrentMerge, sinkExactlyOnce, insertOverwrite, optimizeSmallFiles,
-    partitionXformTime, partitionXformBucket)
+    partitionXformTime, partitionXformBucket, metadataPartitions,
+    exportSymlink)
 }

@@ -1426,6 +1426,30 @@ class SnapshotTable(spark: SparkSession, root: String) {
   def vacuumOlderThan(ts: Long): Int =
     vacuum(retainVersions = currentVersion - versionAsOf(ts) + 1)
 
+  /** Delta `GENERATE symlink_format_manifest` analog: write a text
+    * manifest listing the CURRENT version's data-file paths (one per
+    * line, sorted) so engines that know nothing of the commit log can
+    * read exactly the committed snapshot — superseded files,
+    * losing-OCC orphans, and CDC/DV side-cars are absent by
+    * construction, because only the manifest's file list is exported.
+    * Requires resolved state: pending MoR deltas or DV marks resolve at
+    * scan time and cannot be expressed as a plain file list. Returns
+    * the manifest file path. */
+  def generateSymlinkManifest(): String = {
+    val v = currentVersion
+    require(deltaEntries(v).isEmpty && dvEntries(v).isEmpty,
+      s"symlink manifest of $root requires compacted state " +
+        "(pending MoR deltas / DV marks are scan-time state, not files)")
+    val dir = new Path(root, "_symlink_format_manifest")
+    fs.mkdirs(dir)
+    val p = new Path(dir, "manifest")
+    val out = fs.create(p, /* overwrite = */ true)
+    try out.write(fileEntries(v).map(_.path).sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    p.toString
+  }
+
   /** DESCRIBE HISTORY analog: (version, operation, num_files, num_rows,
     * pending_delta_rows). Built from the cached log — no data or parquet
     * reads. `num_rows` is the PHYSICAL count (base + pending delta rows,

@@ -259,6 +259,27 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(fin.filter(_._2.contains("B")).map(_._1).toSet === Set(200L, 301L))
   }
 
+  test("symlink manifest exports exactly the committed snapshot") {
+    import spark.implicits._
+    val df = (0 until 40).map(i => (i.toLong, if (i % 2 == 0) "A" else "B", i * 1.0))
+      .toDF("k", "p", "v")
+    val t = new SnapshotTable(spark, tmp("symlink"))
+      .create(df, partitionBy = Some("p"))
+    t.merge(Seq((0L, "A", 99.0)).toDF("k", "p", "v"), Seq("k", "p"),
+      partitionBy = Some("p")) // supersedes partition A's v0 files
+    val manifest = t.generateSymlinkManifest()
+    val paths = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(manifest)),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+    assert(paths.toSet === t.files.map(_.path).toSet,
+      "export must be exactly the current version's file list")
+    assert(spark.read.parquet(paths: _*).count() === t.read().count())
+    // unresolved MoR/DV state cannot be expressed as a file list
+    t.mergeDeferred(Seq((1L, "B", 7.0)).toDF("k", "p", "v"), Seq("k", "p"))
+    val e = intercept[IllegalArgumentException](t.generateSymlinkManifest())
+    assert(e.getMessage.contains("compacted state"))
+  }
+
   test("compactSmallFiles folds only sub-threshold files, carries big ones") {
     import spark.implicits._
     val big = (0 until 5000).map(i => (i.toLong, s"row$i")).toDF("k", "s")
