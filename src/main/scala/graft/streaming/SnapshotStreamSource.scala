@@ -44,9 +44,12 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     its changes are unrecoverable after the fact.
   *
   * Options: `path` (table root, required), `startingVersion` (int, or
-  * "latest" = only commits after stream start; default 0 — Delta's
-  * startingVersion semantics), `maxVersionsPerTrigger` (rate limit;
-  * default: all available in one batch).
+  * "latest" = only commits after stream start, pinned per checkpoint;
+  * default 0 — Delta's startingVersion semantics), `startingTimestamp`
+  * (epoch millis: first commit at-or-after the instant, resolved from
+  * the manifest's monotonic in-commit timestamps; mutually exclusive
+  * with startingVersion), `maxVersionsPerTrigger` (rate limit; default:
+  * all available in one batch).
   *
   * Micro-batches keep full Catalyst planning: the batch DataFrame is the
   * manifest-planned relation (ManifestFileIndex) re-flagged as streaming
@@ -244,11 +247,29 @@ class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegiste
       parameters: Map[String, String]): Source = {
     val table = tableOf(sqlContext, parameters)
     val changeFeed = boolOpt(parameters, "readChangeFeed")
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "specify startingVersion or startingTimestamp, not both")
     val starting = parameters.get("startingVersion").map(_.trim) match {
       case Some(s) if s.equalsIgnoreCase("latest") =>
         SnapshotStreamProvider.pinLatest(sqlContext, metadataPath, table)
       case Some(s) => s.toLong
-      case None => 0L
+      case None => parameters.get("startingTimestamp").map(_.trim) match {
+        // Delta startingTimestamp semantics: first commit AT OR AFTER
+        // the instant (epoch millis here; manifest timestamps are
+        // monotonic, so this is a pure metadata resolution). versionAsOf
+        // gives the newest commit ≤ ts; one past it is the first > ts,
+        // minus the boundary case where a commit landed exactly at ts.
+        case Some(ts) =>
+          val t0 = ts.toLong
+          val atOrBefore = scala.util.Try(table.versionAsOf(t0)).toOption
+          atOrBefore match {
+            case None => 0L // instant precedes the table: stream everything
+            case Some(v) if table.commitTimestamp(v) == t0 => v.toLong
+            case Some(v) => v + 1L
+          }
+        case None => 0L
+      }
     }
     new SnapshotStreamSource(
       sqlContext.sparkSession, table,

@@ -220,7 +220,8 @@ class PropertySpec extends AnyFunSuite {
         (k.toLong, s"p${k % 3}", v)
       }
       var nextK = 40L
-      val t = new SnapshotTable(spark, tmp(s"dvprop$trial"))
+      val tableRoot = tmp(s"dvprop$trial")
+      val t = new SnapshotTable(spark, tableRoot)
         .create(base.toDF("k", "p", "v"), Some("p"))
       for (round <- 1 to 5 + rnd.nextInt(3)) {
         rnd.nextInt(4) match {
@@ -252,6 +253,26 @@ class PropertySpec extends AnyFunSuite {
       val got = t.read().select("k", "v").collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(got == model.toMap, s"trial $trial: content drifted from model")
+      // cold log reconstruction: re-parse every commit record from disk
+      // (a copied root has fresh manifest-cache keys) and require the
+      // delta-chain replay to land on the same content — the writer's
+      // in-memory state and the persisted incremental log must agree
+      // after ANY random DML interleaving
+      val coldRoot = Files.createTempDirectory(s"graft_dvprop_cold$trial").toString
+      val src = java.nio.file.Paths.get(tableRoot)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val to = java.nio.file.Paths.get(coldRoot, src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(to)
+        else java.nio.file.Files.copy(p, to)
+      }
+      val cold = new SnapshotTable(spark, coldRoot)
+      assert(cold.countFromManifest == model.size.toLong,
+        s"trial $trial: cold-reconstructed metadata count drifted")
+      val coldGot = cold.read().select("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(coldGot == model.toMap,
+        s"trial $trial: cold log reconstruction drifted from model")
     }
   }
 

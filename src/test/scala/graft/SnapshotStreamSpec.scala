@@ -257,6 +257,29 @@ class SnapshotStreamSpec extends AnyFunSuite {
       s"commits between pin and restart must stream, got ${seen.sum}")
   }
 
+  test("startingTimestamp streams the first commit at or after the instant") {
+    val root = tmp("snapstream_ts")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100)) // v0
+    t.append(slice(100, 200)) // v1
+    t.append(slice(200, 260)) // v2
+    // exact boundary: a commit AT the instant is included
+    val (rows, _) = drain(root,
+      Map("startingTimestamp" -> t.commitTimestamp(1).toString),
+      _.agg(count(lit(1)).as("n"), min("id").as("lo")))
+    assert(rows.head.getLong(0) === 160L)
+    assert(rows.head.getLong(1) === 100L)
+    // an instant past the newest commit: nothing streams
+    val (after, afterBatches) = drain(root,
+      Map("startingTimestamp" -> (t.commitTimestamp(2) + 1L).toString),
+      _.agg(count(lit(1)).as("n")))
+    assert(afterBatches === 0L)
+    assert(after.isEmpty || after.head.getLong(0) === 0L)
+    // an instant before the table existed: everything streams
+    val (all, _) = drain(root, Map("startingTimestamp" -> "1"),
+      _.agg(count(lit(1)).as("n")))
+    assert(all.head.getLong(0) === 260L)
+  }
+
   test("commitAddedDataFiles is an exact per-version diff") {
     val root = tmp("snapstream_diff")
     val t = new SnapshotTable(spark, root).create(slice(0, 100))
