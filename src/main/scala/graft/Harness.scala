@@ -194,7 +194,8 @@ object Harness {
     "join_range_bucketed", "quality_filter_pipeline",
     "embedding_quantize", "agg_approx_distinct",
     "stream_table_appends", "simsearch_pq_recall",
-    "stream_table_startversion", "text_search_inverted")
+    "stream_table_startversion", "text_search_inverted",
+    "stream_native_sink")
 
   /** Compact one-line JSON for stdout. Must stay short enough to fit
     * entirely inside the driver's tail capture (2000 chars incl. the sbt

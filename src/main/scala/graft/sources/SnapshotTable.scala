@@ -624,10 +624,16 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   /** Create version 0 from `df`, optionally hive-partitioned by
     * `partitionBy` (the column is duplicated into `__p` so data files
-    * keep the real column and the manifest keeps the partition value). */
-  def create(df: DataFrame, partitionBy: Option[String] = None): SnapshotTable = {
+    * keep the real column and the manifest keeps the partition value).
+    * `txn` records a writer transaction marker atomically with the
+    * creating commit — a streaming sink whose FIRST batch creates the
+    * table needs the marker so a checkpoint-recovery replay of that
+    * batch is detected instead of appended twice. */
+  def create(df: DataFrame, partitionBy: Option[String] = None,
+      txn: Option[(String, Long)] = None): SnapshotTable = {
     val written = writeData(df, 0, partitionBy)
-    writeManifest(Manifest(0, "CREATE", Seq.empty, written, Seq.empty))
+    writeManifest(Manifest(0, "CREATE", Seq.empty, written, Seq.empty,
+      txns = txn.map(t => Map(t._1 -> t._2)).getOrElse(Map.empty)))
     this
   }
 
@@ -1005,8 +1011,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
       else {
         // pre-images: the resolved view restricted to the SOURCE's keys
         // up front (keyProbe) — the resolution shuffle is batch-sized,
-        // never touched-partition-sized
-        val srcKeys = source.select(keys.map(col): _*).distinct()
+        // never touched-partition-sized. No distinct: merge sources are
+        // unique on keys by contract, and a semi-join probe tolerates
+        // duplicates anyway — a distinct here would cost a shuffle
+        // before the broadcast build.
+        val srcKeys = source.select(keys.map(col): _*)
         val (pre, _) = prunedBase(source, keys, partitionBy, source.schema,
           keyProbe = Some(srcKeys))
         val preKeys = pre.select(keys.map(col): _*)

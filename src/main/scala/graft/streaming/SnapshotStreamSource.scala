@@ -3,7 +3,7 @@ package graft.streaming
 import graft.sources.SnapshotTable
 import org.apache.spark.sql.{DataFrame, GraftStreamShim, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -207,10 +207,25 @@ object SnapshotSourceOffset {
   }
 }
 
-/** `spark.readStream.format("graft-snapshot")` provider (also reachable
-  * by full class name). Schema derives from the table's current read
-  * schema (+ `_change_type` in change-feed mode) unless supplied. */
-class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegister {
+/** `spark.readStream.format("graft-snapshot")` source AND
+  * `writeStream.format("graft-snapshot")` sink provider (also reachable
+  * by full class name). Source schema derives from the table's current
+  * read schema (+ `_change_type` in change-feed mode) unless supplied.
+  *
+  * The sink is the exactly-once append path as a first-class streaming
+  * format (no foreachBatch boilerplate): every micro-batch commits via
+  * [[SnapshotTable.appendIdempotent]] tagged (txnAppId, batchId), so a
+  * checkpoint-recovery re-delivery is one txn-marker lookup and a skip —
+  * Delta's DeltaSink contract. The FIRST batch creates the table (with
+  * the marker recorded atomically in the creating commit); a lost
+  * create race falls back to the idempotent append. Options: `path`
+  * (required), `partitionBy` (identity column or hidden-partitioning
+  * transform spec), `txnAppId` (marker namespace; defaults to a
+  * path-derived id — set it explicitly when multiple queries feed one
+  * table). Append output mode only: aggregations should be maintained
+  * via the change feed (stream_cdc_apply), not Complete-mode rewrites. */
+class SnapshotStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
 
@@ -278,6 +293,51 @@ class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegiste
       parameters.get("maxVersionsPerTrigger").map(_.trim.toLong).getOrElse(0L),
       changeFeed)
   }
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snapshot sink supports Append output mode only (got $outputMode); " +
+        "maintain aggregates from the change feed instead")
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot sink requires option 'path' (the table root)"))
+    val partitionBy = parameters.get("partitionBy")
+      .orElse(partitionColumns.headOption)
+    require(partitionColumns.size <= 1,
+      "graft-snapshot sink supports at most one partition column")
+    val appId = parameters.getOrElse("txnAppId", s"graft-snapshot-sink:$path")
+    new SnapshotSink(sqlContext.sparkSession, path, partitionBy, appId)
+  }
+}
+
+/** v1 streaming sink: one idempotent snapshot-table APPEND commit per
+  * micro-batch, keyed (txnAppId, batchId). See [[SnapshotStreamProvider]]. */
+class SnapshotSink(
+    spark: SparkSession, path: String,
+    partitionBy: Option[String], appId: String) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = GraftStreamShim.asBatchWritable(data)
+    val table = new SnapshotTable(spark, path)
+    if (!table.exists) {
+      try {
+        table.create(batch, partitionBy, txn = Some((appId, batchId)))
+        return
+      } catch {
+        // lost the create race (another query/attempt wrote version 0):
+        // fall through to the idempotent append against the winner
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException
+            | _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    table.appendIdempotent(batch, appId, batchId, partitionBy)
+    ()
+  }
+
+  override def toString: String = s"SnapshotSink[$path]"
 }
 
 object SnapshotStreamProvider {

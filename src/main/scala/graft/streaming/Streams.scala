@@ -576,8 +576,67 @@ object Streams {
         .orderBy("o_orderpriority")
     })
 
+  // ------------------------------------------------------------------
+  // Native snapshot-table SINK: writeStream.format("graft-snapshot") —
+  // the exactly-once append path as a first-class streaming format, no
+  // foreachBatch boilerplate. Batch 0 CREATES the table (txn marker
+  // recorded atomically in the creating commit); later batches commit
+  // via appendIdempotent keyed (txnAppId, batchId). The entry drains the
+  // same 2-file source TWICE with the second run's fresh checkpoint
+  // re-delivering every batch — all replays must be detected and
+  // skipped, so the table holds each source row exactly once.
+  private val streamNativeSink = OpQuery(
+    "stream_native_sink",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'O', o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM src GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val deltaDir = stagedDeltas.computeIfAbsent(d, _ => {
+        val dir = tmp("stream_delta")
+        o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .unionByName(
+            o.filter(col("o_orderkey") % 17 === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+              .withColumn("o_orderstatus", lit("O")))
+          .repartition(2)
+          .write.mode("overwrite").parquet(dir)
+        dir
+      })
+      val root = scratch("native_sink_tbl")
+      def drain(ckpt: String): Unit = {
+        val q = s.readStream.schema(o.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(deltaDir)
+          .writeStream.format("graft-snapshot")
+          .option("path", root)
+          .option("partitionBy", "o_orderstatus")
+          .option("txnAppId", "native_sink")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain(scratch("native_sink_ckpt1"))
+      drain(scratch("native_sink_ckpt2")) // full re-delivery: all skipped
+      new graft.sources.SnapshotTable(s, root).read()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
+        .orderBy("o_orderstatus")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     windowedAgg, streamDedup, streamSessionize, streamEnrich, streamMerge,
     streamStreamJoin, slidingWindowAgg, streamCdcApply, streamTableAppends,
-    streamTableStartVersion)
+    streamTableStartVersion, streamNativeSink)
 }

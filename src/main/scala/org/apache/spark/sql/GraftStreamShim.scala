@@ -43,4 +43,15 @@ object GraftStreamShim {
     cs.internalCreateDataFrame(
       cs.sparkContext.emptyRDD[InternalRow], schema, isStreaming = true)
   }
+
+  /** The inverse bridge, for the SINK side: a v1 `Sink.addBatch` receives
+    * a DataFrame bound to the micro-batch's IncrementalExecution, which
+    * batch writers reject (`isStreaming = true`). Re-wrap its physical
+    * rows as a plain batch frame — the standard v1-sink pattern
+    * (DeltaSink does exactly this before its transactional write). */
+  def asBatchWritable(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
+  }
 }

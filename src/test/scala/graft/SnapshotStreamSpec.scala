@@ -280,6 +280,45 @@ class SnapshotStreamSpec extends AnyFunSuite {
     assert(all.head.getLong(0) === 260L)
   }
 
+  test("native sink: format('graft-snapshot') appends exactly once") {
+    val srcDir = tmp("snapsink_src")
+    val root = tmp("snapsink_tbl")
+    val ckpt = tmp("snapsink_ckpt")
+    def addFile(i: Int, lo: Int, hi: Int): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("snapsink_stage")
+      slice(lo, hi).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(srcDir, f"f$i%d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    addFile(0, 0, 100)
+    addFile(1, 100, 180)
+    def drain(ckptDir: String): Unit = {
+      val q = spark.readStream.schema(slice(0, 1).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.format("graft-snapshot")
+        .option("path", root).option("txnAppId", "snapsink")
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain(ckpt) // batch 0 creates the table, batch 1 appends
+    val t = new SnapshotTable(spark, root)
+    assert(t.read().count() === 180L)
+    assert(t.commitOperation(0) === "CREATE")
+    // same checkpoint, one new file → exactly one more append
+    addFile(2, 180, 200)
+    drain(ckpt)
+    assert(t.read().count() === 200L)
+    // fresh checkpoint re-delivers every batch → all detected and skipped
+    drain(tmp("snapsink_ckpt2"))
+    assert(t.read().count() === 200L,
+      "re-delivered batches must be skipped via the txn marker")
+  }
+
   test("commitAddedDataFiles is an exact per-version diff") {
     val root = tmp("snapstream_diff")
     val t = new SnapshotTable(spark, root).create(slice(0, 100))
