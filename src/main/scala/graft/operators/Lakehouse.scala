@@ -1314,6 +1314,61 @@ object Lakehouse {
         .orderBy("o_orderstatus")
     })
 
+  // Batch read through the connector format string with Delta-style
+  // time travel: the SAME table root read at versionAsOf=0 (pre-merge)
+  // and at the current version (post-merge) through
+  // spark.read.format("graft-snapshot"). Pushed filters and column
+  // pruning re-enter the manifest-planned scan's own Catalyst run, so
+  // format-string reads keep parquet pushdown; the oracle pins both
+  // snapshots' contents, proving time travel through the public
+  // DataFrameReader API surface (not just the native read method).
+  private val tableReaderFormat = OpQuery(
+    "table_reader_format",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'O', o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0),
+      merged AS (
+        SELECT o_orderstatus, o_totalprice FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM src)
+      SELECT * FROM (
+        SELECT 'current' AS snapshot, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM merged GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'v0', o_orderstatus, COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders GROUP BY o_orderstatus)
+      ORDER BY snapshot, o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val root = tmp("readerfmt")
+      stagedOrders(s, d).shallowCloneTo(root)
+        .merge(mergeSource(o), Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = Some("o_orderstatus"))
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+              .as("sum_price"))
+          .select(lit(tag).as("snapshot"), col("o_orderstatus"),
+            col("n"), col("sum_price"))
+      agg(s.read.format("graft-snapshot").option("path", root).load(),
+          "current")
+        .unionByName(
+          agg(s.read.format("graft-snapshot").option("path", root)
+            .option("versionAsOf", "0").load(), "v0"))
+        .orderBy("snapshot", "o_orderstatus")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
@@ -1323,5 +1378,5 @@ object Lakehouse {
     jsonIngest, deleteWhereQ, deleteDvQ, updateWhereQ, mergeEvolve, timeTravelTs,
     concurrentMerge, sinkExactlyOnce, insertOverwrite, optimizeSmallFiles,
     partitionXformTime, partitionXformBucket, metadataPartitions,
-    exportSymlink)
+    exportSymlink, tableReaderFormat)
 }

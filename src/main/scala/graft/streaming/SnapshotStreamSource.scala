@@ -225,7 +225,9 @@ object SnapshotSourceOffset {
   * table). Append output mode only: aggregations should be maintained
   * via the change feed (stream_cdc_apply), not Complete-mode rewrites. */
 class SnapshotStreamProvider extends StreamSourceProvider
-    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.RelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
 
@@ -294,6 +296,28 @@ class SnapshotStreamProvider extends StreamSourceProvider
       changeFeed)
   }
 
+  /** Batch read through the format string —
+    * `spark.read.format("graft-snapshot").option("path", …).load()` —
+    * with Delta-style time travel (`versionAsOf` / `timestampAsOf`).
+    * The relation delegates into the manifest-planned (and, for MoR/DV
+    * state, resolved) scan, re-translating Spark's pushed filters and
+    * column pruning into the inner Catalyst plan so parquet still sees
+    * them; [[graft.sources.SnapshotTable.read]] remains the zero-copy
+    * native path. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    require(!(parameters.contains("versionAsOf") &&
+        parameters.contains("timestampAsOf")),
+      "specify versionAsOf or timestampAsOf, not both")
+    val table = tableOf(sqlContext, parameters)
+    val version = parameters.get("versionAsOf").map(_.trim.toInt)
+      .orElse(parameters.get("timestampAsOf")
+        .map(ts => table.versionAsOf(ts.trim.toLong)))
+      .getOrElse(table.currentVersion)
+    new SnapshotRelation(sqlContext, table, version)
+  }
+
   override def createSink(
       sqlContext: SQLContext,
       parameters: Map[String, String],
@@ -311,6 +335,57 @@ class SnapshotStreamProvider extends StreamSourceProvider
     val appId = parameters.getOrElse("txnAppId", s"graft-snapshot-sink:$path")
     new SnapshotSink(sqlContext.sparkSession, path, partitionBy, appId)
   }
+}
+
+/** v1 batch relation over one snapshot-table version. Filters Spark
+  * pushes down are re-translated onto the inner manifest-planned
+  * DataFrame, so they reach the parquet scan (and file-level stat
+  * pruning) through its own Catalyst run; untranslatable filters are
+  * simply left for Spark's residual evaluation — PrunedFilteredScan's
+  * superset contract. */
+class SnapshotRelation(
+    override val sqlContext: SQLContext,
+    table: SnapshotTable, version: Int)
+  extends org.apache.spark.sql.sources.BaseRelation
+  with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  import org.apache.spark.sql.sources._
+
+  private def df: DataFrame = table.read(version)
+
+  override val schema: StructType = df.schema
+
+  override def buildScan(
+      requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val filtered = filters.flatMap(toColumn)
+      .foldLeft(df)((d, c) => d.filter(c))
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.map(col(_)).toSeq: _*)
+    projected.rdd
+  }
+
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  override def toString: String = s"SnapshotRelation[${table}@v$version]"
 }
 
 /** v1 streaming sink: one idempotent snapshot-table APPEND commit per

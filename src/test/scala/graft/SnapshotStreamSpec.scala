@@ -319,6 +319,26 @@ class SnapshotStreamSpec extends AnyFunSuite {
       "re-delivered batches must be skipped via the txn marker")
   }
 
+  test("format reader: load/time-travel/filters through the connector") {
+    val root = tmp("snapread_tbl")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100))
+    t.append(slice(100, 200))
+    def rd = spark.read.format("graft-snapshot").option("path", root)
+    assert(rd.load().count() === 200L)
+    // pushed-filter translation path (range + in + null checks)
+    assert(rd.load().filter(col("id") < 50 && col("k").isin(1, 2)).count()
+      === (0 until 50).count(i => i % 5 == 1 || i % 5 == 2).toLong)
+    // time travel by version and by timestamp
+    assert(rd.option("versionAsOf", "0").load().count() === 100L)
+    assert(rd.option("timestampAsOf", t.commitTimestamp(0).toString)
+      .load().count() === 100L)
+    // unresolved MoR state resolves through the format reader too
+    t.mergeDeferred(slice(0, 10).withColumn("v", col("v") + 1000.0), Seq("id"))
+    val got = rd.load().filter(col("id") === 5L).select("v").head().getDouble(0)
+    assert(got === 1050.0, "format read must see the resolved MoR value")
+    assert(rd.load().count() === 200L)
+  }
+
   test("commitAddedDataFiles is an exact per-version diff") {
     val root = tmp("snapstream_diff")
     val t = new SnapshotTable(spark, root).create(slice(0, 100))
