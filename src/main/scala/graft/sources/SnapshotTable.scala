@@ -1213,6 +1213,18 @@ class SnapshotTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** Full-table overwrite (`INSERT OVERWRITE TABLE` without a partition
+    * spec / SaveMode.Overwrite): one commit whose file list is exactly
+    * the new data — every previous file, pending delta, and DV mark is
+    * superseded (reclaimable by VACUUM). History is preserved: earlier
+    * versions stay time-travelable, unlike a drop-and-recreate. */
+  def overwriteAll(df: DataFrame, partitionBy: Option[String] = None): SnapshotTable = {
+    val v = currentVersion
+    val written = writeData(df, v + 1, partitionBy)
+    writeManifest(Manifest(v + 1, "OVERWRITE", Seq.empty, written, Seq.empty))
+    this
+  }
+
   /** Dynamic partition overwrite (`INSERT OVERWRITE` / Delta
     * `replaceWhere` at partition granularity): partitions PRESENT in
     * `df` are replaced wholesale — their old files are never read, cost

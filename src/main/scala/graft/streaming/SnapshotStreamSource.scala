@@ -227,6 +227,7 @@ object SnapshotSourceOffset {
 class SnapshotStreamProvider extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
     with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-snapshot"
@@ -316,6 +317,41 @@ class SnapshotStreamProvider extends StreamSourceProvider
         .map(ts => table.versionAsOf(ts.trim.toLong)))
       .getOrElse(table.currentVersion)
     new SnapshotRelation(sqlContext, table, version)
+  }
+
+  /** Batch write through the format string —
+    * `df.write.format("graft-snapshot").mode(…).option("path", …).save()`.
+    * SaveMode maps onto commit semantics: Append → APPEND commit (table
+    * created on first write), Overwrite → full-table OVERWRITE commit
+    * (history preserved, prior versions stay time-travelable),
+    * ErrorIfExists → create-or-fail, Ignore → create-if-absent.
+    * `partitionBy` option accepts identity columns or hidden-partitioning
+    * transform specs. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val table = tableOf(sqlContext, parameters)
+    val partitionBy = parameters.get("partitionBy")
+    val df = data.toDF()
+    mode match {
+      case SaveMode.Append =>
+        if (table.exists) table.append(df, partitionBy)
+        else table.create(df, partitionBy)
+      case SaveMode.Overwrite =>
+        if (table.exists) table.overwriteAll(df, partitionBy)
+        else table.create(df, partitionBy)
+      case SaveMode.ErrorIfExists =>
+        require(!table.exists,
+          s"table already exists at ${parameters("path")} (SaveMode.ErrorIfExists)")
+        table.create(df, partitionBy)
+      case SaveMode.Ignore =>
+        if (!table.exists) table.create(df, partitionBy)
+    }
+    new SnapshotRelation(sqlContext, table, table.currentVersion)
   }
 
   override def createSink(

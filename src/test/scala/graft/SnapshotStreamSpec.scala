@@ -339,6 +339,24 @@ class SnapshotStreamSpec extends AnyFunSuite {
     assert(rd.load().count() === 200L)
   }
 
+  test("format writer: SaveMode semantics commit through the connector") {
+    val root = tmp("snapwrite_tbl")
+    def wr(lo: Int, hi: Int) =
+      slice(lo, hi).write.format("graft-snapshot").option("path", root)
+    wr(0, 100).mode("append").save() // first write creates
+    wr(100, 150).mode("append").save()
+    val t = new SnapshotTable(spark, root)
+    assert(t.read().count() === 150L)
+    assert(t.currentVersion === 1)
+    wr(0, 10).mode("overwrite").save() // full replace, history preserved
+    assert(t.read().count() === 10L)
+    assert(t.read(1).count() === 150L, "prior versions stay time-travelable")
+    assert(t.commitOperation(2) === "OVERWRITE")
+    intercept[Exception](wr(0, 5).mode("errorifexists").save())
+    wr(0, 5).mode("ignore").save() // table exists: no-op
+    assert(t.read().count() === 10L)
+  }
+
   test("commitAddedDataFiles is an exact per-version diff") {
     val root = tmp("snapstream_diff")
     val t = new SnapshotTable(spark, root).create(slice(0, 100))
