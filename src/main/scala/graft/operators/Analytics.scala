@@ -299,6 +299,93 @@ object Analytics {
         .orderBy("o_custkey")
     })
 
+  // ------------------------------------------------- DATA PROFILING
+  // One-pass table profile: per column, null count, exact distinct
+  // count, and min/max rendered to a uniform string column. All 24
+  // measures ride ONE scan of orders (Catalyst plans the multi-distinct
+  // agg as a single pass with an Expand — 6× row expansion, one
+  // shuffle); the per-column rows are then unpivoted from the single
+  // result row driver-side-free via explode of an inline struct array.
+  // At 100 TB the exact countDistinct trades to approx_count_distinct
+  // (HLL partial-aggregates, no Expand) — exact kept here so the DuckDB
+  // oracle can pin values bit-for-bit. Timestamps render through an
+  // explicit micros pattern and money through DECIMAL(18,2) so the
+  // string forms are engine-independent (raw double→string differs
+  // between Java and DuckDB shortest-round-trip formatting).
+  private val profile = OpQuery(
+    "data_profile",
+    Some("""
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS col_name,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate',
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+               strftime(MIN(CAST(o_orderdate AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f'),
+               strftime(MAX(CAST(o_orderdate AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f')
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders)
+      ORDER BY col_name
+    """),
+    (s, d) => {
+      import graft.Cols.dec
+      val o = t(s, d, "orders")
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      def render(c: String, m: Column): Column = c match {
+        case "o_totalprice" => m.cast("string")
+        case "o_orderdate"  => date_format(m, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        case _              => m.cast("string")
+      }
+      def measured(c: String): Column =
+        if (c == "o_totalprice") dec(col(c)) else col(c)
+      val aggs = cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"),
+          render(c, min(measured(c))).as(s"${c}__min"),
+          render(c, max(measured(c))).as(s"${c}__max"))
+      }
+      val row = o.agg(aggs.head, aggs.tail: _*)
+      val structs = array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"${c}__nulls").as("n_nulls"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_s"),
+        col(s"${c}__max").as("max_s"))): _*)
+      row.select(explode(structs).as("p")).select("p.*").orderBy("col_name")
+    })
+
   val defs: Seq[OpQuery] = Seq(
-    funnel, retention, histogram, stratified, zscore, pareto, trigrams, rfm)
+    funnel, retention, histogram, stratified, zscore, pareto, trigrams, rfm,
+    profile)
 }

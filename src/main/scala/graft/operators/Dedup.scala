@@ -586,8 +586,65 @@ object Dedup {
         .orderBy("doc_id")
     })
 
+  // Corpus-wide duplicated-span coverage (the exact-substring-dedup
+  // signal of Lee et al. 2021, "Deduplicating Training Data Makes
+  // Language Models Better", at shingle granularity): for every document,
+  // the fraction of its distinct word-5-grams that also occur in at
+  // least one OTHER document. Unlike the pairwise Jaccard/containment
+  // ops this is a pure aggregation — no doc×doc join anywhere:
+  // explode distinct 5-gram shingles, hash each (codegen'd
+  // graft_polyhash — the shuffle carries (hash, doc_id), never text),
+  // count docs per hash, then count per doc how many of its shingles
+  // fall in the duplicated set. Two shingle-keyed shuffles total, both
+  // linear in corpus shingle count — the shape survives 100 TB, where
+  // high-dup_fraction docs are the boilerplate/mirror pages a training
+  // pipeline drops or down-weights.
+  private val spanCoverage = OpQuery(
+    "dedup_span_coverage",
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, ${duckPolyHash("s")} AS h
+        FROM (
+          SELECT doc_id, unnest(list_distinct(
+                   list_transform(range(1, len(w) - 3),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                          w[i+3] || ' ' || w[i+4]))) AS s
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                FROM documents))),
+      cnt AS (SELECT doc_id, COUNT(*) AS n_shingles FROM h GROUP BY doc_id),
+      dup AS (SELECT h FROM (SELECT h, COUNT(*) AS docs FROM h GROUP BY h)
+              WHERE docs >= 2),
+      nd AS (SELECT doc_id, COUNT(*) AS n_dup FROM h
+             WHERE h IN (SELECT h FROM dup) GROUP BY doc_id)
+      SELECT cnt.doc_id, n_shingles,
+             CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+             CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_shingles AS dup_fraction
+      FROM cnt LEFT JOIN nd ON cnt.doc_id = nd.doc_id
+      ORDER BY cnt.doc_id
+    """),
+    (s, d) => {
+      GraftFunctions.registerAll(s)
+      val h = docs(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(expr("graft_shingles(text, 5)"))).as("s"))
+        .select(col("doc_id"), expr("graft_polyhash(s)").as("h"))
+      val cnt = h.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      // Only hashes seen in >= 2 docs survive to the per-doc recount:
+      // the second join carries the (typically small) duplicated set.
+      val dup = h.groupBy("h").agg(count(lit(1)).as("docs"))
+        .filter(col("docs") >= 2).select("h")
+      val nd = h.join(dup, Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      cnt.join(nd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_shingles"))
+            .as("dup_fraction"))
+        .orderBy("doc_id")
+    })
+
   val defs: Seq[OpQuery] = Seq(
-    exact, ngramJaccard, ngramContainment,
+    exact, ngramJaccard, ngramContainment, spanCoverage,
     OpQuery("dedup_minhash_lsh", Some(minhashOracle), (s, d) => minhashLshBuild(s, d)),
     OpQuery("dedup_cluster_cc", Some(ccOracle), (s, d) => ccBuild(s, d)),
     OpQuery("dedup_simhash", Some(simhashOracle), (s, d) => simhashBuild(s, d)),
