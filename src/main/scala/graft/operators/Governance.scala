@@ -251,7 +251,81 @@ object Governance {
         .orderBy("key")
     })
 
+  // SCD2 (slowly-changing-dimension type 2) build FROM the change feed:
+  // two tracked MERGE commits mutate the clone, then the full
+  // valid_from/valid_to history table is assembled from the cdc files
+  // alone — insert + post-image rows keyed by commit version, closed by
+  // a per-key LEAD window. This is the change-feed consumer pattern that
+  // makes CDF worth writing: history construction reads O(changed rows)
+  // (the cdc files), never diffs table versions, and the window
+  // partitions by business key so the shuffle carries only changed keys.
+  // The oracle reconstructs the same history logically from raw orders —
+  // passing proves the cdc rows carry exactly the right images in the
+  // right commit order.
+  private val cdcScd2Apply = OpQuery(
+    "cdc_scd2_apply",
+    Some("""
+      WITH merged1 AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS p
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'O', o_totalprice
+        FROM orders WHERE o_orderkey % 170 = 0),
+      v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS p
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'O', o_totalprice
+        FROM orders WHERE o_orderkey % 170 = 0),
+      v2 AS (
+        SELECT o_orderkey, o_orderstatus, p + 500.0 AS p
+        FROM merged1 WHERE o_orderkey % 200 = 0),
+      hist AS (
+        SELECT o_orderkey, o_orderstatus, p, 1 AS valid_from FROM v1
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, p, 2 FROM v2)
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(p AS DECIMAL(18,2)) AS DOUBLE) AS price,
+             valid_from,
+             LEAD(valid_from) OVER w AS valid_to,
+             LEAD(valid_from) OVER w IS NULL AS is_current
+      FROM hist
+      WINDOW w AS (PARTITION BY o_orderkey, o_orderstatus ORDER BY valid_from)
+      ORDER BY o_orderkey, o_orderstatus, valid_from
+    """),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.load(s, d, "orders")
+      val keys = Seq("o_orderkey", "o_orderstatus")
+      val src1 = o.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(o.filter(col("o_orderkey") % 170 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_orderstatus", lit("O")))
+      val t1 = Lakehouse.stagedOrders(s, d).shallowCloneTo(tmp("scd2"))
+        .merge(src1, keys, partitionBy = Some("o_orderstatus"),
+          trackChanges = true)
+      val src2 = t1.read().filter(col("o_orderkey") % 200 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      val t2 = t1.merge(src2, keys, partitionBy = Some("o_orderstatus"),
+        trackChanges = true)
+      val hist = t2.changes(1).withColumn("valid_from", lit(1))
+        .unionByName(t2.changes(2).withColumn("valid_from", lit(2)))
+        .filter(col(SnapshotTable.ChangeCol)
+          .isin("insert", "update_postimage"))
+      val w = Window.partitionBy("o_orderkey", "o_orderstatus")
+        .orderBy("valid_from")
+      hist.select(col("o_orderkey"), col("o_orderstatus"),
+          moneyOut(dec(col("o_totalprice"))).as("price"), col("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("o_orderkey", "o_orderstatus", "valid_from")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     restoreVersion, cdcReadChanges, partitionEvolution, statsSkippingRead,
-    statsMinmax, constraintEnforce, optimizeZorder, bloomPointLookup)
+    statsMinmax, constraintEnforce, optimizeZorder, bloomPointLookup,
+    cdcScd2Apply)
 }

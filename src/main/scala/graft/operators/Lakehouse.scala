@@ -728,6 +728,69 @@ object Lakehouse {
         .orderBy("o_orderstatus")
     })
 
+  // Incremental JOIN-view maintenance: the materialized view is an
+  // aggregate over orders ⋈ customer, and a MERGE-shaped delta on the
+  // FACT side is folded in without touching the full fact table again —
+  // the classical delta-join rule ΔV = agg(ΔO ⋈ C) applied as
+  // V' = V − agg(replaced ⋈ C) + agg(source ⋈ C). Both correction
+  // terms join only delta-sized frames against the broadcast dimension,
+  // so maintenance cost is O(|Δ|) regardless of fact size — at 100 TB
+  // the full recompute re-shuffles the world while this re-joins one
+  // batch. Exact decimal terms make subtract-then-add lossless; the
+  // oracle recomputes the view from scratch on the merged state, so
+  // passing PROVES incremental == full.
+  private val incrementalJoin = OpQuery(
+    "incremental_join_maintenance",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'O', o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0),
+      merged AS (
+        SELECT o_custkey, o_totalprice FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT o_custkey, o_totalprice FROM src)
+      SELECT c_mktsegment, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM merged JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """),
+    (s, d) => {
+      import graft.Cols.{dec, moneyOut}
+      val o = Tables.load(s, d, "orders")
+      val c = Tables.load(s, d, "customer")
+      val src = mergeSource(o)
+      val keys = Seq("o_orderkey", "o_orderstatus")
+      def aggOf(df: DataFrame) = df
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("sp"))
+      val oldAgg = aggOf(o)
+        .select(col("c_mktsegment"), col("n").as("n0"), col("sp").as("s0"))
+      val replaced = aggOf(o.join(src.select(keys.map(col): _*), keys, "left_semi"))
+        .select(col("c_mktsegment"), col("n").as("nm"), col("sp").as("sm"))
+      val added = aggOf(src)
+        .select(col("c_mktsegment"), col("n").as("ns"), col("sp").as("ss"))
+      oldAgg
+        .join(replaced, Seq("c_mktsegment"), "full_outer")
+        .join(added, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          (coalesce(col("n0"), lit(0L)) - coalesce(col("nm"), lit(0L)) +
+            coalesce(col("ns"), lit(0L))).as("n"),
+          moneyOut(
+            coalesce(col("s0"), lit(0).cast("decimal(18,2)")) -
+              coalesce(col("sm"), lit(0).cast("decimal(18,2)")) +
+              coalesce(col("ss"), lit(0).cast("decimal(18,2)"))).as("sum_price"))
+        .filter(col("n") > 0)
+        .orderBy("c_mktsegment")
+    })
+
   // Shallow clone (Delta SHALLOW CLONE analog): metadata-only commit
   // referencing the source's files — zero data copied — after which the
   // clone serves the source's full content. The oracle checks the
@@ -1373,6 +1436,7 @@ object Lakehouse {
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
     mergeDelete, timeTravel, csvMalformed, schemaEvolution, incrementalAgg,
+    incrementalJoin,
     tableClone, mergeMorRead, mergeMorDelete, cdcMorRead, vacuumRetention,
     zorderLayout, orcRoundtrip,
     jsonIngest, deleteWhereQ, deleteDvQ, updateWhereQ, mergeEvolve, timeTravelTs,
