@@ -299,6 +299,111 @@ object Analytics {
         .orderBy("o_custkey")
     })
 
+  // ------------------------------------------------- GRAPH PAGERANK
+  // PageRank over the event-type transition graph (edge src→dst with
+  // weight = how often a user's next event follows the previous type;
+  // d = 0.85, 5 iterations, uniform init). The iterative-fixpoint shape
+  // that matters at 100 TB: the EDGE aggregation is the big distributed
+  // job (one window + one groupBy over all events), while the rank
+  // table is node-cardinality-sized — each iteration joins the tiny
+  // rank table back to the aggregated edges, so 5 iterations cost 5
+  // small joins, not 5 passes over raw data. All rank arithmetic is
+  // integer-scaled (1e-12 units, per-term `div` before the BIGINT sum)
+  // — bit-identical across engines regardless of summation order, the
+  // same determinism discipline as the micro-scaled search scores. The
+  // node count is a driver-side scalar like the broadcast centroid set
+  // (label vocabulary, bounded — never data-sized). Dangling-node mass
+  // leaks (no redistribution) — identically in the oracle's unrolled
+  // 5-CTE recurrence, which is the point of the gate: the recurrence,
+  // not a library, pins the semantics.
+  private val pagerank = OpQuery(
+    "graph_pagerank",
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        FROM events),
+      e AS (SELECT prev AS src, event_type AS dst, COUNT(*) AS w
+            FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+      outd AS (SELECT src, SUM(w) AS od FROM e GROUP BY src),
+      nodes AS (SELECT DISTINCT event_type AS v FROM events),
+      n AS (SELECT COUNT(*) AS cnt FROM nodes),
+      r0 AS (SELECT v, 1000000000000 // (SELECT cnt FROM n) AS r FROM nodes),
+      r1 AS (
+        SELECT nodes.v,
+               CAST((3 * 1000000000000 // 20) // (SELECT cnt FROM n)
+                    + 17 * COALESCE(c.s, 0) // 20 AS BIGINT) AS r
+        FROM nodes LEFT JOIN (
+          SELECT e.dst AS v, SUM(p.r * e.w // outd.od) AS s
+          FROM e JOIN r0 p ON e.src = p.v JOIN outd ON outd.src = e.src
+          GROUP BY e.dst) c ON nodes.v = c.v),
+      r2 AS (
+        SELECT nodes.v,
+               CAST((3 * 1000000000000 // 20) // (SELECT cnt FROM n)
+                    + 17 * COALESCE(c.s, 0) // 20 AS BIGINT) AS r
+        FROM nodes LEFT JOIN (
+          SELECT e.dst AS v, SUM(p.r * e.w // outd.od) AS s
+          FROM e JOIN r1 p ON e.src = p.v JOIN outd ON outd.src = e.src
+          GROUP BY e.dst) c ON nodes.v = c.v),
+      r3 AS (
+        SELECT nodes.v,
+               CAST((3 * 1000000000000 // 20) // (SELECT cnt FROM n)
+                    + 17 * COALESCE(c.s, 0) // 20 AS BIGINT) AS r
+        FROM nodes LEFT JOIN (
+          SELECT e.dst AS v, SUM(p.r * e.w // outd.od) AS s
+          FROM e JOIN r2 p ON e.src = p.v JOIN outd ON outd.src = e.src
+          GROUP BY e.dst) c ON nodes.v = c.v),
+      r4 AS (
+        SELECT nodes.v,
+               CAST((3 * 1000000000000 // 20) // (SELECT cnt FROM n)
+                    + 17 * COALESCE(c.s, 0) // 20 AS BIGINT) AS r
+        FROM nodes LEFT JOIN (
+          SELECT e.dst AS v, SUM(p.r * e.w // outd.od) AS s
+          FROM e JOIN r3 p ON e.src = p.v JOIN outd ON outd.src = e.src
+          GROUP BY e.dst) c ON nodes.v = c.v),
+      r5 AS (
+        SELECT nodes.v,
+               CAST((3 * 1000000000000 // 20) // (SELECT cnt FROM n)
+                    + 17 * COALESCE(c.s, 0) // 20 AS BIGINT) AS r
+        FROM nodes LEFT JOIN (
+          SELECT e.dst AS v, SUM(p.r * e.w // outd.od) AS s
+          FROM e JOIN r4 p ON e.src = p.v JOIN outd ON outd.src = e.src
+          GROUP BY e.dst) c ON nodes.v = c.v)
+      SELECT v AS event_type, r AS rank_micro,
+             CAST(r AS DOUBLE) / 1000000000000 AS rank
+      FROM r5 ORDER BY v
+    """),
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val seq = ev
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+      val e = seq.filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val outd = e.groupBy("src").agg(sum("w").as("od"))
+      val nodes = ev.select(col("event_type").as("v")).distinct()
+      val scale = 1000000000000L
+      val nCnt = nodes.count() // node vocabulary — bounded, never data-sized
+      val base = ((3L * scale) / 20L) / nCnt
+      var ranks = nodes.withColumn("r", lit(scale / nCnt))
+      for (_ <- 1 to 5) {
+        val contrib = e.join(outd, "src")
+          .join(broadcast(ranks.withColumnRenamed("v", "src")), "src")
+          .select(col("dst").as("v"), expr("r * w div od").as("tm"))
+          .groupBy("v").agg(sum("tm").as("s"))
+        ranks = nodes.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (lit(base) +
+              expr("17 * coalesce(s, CAST(0 AS BIGINT)) div 20")).as("r"))
+      }
+      ranks.select(col("v").as("event_type"), col("r").as("rank_micro"),
+          (col("r").cast("double") / scale).as("rank"))
+        .orderBy("event_type")
+    })
+
   // ------------------------------------------------- DATA PROFILING
   // One-pass table profile: per column, null count, exact distinct
   // count, and min/max rendered to a uniform string column. All 24
@@ -387,5 +492,5 @@ object Analytics {
 
   val defs: Seq[OpQuery] = Seq(
     funnel, retention, histogram, stratified, zscore, pareto, trigrams, rfm,
-    profile)
+    profile, pagerank)
 }

@@ -84,4 +84,26 @@ class AnalyticsSpec extends AnyFunSuite {
     // user 20's outlier row crosses |z| > 1
     assert(got == Set(5L))
   }
+
+  test("graph_pagerank: symmetric 2-cycle gives equal ranks; mass is conserved-ish") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr").toString
+    // one user alternating a->b->a->b: transition graph is the symmetric
+    // 2-cycle, whose PageRank fixpoint (and every iterate from a uniform
+    // start) is exactly uniform
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 7L, "b", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 7L, "a", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:03:00"), 7L, "b", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = SparkEntry.queries("graph_pagerank")(spark, dir).collect()
+    assert(rows.length == 2)
+    val micro = rows.map(_.getLong(1))
+    assert(micro(0) == micro(1), "symmetric cycle must rank uniformly")
+    // no source of mass beyond teleport: each rank stays at ~1/2 (minus
+    // integer-truncation dust, bounded by iterations * div steps)
+    assert(math.abs(micro(0) - 500000000000L) < 100L)
+  }
 }
