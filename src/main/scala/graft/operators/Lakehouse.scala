@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{OpQuery, Tables}
-import graft.sources.{Ingest, SnapshotTable}
+import graft.sources.{GraftDatabase, Ingest, SnapshotTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructType}
@@ -791,6 +791,102 @@ object Lakehouse {
         .orderBy("c_mktsegment")
     })
 
+  // ---------------------------------------------------------------
+  // Atomic multi-table transactions (GraftDatabase): the facts table
+  // and its maintained summary are mutated in one transaction — the
+  // MERGE into facts and the summary refresh publish as ONE db-snapshot
+  // commit, so a consistent reader can never see the new facts beside
+  // the stale summary. The entry reads BOTH tables through the latest
+  // db snapshot and joins live recount vs stored summary; the oracle
+  // asserts they are the same numbers, which only holds if the publish
+  // was atomic. Cross-table time travel (the whole database AS OF the
+  // first txn) is gated separately below.
+  private def txnDbSummary(df: DataFrame): DataFrame = {
+    import graft.Cols.dec
+    df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("sp"))
+  }
+
+  private def stagedTxnDb(s: SparkSession, d: String): GraftDatabase =
+    new GraftDatabase(s, stagedRoots.computeIfAbsent((d, "mtxn_db"), _ => {
+      val r = stagedTmp("stage_mtxn_db")
+      val db = new GraftDatabase(s, r)
+      val o = Tables.load(s, d, "orders")
+      db.transact(Seq("facts", "summary")) { db =>
+        db.table("facts").create(o, partitionBy = Some("o_orderstatus")): Unit
+        db.table("summary").create(txnDbSummary(o)): Unit
+      }
+      db.transact(Seq("facts", "summary")) { db =>
+        val t = db.table("facts").merge(mergeSource(o),
+          Seq("o_orderkey", "o_orderstatus"),
+          partitionBy = Some("o_orderstatus"))
+        db.table("summary").overwriteAll(txnDbSummary(t.read())): Unit
+      }
+      r
+    }))
+
+  private val multiTableTxnOracle = """
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'O', o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0),
+      merged AS (
+        SELECT o_orderstatus, o_totalprice FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM src),
+      agg AS (
+        SELECT o_orderstatus, COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        FROM merged GROUP BY o_orderstatus)
+      SELECT o_orderstatus, n AS n_live, CAST(sp AS DOUBLE) AS sum_live,
+             n AS n_summary, CAST(sp AS DOUBLE) AS sum_summary
+      FROM agg ORDER BY o_orderstatus
+    """
+
+  private val multiTableTxn = OpQuery(
+    "multi_table_txn",
+    Some(multiTableTxnOracle),
+    (s, d) => {
+      import graft.Cols.{dec, moneyOut}
+      val db = stagedTxnDb(s, d)
+      val live = db.read("facts").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_live"),
+          moneyOut(sum(dec(col("o_totalprice")))).as("sum_live"))
+      val summ = db.read("summary").select(col("o_orderstatus"),
+        col("n").as("n_summary"), moneyOut(col("sp")).as("sum_summary"))
+      live.join(summ, Seq("o_orderstatus")).orderBy("o_orderstatus")
+    })
+
+  // The whole database AS OF its first transaction: both members
+  // resolve to their v0 pins — the pre-merge state — in one consistent
+  // cross-table read.
+  private val multiTableTxnAsof = OpQuery(
+    "multi_table_txn_asof",
+    Some("""
+      WITH agg AS (
+        SELECT o_orderstatus, COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        FROM orders GROUP BY o_orderstatus)
+      SELECT o_orderstatus, n AS n_live, CAST(sp AS DOUBLE) AS sum_live,
+             n AS n_summary, CAST(sp AS DOUBLE) AS sum_summary
+      FROM agg ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      import graft.Cols.{dec, moneyOut}
+      val db = stagedTxnDb(s, d)
+      val live = db.read("facts", dbVersion = 0).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_live"),
+          moneyOut(sum(dec(col("o_totalprice")))).as("sum_live"))
+      val summ = db.read("summary", dbVersion = 0).select(col("o_orderstatus"),
+        col("n").as("n_summary"), moneyOut(col("sp")).as("sum_summary"))
+      live.join(summ, Seq("o_orderstatus")).orderBy("o_orderstatus")
+    })
+
   // Shallow clone (Delta SHALLOW CLONE analog): metadata-only commit
   // referencing the source's files — zero data copied — after which the
   // clone serves the source's full content. The oracle checks the
@@ -1442,5 +1538,5 @@ object Lakehouse {
     jsonIngest, deleteWhereQ, deleteDvQ, updateWhereQ, mergeEvolve, timeTravelTs,
     concurrentMerge, sinkExactlyOnce, insertOverwrite, optimizeSmallFiles,
     partitionXformTime, partitionXformBucket, metadataPartitions,
-    exportSymlink, tableReaderFormat)
+    exportSymlink, tableReaderFormat, multiTableTxn, multiTableTxnAsof)
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.GraftDatabase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Atomicity semantics of GraftDatabase multi-table transactions:
+  * table commits are INVISIBLE to consistent readers until the db
+  * snapshot publishes (the crash-between-commit-and-publish window
+  * leaves readers on the old consistent pair), cross-table AS OF
+  * resolves every member to its pinned version, and the publish race
+  * retries only across disjoint table sets. */
+class MultiTableTxnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshDb(): GraftDatabase = new GraftDatabase(spark,
+    java.nio.file.Files.createTempDirectory("graft_mtx").toString)
+
+  private def df(pairs: (Long, String)*) = {
+    import spark.implicits._
+    pairs.toDF("k", "v")
+  }
+
+  test("unpublished commits are invisible; publish makes both visible at once") {
+    val db = freshDb()
+    db.transact(Seq("a", "b")) { d =>
+      d.table("a").create(df(1L -> "x")): Unit
+      d.table("b").create(df(10L -> "y")): Unit
+    }
+    // crash window: both tables commit but the txn never publishes
+    db.table("a").append(df(2L -> "x2"))
+    db.table("b").append(df(20L -> "y2"))
+    assert(db.read("a").count() == 1 && db.read("b").count() == 1,
+      "consistent reader must not see unpublished commits")
+    assert(db.table("a").read().count() == 2, "direct table read sees them")
+    // a later publish (recovery or the txn completing) flips BOTH at once
+    db.publish(Seq("a", "b"))
+    assert(db.read("a").count() == 2 && db.read("b").count() == 2)
+  }
+
+  test("database AS OF resolves every member to its pinned version") {
+    val db = freshDb()
+    val v0 = db.transact(Seq("a", "b")) { d =>
+      d.table("a").create(df(1L -> "x")): Unit
+      d.table("b").create(df(10L -> "y")): Unit
+    }
+    db.transact(Seq("a", "b")) { d =>
+      d.table("a").append(df(2L -> "x2"))
+      d.table("b").append(df(20L -> "y2"))
+    }
+    assert(db.read("a", v0).count() == 1 && db.read("b", v0).count() == 1)
+    assert(db.read("a").count() == 2 && db.read("b").count() == 2)
+  }
+
+  test("publish race: disjoint winner's pins carry forward; overlap fails loudly") {
+    val db = freshDb()
+    db.transact(Seq("a", "b")) { d =>
+      d.table("a").create(df(1L -> "x")): Unit
+      d.table("b").create(df(10L -> "y")): Unit
+    }
+    db.table("a").append(df(2L -> "x2"))
+    // craft a colliding winner at the next db version that pinned only
+    // the DISJOINT table b — our publish must retry and carry b's pin
+    val log = java.nio.file.Paths.get(db.root, "_graft_db_log")
+    def snap(v: Int, json: String): Unit =
+      java.nio.file.Files.write(log.resolve(f"v$v%010d.json"),
+        json.getBytes("UTF-8"))
+    snap(1, """{"version":1,"ts":1,"tables":{"b":7}}""")
+    val v = db.publish(Seq("a"))
+    assert(v == 2)
+    assert(db.tableVersions() == Map("a" -> 1, "b" -> 7))
+    // overlap: a second crafted winner re-pins table a itself — publish
+    // must refuse rather than silently last-write-win
+    db.table("a").append(df(3L -> "x3"))
+    snap(3, """{"version":3,"ts":1,"tables":{"a":99}}""")
+    intercept[java.util.ConcurrentModificationException] {
+      db.publish(Seq("a"))
+    }
+  }
+}
