@@ -887,6 +887,65 @@ object Lakehouse {
       live.join(summ, Seq("o_orderstatus")).orderBy("o_orderstatus")
     })
 
+  // ---------------------------------------------------------------
+  // DSv2 SQL catalog (GraftSqlCatalog): the engine addressed purely by
+  // SQL names — CREATE NAMESPACE / CREATE TABLE PARTITIONED BY /
+  // INSERT INTO producing real snapshot-table commits, then queried
+  // with native SQL time travel. No temp views over engine state: the
+  // catalog resolves names straight from the filesystem layout.
+  private def withSqlCatalog(s: SparkSession, d: String): Unit = {
+    s.conf.set("spark.sql.catalog.graftsql",
+      classOf[graft.sources.GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftsql.root",
+      stagedRoots.computeIfAbsent((d, "sqlcat_root"), _ => {
+        val root = stagedTmp("stage_sqlcat")
+        s.conf.set("spark.sql.catalog.graftsql",
+          classOf[graft.sources.GraftSqlCatalog].getName)
+        s.conf.set("spark.sql.catalog.graftsql.root", root)
+        Tables.load(s, d, "orders").createOrReplaceTempView("sqlcat_orders_src")
+        s.sql("CREATE NAMESPACE graftsql.bench")
+        s.sql("""CREATE TABLE graftsql.bench.orders
+                 (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+                 PARTITIONED BY (o_orderstatus)""")              // v0
+        s.sql("""INSERT INTO graftsql.bench.orders
+                 SELECT o_orderkey, o_orderstatus, o_totalprice
+                 FROM sqlcat_orders_src""")                      // v1
+        s.sql("""INSERT INTO graftsql.bench.orders
+                 SELECT o_orderkey + 10000000, 'X', o_totalprice
+                 FROM sqlcat_orders_src WHERE o_orderkey % 7 = 0""") // v2
+        root
+      }))
+  }
+
+  private val sqlCatalogQuery = OpQuery(
+    "sql_catalog_query",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      withSqlCatalog(s, d)
+      s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+                      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+               FROM graftsql.bench.orders WHERE o_orderstatus <> 'X'
+               GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
+  private val sqlCatalogTimeTravel = OpQuery(
+    "sql_catalog_time_travel",
+    Some("""
+      SELECT (SELECT COUNT(*) FROM orders) AS n_v1,
+             (SELECT COUNT(*) FROM orders)
+               + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0) AS n_now
+    """),
+    (s, d) => {
+      withSqlCatalog(s, d)
+      s.sql("""SELECT
+                 (SELECT COUNT(*) FROM graftsql.bench.orders VERSION AS OF 1) AS n_v1,
+                 (SELECT COUNT(*) FROM graftsql.bench.orders) AS n_now""")
+    })
+
   // Shallow clone (Delta SHALLOW CLONE analog): metadata-only commit
   // referencing the source's files — zero data copied — after which the
   // clone serves the source's full content. The oracle checks the
@@ -1538,5 +1597,6 @@ object Lakehouse {
     jsonIngest, deleteWhereQ, deleteDvQ, updateWhereQ, mergeEvolve, timeTravelTs,
     concurrentMerge, sinkExactlyOnce, insertOverwrite, optimizeSmallFiles,
     partitionXformTime, partitionXformBucket, metadataPartitions,
-    exportSymlink, tableReaderFormat, multiTableTxn, multiTableTxnAsof)
+    exportSymlink, tableReaderFormat, multiTableTxn, multiTableTxnAsof,
+    sqlCatalogQuery, sqlCatalogTimeTravel)
 }

@@ -1,0 +1,394 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Shared v1-Filter → Column translation for the snapshot-table read
+  * paths (the v1 `PrunedFilteredScan` relation and the DSv2 catalog's
+  * `V1Scan`). Translatable filters are re-applied onto the inner
+  * manifest-planned DataFrame so they reach the parquet scan (and
+  * file-level stat pruning) through its own Catalyst run; `None` means
+  * "leave it to Spark's residual evaluation" — both call sites hold the
+  * superset contract, so dropping a translation is always safe. */
+object SnapshotFilters {
+  import org.apache.spark.sql.functions.lit
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}
+
+/** DataSource-V2 catalog plugin over a directory of snapshot tables —
+  * the engine's SQL name surface. Register it and SQL speaks to the
+  * engine directly, no temp views or format strings:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftSqlCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/warehouse")
+  *   spark.sql("CREATE NAMESPACE graft.sales")
+  *   spark.sql("CREATE TABLE graft.sales.orders (k BIGINT, v STRING) PARTITIONED BY (v)")
+  *   spark.sql("INSERT INTO graft.sales.orders SELECT ...")
+  *   spark.sql("SELECT * FROM graft.sales.orders VERSION AS OF 2")
+  * }}}
+  *
+  * Layout: one filesystem level of namespaces under `root`, each table a
+  * [[SnapshotTable]] root (`<root>/<ns>/<table>/_graft_log`). All
+  * catalog calls are metadata-only — listing reads directory names,
+  * loads touch the JSON manifest; data stays where the engine's commit
+  * protocol put it.
+  *
+  * Reads reuse the battle-tested v1 relation machinery through Spark's
+  * public [[V1Scan]] fallback: the ScanBuilder takes Spark's pushed
+  * filters + column pruning and re-translates them onto the inner
+  * manifest-planned (and MoR/DV-resolved) DataFrame, so parquet sees
+  * the same pushdown as the native `table.read()` path. Writes go
+  * through [[V1Write]] → the table's APPEND / OVERWRITE commits, which
+  * keeps INSERT INTO atomic-with-history exactly like the programmatic
+  * API (`INSERT OVERWRITE` maps to an OVERWRITE commit via
+  * `SupportsTruncate`). SQL time travel (`VERSION AS OF` /
+  * `TIMESTAMP AS OF`) resolves through `loadTable(ident, version)` —
+  * a pinned table rejects writes.
+  *
+  * Reference analog: the benchmark's metastore-backed `USE $dbName`
+  * scoping (TPCDSBenchmark.scala:93) — here the catalog state IS the
+  * filesystem layout, so it needs no service and survives any restart.
+  */
+class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs: FileSystem =
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null,
+      s"graft catalog '$name' requires option spark.sql.catalog.$name.root")
+    root = new Path(r)
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def nsPath(ns: Array[String]): Path = {
+    require(ns.length == 1,
+      s"graft catalog supports single-level namespaces, got ${ns.mkString(".")}")
+    new Path(root, ns.head)
+  }
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name)
+  private def snapshotOf(ident: Identifier): SnapshotTable =
+    new SnapshotTable(spark, tablePath(ident).toString)
+
+  // ------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).filter(_.isDirectory).map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && fs.exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsPath(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog namespaces carry no mutable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    fs.delete(nsPath(namespace), true)
+  }
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsPath(namespace))
+      .filter(s => s.isDirectory && fs.exists(new Path(s.getPath, "_graft_log")))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && snapshotOf(ident).exists
+
+  private def loadPinned(ident: Identifier, pinned: Option[Int]): Table = {
+    val t = snapshotOf(ident)
+    if (!t.exists) throw new NoSuchTableException(ident)
+    new GraftV2Table(t, pinned, s"$catalogName.${ident.namespace.head}.${ident.name}")
+  }
+
+  override def loadTable(ident: Identifier): Table = loadPinned(ident, None)
+
+  /** SQL `VERSION AS OF <v>`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadPinned(ident, Some(version.toInt))
+
+  /** SQL `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = snapshotOf(ident)
+    if (!t.exists) throw new NoSuchTableException(ident)
+    loadPinned(ident, Some(t.versionAsOf(timestamp / 1000L)))
+  }
+
+  /** Maps DSv2 partition transforms onto the engine's partition spec
+    * strings — identity plus the hidden-partitioning transforms
+    * [[PartitionTransform]] understands. One spec max: the snapshot
+    * table lays files out under a single partition dimension. */
+  private def toSpec(transforms: Array[Transform]): Option[String] = {
+    require(transforms.length <= 1,
+      "graft tables support at most one partition transform")
+    transforms.headOption.map { t =>
+      def c = t.references()(0).fieldNames().mkString(".")
+      t.name() match {
+        case "identity" => c
+        case n @ ("days" | "months") => s"$n($c)"
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value.isInstanceOf[Number] => l.value.asInstanceOf[Number].intValue
+          }.getOrElse(throw new IllegalArgumentException(s"bucket transform without count: $t"))
+          s"bucket($n, $c)"
+        case other =>
+          throw new IllegalArgumentException(s"unsupported partition transform: $other")
+      }
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val t = snapshotOf(ident)
+    if (t.exists) throw new TableAlreadyExistsException(ident)
+    // the schema-carrying create is always a single empty unpartitioned
+    // footer (a partitioned write of zero rows emits no file at all);
+    // the layout lives as a table property and every INSERT honors it
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    t.create(empty, None)
+    toSpec(partitions).foreach(s => t.withProperty(GraftV2Table.PartSpecProp, s))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: evolve schemas through the engine's merge/overwrite " +
+        "schema-evolution paths")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val existed = fs.delete(tablePath(ident), true)
+    snapshotOf(ident).invalidateCaches()
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdentRaw: Identifier): Unit = {
+    // RENAME TO targets arrive as raw multipart names: strip a leading
+    // catalog qualifier, default a bare name into the source namespace
+    val newIdent = newIdentRaw.namespace match {
+      case Array(c, ns) if c == catalogName => Identifier.of(Array(ns), newIdentRaw.name)
+      case Array() => Identifier.of(oldIdent.namespace, newIdentRaw.name)
+      case _ => newIdentRaw
+    }
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    require(fs.rename(tablePath(oldIdent), tablePath(newIdent)),
+      s"rename failed: $oldIdent -> $newIdent")
+    // manifests reference data files absolutely — rewrite them onto the
+    // new root and drop both paths' cached metadata
+    snapshotOf(newIdent).rebaseLog(tablePath(oldIdent).toString)
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+}
+
+/** One snapshot table as a DSv2 [[Table]], optionally pinned to a
+  * time-travel version. Read = [[V1Scan]] over the manifest-planned
+  * scan with filter/column pushdown re-translation; write =
+  * [[V1Write]] → APPEND commit (INSERT INTO) or OVERWRITE commit
+  * (INSERT OVERWRITE, via `SupportsTruncate`). */
+final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
+    qualifiedName: String) extends Table with SupportsRead with SupportsWrite {
+
+  private def readVersion: Int = pinned.getOrElse(-1)
+
+  /** The layout every INSERT writes under: the recorded table property
+    * when present (survives empty creates), else inferred from the
+    * current files' identity partition column. */
+  private lazy val partSpec: Option[String] =
+    table.property(GraftV2Table.PartSpecProp)
+      .orElse(table.files.flatMap(e => Option(e.partCol)).headOption)
+
+  override def name(): String = qualifiedName
+  override def version(): String =
+    String.valueOf(pinned.getOrElse(table.currentVersion))
+
+  override lazy val schema: StructType = table.read(readVersion).schema
+
+  override def partitioning(): Array[Transform] = partSpec.map { s =>
+    val spec = PartitionTransform.parse(s)
+    spec.tag match {
+      case null => Expressions.identity(spec.col)
+      case "days" => Expressions.days(spec.col)
+      case "months" => Expressions.months(spec.col)
+      case t if t.startsWith("bucket") =>
+        Expressions.bucket(t.stripPrefix("bucket").toInt, spec.col)
+      case t => // truncN and any future tag: render as a named transform
+        Expressions.apply(t, Expressions.column(spec.col))
+    }
+  }.toArray
+
+  override def properties(): util.Map[String, String] =
+    Map(TableCatalog.PROP_PROVIDER -> "graft-snapshot").asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var pushed: Array[Filter] = Array.empty
+      private var required: StructType = schema
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        // apply every translatable filter inside the scan, but return
+        // them ALL as residual — Spark re-checks, the engine prunes
+        pushed = filters.filter(f => SnapshotFilters.toColumn(f).isDefined)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): Scan = new V1Scan {
+        private val (v, cols, filters) = (readVersion, required, pushed)
+        override def readSchema(): StructType = cols
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new GraftCatalogRelation(context, table, v, cols, filters,
+            partSpec.filterNot(_.contains("(")))
+            .asInstanceOf[T]
+        override def description(): String =
+          s"GraftV1Scan[$qualifiedName@v${pinned.getOrElse(table.currentVersion)}]"
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty,
+      s"cannot write to $qualifiedName pinned at VERSION AS OF ${pinned.get}")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation(): InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteArg: Boolean): Unit = {
+              if (overwrite || overwriteArg) table.overwriteAll(data, partSpec)
+              else table.append(data, partSpec)
+              ()
+            }
+          }
+      }
+    }
+  }
+}
+
+object GraftV2Table {
+  /** Table property recording the partition layout SQL writes use. */
+  val PartSpecProp = "partitionSpec"
+}
+
+/** The v1 relation a [[V1Scan]] lowers to: projected + pre-filtered
+  * manifest-planned scan at one version. A pushed equality on the
+  * table's identity partition column plans only that partition's files
+  * from the manifest (plus residual-filtered foreign-layout files) —
+  * the same metadata pruning the native `readWhereCol` path gets, so
+  * SQL point queries on the partition key stay O(partition) at any
+  * table size. */
+final class GraftCatalogRelation(context: SQLContext, table: SnapshotTable,
+    version: Int, required: StructType, pushed: Array[Filter],
+    identityPartCol: Option[String])
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = required
+
+  private def base: DataFrame = {
+    // manifest partition pruning: current-version reads only (the
+    // pruned planner works on head state), string-valued equality only
+    // (partition values are stored in canonical string form)
+    val prunedEq =
+      if (version >= 0) None
+      else identityPartCol.flatMap { pc =>
+        pushed.collectFirst {
+          case org.apache.spark.sql.sources.EqualTo(a, v: String) if a == pc => v
+        }.flatMap(v => table.prunedWhereCol(pc, v))
+      }
+    prunedEq.getOrElse(table.read(version))
+  }
+
+  override def buildScan(): RDD[Row] = {
+    val filtered = pushed.flatMap(SnapshotFilters.toColumn)
+      .foldLeft(base)((d, c) => d.filter(c))
+    val projected =
+      if (required.isEmpty) filtered.select()
+      else filtered.select(required.fieldNames.map(col(_)).toIndexedSeq: _*)
+    projected.rdd
+  }
+}

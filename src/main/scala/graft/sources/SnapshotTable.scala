@@ -118,15 +118,43 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * useless once every file spans the full key range). Persisted as a
     * table property, so reopened handles keep writing blooms. */
   def withBloomFilters(cols: String*): SnapshotTable = commitLock.synchronized {
-    fs.mkdirs(logDir)
-    val json = new ObjectMapper().createObjectNode()
+    val json = sidecarNode()
     val arr = json.putArray("bloomFilterCols")
     cols.foreach(arr.add)
+    writeSidecar(json)
+    bloomColsCache = Some(cols)
+    this
+  }
+
+  private def sidecarNode(): com.fasterxml.jackson.databind.node.ObjectNode =
+    if (fs.exists(propsPath))
+      new ObjectMapper().readTree(readFileString(fs, propsPath))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    else new ObjectMapper().createObjectNode()
+
+  private def writeSidecar(json: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    fs.mkdirs(logDir)
     val out = fs.create(propsPath, /* overwrite = */ true)
     try out.write(json.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    bloomColsCache = Some(cols)
-    this
+  }
+
+  /** Merge one durable string property into the side-car (the same
+    * file [[withBloomFilters]] uses; existing keys are preserved).
+    * Metadata-only — no commit, no data write. */
+  def withProperty(key: String, value: String): SnapshotTable =
+    commitLock.synchronized {
+      val json = sidecarNode()
+      json.put(key, value)
+      writeSidecar(json)
+      this
+    }
+
+  /** A durable string property, if set. */
+  def property(key: String): Option[String] = {
+    if (!fs.exists(propsPath)) return None
+    val n = new ObjectMapper().readTree(readFileString(fs, propsPath)).get(key)
+    if (n == null || !n.isTextual) None else Some(n.asText())
   }
 
   private def versions: Seq[Int] =
@@ -484,6 +512,24 @@ class SnapshotTable(spark: SparkSession, root: String) {
       else None).flatten
     require(parts.nonEmpty, s"no files for $colName = $value")
     parts.reduce(_ unionByName _)
+  }
+
+  /** [[readWhereCol]] when its preconditions hold — compacted state and
+    * at least some files laid out under `colName` — else None so
+    * callers (e.g. the SQL catalog's scan) fall back to the full
+    * manifest-planned read. Best-effort metadata pruning with identical
+    * row semantics either way. */
+  def prunedWhereCol(colName: String, value: String): Option[DataFrame] = {
+    if (deltaEntries(currentVersion).nonEmpty) return None
+    if (!fileEntries(currentVersion).exists(_.partCol == colName)) return None
+    val (pruned, residual) = planFiles(colName, value)
+    val dvs = dvEntries(currentVersion)
+    val parts = Seq(
+      if (pruned.nonEmpty) Some(baseScan(pruned, dvs)) else None,
+      if (residual.nonEmpty)
+        Some(baseScan(residual, dvs).filter(col(colName) === value))
+      else None).flatten
+    if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
   }
 
   /** Transform-aware file planning for `colName = value` over hidden
@@ -1456,6 +1502,42 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * Requires resolved state: pending MoR deltas or DV marks resolve at
     * scan time and cannot be expressed as a plain file list. Returns
     * the manifest file path. */
+  /** Metadata surgery for a table whose DIRECTORY was moved (SQL
+    * `ALTER TABLE … RENAME`): log records reference data files by
+    * absolute path, so every record is rewritten from `oldRoot` to this
+    * root and both roots' cached state is dropped. The data files moved
+    * with the directory — cost is O(log records), never O(data). Same
+    * caveat as vacuuming a cloned source: shallow clones that reference
+    * the OLD path are stranded. */
+  def rebaseLog(oldRoot: String): Unit = commitLock.synchronized {
+    val oldAbs = new Path(oldRoot).toUri.getPath
+    val newAbs = rootPath.toUri.getPath
+    require(oldAbs != newAbs, s"rebaseLog: $oldRoot is already this root")
+    versions.foreach { v =>
+      val p = manifestPath(v)
+      val rewritten = readFileString(fs, p).replace(oldAbs + "/", newAbs + "/")
+      val out = fs.create(p, /* overwrite = */ true)
+      try out.write(rewritten.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    invalidateCachesUnder(oldAbs)
+    invalidateCachesUnder(newAbs)
+  }
+
+  /** Drop process-wide cached manifests/schemas under this root — call
+    * after deleting the table directory so a later table created at the
+    * SAME path (deterministic manifest names) can't be served stale
+    * state. */
+  def invalidateCaches(): Unit =
+    invalidateCachesUnder(rootPath.toUri.getPath)
+
+  private def invalidateCachesUnder(rootAbs: String): Unit = {
+    val prefix = rootAbs + "/"
+    manifestCache.keySet.removeIf(_.contains(prefix))
+    schemaCache.keySet.removeIf(_.contains(prefix))
+    ()
+  }
+
   def generateSymlinkManifest(): String = {
     val v = currentVersion
     require(deltaEntries(v).isEmpty && dvEntries(v).isEmpty,

@@ -402,24 +402,8 @@ class SnapshotRelation(
     projected.rdd
   }
 
-  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
-    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
-    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
-    case Not(c) => toColumn(c).map(!_)
-    case _ => None
-  }
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] =
+    graft.sources.SnapshotFilters.toColumn(f)
 
   override def toString: String = s"SnapshotRelation[${table}@v$version]"
 }

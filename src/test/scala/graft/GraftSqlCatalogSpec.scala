@@ -1,0 +1,89 @@
+package graft
+
+import graft.sources.GraftSqlCatalog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 catalog as SQL sees it: DDL (namespaces, CREATE/CTAS/DROP/
+  * RENAME), DML (INSERT INTO / INSERT OVERWRITE → engine commits with
+  * history), queries with pushdown, and native SQL time travel
+  * (VERSION AS OF / TIMESTAMP AS OF) resolved through the manifest. */
+class GraftSqlCatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gtest", classOf[GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.gtest.root",
+      java.nio.file.Files.createTempDirectory("graft_cat").toString)
+    s
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("DDL + INSERT + SELECT round trip, all through SQL") {
+    sql("CREATE NAMESPACE gtest.sales")
+    sql("CREATE TABLE gtest.sales.orders (k BIGINT, status STRING) PARTITIONED BY (status)")
+    sql("INSERT INTO gtest.sales.orders VALUES (1, 'O'), (2, 'F'), (3, 'O')")
+    sql("INSERT INTO gtest.sales.orders VALUES (4, 'F')")
+    assert(sql("SELECT count(*) FROM gtest.sales.orders").head.getLong(0) == 4)
+    assert(sql("SELECT k FROM gtest.sales.orders WHERE status = 'O' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(sql("SHOW TABLES IN gtest.sales").collect().map(_.getString(1)).toSet == Set("orders"))
+    assert(sql("SHOW NAMESPACES IN gtest").collect().map(_.getString(0)).contains("sales"))
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF resolve through the manifest") {
+    sql("CREATE NAMESPACE gtest.tt")
+    sql("CREATE TABLE gtest.tt.t (k BIGINT)")                    // v0
+    sql("INSERT INTO gtest.tt.t VALUES (1), (2)")                // v1
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    sql("INSERT OVERWRITE gtest.tt.t VALUES (9)")                // v2
+    assert(sql("SELECT count(*) FROM gtest.tt.t").head.getLong(0) == 1)
+    assert(sql("SELECT count(*) FROM gtest.tt.t VERSION AS OF 1").head.getLong(0) == 2)
+    assert(sql("SELECT count(*) FROM gtest.tt.t VERSION AS OF 0").head.getLong(0) == 0)
+    val ts = new java.sql.Timestamp(tsAfterV1).toString
+    assert(sql(s"SELECT count(*) FROM gtest.tt.t TIMESTAMP AS OF '$ts'")
+      .head.getLong(0) == 2)
+    // writes against a pinned version must be rejected
+    val e = intercept[Exception] {
+      sql("INSERT INTO gtest.tt.t VERSION AS OF 1 VALUES (7)")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("CTAS, DROP, and ALTER TABLE RENAME") {
+    sql("CREATE NAMESPACE gtest.ct")
+    sql("CREATE TABLE gtest.ct.src AS SELECT id AS k, id % 3 AS m FROM range(30)")
+    assert(sql("SELECT count(*) FROM gtest.ct.src").head.getLong(0) == 30)
+    sql("ALTER TABLE gtest.ct.src RENAME TO gtest.ct.dst")
+    assert(sql("SELECT sum(m) FROM gtest.ct.dst").head.getLong(0) == 30)
+    assert(sql("SHOW TABLES IN gtest.ct").collect().map(_.getString(1)).toSet == Set("dst"))
+    sql("DROP TABLE gtest.ct.dst")
+    assert(sql("SHOW TABLES IN gtest.ct").count() == 0)
+  }
+
+  test("partition-equality SQL plans only that partition's files from the manifest") {
+    sql("CREATE NAMESPACE gtest.prune")
+    sql("CREATE TABLE gtest.prune.t (k BIGINT, status STRING) PARTITIONED BY (status)")
+    sql("INSERT INTO gtest.prune.t VALUES (1, 'O'), (2, 'F'), (3, 'O'), (4, 'F')")
+    // physically delete the F partition's data files: a query that only
+    // needs O can succeed only if it never plans the F files
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/prune/t")
+    val fFiles = t.files.filter(_.partValue == "F")
+    assert(fFiles.nonEmpty)
+    fFiles.foreach(e => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(new java.net.URI(e.path))))
+    assert(sql("SELECT k FROM gtest.prune.t WHERE status = 'O' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    intercept[Exception] { sql("SELECT count(k) FROM gtest.prune.t").collect() }
+  }
+
+  test("catalog state is the filesystem: a second catalog over the same root sees everything") {
+    sql("CREATE NAMESPACE gtest.persist")
+    sql("CREATE TABLE gtest.persist.t AS SELECT id FROM range(5)")
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    spark.conf.set("spark.sql.catalog.gtest2", classOf[GraftSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtest2.root", root)
+    assert(sql("SELECT count(*) FROM gtest2.persist.t").head.getLong(0) == 5)
+  }
+}
