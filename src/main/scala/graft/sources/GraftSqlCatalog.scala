@@ -8,9 +8,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, NamespaceChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -264,7 +265,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   * [[V1Write]] → APPEND commit (INSERT INTO) or OVERWRITE commit
   * (INSERT OVERWRITE, via `SupportsTruncate`). */
 final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
-    qualifiedName: String) extends Table with SupportsRead with SupportsWrite {
+    qualifiedName: String) extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
 
   private def readVersion: Int = pinned.getOrElse(-1)
 
@@ -302,9 +304,11 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
       private var pushed: Array[Filter] = Array.empty
       private var required: StructType = schema
+      private var countStars = 0 // >0: scan answers COUNT(*) from the manifest
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         // apply every translatable filter inside the scan, but return
@@ -316,18 +320,105 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
 
-      override def build(): Scan = new V1Scan {
-        private val (v, cols, filters) = (readVersion, required, pushed)
+      // unfiltered, ungrouped COUNT(*) answers from footer row counts in
+      // the manifest — zero data files opened, any table size. Spark only
+      // attempts aggregate pushdown when no residual filter remains, and
+      // every filter here is residual, so filtered counts scan normally.
+      private def manifestCount(agg: Aggregation): Option[Long] =
+        if (pinned.isEmpty && pushed.isEmpty &&
+            agg.groupByExpressions.isEmpty &&
+            agg.aggregateExpressions.nonEmpty &&
+            agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
+          table.countFromManifestOpt
+        else None
+
+      override def supportCompletePushDown(agg: Aggregation): Boolean =
+        manifestCount(agg).isDefined
+      override def pushAggregation(agg: Aggregation): Boolean =
+        manifestCount(agg) match {
+          case Some(_) =>
+            countStars = agg.aggregateExpressions.length
+            required = StructType((0 until countStars).map(i =>
+              org.apache.spark.sql.types.StructField(
+                s"count_star_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+            true
+          case None => false
+        }
+
+      override def build(): Scan = new V1Scan with SupportsReportStatistics {
+        private val (v, cols, filters, nCounts) =
+          (readVersion, required, pushed, countStars)
         override def readSchema(): StructType = cols
         override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new GraftCatalogRelation(context, table, v, cols, filters,
-            partSpec.filterNot(_.contains("(")))
-            .asInstanceOf[T]
+            context: SQLContext): T = {
+          val rel: BaseRelation with TableScan =
+            if (nCounts > 0)
+              new GraftCountRelation(context, table, cols, nCounts)
+            else new GraftCatalogRelation(context, table, v, cols, filters,
+              partSpec.filterNot(_.contains("(")))
+          rel.asInstanceOf[T]
+        }
+
+        /** Manifest-derived size/rows so Catalyst's join strategy sees
+          * real magnitudes (a dimension-sized table auto-broadcasts); a
+          * pushed identity-partition equality scales the estimate to the
+          * planned files — all metadata, never a job. */
+        override def estimateStatistics(): Statistics = new Statistics {
+          private val prunedEntries: Option[Seq[SnapshotTable.FileEntry]] =
+            if (v >= 0 || table.hasPendingDeltas) None
+            else partSpec.filterNot(_.contains("(")).flatMap { pc =>
+              filters.collectFirst {
+                case org.apache.spark.sql.sources.EqualTo(a, value: String)
+                  if a == pc => value
+              }.map { value =>
+                val (pr, residual) = table.planFiles(pc, value)
+                pr ++ residual
+              }
+            }
+          override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(
+            math.max(1L, prunedEntries.map(_.map(_.bytes).sum)
+              .getOrElse(table.manifestSizeBytes)))
+          override def numRows(): util.OptionalLong =
+            prunedEntries.map(es => util.OptionalLong.of(es.map(_.rows).sum))
+              .orElse(table.countFromManifestOpt.map(util.OptionalLong.of))
+              .getOrElse(util.OptionalLong.empty)
+        }
+
         override def description(): String =
           s"GraftV1Scan[$qualifiedName@v${pinned.getOrElse(table.currentVersion)}]"
       }
     }
+
+  // ---- SQL DELETE FROM / TRUNCATE TABLE -----------------------------
+
+  /** `TRUNCATE TABLE` (and `DELETE FROM t` with no WHERE): one OVERWRITE
+    * commit to an empty state — metadata-plus-one-empty-footer, history
+    * and time travel preserved. */
+  override def truncateTable(): Boolean = {
+    require(pinned.isEmpty, s"cannot truncate $qualifiedName pinned at a version")
+    val s = SparkSession.active
+    table.overwriteAll(
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], schema), None)
+    true
+  }
+
+  /** `DELETE FROM … WHERE` lowers to the engine's stat-pruned
+    * copy-on-write delete when the predicate is a numeric interval on
+    * one column (equality / one- or two-sided bounds); anything else is
+    * declined so Spark raises a clear analysis error instead of a wrong
+    * partial delete. Cost: only files whose min/max overlap the interval
+    * rewrite; the rest carry by reference. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty && !table.hasPendingDeltas &&
+      GraftV2Table.numericInterval(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (c, lo, hi) = GraftV2Table.numericInterval(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unsupported DELETE predicate: ${filters.mkString(", ")}"))
+    table.deleteWhere(c, lo, hi, partSpec)
+    ()
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty,
@@ -352,6 +443,54 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
 object GraftV2Table {
   /** Table property recording the partition layout SQL writes use. */
   val PartSpecProp = "partitionSpec"
+
+  /** Folds an ANDed v1 filter array into one inclusive numeric interval
+    * on a single column — the shape [[SnapshotTable.deleteWhere]]
+    * executes with stat pruning. Strict bounds tighten by one ULP
+    * (exact for the integral values column stats hold). None = decline. */
+  def numericInterval(filters: Array[Filter]): Option[(String, Double, Double)] = {
+    import org.apache.spark.sql.sources._
+    def one(f: Filter): Option[(String, Double, Double)] = f match {
+      case EqualTo(a, v: Number) => Some((a, v.doubleValue, v.doubleValue))
+      case GreaterThan(a, v: Number) =>
+        Some((a, Math.nextUp(v.doubleValue), Double.PositiveInfinity))
+      case GreaterThanOrEqual(a, v: Number) =>
+        Some((a, v.doubleValue, Double.PositiveInfinity))
+      case LessThan(a, v: Number) =>
+        Some((a, Double.NegativeInfinity, Math.nextDown(v.doubleValue)))
+      case LessThanOrEqual(a, v: Number) =>
+        Some((a, Double.NegativeInfinity, v.doubleValue))
+      case And(l, r) => merge(one(l), one(r))
+      case _ => None
+    }
+    def merge(a: Option[(String, Double, Double)],
+        b: Option[(String, Double, Double)]): Option[(String, Double, Double)] =
+      for ((c1, lo1, hi1) <- a; (c2, lo2, hi2) <- b; if c1 == c2)
+        yield (c1, math.max(lo1, lo2), math.min(hi1, hi2))
+    filters.map(one).reduceOption(merge).flatten
+      .filter { case (_, lo, hi) => lo <= hi }
+  }
+}
+
+/** One-row relation answering pushed ungrouped COUNT(*) aggregates
+  * straight from the manifest's footer row counts (DV marks
+  * subtracted) — the scan for `SELECT COUNT(*) FROM t` opens zero data
+  * files at any table size. */
+final class GraftCountRelation(context: SQLContext, table: SnapshotTable,
+    required: StructType, nCounts: Int)
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val n = table.countFromManifestOpt.getOrElse(
+      // the builder only pushes when the metadata count was available;
+      // a MoR commit racing in between falls back to the exact count
+      table.countFromManifest)
+    context.sparkContext.parallelize(
+      Seq(Row.fromSeq(Seq.fill(nCounts)(n))), 1)
+  }
 }
 
 /** The v1 relation a [[V1Scan]] lowers to: projected + pre-filtered

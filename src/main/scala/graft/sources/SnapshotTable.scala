@@ -668,6 +668,25 @@ class SnapshotTable(spark: SparkSession, root: String) {
     else read(v).count()
   }
 
+  /** [[countFromManifest]] when it is metadata-only; None on MoR state
+    * (where an exact count must resolve matches — a job). Callers that
+    * must never launch work (stats estimation, aggregate pushdown)
+    * use this. */
+  def countFromManifestOpt: Option[Long] = {
+    val v = currentVersion
+    if (deltaEntries(v).nonEmpty) None
+    else Some(fileEntries(v).map(_.rows).sum - dvEntries(v).map(_.rows).sum)
+  }
+
+  /** True when MoR deltas are pending (scan-time resolution required). */
+  def hasPendingDeltas: Boolean = deltaEntries(currentVersion).nonEmpty
+
+  /** Total referenced bytes straight from the manifest. */
+  def manifestSizeBytes: Long = {
+    val v = currentVersion
+    (fileEntries(v) ++ deltaEntries(v)).map(_.bytes).sum
+  }
+
   /** Create version 0 from `df`, optionally hive-partitioned by
     * `partitionBy` (the column is duplicated into `__p` so data files
     * keep the real column and the manifest keeps the partition value).

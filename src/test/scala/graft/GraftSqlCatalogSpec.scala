@@ -78,6 +78,51 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     intercept[Exception] { sql("SELECT count(k) FROM gtest.prune.t").collect() }
   }
 
+  test("DELETE FROM lowers to the engine's stat-pruned CoW delete; TRUNCATE keeps history") {
+    sql("CREATE NAMESPACE gtest.dml")
+    sql("CREATE TABLE gtest.dml.t (k BIGINT, v STRING)")
+    sql("INSERT INTO gtest.dml.t SELECT id, concat('v', id) FROM range(100)") // v1
+    sql("DELETE FROM gtest.dml.t WHERE k >= 90")                              // v2
+    assert(sql("SELECT count(k) FROM gtest.dml.t").head.getLong(0) == 90)
+    sql("DELETE FROM gtest.dml.t WHERE k = 0")                                // v3
+    assert(sql("SELECT min(k) FROM gtest.dml.t").head.getLong(0) == 1)
+    // unsupported predicate shape → analysis-time refusal, not a wrong delete
+    intercept[Exception] { sql("DELETE FROM gtest.dml.t WHERE v = 'v5'") }
+    assert(sql("SELECT count(k) FROM gtest.dml.t").head.getLong(0) == 89)
+    sql("TRUNCATE TABLE gtest.dml.t")
+    assert(sql("SELECT count(*) FROM gtest.dml.t").head.getLong(0) == 0)
+    assert(sql("SELECT count(*) FROM gtest.dml.t VERSION AS OF 2").head.getLong(0) == 90)
+  }
+
+  test("ungrouped COUNT(*) answers from the manifest without opening data files") {
+    sql("CREATE NAMESPACE gtest.cnt")
+    sql("CREATE TABLE gtest.cnt.t AS SELECT id FROM range(1000)")
+    val counted = sql("SELECT count(*) FROM gtest.cnt.t")
+    assert(counted.head.getLong(0) == 1000)
+    assert(counted.queryExecution.executedPlan.toString.contains("GraftCountRelation"),
+      "expected the pushed-aggregate manifest-count relation in the plan")
+    // physically remove every data file (schema is already cached): the
+    // metadata-answered count still works, a scan-requiring query cannot
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/cnt/t")
+    t.files.foreach(e => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(new java.net.URI(e.path))))
+    assert(sql("SELECT count(*) FROM gtest.cnt.t").head.getLong(0) == 1000)
+    // a filtered count must scan — and therefore fail loudly here
+    intercept[Exception] { sql("SELECT count(*) FROM gtest.cnt.t WHERE id > 5").collect() }
+  }
+
+  test("manifest statistics drive join planning: dimension-sized table broadcasts") {
+    sql("CREATE NAMESPACE gtest.stats")
+    sql("CREATE TABLE gtest.stats.dim AS SELECT id AS k, concat('d', id) AS name FROM range(50)")
+    sql("CREATE TABLE gtest.stats.fact AS SELECT id % 50 AS k, id AS x FROM range(20000)")
+    val df = sql(
+      "SELECT f.x, d.name FROM gtest.stats.fact f JOIN gtest.stats.dim d ON f.k = d.k")
+    assert(df.count() == 20000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$plan")
+  }
+
   test("catalog state is the filesystem: a second catalog over the same root sees everything") {
     sql("CREATE NAMESPACE gtest.persist")
     sql("CREATE TABLE gtest.persist.t AS SELECT id FROM range(5)")
