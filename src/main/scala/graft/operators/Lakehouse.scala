@@ -893,28 +893,34 @@ object Lakehouse {
   // INSERT INTO producing real snapshot-table commits, then queried
   // with native SQL time travel. No temp views over engine state: the
   // catalog resolves names straight from the filesystem layout.
-  private def withSqlCatalog(s: SparkSession, d: String): Unit = {
-    s.conf.set("spark.sql.catalog.graftsql",
+  private def withSqlCatalog(s: SparkSession, d: String): String = {
+    // Spark's CatalogManager caches the catalog INSTANCE on first
+    // resolution, so the name must be dataset-scoped: re-pointing a
+    // cached name's `.root` conf would silently keep serving the first
+    // dataset's tables. Returns the catalog name for interpolation.
+    val cat = s"graftsql_${math.abs(d.hashCode).toHexString}"
+    val root = stagedRoots.computeIfAbsent((d, "sqlcat_root"), _ => {
+      val root = stagedTmp("stage_sqlcat")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.load(s, d, "orders").createOrReplaceTempView("sqlcat_orders_src")
+      s.sql(s"CREATE NAMESPACE $cat.bench")
+      s.sql(s"""CREATE TABLE $cat.bench.orders
+                (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+                PARTITIONED BY (o_orderstatus)""")              // v0
+      s.sql(s"""INSERT INTO $cat.bench.orders
+                SELECT o_orderkey, o_orderstatus, o_totalprice
+                FROM sqlcat_orders_src""")                      // v1
+      s.sql(s"""INSERT INTO $cat.bench.orders
+                SELECT o_orderkey + 10000000, 'X', o_totalprice
+                FROM sqlcat_orders_src WHERE o_orderkey % 7 = 0""") // v2
+      root
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftSqlCatalog].getName)
-    s.conf.set("spark.sql.catalog.graftsql.root",
-      stagedRoots.computeIfAbsent((d, "sqlcat_root"), _ => {
-        val root = stagedTmp("stage_sqlcat")
-        s.conf.set("spark.sql.catalog.graftsql",
-          classOf[graft.sources.GraftSqlCatalog].getName)
-        s.conf.set("spark.sql.catalog.graftsql.root", root)
-        Tables.load(s, d, "orders").createOrReplaceTempView("sqlcat_orders_src")
-        s.sql("CREATE NAMESPACE graftsql.bench")
-        s.sql("""CREATE TABLE graftsql.bench.orders
-                 (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
-                 PARTITIONED BY (o_orderstatus)""")              // v0
-        s.sql("""INSERT INTO graftsql.bench.orders
-                 SELECT o_orderkey, o_orderstatus, o_totalprice
-                 FROM sqlcat_orders_src""")                      // v1
-        s.sql("""INSERT INTO graftsql.bench.orders
-                 SELECT o_orderkey + 10000000, 'X', o_totalprice
-                 FROM sqlcat_orders_src WHERE o_orderkey % 7 = 0""") // v2
-        root
-      }))
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
   }
 
   private val sqlCatalogQuery = OpQuery(
@@ -925,10 +931,10 @@ object Lakehouse {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """),
     (s, d) => {
-      withSqlCatalog(s, d)
-      s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+      val cat = withSqlCatalog(s, d)
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-               FROM graftsql.bench.orders WHERE o_orderstatus <> 'X'
+               FROM $cat.bench.orders WHERE o_orderstatus <> 'X'
                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
@@ -940,10 +946,10 @@ object Lakehouse {
                + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0) AS n_now
     """),
     (s, d) => {
-      withSqlCatalog(s, d)
-      s.sql("""SELECT
-                 (SELECT COUNT(*) FROM graftsql.bench.orders VERSION AS OF 1) AS n_v1,
-                 (SELECT COUNT(*) FROM graftsql.bench.orders) AS n_now""")
+      val cat = withSqlCatalog(s, d)
+      s.sql(s"""SELECT
+                 (SELECT COUNT(*) FROM $cat.bench.orders VERSION AS OF 1) AS n_v1,
+                 (SELECT COUNT(*) FROM $cat.bench.orders) AS n_now""")
     })
 
   // Shallow clone (Delta SHALLOW CLONE analog): metadata-only commit

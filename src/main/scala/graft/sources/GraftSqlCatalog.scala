@@ -99,6 +99,9 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     require(r != null,
       s"graft catalog '$name' requires option spark.sql.catalog.$name.root")
     root = new Path(r)
+    // V1ScanWrapper hides SupportsReportStatistics from the planner; this
+    // rule restores manifest-driven stats for every table in the catalog.
+    graft.plans.V1StatsFallback.register(SparkSession.active)
   }
 
   override def name(): String = catalogName
@@ -150,9 +153,14 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) return false
-    if (!cascade && listTables(namespace).nonEmpty)
+    val contained = listTables(namespace)
+    if (!cascade && contained.nonEmpty)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    // drop cached manifests/schemas for every contained table — manifest
+    // file names are deterministic, so a table later created at the same
+    // path would otherwise be served stale state (dropTable does this too)
+    contained.foreach(snapshotOf(_).invalidateCaches())
     fs.delete(nsPath(namespace), true)
   }
 
@@ -345,7 +353,8 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
           case None => false
         }
 
-      override def build(): Scan = new V1Scan with SupportsReportStatistics {
+      override def build(): Scan = new V1Scan with SupportsReportStatistics
+          with graft.plans.GraftV1StatsScan {
         private val (v, cols, filters, nCounts) =
           (readVersion, required, pushed, countStars)
         override def readSchema(): StructType = cols
@@ -364,22 +373,17 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
           * pushed identity-partition equality scales the estimate to the
           * planned files — all metadata, never a job. */
         override def estimateStatistics(): Statistics = new Statistics {
-          private val prunedEntries: Option[Seq[SnapshotTable.FileEntry]] =
-            if (v >= 0 || table.hasPendingDeltas) None
+          private val prunedSize: Option[(Long, Long)] =
+            if (v >= 0) None
             else partSpec.filterNot(_.contains("(")).flatMap { pc =>
-              filters.collectFirst {
-                case org.apache.spark.sql.sources.EqualTo(a, value: String)
-                  if a == pc => value
-              }.map { value =>
-                val (pr, residual) = table.planFiles(pc, value)
-                pr ++ residual
-              }
+              GraftV2Table.partitionPredicate(filters, pc)
+                .flatMap { case (canon, _) => table.prunedSizeIn(pc, canon) }
             }
           override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(
-            math.max(1L, prunedEntries.map(_.map(_.bytes).sum)
+            math.max(1L, prunedSize.map(_._1)
               .getOrElse(table.manifestSizeBytes)))
           override def numRows(): util.OptionalLong =
-            prunedEntries.map(es => util.OptionalLong.of(es.map(_.rows).sum))
+            prunedSize.map(s => util.OptionalLong.of(s._2))
               .orElse(table.countFromManifestOpt.map(util.OptionalLong.of))
               .getOrElse(util.OptionalLong.empty)
         }
@@ -444,6 +448,36 @@ object GraftV2Table {
   /** Table property recording the partition layout SQL writes use. */
   val PartSpecProp = "partitionSpec"
 
+  /** Canonical directory-string form of a pushed filter value — the form
+    * the partitioned writer names directories with, hence the form the
+    * manifest stores as `partValue`. None for types with no stable
+    * directory form (floating point, decimals, timestamps): those fall
+    * back to the unpruned manifest plan rather than risk a wrong prune. */
+  private def canonPartValue(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+         _: java.lang.Byte | _: java.lang.Boolean => Some(v.toString)
+    case d: java.sql.Date => Some(d.toString)
+    case d: java.time.LocalDate => Some(d.toString)
+    case _ => None
+  }
+
+  /** Extract a partition predicate usable for manifest pruning from the
+    * pushed filter set: `pc = v` or `pc IN (…)` with canonicalizable
+    * values. Returns (canonical directory strings, original typed values
+    * for the residual row filter on foreign-layout files). */
+  def partitionPredicate(pushed: Array[Filter],
+      pc: String): Option[(Seq[String], Seq[Any])] = {
+    import org.apache.spark.sql.sources._
+    pushed.collectFirst {
+      case EqualTo(a, v) if a == pc && canonPartValue(v).isDefined =>
+        (Seq(canonPartValue(v).get), Seq(v))
+      case In(a, vs) if a == pc && vs.nonEmpty && vs.length <= 1000 &&
+          vs.forall(x => x != null && canonPartValue(x).isDefined) =>
+        (vs.map(canonPartValue(_).get).toSeq, vs.toSeq)
+    }
+  }
+
   /** Folds an ANDed v1 filter array into one inclusive numeric interval
     * on a single column — the shape [[SnapshotTable.deleteWhere]]
     * executes with stat pruning. Strict bounds tighten by one ULP
@@ -483,6 +517,9 @@ final class GraftCountRelation(context: SQLContext, table: SnapshotTable,
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
 
+  // one row of longs — always broadcast-sized
+  override def sizeInBytes: Long = math.max(8L, 8L * nCounts)
+
   override def buildScan(): RDD[Row] = {
     val n = table.countFromManifestOpt.getOrElse(
       // the builder only pushes when the metadata count was available;
@@ -508,16 +545,34 @@ final class GraftCatalogRelation(context: SQLContext, table: SnapshotTable,
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
 
+  /** Manifest-derived bytes (partition-scaled when an identity-partition
+    * equality was pushed), so the planner broadcasts dimension-sized
+    * tables on the V1-fallback path too — without this Catalyst sees
+    * `defaultSizeInBytes` (Long.MaxValue) and plans SortMergeJoin for
+    * every catalog join, leaving AQE to rescue after a full fact-side
+    * shuffle. All metadata, never a job. */
+  override lazy val sizeInBytes: Long = {
+    val prunedBytes =
+      if (version >= 0) None
+      else identityPartCol.flatMap { pc =>
+        GraftV2Table.partitionPredicate(pushed, pc)
+          .flatMap { case (canon, _) => table.prunedSizeIn(pc, canon) }
+          .map(_._1)
+      }
+    math.max(1L, prunedBytes.getOrElse(table.manifestSizeBytesAt(version)))
+  }
+
   private def base: DataFrame = {
     // manifest partition pruning: current-version reads only (the
-    // pruned planner works on head state), string-valued equality only
-    // (partition values are stored in canonical string form)
+    // pruned planner works on head state); equality or IN-list on the
+    // identity partition column, any value type with a canonical
+    // directory-string form
     val prunedEq =
       if (version >= 0) None
       else identityPartCol.flatMap { pc =>
-        pushed.collectFirst {
-          case org.apache.spark.sql.sources.EqualTo(a, v: String) if a == pc => v
-        }.flatMap(v => table.prunedWhereCol(pc, v))
+        GraftV2Table.partitionPredicate(pushed, pc).flatMap {
+          case (canon, typed) => table.prunedWhereColIn(pc, canon, typed)
+        }
       }
     prunedEq.getOrElse(table.read(version))
   }

@@ -532,6 +532,40 @@ class SnapshotTable(spark: SparkSession, root: String) {
     if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
   }
 
+  /** [[prunedWhereCol]] generalized to a value SET (SQL `IN`-list, or a
+    * single non-string equality canonicalized to its directory form):
+    * entries partitioned by `colName` keep only the listed partitions
+    * (metadata alone); other-layout entries scan with the typed residual
+    * filter. None when preconditions fail — callers fall back to the
+    * full manifest-planned read with identical row semantics. */
+  def prunedWhereColIn(colName: String, canon: Seq[String],
+      typed: Seq[Any]): Option[DataFrame] = {
+    if (deltaEntries(currentVersion).nonEmpty) return None
+    if (!fileEntries(currentVersion).exists(_.partCol == colName)) return None
+    val vals = canon.toSet
+    val (exact, rest) = fileEntries(currentVersion).partition(_.partCol == colName)
+    val pruned = exact.filter(e => e.partValue != null && vals(e.partValue))
+    val dvs = dvEntries(currentVersion)
+    val parts = Seq(
+      if (pruned.nonEmpty) Some(baseScan(pruned, dvs)) else None,
+      if (rest.nonEmpty)
+        Some(baseScan(rest, dvs).filter(col(colName).isin(typed: _*)))
+      else None).flatten
+    if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
+  }
+
+  /** Manifest bytes/rows for the entries [[prunedWhereColIn]] would plan
+    * (pruned partitions + all residual-layout files) — stats estimation
+    * for the SQL catalog, metadata only. None = no pruning applies. */
+  def prunedSizeIn(colName: String, canon: Seq[String]): Option[(Long, Long)] = {
+    if (hasPendingDeltas) return None
+    if (!fileEntries(currentVersion).exists(_.partCol == colName)) return None
+    val vals = canon.toSet
+    val (exact, rest) = fileEntries(currentVersion).partition(_.partCol == colName)
+    val planned = exact.filter(e => e.partValue != null && vals(e.partValue)) ++ rest
+    Some((planned.map(_.bytes).sum, planned.map(_.rows).sum))
+  }
+
   /** Transform-aware file planning for `colName = value` over hidden
     * partition layouts ([[PartitionTransform]]): returns (identity-pruned
     * — every row matches, no filter needed; transform-pruned — the file's
@@ -682,8 +716,13 @@ class SnapshotTable(spark: SparkSession, root: String) {
   def hasPendingDeltas: Boolean = deltaEntries(currentVersion).nonEmpty
 
   /** Total referenced bytes straight from the manifest. */
-  def manifestSizeBytes: Long = {
-    val v = currentVersion
+  def manifestSizeBytes: Long = manifestSizeBytesAt(currentVersion)
+
+  /** [[manifestSizeBytes]] at a pinned version (negative = current) —
+    * metadata only, never a job. Planner-facing: the v1-fallback
+    * relations report this so join strategy sees real magnitudes. */
+  def manifestSizeBytesAt(version: Int): Long = {
+    val v = if (version >= 0) version else currentVersion
     (fileEntries(v) ++ deltaEntries(v)).map(_.bytes).sum
   }
 
@@ -1495,13 +1534,41 @@ class SnapshotTable(spark: SparkSession, root: String) {
     parseRecord(readFileString(fs, p)) match {
       case _: DeltaRecord =>
         val full = manifestOf(v) // reconstructs (and caches) the state
-        val out = fs.create(p, /* overwrite = */ true)
-        try out.write(manifestJson(full)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        replaceLogFileAtomic(p, manifestJson(full))
       case _: FullRecord => ()
     }
   }
+
+  /** Replace log file `p` with `json` without ever exposing a torn
+    * record: write a complete temp sibling first, then rename it over
+    * the target. `fs.create(overwrite=true)` truncates BEFORE writing —
+    * a crash mid-write would corrupt the checkpoint every retained
+    * DELTA record chains to. Rename is atomic where the store supports
+    * it; on stores whose rename refuses an existing destination the
+    * delete+rename fallback still never exposes a partial file (worst
+    * case the target is briefly absent with the complete temp alongside
+    * for recovery). */
+  private def replaceLogFileAtomic(p: Path, json: String): Unit = {
+    val tmp = writeLogTemp(p, json)
+    publishLogTemp(tmp, p)
+  }
+
+  private def writeLogTemp(target: Path, json: String): Path = {
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, /* overwrite = */ false)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    tmp
+  }
+
+  private def publishLogTemp(tmp: Path, target: Path): Unit =
+    if (!fs.rename(tmp, target)) {
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(
+          s"atomic log rewrite failed: $tmp -> $target")
+    }
 
   /** Time-based retention (Delta `VACUUM … RETAIN n HOURS` analog):
     * drop every version whose commit instant precedes the newest commit
@@ -1532,13 +1599,40 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val oldAbs = new Path(oldRoot).toUri.getPath
     val newAbs = rootPath.toUri.getPath
     require(oldAbs != newAbs, s"rebaseLog: $oldRoot is already this root")
-    versions.foreach { v =>
-      val p = manifestPath(v)
-      val rewritten = readFileString(fs, p).replace(oldAbs + "/", newAbs + "/")
-      val out = fs.create(p, /* overwrite = */ true)
-      try out.write(rewritten.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+    val oldPrefix = oldAbs + "/"
+    val newPrefix = newAbs + "/"
+    // Structural rewrite: parse each record and swap the root on
+    // path-bearing fields ONLY (entry paths, rm_* path arrays). A raw
+    // text substitution would also rewrite an occurrence of the old root
+    // inside non-path fields — partition values, min/max stat strings —
+    // corrupting metadata.
+    def swap(p: String): String = {
+      val i = p.indexOf(oldPrefix) // paths may carry a scheme prefix
+      if (i < 0) p
+      else p.substring(0, i) + newPrefix + p.substring(i + oldPrefix.length)
     }
+    def swapEntries(es: Seq[FileEntry]): Seq[FileEntry] =
+      es.map(e => e.copy(path = swap(e.path)))
+    val rewritten: Seq[(Path, String)] = versions.map { v =>
+      val p = manifestPath(v)
+      val json = parseRecord(readFileString(fs, p)) match {
+        case FullRecord(m) => manifestJson(m.copy(
+          files = swapEntries(m.files), deltas = swapEntries(m.deltas),
+          changes = swapEntries(m.changes), dvs = swapEntries(m.dvs)))
+        case d: DeltaRecord => deltaRecordJson(d.copy(
+          addFiles = swapEntries(d.addFiles), rmFiles = d.rmFiles.map(swap),
+          addDeltas = swapEntries(d.addDeltas), rmDeltas = d.rmDeltas.map(swap),
+          addDvs = swapEntries(d.addDvs), rmDvs = d.rmDvs.map(swap),
+          changes = swapEntries(d.changes)))
+      }
+      (p, json)
+    }
+    // Two-phase publish: every rewritten record lands complete in a temp
+    // file before any target is touched, then temps rename over their
+    // targets in version order — a crash leaves each log file either old
+    // or new, never torn.
+    val staged = rewritten.map { case (p, json) => (writeLogTemp(p, json), p) }
+    staged.foreach { case (tmp, p) => publishLogTemp(tmp, p) }
     invalidateCachesUnder(oldAbs)
     invalidateCachesUnder(newAbs)
   }
@@ -1912,6 +2006,30 @@ object SnapshotTable {
       if (newTxns.nonEmpty) rootN.set[JsonNode]("txns", txnNode(newTxns))
       rootN.toString
     }
+  }
+
+  /** Re-serialize a parsed [[DeltaRecord]] — same shape [[deltaJson]]
+    * writes (rm_* sets come back sorted; set semantics, so content is
+    * identical). Used by [[rebaseLog]]'s structural path rewrite. */
+  private def deltaRecordJson(d: DeltaRecord): String = {
+    val rootN = mapper.createObjectNode()
+    rootN.put("version", d.version)
+    rootN.put("base", d.version - 1)
+    rootN.put("operation", d.operation)
+    if (d.mergeKeys.nonEmpty) rootN.put("merge_keys", d.mergeKeys.mkString(","))
+    def strArr(xs: Seq[String]): ArrayNode = {
+      val a = mapper.createArrayNode(); xs.foreach(a.add); a
+    }
+    if (d.addFiles.nonEmpty) rootN.set[JsonNode]("add_files", entryArray(d.addFiles))
+    if (d.rmFiles.nonEmpty) rootN.set[JsonNode]("rm_files", strArr(d.rmFiles.toSeq.sorted))
+    if (d.addDeltas.nonEmpty) rootN.set[JsonNode]("add_deltas", entryArray(d.addDeltas))
+    if (d.rmDeltas.nonEmpty) rootN.set[JsonNode]("rm_deltas", strArr(d.rmDeltas.toSeq.sorted))
+    if (d.addDvs.nonEmpty) rootN.set[JsonNode]("add_dvs", entryArray(d.addDvs))
+    if (d.rmDvs.nonEmpty) rootN.set[JsonNode]("rm_dvs", strArr(d.rmDvs.toSeq.sorted))
+    if (d.changes.nonEmpty) rootN.set[JsonNode]("changes", entryArray(d.changes))
+    if (d.ts != 0L) rootN.put("ts", d.ts)
+    if (d.newTxns.nonEmpty) rootN.set[JsonNode]("txns", txnNode(d.newTxns))
+    rootN.toString
   }
 
   /** Parse one log file — a FULL manifest (no `base` field; every log

@@ -155,6 +155,16 @@ class SnapshotStreamSource(
       }
     } else op match {
       case op if SnapshotStreamSource.AppendOps(op) =>
+        // Same unresolved-state guard as data mode: a v0 CLONE carrying
+        // pending MoR deltas or DV marks must not stream its physical
+        // files as 'insert' rows — shadowed base copies and tombstone
+        // delta rows are not inserts. Fail loudly; compact first.
+        if (table.commitEmitsUnresolvedState(v))
+          throw new UnsupportedOperationException(
+            s"change-feed stream at version $v ($op) carries pending MoR " +
+              "deltas or deletion-vector marks: its physical files are " +
+              "not plain 'insert' rows. Compact the table before " +
+              "streaming it (or start from a later, resolved version).")
         val added = table.commitAddedDataFiles(v)
         if (added.isEmpty) None
         else Some(table.readEntriesDf(added)
@@ -390,6 +400,12 @@ class SnapshotRelation(
   private def df: DataFrame = table.read(version)
 
   override val schema: StructType = df.schema
+
+  /** Manifest-derived bytes at this version so Catalyst's join strategy
+    * sees real magnitudes (dimension-sized tables broadcast) instead of
+    * `defaultSizeInBytes`. Metadata only, never a job. */
+  override lazy val sizeInBytes: Long =
+    math.max(1L, table.manifestSizeBytesAt(version))
 
   override def buildScan(
       requiredColumns: Array[String],

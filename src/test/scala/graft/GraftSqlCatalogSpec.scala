@@ -78,6 +78,25 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     intercept[Exception] { sql("SELECT count(k) FROM gtest.prune.t").collect() }
   }
 
+  test("IN-list and non-string partition equality prune from the manifest") {
+    sql("CREATE NAMESPACE gtest.prune2")
+    sql("CREATE TABLE gtest.prune2.t (k BIGINT, bucket INT) PARTITIONED BY (bucket)")
+    sql("INSERT INTO gtest.prune2.t VALUES (1, 0), (2, 1), (3, 2), (4, 0), (5, 1)")
+    // physically delete bucket 2's files: IN (0, 1) and = 0 queries can
+    // succeed only if the manifest prune never plans the bucket-2 files
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/prune2/t")
+    val b2 = t.files.filter(_.partValue == "2")
+    assert(b2.nonEmpty)
+    b2.foreach(e => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(new java.net.URI(e.path))))
+    assert(sql("SELECT k FROM gtest.prune2.t WHERE bucket IN (0, 1) ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 5L))
+    assert(sql("SELECT k FROM gtest.prune2.t WHERE bucket = 0 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    intercept[Exception] { sql("SELECT count(k) FROM gtest.prune2.t").collect() }
+  }
+
   test("DELETE FROM lowers to the engine's stat-pruned CoW delete; TRUNCATE keeps history") {
     sql("CREATE NAMESPACE gtest.dml")
     sql("CREATE TABLE gtest.dml.t (k BIGINT, v STRING)")
