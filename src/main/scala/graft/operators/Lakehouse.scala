@@ -887,6 +887,66 @@ object Lakehouse {
       live.join(summ, Seq("o_orderstatus")).orderBy("o_orderstatus")
     })
 
+  // The transaction database addressed purely by SQL names: the
+  // catalog recognizes a namespace that IS a GraftDatabase root and
+  // pins member tables at the latest PUBLISHED snapshot — the `USE db`
+  // analogy with cross-table atomicity. VERSION AS OF in a db
+  // namespace means the DB version, so both members AS OF 0 are
+  // mutually consistent by construction.
+  private def withTxnDbCatalog(s: SparkSession, d: String): (String, String) = {
+    val db = stagedTxnDb(s, d)
+    val p = new org.apache.hadoop.fs.Path(db.root)
+    val cat = s"graftsqldb_${math.abs(d.hashCode).toHexString}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftSqlCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", p.getParent.toString)
+    (cat, p.getName)
+  }
+
+  private val sqlCatalogDbTxn = OpQuery(
+    "sql_catalog_db_txn",
+    Some(multiTableTxnOracle),
+    (s, d) => {
+      val (cat, ns) = withTxnDbCatalog(s, d)
+      s.sql(s"""
+        SELECT l.o_orderstatus, l.n_live, l.sum_live,
+               r.n_summary, r.sum_summary
+        FROM (SELECT o_orderstatus, COUNT(*) AS n_live,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_live
+              FROM $cat.$ns.facts GROUP BY o_orderstatus) l
+        JOIN (SELECT o_orderstatus, n AS n_summary,
+                     CAST(sp AS DOUBLE) AS sum_summary
+              FROM $cat.$ns.summary) r
+          ON l.o_orderstatus = r.o_orderstatus
+        ORDER BY l.o_orderstatus""")
+    })
+
+  private val sqlCatalogDbAsof = OpQuery(
+    "sql_catalog_db_asof",
+    Some("""
+      WITH agg AS (
+        SELECT o_orderstatus, COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+        FROM orders GROUP BY o_orderstatus)
+      SELECT o_orderstatus, n AS n_live, CAST(sp AS DOUBLE) AS sum_live,
+             n AS n_summary, CAST(sp AS DOUBLE) AS sum_summary
+      FROM agg ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val (cat, ns) = withTxnDbCatalog(s, d)
+      s.sql(s"""
+        SELECT l.o_orderstatus, l.n_live, l.sum_live,
+               r.n_summary, r.sum_summary
+        FROM (SELECT o_orderstatus, COUNT(*) AS n_live,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_live
+              FROM $cat.$ns.facts VERSION AS OF 0 GROUP BY o_orderstatus) l
+        JOIN (SELECT o_orderstatus, n AS n_summary,
+                     CAST(sp AS DOUBLE) AS sum_summary
+              FROM $cat.$ns.summary VERSION AS OF 0) r
+          ON l.o_orderstatus = r.o_orderstatus
+        ORDER BY l.o_orderstatus""")
+    })
+
   // ---------------------------------------------------------------
   // DSv2 SQL catalog (GraftSqlCatalog): the engine addressed purely by
   // SQL names — CREATE NAMESPACE / CREATE TABLE PARTITIONED BY /
@@ -922,6 +982,90 @@ object Lakehouse {
     s.conf.set(s"spark.sql.catalog.$cat.root", root)
     cat
   }
+
+  // Row-level SQL DML (UPDATE / MERGE INTO) executes as a group-based
+  // copy-on-write rewrite: the whole replacement query runs distributed
+  // and commits as one OVERWRITE under the table's partition layout
+  // (GraftRowLevelOps). These gates MUTATE their table, so each
+  // invocation builds a fresh catalog over a fresh root — the staged
+  // read-only catalog (withSqlCatalog) is never touched.
+  private val sqlDmlCatCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def freshSqlCatalogOrders(s: SparkSession, d: String): String = {
+    val cat = s"graftsqlw${sqlDmlCatCounter.incrementAndGet()}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftSqlCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", tmp("sqlcat_dml"))
+    Tables.load(s, d, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .createOrReplaceTempView("sqldml_orders_src")
+    s.sql(s"CREATE NAMESPACE $cat.bench")
+    s.sql(s"""CREATE TABLE $cat.bench.orders PARTITIONED BY (o_orderstatus)
+              AS SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM sqldml_orders_src""")                         // v0
+    cat
+  }
+
+  private val sqlCatalogUpdate = OpQuery(
+    "sql_catalog_update",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice
+               + CASE WHEN o_orderkey % 5 = 0 THEN 100.0 ELSE 0.0 END
+               AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val cat = freshSqlCatalogOrders(s, d)
+      s.sql(s"""UPDATE $cat.bench.orders
+                SET o_totalprice = o_totalprice + 100.0
+                WHERE o_orderkey % 5 = 0""")                     // v1 (CoW)
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM $cat.bench.orders
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
+  private val sqlCatalogMerge = OpQuery(
+    "sql_catalog_merge",
+    Some("""
+      WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'O', o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0),
+      merged AS (
+        SELECT o_orderstatus, o_totalprice FROM orders t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderkey = t.o_orderkey
+                            AND s.o_orderstatus = t.o_orderstatus)
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM src)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val cat = freshSqlCatalogOrders(s, d)
+      s.sql(s"""MERGE INTO $cat.bench.orders t
+                USING (SELECT o_orderkey, o_orderstatus,
+                              o_totalprice + 1000.0 AS o_totalprice
+                       FROM sqldml_orders_src WHERE o_orderkey % 10 = 0
+                       UNION ALL
+                       SELECT o_orderkey + 10000000, 'O', o_totalprice
+                       FROM sqldml_orders_src WHERE o_orderkey % 17 = 0) s
+                ON t.o_orderkey = s.o_orderkey
+                   AND t.o_orderstatus = s.o_orderstatus
+                WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+                WHEN NOT MATCHED THEN INSERT
+                  (o_orderkey, o_totalprice, o_orderstatus)
+                  VALUES (s.o_orderkey, s.o_totalprice, s.o_orderstatus)""") // v1
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM $cat.bench.orders
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
 
   private val sqlCatalogQuery = OpQuery(
     "sql_catalog_query",
@@ -1604,5 +1748,6 @@ object Lakehouse {
     concurrentMerge, sinkExactlyOnce, insertOverwrite, optimizeSmallFiles,
     partitionXformTime, partitionXformBucket, metadataPartitions,
     exportSymlink, tableReaderFormat, multiTableTxn, multiTableTxnAsof,
-    sqlCatalogQuery, sqlCatalogTimeTravel)
+    sqlCatalogQuery, sqlCatalogTimeTravel, sqlCatalogUpdate, sqlCatalogMerge,
+    sqlCatalogDbTxn, sqlCatalogDbAsof)
 }

@@ -1,0 +1,99 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ReplaceData}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.col
+
+import graft.sources.{GraftV2Table, SnapshotTable}
+
+/** Executes SQL UPDATE / MERGE INTO (and non-interval DELETE) against
+  * graft catalog tables.
+  *
+  * Spark's analyzer rewrites those statements into a group-based
+  * [[ReplaceData]] command once the table implements
+  * `SupportsRowLevelOperations`: the command's `query` is the complete
+  * new content of every replacement group the row-level scan read —
+  * carried rows, updated rows, and merge-inserted rows. graft's
+  * row-level scan reads the whole current snapshot (one group, no
+  * pushdown — see `GraftV2Table.newRowLevelOperationBuilder`), so the
+  * query IS the table's next state and the correct commit is a
+  * full-table OVERWRITE under the table's recorded partition layout.
+  *
+  * Spark's own `ReplaceDataExec` requires a DSv2 `BatchWrite` (no V1
+  * fallback exists for row-level writes), which would mean hand-rolling
+  * an executor-side parquet row writer. Instead this strategy plans the
+  * command onto the engine's existing DataFrame write path: the
+  * replacement query stays a fully distributed Catalyst plan (scan
+  * pruning, codegen, AQE all intact) flowing into the same
+  * `overwriteAll` commit SQL INSERT OVERWRITE uses — only the plan
+  * hand-off happens on the driver. Registered ahead of the built-in
+  * strategies via `spark.experimental.extraStrategies`, so Spark's
+  * `ReplaceDataExec` is never reached for graft tables.
+  *
+  * Metadata-only DELETE is unaffected: Spark's
+  * `OptimizeMetadataOnlyDeleteFromTable` still converts a ReplaceData
+  * whose condition passes `canDeleteWhere` back to the stat-pruned
+  * `deleteWhere` path before this strategy ever sees it.
+  */
+object GraftRowLevelOps extends SparkStrategy {
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case r: ReplaceData =>
+      graftTableOf(r.originalTable).map { t =>
+        GraftReplaceDataExec(t.snapshot, t.writePartSpec, r.query) :: Nil
+      }.getOrElse(Nil)
+    case _ => Nil
+  }
+
+  private def graftTableOf(rel: Any): Option[GraftV2Table] = rel match {
+    // ReplaceData.originalTable carries the UNWRAPPED table (the rewrite
+    // rules wrap only `table`, in a private[sql] RowLevelOperationTable)
+    case d: DataSourceV2Relation => d.table match {
+      case t: GraftV2Table => Some(t)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Append this strategy to `spark.experimental.extraStrategies` once
+    * per session (extra strategies run before the built-ins). */
+  def register(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(this))
+      spark.experimental.extraStrategies = cur :+ this
+  }
+}
+
+/** Physical node for a graft [[ReplaceData]]: run the replacement query
+  * as a distributed DataFrame and commit it as one OVERWRITE under the
+  * table's partition layout. Runs once (commands are eagerly executed);
+  * output is empty like Spark's own row-level write execs. */
+final case class GraftReplaceDataExec(
+    snapshot: SnapshotTable,
+    partSpec: Option[String],
+    query: LogicalPlan) extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Seq.empty
+
+  private lazy val done: Unit = {
+    val spark = SparkSession.active
+    val df = org.apache.spark.sql.GraftStreamShim.ofRows(spark, query)
+    // align to the table's column order and drop any metadata columns
+    // the rewrite appended to the replacement query
+    val cols = snapshot.read().schema.fieldNames.toIndexedSeq
+    snapshot.overwriteAll(df.select(cols.map(col): _*), partSpec)
+    ()
+  }
+
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    done
+    sparkContext.emptyRDD[InternalRow]
+  }
+}

@@ -44,18 +44,25 @@ object V1StatsFallback extends Rule[LogicalPlan] {
     * requires DELETE/row-level commands to keep their v2 relation. */
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
-    case r: DataSourceV2ScanRelation if isGraftV1(r) =>
-      val scan = r.scan.asInstanceOf[V1ScanWrapper].v1Scan
-      val rel = scan.toV1TableScan[BaseRelation with TableScan](
-        SparkSession.active.sqlContext)
-      LogicalRelation(rel, r.output, None, isStreaming = false, stream = None)
+    case r: DataSourceV2ScanRelation =>
+      graftV1Of(r).map { scan =>
+        val rel = scan.toV1TableScan[BaseRelation with TableScan](
+          SparkSession.active.sqlContext)
+        LogicalRelation(rel, r.output, None, isStreaming = false, stream = None)
+      }.getOrElse(r)
     case other => other.mapChildren(rewrite)
   }
 
-  private def isGraftV1(r: DataSourceV2ScanRelation): Boolean = r.scan match {
-    case w: V1ScanWrapper => w.v1Scan.isInstanceOf[GraftV1StatsScan]
-    case _ => false
-  }
+  /** The marked graft V1 scan, whether push-down wrapped it (normal
+    * reads) or left it raw (the row-level-operation scan, which Spark
+    * would otherwise plan as an unsupported `BatchScanExec`). */
+  private def graftV1Of(r: DataSourceV2ScanRelation): Option[V1Scan] =
+    r.scan match {
+      case w: V1ScanWrapper if w.v1Scan.isInstanceOf[GraftV1StatsScan] =>
+        Some(w.v1Scan)
+      case s: GraftV1StatsScan => Some(s)
+      case _ => None
+    }
 
   /** Append this rule to `spark.experimental.extraOptimizations` once per
     * session — the only extension point that runs after

@@ -102,6 +102,9 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     // V1ScanWrapper hides SupportsReportStatistics from the planner; this
     // rule restores manifest-driven stats for every table in the catalog.
     graft.plans.V1StatsFallback.register(SparkSession.active)
+    // UPDATE / MERGE INTO / CoW-DELETE execute through the engine's
+    // DataFrame write path instead of Spark's BatchWrite-only exec.
+    graft.plans.GraftRowLevelOps.register(SparkSession.active)
   }
 
   override def name(): String = catalogName
@@ -182,11 +185,47 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     new GraftV2Table(t, pinned, s"$catalogName.${ident.namespace.head}.${ident.name}")
   }
 
-  override def loadTable(ident: Identifier): Table = loadPinned(ident, None)
+  /** The namespace's transaction database, when the namespace directory
+    * IS a [[GraftDatabase]] root (it contains a `_graft_db_log`). Member
+    * tables of such a namespace resolve through the latest PUBLISHED db
+    * snapshot — the SQL face of the engine's atomic multi-table
+    * transactions, and the `USE db` analogy: a query joining two members
+    * sees either every table at its pre-txn version or every table at
+    * its post-txn version, never a mix. Unpublished commits (a crashed
+    * txn's orphans, or a table never published) stay invisible; a table
+    * absent from every snapshot falls back to plain head resolution. */
+  private def databaseOf(ns: Array[String]): Option[GraftDatabase] = {
+    if (ns.length != 1) return None
+    val p = new Path(nsPath(ns), "_graft_db_log")
+    if (fs.exists(p))
+      Some(new GraftDatabase(SparkSession.active, nsPath(ns).toString))
+    else None
+  }
 
-  /** SQL `VERSION AS OF <v>`. */
+  override def loadTable(ident: Identifier): Table = {
+    val dbPin = databaseOf(ident.namespace).flatMap { db =>
+      if (db.currentVersion < 0) None
+      else db.tableVersions().get(ident.name)
+    }
+    loadPinned(ident, dbPin)
+  }
+
+  /** SQL `VERSION AS OF <v>`: the table's own version — except in a
+    * database namespace, where `v` is the DB snapshot version and the
+    * table pins at whatever that snapshot published for it (cross-table
+    * time travel: two members AS OF the same db version are mutually
+    * consistent by construction). */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadPinned(ident, Some(version.toInt))
+    databaseOf(ident.namespace) match {
+      case Some(db) =>
+        val pins = db.tableVersions(version.toInt)
+        val pin = pins.getOrElse(ident.name,
+          throw new IllegalArgumentException(
+            s"${ident.name} is not published in db snapshot $version " +
+              s"(members: ${pins.keys.toSeq.sorted.mkString(",")})"))
+        loadPinned(ident, Some(pin))
+      case None => loadPinned(ident, Some(version.toInt))
+    }
 
   /** SQL `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
@@ -274,9 +313,61 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   * (INSERT OVERWRITE, via `SupportsTruncate`). */
 final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
     qualifiedName: String) extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def readVersion: Int = pinned.getOrElse(-1)
+
+  /** Engine handles for graft.plans.GraftRowLevelOps, which executes
+    * UPDATE / MERGE / CoW-DELETE rewrites through the snapshot commit. */
+  private[graft] def snapshot: SnapshotTable = table
+  private[graft] def writePartSpec: Option[String] = partSpec
+
+  /** SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE: group-based
+    * copy-on-write with the whole current snapshot as one replacement
+    * group. The scan deliberately implements NO pushdown interfaces —
+    * every row must be read back so unchanged rows carry through the
+    * replacement query (a pushed row filter would silently DROP them
+    * from the rewrite). The write is a marker: execution happens in
+    * [[graft.plans.GraftRowLevelOps]], which commits the replacement
+    * query as one OVERWRITE under the table's partition layout. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"cannot run ${info.command} against $qualifiedName pinned at a version")
+    import org.apache.spark.sql.connector.write.{RowLevelOperation, RowLevelOperationBuilder, WriteBuilder => WB, Write => W}
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command
+        override def newScanBuilder(
+            options: CaseInsensitiveStringMap): ScanBuilder =
+          new ScanBuilder {
+            // GraftV1StatsScan: the row-level read path never V1-wraps,
+            // so V1StatsFallback must lower this scan to its relation
+            // itself (Spark would otherwise plan an unsupported
+            // BatchScanExec over the raw V1Scan)
+            override def build(): Scan = new V1Scan
+                with graft.plans.GraftV1StatsScan {
+              override def readSchema(): StructType = schema
+              override def toV1TableScan[
+                  T <: BaseRelation with TableScan](
+                  context: SQLContext): T =
+                new GraftCatalogRelation(context, table, -1, schema,
+                  Array.empty, None).asInstanceOf[T]
+            }
+          }
+        override def newWriteBuilder(
+            winfo: org.apache.spark.sql.connector.write.LogicalWriteInfo): WB =
+          new WB {
+            override def build(): W = new W {
+              override def description(): String =
+                s"GraftReplaceData[$qualifiedName]"
+            }
+          }
+      }
+    }
+  }
 
   /** The layout every INSERT writes under: the recorded table property
     * when present (survives empty creates), else inferred from the

@@ -44,6 +44,14 @@ object GraftStreamShim {
       cs.sparkContext.emptyRDD[InternalRow], schema, isStreaming = true)
   }
 
+  /** Plan→DataFrame bridge for the row-level-operation executor
+    * (graft.plans.GraftRowLevelOps): a `ReplaceData` command's
+    * replacement query is a LogicalPlan, and executing it through the
+    * engine's DataFrame write path needs `Dataset.ofRows` — which is
+    * `private[sql]`, hence this bridge. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** The inverse bridge, for the SINK side: a v1 `Sink.addBatch` receives
     * a DataFrame bound to the micro-batch's IncrementalExecution, which
     * batch writers reject (`isStreaming = true`). Re-wrap its physical

@@ -105,12 +105,53 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT count(k) FROM gtest.dml.t").head.getLong(0) == 90)
     sql("DELETE FROM gtest.dml.t WHERE k = 0")                                // v3
     assert(sql("SELECT min(k) FROM gtest.dml.t").head.getLong(0) == 1)
-    // unsupported predicate shape → analysis-time refusal, not a wrong delete
-    intercept[Exception] { sql("DELETE FROM gtest.dml.t WHERE v = 'v5'") }
-    assert(sql("SELECT count(k) FROM gtest.dml.t").head.getLong(0) == 89)
+    // a predicate the metadata path declines (string equality) falls
+    // through to the row-level copy-on-write rewrite instead of failing
+    sql("DELETE FROM gtest.dml.t WHERE v = 'v5'")                             // v4
+    assert(sql("SELECT count(k) FROM gtest.dml.t").head.getLong(0) == 88)
+    assert(sql("SELECT count(*) FROM gtest.dml.t WHERE v = 'v5'").head.getLong(0) == 0)
     sql("TRUNCATE TABLE gtest.dml.t")
     assert(sql("SELECT count(*) FROM gtest.dml.t").head.getLong(0) == 0)
     assert(sql("SELECT count(*) FROM gtest.dml.t VERSION AS OF 2").head.getLong(0) == 90)
+  }
+
+  test("UPDATE through SQL commits a copy-on-write rewrite with history") {
+    sql("CREATE NAMESPACE gtest.upd")
+    sql("CREATE TABLE gtest.upd.t (k BIGINT, status STRING, price DOUBLE) PARTITIONED BY (status)")
+    sql("""INSERT INTO gtest.upd.t
+           SELECT id, CASE WHEN id % 2 = 0 THEN 'O' ELSE 'F' END, CAST(id AS DOUBLE)
+           FROM range(100)""")                                                // v1
+    sql("UPDATE gtest.upd.t SET price = price + 1000 WHERE k % 10 = 0")       // v2
+    assert(sql("SELECT sum(price) FROM gtest.upd.t").head.getDouble(0) ==
+      (0 until 100).map(_.toDouble).sum + 10 * 1000.0)
+    assert(sql("SELECT count(*) FROM gtest.upd.t").head.getLong(0) == 100)
+    // history: pre-update state still time-travels
+    assert(sql("SELECT sum(price) FROM gtest.upd.t VERSION AS OF 1")
+      .head.getDouble(0) == (0 until 100).map(_.toDouble).sum)
+    // partition layout survives the rewrite (status files still prune)
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/upd/t")
+    assert(t.files.forall(_.partCol == "status"))
+  }
+
+  test("MERGE INTO through SQL: matched update + not-matched insert") {
+    sql("CREATE NAMESPACE gtest.mrg")
+    sql("CREATE TABLE gtest.mrg.t (k BIGINT, v STRING)")
+    sql("INSERT INTO gtest.mrg.t SELECT id, concat('old', id) FROM range(10)") // v1
+    spark.range(5, 15).selectExpr("id AS k", "concat('new', id) AS v")
+      .createOrReplaceTempView("mrg_src")
+    sql("""MERGE INTO gtest.mrg.t t USING mrg_src s ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")          // v2
+    val rows = sql("SELECT k, v FROM gtest.mrg.t ORDER BY k").collect()
+    assert(rows.length == 15)
+    assert(rows.take(5).map(_.getString(1)).toSeq ==
+      (0 until 5).map(i => s"old$i"))
+    assert(rows.drop(5).map(_.getString(1)).toSeq ==
+      (5 until 15).map(i => s"new$i"))
+    // pre-merge state still time-travels
+    assert(sql("SELECT count(*) FROM gtest.mrg.t VERSION AS OF 1")
+      .head.getLong(0) == 10)
   }
 
   test("ungrouped COUNT(*) answers from the manifest without opening data files") {
@@ -140,6 +181,38 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(df.count() == 20000)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$plan")
+  }
+
+  test("a database namespace resolves members through published db snapshots") {
+    import org.apache.spark.sql.functions.lit
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val db = new graft.sources.GraftDatabase(spark, s"$root/txndb")
+    val facts0 = spark.range(10).toDF("k").withColumn("grp", lit("a"))
+    db.transact(Seq("facts", "summary")) { d =>
+      d.table("facts").create(facts0): Unit
+      d.table("summary").create(facts0.groupBy("grp").count()): Unit
+    }                                                               // db v0
+    db.transact(Seq("facts", "summary")) { d =>
+      val t = d.table("facts").append(spark.range(10, 25).toDF("k")
+        .withColumn("grp", lit("a")))
+      d.table("summary").overwriteAll(t.read().groupBy("grp").count()): Unit
+    }                                                               // db v1
+    // published head: both members consistent at db v1
+    assert(sql("SELECT count(*) FROM gtest.txndb.facts").head.getLong(0) == 25)
+    assert(sql("SELECT count FROM gtest.txndb.summary").head.getLong(0) == 25)
+    // VERSION AS OF in a db namespace = DB version: cross-table consistent
+    assert(sql("SELECT count(*) FROM gtest.txndb.facts VERSION AS OF 0")
+      .head.getLong(0) == 10)
+    assert(sql("SELECT count FROM gtest.txndb.summary VERSION AS OF 0")
+      .head.getLong(0) == 10)
+    // an UNPUBLISHED commit (a crashed txn's orphan) stays invisible
+    db.table("facts").append(spark.range(25, 30).toDF("k")
+      .withColumn("grp", lit("a")))
+    assert(sql("SELECT count(*) FROM gtest.txndb.facts").head.getLong(0) == 25)
+    // writes through SQL bypass the txn log and are rejected loudly
+    intercept[Exception] {
+      sql("INSERT INTO gtest.txndb.facts VALUES (99, 'a')")
+    }
   }
 
   test("catalog state is the filesystem: a second catalog over the same root sees everything") {
