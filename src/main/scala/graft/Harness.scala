@@ -159,9 +159,19 @@ object Harness {
     val extraJson = extras.map { case (k, v) => jstr(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.filter(_.ok).map(_.medianSec).sum
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
+    s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""tpcds_result_seconds":${num(tpcdsResultSeconds(results))},""" +
+      s""""queries":$qs,""" +
       s""""planning":$planning,"extras":$extraJson,"env":$envJson,"sf":"$sfDir"}"""
   }
+
+  /** The reference's exact `tpcds-result-seconds` headline
+    * (TPCDSBenchmark.scala:99-108): sum of per-query MEDIANS over the
+    * TPC-DS corpus queries alone — the protocol number a lakehouse
+    * paper quotes, comparable round over round at a glance. */
+  def tpcdsResultSeconds(results: Seq[QueryResult]): Double =
+    results.filter(r => r.ok && r.name.startsWith("tpcds_q"))
+      .map(_.medianSec).sum
 
   /** Queries surfaced in the one-line stdout report. Kept to a fixed
     * representative subset: the driver captures only the LAST 2000 chars
@@ -215,9 +225,12 @@ object Harness {
       val exPart = if (ex.isEmpty) ""
         else s""""extras":${ex.map { case (k, v) => jstr(k) + ":" + num(v) }
           .mkString("{", ",", "}")},"""
+      val tpcds = tpcdsResultSeconds(results)
+      val tpcdsPart =
+        if (tpcds > 0) s""""tpcds_result_seconds":${num(tpcds)},""" else ""
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
         s""""n_queries":${results.size},"n_failed":${results.size - ok.size},""" +
-        s""""planning_total":${num(planningTotal)},$exPart"queries":$qs,""" +
+        s""""planning_total":${num(planningTotal)},$tpcdsPart$exPart"queries":$qs,""" +
         s""""report":${jstr(reportPath)},"sf":"$sfDir"}"""
     }
     // The full report always carries everything; the compact line must

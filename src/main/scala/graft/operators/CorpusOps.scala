@@ -135,13 +135,16 @@ object CorpusOps {
         .agg(min(col("ct.doc_id")).as("exact_id"))
       // near tier: batch band rows probe the index on (band, key); the
       // signature-fraction estimate is computed per colliding pair only
+      // no distinct over the collision rows: a pair colliding in several
+      // bands yields identical (bid, cid, est_sim) rows, which the
+      // min/max aggregate below absorbs — a distinct here would add a
+      // full shuffle of the candidate set for nothing
       val cand = bandsOf(Dedup.minhashSignaturesOf(s, batch)).as("a")
         .join(corpusBands.as("b"),
           col("a.b") === col("b.b") && col("a.k") === col("b.k"))
         .select(col("a.doc_id").as("bid"), col("b.doc_id").as("cid"),
           (expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))") / 16.0)
             .as("est_sim"))
-        .distinct()
         .filter(col("est_sim") >= 0.5)
       val nearM = cand.groupBy("bid")
         .agg(min("cid").as("near_id"), max("est_sim").as("best_sim"))

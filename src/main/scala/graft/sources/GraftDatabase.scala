@@ -130,6 +130,43 @@ final class GraftDatabase(spark: SparkSession, val root: String) {
   def read(name: String, dbVersion: Int = -1): DataFrame =
     table(name).read(tableVersions(dbVersion)(name))
 
+  /** Reclaim storage outside the retained published snapshots — the
+    * "vacuumable" half of the orphan story (the other half is simply
+    * re-[[publish]]ing). Two sweeps per member table, both bounded by
+    * the retained pins so no published state is ever touched:
+    *
+    *  1. Crash orphans: UNPUBLISHED table versions ABOVE the member's
+    *     newest retained pin (a transaction that committed its table
+    *     halves but died before the atomic db publish) roll back via
+    *     [[SnapshotTable.rollbackTo]] — by construction no db reader
+    *     has ever observed them.
+    *  2. History: versions BELOW the member's oldest retained pin
+    *     reclaim through the table-level [[SnapshotTable.vacuum]]
+    *     retention path, and db snapshot files below the oldest
+    *     retained db version are dropped.
+    *
+    * Returns per-table counts of rolled-back orphan versions. Cost is
+    * O(log records + reclaimed files) metadata and deletes — never a
+    * data scan. */
+  def vacuum(retainDbVersions: Int = 1): Map[String, Int] = {
+    require(retainDbVersions >= 1, "must retain at least the current snapshot")
+    val cur = currentVersion
+    require(cur >= 0, s"database $root has no published snapshot")
+    val oldest = math.max(0, cur - retainDbVersions + 1)
+    val retained = (oldest to cur).map(tableVersions(_))
+    val members = retained.flatMap(_.keys).toSet
+    val counts = members.toSeq.sorted.map { n =>
+      val t = table(n)
+      val pins = retained.flatMap(_.get(n))
+      val rolledBack =
+        if (t.currentVersion > pins.max) t.rollbackTo(pins.max) else 0
+      t.vacuum(retainVersions = t.currentVersion - pins.min + 1)
+      n -> rolledBack
+    }.toMap
+    (0 until oldest).foreach(v => fs.delete(snapPath(v), false))
+    counts
+  }
+
   private def readString(p: Path): String = {
     val in = fs.open(p)
     try {

@@ -1113,28 +1113,53 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val cdc =
       if (!trackChanges) Seq.empty
       else {
+        // The commit just materialized `source` as its delta files: read
+        // them back for every capture branch instead of re-executing the
+        // source plan (an arbitrary multi-scan pipeline) per branch.
+        val src = if (written.nonEmpty) readEntries(written) else source
         // pre-images: the resolved view restricted to the SOURCE's keys
         // up front (keyProbe) — the resolution shuffle is batch-sized,
         // never touched-partition-sized. No distinct: merge sources are
         // unique on keys by contract, and a semi-join probe tolerates
         // duplicates anyway — a distinct here would cost a shuffle
         // before the broadcast build.
-        val srcKeys = source.select(keys.map(col): _*)
-        val (pre, _) = prunedBase(source, keys, partitionBy, source.schema,
-          keyProbe = Some(srcKeys))
-        val preKeys = pre.select(keys.map(col): _*)
-        writeChanges(
-          source.join(preKeys, keys, "left_semi")
+        val srcKeys = src.select(keys.map(col): _*)
+        val (pre, _) = prunedBase(src, keys, partitionBy, source.schema,
+          keyProbe = Some(srcKeys),
+          touchedOverride = writtenPartValues(written))
+        // Two-write capture, resolution executed ONCE: the preimage
+        // slice lands straight in its own change files, which then serve
+        // as the (batch-sized, materialized) key probe classifying the
+        // source rows into postimage vs insert — without this, each of
+        // the three capture branches re-executes the whole base+delta
+        // resolution.
+        val preCdc = writeChanges(
+          pre.withColumn(ChangeCol, lit("update_preimage")), v + 1)
+        val preKeys =
+          if (preCdc.nonEmpty) readEntries(preCdc).select(keys.map(col): _*)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(
+              source.schema.filter(f => keys.contains(f.name))))
+        preCdc ++ writeChanges(
+          src.join(preKeys, keys, "left_semi")
             .withColumn(ChangeCol, lit("update_postimage"))
-            .unionByName(source.join(preKeys, keys, "left_anti")
-              .withColumn(ChangeCol, lit("insert")))
-            .unionByName(pre.withColumn(ChangeCol, lit("update_preimage"))),
+            .unionByName(src.join(preKeys, keys, "left_anti")
+              .withColumn(ChangeCol, lit("insert"))),
           v + 1)
       }
     writeManifest(Manifest(v + 1, "MERGE_MOR", keys, fileEntries(v),
       deltaEntries(v) ++ written, cdc, dvEntries(v)))
     this
   }
+
+  /** Touched-partition values straight from a commit's written entries
+    * (manifest directory-string form) — Some only when every entry is
+    * partition-laid-out, else the caller's scan-based fallback runs. */
+  private def writtenPartValues(written: Seq[FileEntry]): Option[Set[String]] =
+    if (written.nonEmpty && written.forall(_.partValue != null))
+      Some(written.map(_.partValue).toSet)
+    else None
 
   /** Merge-on-read DELETE (Iceberg equality-delete analog): append
     * tombstone delta files holding only the deleted KEYS plus a marker
@@ -1162,9 +1187,16 @@ class SnapshotTable(spark: SparkSession, root: String) {
       if (!trackChanges) Seq.empty
       else {
         // key-restricted resolution (see mergeDeferred): only the
-        // tombstoned keys' rows are resolved for full-width pre-images
-        val (pre, _) = prunedBase(source, keys, partitionBy, read(v).schema,
-          keyProbe = Some(tomb.drop(DelCol)))
+        // tombstoned keys' rows are resolved for full-width pre-images.
+        // The tombstones were just materialized as this commit's delta
+        // files — probe with the written copy, not a re-execution of
+        // the source plan's scan + distinct.
+        val probe =
+          if (written.nonEmpty) readEntries(written).drop(DelCol)
+          else tomb.drop(DelCol)
+        val (pre, _) = prunedBase(probe, keys, partitionBy, read(v).schema,
+          keyProbe = Some(probe),
+          touchedOverride = writtenPartValues(written))
         writeChanges(pre.withColumn(ChangeCol, lit("delete")), v + 1)
       }
     writeManifest(Manifest(v + 1, "DELETE_MOR", keys, fileEntries(v),
@@ -1182,15 +1214,19 @@ class SnapshotTable(spark: SparkSession, root: String) {
       keys: Seq[String],
       partitionBy: Option[String],
       baseSchema: org.apache.spark.sql.types.StructType,
-      keyProbe: Option[DataFrame] = None)
+      keyProbe: Option[DataFrame] = None,
+      touchedOverride: Option[Set[String]] = None)
       : (DataFrame, Seq[FileEntry]) = {
     val v = currentVersion
     val entries = fileEntries(v)
     val deltas = deltaEntries(v)
     val pruned = partitionBy.filter(keys.contains)
-    def touchedValues(p: String): Set[String] =
+    // callers whose source is already materialized under `partitionBy`
+    // pass the written entries' partition values — same canonical
+    // directory-string domain as the manifest, zero jobs
+    def touchedValues(p: String): Set[String] = touchedOverride.getOrElse(
       source.select(col(p).cast("string")).distinct()
-        .collect().map(_.getString(0)).toSet
+        .collect().map(_.getString(0)).toSet)
     // an entry laid out under a DIFFERENT partition column (mixed-layout
     // table after an evolved append) says nothing about this column's
     // values — treat it as always-touched, like partValue == null
@@ -1569,6 +1605,40 @@ class SnapshotTable(spark: SparkSession, root: String) {
         throw new java.io.IOException(
           s"atomic log rewrite failed: $tmp -> $target")
     }
+
+  /** Roll the log back to version `v`, discarding every later commit:
+    * log records above `v` are deleted newest-first, then data files
+    * only those versions referenced are reclaimed. The database-level
+    * vacuum uses this to drop crash-orphaned UNPUBLISHED versions (a
+    * transaction that committed its table halves but died before the
+    * atomic db publish) — by construction nothing has ever read them.
+    * A crash mid-rollback leaves either a shorter-but-consistent log or
+    * unreferenced data files a later vacuum reclaims. Returns the
+    * number of versions dropped. */
+  def rollbackTo(v: Int): Int = commitLock.synchronized {
+    val vs = versions
+    require(vs.contains(v), s"rollbackTo($v): version not in log (${vs.min}..${vs.max})")
+    val dropped = vs.filter(_ > v)
+    if (dropped.isEmpty) return 0
+    val keep: Set[String] = vs.filter(_ <= v).flatMap { k =>
+      val m = manifestOf(k)
+      (m.files ++ m.deltas ++ m.changes ++ m.dvs).map(_.path)
+    }.toSet
+    val reclaim = dropped.flatMap { k =>
+      val m = manifestOf(k)
+      (m.files ++ m.deltas ++ m.changes ++ m.dvs).map(_.path)
+    }.toSet -- keep
+    // logs first, newest-first: the table shrinks to a consistent prefix
+    // at every step; data files orphaned by a crash stay unreferenced
+    dropped.sorted.reverse.foreach { k =>
+      val p = manifestPath(k)
+      manifestCache.remove(p.toString)
+      fs.delete(p, false)
+    }
+    reclaim.foreach(p => fs.delete(new Path(p), false))
+    invalidateCaches() // rolled-back schema evolution must not linger
+    dropped.size
+  }
 
   /** Time-based retention (Delta `VACUUM … RETAIN n HOURS` analog):
     * drop every version whose commit instant precedes the newest commit

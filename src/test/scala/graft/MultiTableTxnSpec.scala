@@ -77,4 +77,36 @@ class MultiTableTxnSpec extends AnyFunSuite {
       db.publish(Seq("a"))
     }
   }
+
+  test("db vacuum drops crash orphans and history outside the retained snapshots") {
+    val db = freshDb()
+    db.transact(Seq("a", "b")) { d =>
+      d.table("a").create(df(1L -> "x")): Unit
+      d.table("b").create(df(10L -> "y")): Unit
+    }                                                       // db v0: a@0 b@0
+    db.transact(Seq("a", "b")) { d =>
+      d.table("a").append(df(2L -> "x2"))
+      d.table("b").append(df(20L -> "y2"))
+    }                                                       // db v1: a@1 b@1
+    // crash window: a txn commits both halves but never publishes
+    db.table("a").append(df(3L -> "orphan"))                // a@2 UNPUBLISHED
+    db.table("b").append(df(30L -> "orphan"))               // b@2 UNPUBLISHED
+    assert(db.table("a").currentVersion == 2)
+
+    val rolled = db.vacuum(retainDbVersions = 1)            // retain db v1 only
+    assert(rolled == Map("a" -> 1, "b" -> 1), s"got $rolled")
+    // orphans gone: direct table reads now agree with the consistent view
+    assert(db.table("a").currentVersion == 1)
+    assert(db.table("a").read().count() == 2)
+    assert(db.read("a").count() == 2 && db.read("b").count() == 2)
+    // history below the retained pin reclaimed: db v0 no longer resolves
+    intercept[Exception] { db.tableVersions(0) }
+    // retained snapshot still fully readable after file reclaim
+    assert(db.read("a", dbVersion = 1).count() == 2)
+    // vacuum is idempotent once clean
+    assert(db.vacuum(retainDbVersions = 1) == Map("a" -> 0, "b" -> 0))
+    // and the members accept new transactions afterwards
+    db.transact(Seq("a")) { d => d.table("a").append(df(4L -> "x4")): Unit }
+    assert(db.read("a").count() == 3)
+  }
 }
