@@ -45,7 +45,13 @@ object GraftRowLevelOps extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case r: ReplaceData =>
       graftTableOf(r.originalTable).map { t =>
-        GraftReplaceDataExec(t.snapshot, t.writePartSpec, r.query) :: Nil
+        // partition-scoped rewrites carry their planned file split on
+        // the write (set during scan planning); None = whole table
+        val replace = r.write match {
+          case Some(w: graft.sources.GraftReplaceWrite) => w.op.plannedReplace
+          case _ => None
+        }
+        GraftReplaceDataExec(t.snapshot, t.writePartSpec, r.query, replace) :: Nil
       }.getOrElse(Nil)
     case _ => Nil
   }
@@ -70,13 +76,15 @@ object GraftRowLevelOps extends SparkStrategy {
 }
 
 /** Physical node for a graft [[ReplaceData]]: run the replacement query
-  * as a distributed DataFrame and commit it as one OVERWRITE under the
-  * table's partition layout. Runs once (commands are eagerly executed);
+  * as a distributed DataFrame and commit it — replacing only the
+  * planned file groups when the scan pruned to a partition subset, a
+  * full OVERWRITE otherwise. Runs once (commands are eagerly executed);
   * output is empty like Spark's own row-level write execs. */
 final case class GraftReplaceDataExec(
     snapshot: SnapshotTable,
     partSpec: Option[String],
-    query: LogicalPlan) extends LeafExecNode {
+    query: LogicalPlan,
+    replace: Option[Seq[SnapshotTable.FileEntry]]) extends LeafExecNode {
 
   override def output: Seq[Attribute] = Seq.empty
 
@@ -86,7 +94,11 @@ final case class GraftReplaceDataExec(
     // align to the table's column order and drop any metadata columns
     // the rewrite appended to the replacement query
     val cols = snapshot.read().schema.fieldNames.toIndexedSeq
-    snapshot.overwriteAll(df.select(cols.map(col): _*), partSpec)
+    val aligned = df.select(cols.map(col): _*)
+    replace match {
+      case Some(entries) => snapshot.replaceFiles(entries, aligned, partSpec)
+      case None => snapshot.overwriteAll(aligned, partSpec)
+    }
     ()
   }
 

@@ -324,49 +324,18 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
   private[graft] def writePartSpec: Option[String] = partSpec
 
   /** SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE: group-based
-    * copy-on-write with the whole current snapshot as one replacement
-    * group. The scan deliberately implements NO pushdown interfaces —
-    * every row must be read back so unchanged rows carry through the
-    * replacement query (a pushed row filter would silently DROP them
-    * from the rewrite). The write is a marker: execution happens in
-    * [[graft.plans.GraftRowLevelOps]], which commits the replacement
-    * query as one OVERWRITE under the table's partition layout. */
+    * copy-on-write ([[GraftRowLevelOperation]] — partition-scoped when
+    * the command's condition names the identity partition column).
+    * Execution happens in [[graft.plans.GraftRowLevelOps]], which
+    * commits the replacement query through the engine's DataFrame
+    * write path. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinned.isEmpty,
       s"cannot run ${info.command} against $qualifiedName pinned at a version")
-    import org.apache.spark.sql.connector.write.{RowLevelOperation, RowLevelOperationBuilder, WriteBuilder => WB, Write => W}
-    new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation = new RowLevelOperation {
-        override def command(): RowLevelOperation.Command = info.command
-        override def newScanBuilder(
-            options: CaseInsensitiveStringMap): ScanBuilder =
-          new ScanBuilder {
-            // GraftV1StatsScan: the row-level read path never V1-wraps,
-            // so V1StatsFallback must lower this scan to its relation
-            // itself (Spark would otherwise plan an unsupported
-            // BatchScanExec over the raw V1Scan)
-            override def build(): Scan = new V1Scan
-                with graft.plans.GraftV1StatsScan {
-              override def readSchema(): StructType = schema
-              override def toV1TableScan[
-                  T <: BaseRelation with TableScan](
-                  context: SQLContext): T =
-                new GraftCatalogRelation(context, table, -1, schema,
-                  Array.empty, None).asInstanceOf[T]
-            }
-          }
-        override def newWriteBuilder(
-            winfo: org.apache.spark.sql.connector.write.LogicalWriteInfo): WB =
-          new WB {
-            override def build(): W = new W {
-              override def description(): String =
-                s"GraftReplaceData[$qualifiedName]"
-            }
-          }
-      }
-    }
+    () => new GraftRowLevelOperation(table, partSpec, info.command,
+      schema, qualifiedName)
   }
 
   /** The layout every INSERT writes under: the recorded table property
@@ -675,5 +644,128 @@ final class GraftCatalogRelation(context: SQLContext, table: SnapshotTable,
       if (required.isEmpty) filtered.select()
       else filtered.select(required.fieldNames.map(col(_)).toIndexedSeq: _*)
     projected.rdd
+  }
+}
+
+/** Group-based copy-on-write row-level operation (SQL UPDATE / MERGE
+  * INTO / non-interval DELETE).
+  *
+  * The replacement GROUP is the file: Spark reads groups through this
+  * operation's scan, rewrites their rows via the command's replacement
+  * query, and the write replaces exactly what was read. When the
+  * command's condition carries an equality/IN on the identity partition
+  * column, [[pushFilters]] prunes whole conforming partitions out of the
+  * scan — rows there cannot match, and their files carry by reference
+  * through [[SnapshotTable.replaceFiles]] — so a partition-scoped
+  * UPDATE at 100 TB rewrites one partition, not the table. Foreign-
+  * layout and null-partition files always stay in the replaced set
+  * (their rows might match; group semantics forbid row filtering).
+  * Without a usable partition predicate the whole table is one group
+  * (full OVERWRITE, Delta's unpruned-merge shape).
+  *
+  * The planned (replace, carry) split travels to the executor strategy
+  * inside [[GraftReplaceWrite]] — scan planning runs before V2Writes
+  * builds the write, and both come from this one operation instance. */
+final class GraftRowLevelOperation(
+    table: SnapshotTable,
+    partSpec: Option[String],
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    tableSchema: StructType,
+    qualifiedName: String)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, Write, WriteBuilder}
+
+  /** Files the rewrite must replace; None = whole table. Set during
+    * scan planning (after Spark pushes the command condition). */
+  @volatile private[graft] var plannedReplace: Option[Seq[SnapshotTable.FileEntry]] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftRowLevelOp[$qualifiedName, $cmd]"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters {
+      private var reported: Array[Filter] = Array.empty
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        // GROUP pruning only, never row filtering: every row of every
+        // kept file must reach the replacement query, or carried rows
+        // would vanish from the rewrite. MoR state disables pruning —
+        // delta rows are not file-addressable groups.
+        val identityPartCol = partSpec.filterNot(_.contains("("))
+        plannedReplace =
+          if (table.hasPendingDeltas) None
+          else identityPartCol.flatMap { pc =>
+            GraftV2Table.partitionPredicate(filters, pc).map { case (canon, _) =>
+              val vals = canon.toSet
+              // carry = conforming partitions the predicate excludes;
+              // replace = matching partitions + foreign layouts + null
+              val (carry, replace) = table.files.partition(e =>
+                e.partCol == pc && e.partValue != null && !vals(e.partValue))
+              reported = filters.filter {
+                case org.apache.spark.sql.sources.EqualTo(a, _) => a == pc
+                case org.apache.spark.sql.sources.In(a, _) => a == pc
+                case _ => false
+              }
+              val _ = carry
+              replace
+            }
+          }
+        filters // all residual: the rewrite plan re-evaluates the condition
+      }
+      override def pushedFilters(): Array[Filter] = reported
+
+      // GraftV1StatsScan: the row-level read path never V1-wraps, so
+      // V1StatsFallback must lower this scan itself (Spark would
+      // otherwise plan an unsupported BatchScanExec over a raw V1Scan)
+      override def build(): Scan = new V1Scan with graft.plans.GraftV1StatsScan {
+        private val replace = plannedReplace
+        override def readSchema(): StructType = tableSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          (replace match {
+            case Some(entries) =>
+              new GraftEntriesRelation(context, table, entries, tableSchema)
+            case None =>
+              new GraftCatalogRelation(context, table, -1, tableSchema,
+                Array.empty, None)
+          }).asInstanceOf[T]
+      }
+    }
+
+  override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder = {
+    val op = this
+    new WriteBuilder {
+      override def build(): Write = new GraftReplaceWrite(op)
+    }
+  }
+}
+
+/** Carrier from optimizer to planner: [[graft.plans.GraftRowLevelOps]]
+  * reads the operation's planned replace set off `ReplaceData.write`.
+  * Never executed as a DSv2 BatchWrite. */
+final class GraftReplaceWrite(val op: GraftRowLevelOperation)
+  extends org.apache.spark.sql.connector.write.Write {
+  override def description(): String = op.description()
+}
+
+/** v1 relation over an explicit file set with deletion-vector
+  * resolution — the read side of a partition-scoped row-level rewrite.
+  * Reports the entries' manifest bytes so join planning inside the
+  * replacement query (e.g. a MERGE source join) sees real magnitudes. */
+final class GraftEntriesRelation(context: SQLContext, table: SnapshotTable,
+    entries: Seq[SnapshotTable.FileEntry], required: StructType)
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = required
+  override lazy val sizeInBytes: Long =
+    math.max(1L, entries.map(_.bytes).sum)
+
+  override def buildScan(): RDD[Row] = {
+    if (entries.isEmpty)
+      return context.sparkContext.emptyRDD[Row]
+    val df = table.readEntriesResolved(entries)
+    df.select(required.fieldNames.map(col(_)).toIndexedSeq: _*).rdd
   }
 }

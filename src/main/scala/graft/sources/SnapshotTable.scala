@@ -450,6 +450,33 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private[graft] def readEntriesDf(entries: Seq[FileEntry]): DataFrame =
     readEntries(entries)
 
+  /** Deletion-vector-resolved scan of exactly `entries` at the current
+    * version — the read side of [[replaceFiles]] (group-based row-level
+    * SQL rewrites read only the replaced file groups). */
+  private[graft] def readEntriesResolved(entries: Seq[FileEntry]): DataFrame =
+    baseScan(entries, dvEntries(currentVersion))
+
+  /** Group-based copy-on-write replace: commit `df` as the new content
+    * of exactly the `replaced` file set; every other current file
+    * carries by reference. This is the write half of a partition-scoped
+    * SQL UPDATE/DELETE — the planner proves rows outside `replaced`
+    * cannot match, so commit cost is O(touched partitions), not
+    * O(table). DV marks addressing replaced files were applied by the
+    * resolved read and drop; marks on carried files stay valid. */
+  def replaceFiles(replaced: Seq[FileEntry], df: DataFrame,
+      partitionBy: Option[String] = None): SnapshotTable = {
+    val v = currentVersion
+    require(deltaEntries(v).isEmpty,
+      s"replaceFiles on $root requires compacted state (pending MoR deltas)")
+    val replacedPaths = replaced.map(_.path).toSet
+    val carryOver = fileEntries(v).filterNot(e => replacedPaths(e.path))
+    val written = writeData(df, v + 1, partitionBy)
+    writeManifest(Manifest(v + 1, "OVERWRITE", Seq.empty,
+      written ++ carryOver, Seq.empty, Seq.empty,
+      remainingDvs(v, replacedPaths, v + 1)))
+    this
+  }
+
   /** Blind append commit: new files join the current file set; existing
     * files and pending deltas are untouched — O(source) like a streaming
     * sink. `partitionBy` may differ from earlier commits (Iceberg-style

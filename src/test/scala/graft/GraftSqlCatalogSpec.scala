@@ -134,6 +134,37 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(t.files.forall(_.partCol == "status"))
   }
 
+  test("partition-scoped UPDATE rewrites only the matched partition's files") {
+    sql("CREATE NAMESPACE gtest.updp")
+    sql("CREATE TABLE gtest.updp.t (k BIGINT, status STRING, price DOUBLE) PARTITIONED BY (status)")
+    sql("""INSERT INTO gtest.updp.t
+           SELECT id, CASE WHEN id % 2 = 0 THEN 'O' ELSE 'F' END, CAST(id AS DOUBLE)
+           FROM range(100)""")                                                // v1
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/updp/t")
+    val oFilesBefore = t.files.filter(_.partValue == "O").map(_.path).toSet
+    assert(oFilesBefore.nonEmpty)
+    // prime the schema cache while every file exists (the probe reads
+    // one representative file; a freshly-created table would do this on
+    // its first query anyway)
+    assert(sql("SELECT sum(price) FROM gtest.updp.t").head.getDouble(0) > 0)
+    // physically delete the O partition's data: the UPDATE can succeed
+    // only if the rewrite never plans those files
+    oFilesBefore.foreach(p => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(new java.net.URI(p))))
+    sql("UPDATE gtest.updp.t SET price = price + 1000 WHERE status = 'F'")   // v2
+    // O partition carried BY REFERENCE (identical paths), F rewritten
+    assert(t.files.filter(_.partValue == "O").map(_.path).toSet == oFilesBefore)
+    assert(t.files.filter(_.partValue == "F").map(_.path).toSet
+      .intersect(oFilesBefore).isEmpty)
+    assert(sql("SELECT sum(price) FROM gtest.updp.t WHERE status = 'F'")
+      .head.getDouble(0) ==
+      (0 until 100).filter(_ % 2 == 1).map(_.toDouble + 1000.0).sum)
+    // the same predicate shape prunes as an IN-list too
+    sql("UPDATE gtest.updp.t SET price = price + 1 WHERE status IN ('F')")   // v3
+    assert(t.files.filter(_.partValue == "O").map(_.path).toSet == oFilesBefore)
+  }
+
   test("MERGE INTO through SQL: matched update + not-matched insert") {
     sql("CREATE NAMESPACE gtest.mrg")
     sql("CREATE TABLE gtest.mrg.t (k BIGINT, v STRING)")
