@@ -1096,6 +1096,74 @@ object Lakehouse {
                  (SELECT COUNT(*) FROM $cat.bench.orders) AS n_now""")
     })
 
+  // SQL partition overwrite through the catalog: the static PARTITION
+  // clause lowers to the engine's dynamic partition overwrite — the F
+  // partition replaces at O(new data) while every other partition
+  // carries by reference (proven file-identical in the spec; the oracle
+  // pins the content here).
+  private val sqlCatalogOverwritePartition = OpQuery(
+    "sql_catalog_overwrite_partition",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice
+               + CASE WHEN o_orderstatus = 'F' THEN 50.0 ELSE 0.0 END
+               AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val cat = freshSqlCatalogOrders(s, d)
+      s.sql(s"""INSERT OVERWRITE $cat.bench.orders
+                PARTITION (o_orderstatus = 'F')
+                SELECT o_orderkey, o_totalprice + 50.0
+                FROM sqldml_orders_src WHERE o_orderstatus = 'F'""") // v1
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM $cat.bench.orders
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
+  // Iceberg-style metadata tables through SQL names: `cat.ns.t.history`
+  // and `cat.ns.t.partitions` answer from the commit-log manifest alone
+  // (O(log records), zero data files opened — the same property at any
+  // table size). The oracles pin the staged table's exact commit history
+  // and per-partition row counts against the raw orders data.
+  private val sqlCatalogMetaHistory = OpQuery(
+    "sql_catalog_meta_history",
+    Some("""
+      SELECT CAST(0 AS INTEGER) AS version, 'CREATE' AS operation,
+             CAST(0 AS BIGINT) AS num_rows
+      UNION ALL
+      SELECT 1, 'APPEND', (SELECT COUNT(*) FROM orders)
+      UNION ALL
+      SELECT 2, 'APPEND', (SELECT COUNT(*) FROM orders)
+                          + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0)
+      ORDER BY version
+    """),
+    (s, d) => {
+      val cat = withSqlCatalog(s, d)
+      s.sql(s"""SELECT version, operation, num_rows
+                FROM $cat.bench.orders.history ORDER BY version""")
+    })
+
+  private val sqlCatalogMetaPartitions = OpQuery(
+    "sql_catalog_meta_partitions",
+    Some("""
+      SELECT * FROM (
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS num_rows
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'X', CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_orderkey % 7 = 0)
+      ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val cat = withSqlCatalog(s, d)
+      s.sql(s"""SELECT part_value AS o_orderstatus, num_rows
+                FROM $cat.bench.orders.partitions
+                WHERE part_value IS NOT NULL
+                ORDER BY o_orderstatus""")
+    })
+
   // Shallow clone (Delta SHALLOW CLONE analog): metadata-only commit
   // referencing the source's files — zero data copied — after which the
   // clone serves the source's full content. The oracle checks the
@@ -1749,5 +1817,7 @@ object Lakehouse {
     partitionXformTime, partitionXformBucket, metadataPartitions,
     exportSymlink, tableReaderFormat, multiTableTxn, multiTableTxnAsof,
     sqlCatalogQuery, sqlCatalogTimeTravel, sqlCatalogUpdate, sqlCatalogMerge,
-    sqlCatalogDbTxn, sqlCatalogDbAsof)
+    sqlCatalogDbTxn, sqlCatalogDbAsof,
+    sqlCatalogMetaHistory, sqlCatalogMetaPartitions,
+    sqlCatalogOverwritePartition)
 }

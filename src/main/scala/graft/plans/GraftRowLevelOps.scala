@@ -53,6 +53,13 @@ object GraftRowLevelOps extends SparkStrategy {
         }
         GraftReplaceDataExec(t.snapshot, t.writePartSpec, r.query, replace) :: Nil
       }.getOrElse(Nil)
+    // Spark has no V1-fallback exec for dynamic partition overwrite
+    // (OverwritePartitionsDynamicExec demands a DSv2 BatchWrite); route
+    // it onto the engine's dynamic overwrite commit instead.
+    case o: org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic =>
+      graftTableOf(o.table).map { t =>
+        GraftDynamicOverwriteExec(t.snapshot, t.writePartSpec, o.query) :: Nil
+      }.getOrElse(Nil)
     case _ => Nil
   }
 
@@ -97,6 +104,36 @@ final case class GraftReplaceDataExec(
     val aligned = df.select(cols.map(col): _*)
     replace match {
       case Some(entries) => snapshot.replaceFiles(entries, aligned, partSpec)
+      case None => snapshot.overwriteAll(aligned, partSpec)
+    }
+    ()
+  }
+
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    done
+    sparkContext.emptyRDD[InternalRow]
+  }
+}
+
+/** Physical node for `INSERT OVERWRITE` in dynamic partition-overwrite
+  * mode: the partitions PRESENT in the query's result replace wholesale
+  * (O(new data)); every other partition carries by reference. */
+final case class GraftDynamicOverwriteExec(
+    snapshot: SnapshotTable,
+    partSpec: Option[String],
+    query: LogicalPlan) extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Seq.empty
+
+  private lazy val done: Unit = {
+    val spark = SparkSession.active
+    val df = org.apache.spark.sql.GraftStreamShim.ofRows(spark, query)
+    val cols = snapshot.read().schema.fieldNames.toIndexedSeq
+    val aligned = df.select(cols.map(col): _*)
+    partSpec.filterNot(_.contains("(")) match {
+      case Some(pc) => snapshot.overwritePartitions(aligned, pc)
       case None => snapshot.overwriteAll(aligned, partSpec)
     }
     ()

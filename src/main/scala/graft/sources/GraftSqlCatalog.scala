@@ -203,6 +203,18 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `cat.ns.t.history` parses as
+    // Identifier(namespace = [ns, t], name = history) — manifest-answered
+    // read-only tables, O(log records), never a data scan.
+    if (ident.namespace.length == 2 &&
+        GraftMetaTable.Kinds.contains(ident.name)) {
+      val base = Identifier.of(Array(ident.namespace.head),
+        ident.namespace.apply(1))
+      val t = snapshotOf(base)
+      if (!t.exists) throw new NoSuchTableException(ident)
+      return new GraftMetaTable(t, ident.name,
+        s"$catalogName.${ident.namespace.mkString(".")}.${ident.name}")
+    }
     val dbPin = databaseOf(ident.namespace).flatMap { db =>
       if (db.currentVersion < 0) None
       else db.tableVersions().get(ident.name)
@@ -367,9 +379,16 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
   override def properties(): util.Map[String, String] =
     Map(TableCatalog.PROP_PROVIDER -> "graft-snapshot").asJava
 
+  // BATCH_WRITE rides along with V1_BATCH_WRITE only to satisfy the
+  // analyzer's dynamic-overwrite capability check — Spark has no V1
+  // fallback exec for OverwritePartitionsDynamic, so that plan is
+  // executed by graft.plans.GraftRowLevelOps instead (the write object
+  // stays a V1Write; every other write path picks the V1 exec from it).
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
@@ -484,18 +503,69 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
     ()
   }
 
+  /** SQL write surface: INSERT INTO appends; INSERT OVERWRITE truncates
+    * to the new content; `INSERT OVERWRITE … PARTITION (pc = v)` (and a
+    * pushed partition-equality/IN overwrite condition generally) lowers
+    * to the engine's dynamic partition overwrite — replaced partitions
+    * cost O(new data), every other partition carries by reference; with
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`, plain INSERT
+    * OVERWRITE replaces exactly the partitions present in the data. A
+    * non-partition overwrite condition is refused loudly rather than
+    * silently widened to a truncate. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty,
       s"cannot write to $qualifiedName pinned at VERSION AS OF ${pinned.get}")
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+    import org.apache.spark.sql.connector.write.{SupportsDynamicOverwrite, SupportsOverwrite}
+    new WriteBuilder with SupportsTruncate with SupportsOverwrite
+        with SupportsDynamicOverwrite {
+      // append | truncate | dynamic | filters
+      private var mode: String = "append"
+      private var overwriteFilters: Array[Filter] = Array.empty
+      override def truncate(): WriteBuilder = { mode = "truncate"; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        import org.apache.spark.sql.sources.AlwaysTrue
+        if (filters.forall(_.isInstanceOf[AlwaysTrue])) mode = "truncate"
+        else { mode = "filters"; overwriteFilters = filters }
+        this
+      }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        mode = "dynamic"; this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation(): InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwriteArg: Boolean): Unit = {
-              if (overwrite || overwriteArg) table.overwriteAll(data, partSpec)
-              else table.append(data, partSpec)
+              val identityPartCol = partSpec.filterNot(_.contains("("))
+              mode match {
+                case "truncate" => table.overwriteAll(data, partSpec)
+                case "dynamic" => identityPartCol match {
+                  case Some(pc) => table.overwritePartitions(data, pc)
+                  case None => table.overwriteAll(data, partSpec)
+                }
+                case "filters" =>
+                  val pc = identityPartCol.getOrElse(
+                    throw new UnsupportedOperationException(
+                      s"$qualifiedName: overwrite-by-condition needs an " +
+                        "identity partition column"))
+                  val coveredByPartitionEq =
+                    GraftV2Table.partitionPredicate(overwriteFilters, pc)
+                      .isDefined && overwriteFilters.forall(f =>
+                        f.references.sameElements(Array(pc)))
+                  if (!coveredByPartitionEq)
+                    throw new UnsupportedOperationException(
+                      s"$qualifiedName: unsupported overwrite condition " +
+                        s"${overwriteFilters.mkString(", ")} — only " +
+                        s"partition-column ($pc) equality/IN overwrites " +
+                        "lower to partition replacement")
+                  // Spark validates the data against the condition, so
+                  // the rows' partitions ⊆ the filtered partitions —
+                  // dynamic replacement of the data's partitions IS the
+                  // static-partition overwrite
+                  table.overwritePartitions(data, pc)
+                case _ =>
+                  if (overwriteArg) table.overwriteAll(data, partSpec)
+                  else table.append(data, partSpec)
+              }
               ()
             }
           }
@@ -531,6 +601,11 @@ object GraftV2Table {
     import org.apache.spark.sql.sources._
     pushed.collectFirst {
       case EqualTo(a, v) if a == pc && canonPartValue(v).isDefined =>
+        (Seq(canonPartValue(v).get), Seq(v))
+      // a static `PARTITION (pc = v)` clause arrives null-safe; with a
+      // non-null literal it is plain equality
+      case EqualNullSafe(a, v) if v != null && a == pc &&
+          canonPartValue(v).isDefined =>
         (Seq(canonPartValue(v).get), Seq(v))
       case In(a, vs) if a == pc && vs.nonEmpty && vs.length <= 1000 &&
           vs.forall(x => x != null && canonPartValue(x).isDefined) =>
@@ -747,6 +822,51 @@ final class GraftRowLevelOperation(
 final class GraftReplaceWrite(val op: GraftRowLevelOperation)
   extends org.apache.spark.sql.connector.write.Write {
   override def description(): String = op.description()
+}
+
+object GraftMetaTable {
+  /** Metadata-table suffixes resolvable as `cat.ns.t.<kind>`. */
+  val Kinds: Set[String] = Set("history", "partitions", "detail", "files")
+}
+
+/** Read-only Iceberg-style metadata table (`cat.ns.t.history`,
+  * `.partitions`, `.detail`, `.files`): answers come straight from the
+  * commit-log manifest — O(log records) driver work, zero data files
+  * opened, any table size. The relation reports its (tiny) actual size
+  * so joins against metadata tables broadcast. */
+final class GraftMetaTable(table: SnapshotTable, kind: String,
+    qualifiedName: String) extends Table with SupportsRead {
+
+  private def frame: DataFrame = kind match {
+    case "history" => table.history
+    case "partitions" => table.partitionsDf
+    case "detail" => table.detail
+    case "files" => table.filesDf
+  }
+
+  override def name(): String = qualifiedName
+  override lazy val schema: StructType = frame.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan with graft.plans.GraftV1StatsScan {
+        override def readSchema(): StructType = schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val rel: BaseRelation with TableScan =
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = GraftMetaTable.this.schema
+              // manifest-derived row count × a generous row width
+              override def sizeInBytes: Long = 1024L
+              override def buildScan(): RDD[Row] = frame.rdd
+            }
+          rel.asInstanceOf[T]
+        }
+      }
+    }
 }
 
 /** v1 relation over an explicit file set with deletion-vector

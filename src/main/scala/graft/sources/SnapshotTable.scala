@@ -1778,6 +1778,30 @@ class SnapshotTable(spark: SparkSession, root: String) {
         "pending_delta_rows")
   }
 
+  /** SHOW PARTITIONS analog straight from the manifest: one row per
+    * (partition column, value) with file/row/byte counts — O(entries)
+    * metadata, zero data files opened, any table size. Unpartitioned
+    * files report under a null column/value. */
+  def partitionsDf: DataFrame = {
+    import spark.implicits._
+    files.groupBy(e => (Option(e.partCol), Option(e.partValue)))
+      .map { case ((c, pv), es) =>
+        (c, pv, es.size.toLong, es.map(_.rows).sum, es.map(_.bytes).sum)
+      }
+      .toSeq.sortBy(t => (t._1.getOrElse(""), t._2.getOrElse("")))
+      .toDF("part_col", "part_value", "num_files", "num_rows", "total_bytes")
+  }
+
+  /** Iceberg `files`-metadata-table analog: one row per current data
+    * file, straight from the manifest. */
+  def filesDf: DataFrame = {
+    import spark.implicits._
+    files.map(e => (e.path, Option(e.partCol), Option(e.partValue),
+        e.rows, e.bytes, e.origin))
+      .toDF("path", "part_col", "part_value", "num_rows", "bytes",
+        "origin_version")
+  }
+
   /** DESCRIBE DETAIL analog for the latest version; same physical-count
     * semantics (and the same `pending_delta_rows` caveat) as [[history]]. */
   def detail: DataFrame = {

@@ -214,6 +214,57 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$plan")
   }
 
+  test("INSERT OVERWRITE PARTITION replaces only that partition; dynamic mode replaces present ones") {
+    sql("CREATE NAMESPACE gtest.iow")
+    sql("CREATE TABLE gtest.iow.t (k BIGINT, status STRING) PARTITIONED BY (status)")
+    sql("INSERT INTO gtest.iow.t VALUES (1, 'O'), (2, 'F'), (3, 'O'), (4, 'F')") // v1
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/iow/t")
+    val oBefore = t.files.filter(_.partValue == "O").map(_.path).toSet
+    // static-partition overwrite: F replaced, O carried by reference
+    sql("INSERT OVERWRITE gtest.iow.t PARTITION (status = 'F') VALUES (20L)")    // v2
+    assert(sql("SELECT k FROM gtest.iow.t ORDER BY k").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 3L, 20L))
+    assert(t.files.filter(_.partValue == "O").map(_.path).toSet == oBefore)
+    // dynamic mode: partitions present in the data replace, others carry
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      sql("INSERT OVERWRITE gtest.iow.t VALUES (30L, 'F')")                      // v3
+      assert(sql("SELECT k FROM gtest.iow.t ORDER BY k").collect().map(_.getLong(0)).toSeq
+        == Seq(1L, 3L, 30L))
+      assert(t.files.filter(_.partValue == "O").map(_.path).toSet == oBefore)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    // non-partition overwrite conditions refuse loudly (no silent truncate)
+    intercept[Exception] {
+      sql("INSERT OVERWRITE gtest.iow.t REPLACE WHERE k > 100 VALUES (40L, 'O')")
+    }
+  }
+
+  test("metadata tables answer from the manifest: history, partitions, detail, files") {
+    sql("CREATE NAMESPACE gtest.meta")
+    sql("CREATE TABLE gtest.meta.t (k BIGINT, status STRING) PARTITIONED BY (status)")
+    sql("INSERT INTO gtest.meta.t VALUES (1, 'O'), (2, 'F'), (3, 'O')")  // v1
+    sql("INSERT INTO gtest.meta.t VALUES (4, 'F')")                      // v2
+    val hist = sql("SELECT version, operation FROM gtest.meta.t.history ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(hist == Seq((0, "CREATE"), (1, "APPEND"), (2, "APPEND")))
+    val parts = sql("""SELECT part_value, num_rows FROM gtest.meta.t.partitions
+                       WHERE part_value IS NOT NULL ORDER BY part_value""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(parts == Seq(("F", 2L), ("O", 2L)))
+    assert(sql("SELECT num_rows FROM gtest.meta.t.detail").head.getLong(0) == 4)
+    // files: every manifest entry addressable, and joins vs meta tables
+    // stay broadcast-sized
+    assert(sql("SELECT count(*) FROM gtest.meta.t.files WHERE num_rows > 0")
+      .head.getLong(0) >= 2)
+    // a metadata read never opens data files: physically delete them all
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/meta/t")
+    t.files.foreach(e => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(new java.net.URI(e.path))))
+    assert(sql("SELECT sum(num_rows) FROM gtest.meta.t.partitions").head.getLong(0) == 4)
+  }
+
   test("a database namespace resolves members through published db snapshots") {
     import org.apache.spark.sql.functions.lit
     val root = spark.conf.get("spark.sql.catalog.gtest.root")
