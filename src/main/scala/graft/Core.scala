@@ -105,6 +105,10 @@ object Scratch {
     d
   }
 
+  /** Register an existing path to die at the next sweep (per-run clones
+    * placed inside a staged catalog root, where name == address). */
+  def register(path: String): String = { dirs.add(path); path }
+
   /** Staged roots (read-only, reused across queries/iterations) live for
     * the whole JVM but must not outlive it — repeated test + bench runs
     * would otherwise accumulate orphaned graft_* dirs in /tmp. */

@@ -991,19 +991,39 @@ object Lakehouse {
   // read-only catalog (withSqlCatalog) is never touched.
   private val sqlDmlCatCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private def freshSqlCatalogOrders(s: SparkSession, d: String): String = {
-    val cat = s"graftsqlw${sqlDmlCatCounter.incrementAndGet()}"
+  /** Staged ONCE per sf dir: catalog + namespace + a CTAS'd base orders
+    * table. Per-invocation work is a metadata-only shallow clone of the
+    * base into a fresh table name in the same namespace (the filesystem
+    * IS the catalog, so the clone is immediately name-addressable) — the
+    * DML gates then measure the DML commit, not table staging (the same
+    * staged-base/clone split cdc_mor_read uses). Returns (catalog,
+    * table name). */
+  private def freshSqlCatalogOrders(s: SparkSession, d: String): (String, String) = {
+    val cat = s"graftsqlw_${math.abs(d.hashCode).toHexString}"
+    val root = stagedRoots.computeIfAbsent((d, "sqlcat_dml_root"), _ => {
+      val root = stagedTmp("stage_sqlcat_dml")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .createOrReplaceTempView("sqldml_orders_src")
+      s.sql(s"CREATE NAMESPACE $cat.bench")
+      s.sql(s"""CREATE TABLE $cat.bench.orders_base PARTITIONED BY (o_orderstatus)
+                AS SELECT o_orderkey, o_totalprice, o_orderstatus
+                FROM sqldml_orders_src""")
+      root
+    })
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftSqlCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.root", tmp("sqlcat_dml"))
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
     Tables.load(s, d, "orders")
       .select("o_orderkey", "o_totalprice", "o_orderstatus")
       .createOrReplaceTempView("sqldml_orders_src")
-    s.sql(s"CREATE NAMESPACE $cat.bench")
-    s.sql(s"""CREATE TABLE $cat.bench.orders PARTITIONED BY (o_orderstatus)
-              AS SELECT o_orderkey, o_totalprice, o_orderstatus
-              FROM sqldml_orders_src""")                         // v0
-    cat
+    val t = s"orders_w${sqlDmlCatCounter.incrementAndGet()}"
+    new SnapshotTable(s, s"$root/bench/orders_base")
+      .shallowCloneTo(graft.Scratch.register(s"$root/bench/$t")): Unit
+    (cat, t)
   }
 
   private val sqlCatalogUpdate = OpQuery(
@@ -1016,13 +1036,13 @@ object Lakehouse {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """),
     (s, d) => {
-      val cat = freshSqlCatalogOrders(s, d)
-      s.sql(s"""UPDATE $cat.bench.orders
+      val (cat, tbl) = freshSqlCatalogOrders(s, d)
+      s.sql(s"""UPDATE $cat.bench.$tbl
                 SET o_totalprice = o_totalprice + 100.0
                 WHERE o_orderkey % 5 = 0""")                     // v1 (CoW)
       s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-                FROM $cat.bench.orders
+                FROM $cat.bench.$tbl
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
@@ -1047,8 +1067,8 @@ object Lakehouse {
       FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
     """),
     (s, d) => {
-      val cat = freshSqlCatalogOrders(s, d)
-      s.sql(s"""MERGE INTO $cat.bench.orders t
+      val (cat, tbl) = freshSqlCatalogOrders(s, d)
+      s.sql(s"""MERGE INTO $cat.bench.$tbl t
                 USING (SELECT o_orderkey, o_orderstatus,
                               o_totalprice + 1000.0 AS o_totalprice
                        FROM sqldml_orders_src WHERE o_orderkey % 10 = 0
@@ -1063,7 +1083,7 @@ object Lakehouse {
                   VALUES (s.o_orderkey, s.o_totalprice, s.o_orderstatus)""") // v1
       s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-                FROM $cat.bench.orders
+                FROM $cat.bench.$tbl
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
@@ -1111,14 +1131,14 @@ object Lakehouse {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """),
     (s, d) => {
-      val cat = freshSqlCatalogOrders(s, d)
-      s.sql(s"""INSERT OVERWRITE $cat.bench.orders
+      val (cat, tbl) = freshSqlCatalogOrders(s, d)
+      s.sql(s"""INSERT OVERWRITE $cat.bench.$tbl
                 PARTITION (o_orderstatus = 'F')
                 SELECT o_orderkey, o_totalprice + 50.0
                 FROM sqldml_orders_src WHERE o_orderstatus = 'F'""") // v1
       s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-                FROM $cat.bench.orders
+                FROM $cat.bench.$tbl
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
