@@ -1142,6 +1142,35 @@ object Lakehouse {
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
+  // ALTER TABLE ADD COLUMNS through SQL: a metadata-only schema widening
+  // (one zero-row footer carries the new columns; old files null-fill at
+  // scan time — nothing rewritten at any table size), then an INSERT
+  // exercising the widened schema. The oracle pins null-filled old rows
+  // plus the new rows' populated column.
+  private val sqlCatalogAlterAddColumn = OpQuery(
+    "sql_catalog_alter_add_column",
+    Some("""
+      SELECT * FROM (
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(0 AS BIGINT) AS n_comment
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'Z', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_orderkey % 11 = 0)
+      ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val (cat, tbl) = freshSqlCatalogOrders(s, d)
+      s.sql(s"ALTER TABLE $cat.bench.$tbl ADD COLUMNS (o_comment STRING)") // v1
+      s.sql(s"""INSERT INTO $cat.bench.$tbl
+                SELECT o_orderkey + 20000000, o_totalprice, 'Z', 'backfilled'
+                FROM sqldml_orders_src WHERE o_orderkey % 11 = 0""")       // v2
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       COUNT(o_comment) AS n_comment
+                FROM $cat.bench.$tbl
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
   // Iceberg-style metadata tables through SQL names: `cat.ns.t.history`
   // and `cat.ns.t.partitions` answer from the commit-log manifest alone
   // (O(log records), zero data files opened — the same property at any
@@ -1839,5 +1868,5 @@ object Lakehouse {
     sqlCatalogQuery, sqlCatalogTimeTravel, sqlCatalogUpdate, sqlCatalogMerge,
     sqlCatalogDbTxn, sqlCatalogDbAsof,
     sqlCatalogMetaHistory, sqlCatalogMetaPartitions,
-    sqlCatalogOverwritePartition)
+    sqlCatalogOverwritePartition, sqlCatalogAlterAddColumn)
 }

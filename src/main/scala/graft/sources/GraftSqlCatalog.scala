@@ -284,10 +284,32 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: evolve schemas through the engine's merge/overwrite " +
-        "schema-evolution paths")
+  /** `ALTER TABLE … ADD COLUMNS` commits a metadata-only schema widening
+    * ([[SnapshotTable.addColumns]] — one empty footer, no data
+    * rewritten); `SET TBLPROPERTIES` lands in the durable sidecar.
+    * Renames/drops/type-changes would need per-version column mapping
+    * (Delta's column-mapping mode) and are refused loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = snapshotOf(ident)
+    if (!t.exists) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    adds.foreach { a =>
+      require(a.fieldNames.length == 1,
+        s"ALTER TABLE ADD COLUMNS: nested field ${a.fieldNames.mkString(".")} unsupported")
+    }
+    if (adds.nonEmpty)
+      t.addColumns(adds.map(a =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)))
+    changes.foreach {
+      case _: TableChange.AddColumn => () // handled above
+      case p: TableChange.SetProperty => t.withProperty(p.property, p.value)
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE: unsupported change $other — only ADD COLUMNS and " +
+          "SET TBLPROPERTIES commit without per-version column mapping")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false

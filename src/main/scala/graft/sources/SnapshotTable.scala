@@ -456,6 +456,33 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private[graft] def readEntriesResolved(entries: Seq[FileEntry]): DataFrame =
     baseScan(entries, dvEntries(currentVersion))
 
+  /** ALTER TABLE ADD COLUMNS as a metadata-plus-one-empty-footer commit:
+    * one zero-row parquet file carrying the WIDENED schema joins the
+    * file set, and the scan-time union-over-origins schema (the same
+    * machinery MERGE schema evolution uses) surfaces the new columns
+    * null-filled on every older file — no data rewritten, cost is one
+    * ~KB footer at any table size. Version-correct: time travel below
+    * this commit does not see the columns. Added columns are forced
+    * nullable (old rows have no values). */
+  def addColumns(fields: Seq[org.apache.spark.sql.types.StructField]): SnapshotTable = {
+    val v = currentVersion
+    val existing = read(v).schema.fieldNames.toSet
+    val dup = fields.map(_.name).filter(existing)
+    require(dup.isEmpty, s"ADD COLUMNS on $root: already present: ${dup.mkString(",")}")
+    val widened = org.apache.spark.sql.types.StructType(
+      read(v).schema.fields ++ fields.map(_.copy(nullable = true)))
+    // repartition(1): exactly one write task runs, producing one empty
+    // part file WITH a footer — the schema carrier
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+      .repartition(1)
+    val written = writeData(empty, v + 1, None)
+    require(written.nonEmpty, s"ADD COLUMNS on $root wrote no schema carrier")
+    writeManifest(Manifest(v + 1, "ADD_COLUMNS", mergeKeysOf(v),
+      fileEntries(v) ++ written, deltaEntries(v), Seq.empty, dvEntries(v)))
+    this
+  }
+
   /** Group-based copy-on-write replace: commit `df` as the new content
     * of exactly the `replaced` file set; every other current file
     * carries by reference. This is the write half of a partition-scoped

@@ -214,6 +214,33 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$plan")
   }
 
+  test("ALTER TABLE ADD COLUMNS is metadata-only and version-correct") {
+    sql("CREATE NAMESPACE gtest.alt")
+    sql("CREATE TABLE gtest.alt.t (k BIGINT)")
+    sql("INSERT INTO gtest.alt.t VALUES (1), (2), (3)")                   // v1
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/alt/t")
+    val before = t.files.map(_.path).toSet
+    sql("ALTER TABLE gtest.alt.t ADD COLUMNS (c STRING, n INT)")          // v2
+    // metadata-only: old files untouched, one zero-row schema carrier added
+    assert(t.files.map(_.path).toSet.intersect(before) == before)
+    assert(t.files.size == before.size + 1)
+    assert(t.files.exists(_.rows == 0))
+    // old rows null-fill; writes with the new columns land normally
+    assert(sql("SELECT count(*) FROM gtest.alt.t WHERE c IS NULL").head.getLong(0) == 3)
+    sql("INSERT INTO gtest.alt.t VALUES (10, 'x', 7)")                    // v3
+    assert(sql("SELECT n FROM gtest.alt.t WHERE c = 'x'").head.getInt(0) == 7)
+    // version-correct: pre-alter versions do not carry the columns
+    assert(!sql("SELECT * FROM gtest.alt.t VERSION AS OF 1")
+      .schema.fieldNames.contains("c"))
+    // duplicate adds and unsupported changes refuse loudly
+    intercept[Exception] { sql("ALTER TABLE gtest.alt.t ADD COLUMNS (c STRING)") }
+    intercept[Exception] { sql("ALTER TABLE gtest.alt.t DROP COLUMN k") }
+    // properties land in the durable sidecar
+    sql("ALTER TABLE gtest.alt.t SET TBLPROPERTIES ('quality.tier' = 'gold')")
+    assert(t.property("quality.tier").contains("gold"))
+  }
+
   test("INSERT OVERWRITE PARTITION replaces only that partition; dynamic mode replaces present ones") {
     sql("CREATE NAMESPACE gtest.iow")
     sql("CREATE TABLE gtest.iow.t (k BIGINT, status STRING) PARTITIONED BY (status)")
