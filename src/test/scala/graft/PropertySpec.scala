@@ -164,6 +164,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rollbackTo after random DML equals the target version and accepts new commits") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    for (trial <- 1 to 3) {
+      val base = (0 until 40).map(k =>
+        (k.toLong, s"p${k % 2}", rnd.nextDouble())).toDF("k", "p", "v")
+      val t = new SnapshotTable(spark, tmp(s"rbp$trial"))
+        .create(base, Some("p"))
+      // random DML chain, snapshotting the state at a random pin point
+      val rounds = 2 + rnd.nextInt(3)
+      val pinAt = rnd.nextInt(rounds)
+      var pinned: Seq[org.apache.spark.sql.Row] = null
+      var pinnedVersion = 0
+      (1 to rounds).foreach { gen =>
+        val src = rnd.shuffle((0 until 60).toList).take(5 + rnd.nextInt(10))
+          .map(k => (k.toLong, s"p${k % 2}", gen * 10.0)).toDF("k", "p", "v")
+        if (rnd.nextBoolean()) t.merge(src, Seq("k", "p"), Some("p"))
+        else t.append(src, Some("p"))
+        if (gen - 1 == pinAt) {
+          pinned = t.read().orderBy("k", "p", "v").collect().toSeq
+          pinnedVersion = t.currentVersion
+        }
+      }
+      // rollback DISCARDS everything above the pin (unlike restore,
+      // which commits a new version re-pointing at old state)
+      val dropped = t.rollbackTo(pinnedVersion)
+      assert(dropped == rounds - 1 - pinAt, s"trial $trial")
+      assert(t.currentVersion == pinnedVersion, s"trial $trial")
+      assert(t.read().orderBy("k", "p", "v").collect().toSeq == pinned,
+        s"trial $trial content")
+      // the truncated log accepts new commits and stays consistent
+      val more = (100 until 105).map(k =>
+        (k.toLong, s"p${k % 2}", -1.0)).toDF("k", "p", "v")
+      t.append(more, Some("p"))
+      assert(t.read().count() == pinned.size + 5, s"trial $trial post-append")
+    }
+  }
+
   test("CDC rows replay a merge: base + changes == merged state") {
     import spark.implicits._
     val rnd = new Random(29)
