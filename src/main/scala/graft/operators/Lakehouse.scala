@@ -1142,6 +1142,46 @@ object Lakehouse {
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
+  // Hidden partitioning through SQL: the table lays out under
+  // months(o_date), the query filters the RAW date column, and the
+  // catalog scan prunes month buckets from the manifest (spec-proven;
+  // the oracle pins the pruned read's content against the raw data).
+  private val sqlCatalogXformPrune = OpQuery(
+    "sql_catalog_xform_prune",
+    Some("""
+      SELECT CAST(o_orderdate AS DATE) AS o_date, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) IN
+            (DATE '1995-03-15', DATE '1995-03-16', DATE '1996-07-01')
+      GROUP BY 1 ORDER BY o_date
+    """),
+    (s, d) => {
+      val cat = s"graftsqlxf_${math.abs(d.hashCode).toHexString}"
+      val root = stagedRoots.computeIfAbsent((d, "sqlcat_xf_root"), _ => {
+        val root = stagedTmp("stage_sqlcat_xf")
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        Tables.load(s, d, "orders").createOrReplaceTempView("sqlcatxf_src")
+        s.sql(s"CREATE NAMESPACE $cat.bench")
+        s.sql(s"""CREATE TABLE $cat.bench.xforders PARTITIONED BY (months(o_date))
+                  AS SELECT o_orderkey, o_totalprice,
+                            CAST(o_orderdate AS DATE) AS o_date
+                  FROM sqlcatxf_src""")
+        root
+      })
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""SELECT o_date, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM $cat.bench.xforders
+                WHERE o_date IN (DATE '1995-03-15', DATE '1995-03-16',
+                                 DATE '1996-07-01')
+                GROUP BY o_date ORDER BY o_date""")
+    })
+
   // ALTER TABLE ADD COLUMNS through SQL: a metadata-only schema widening
   // (one zero-row footer carries the new columns; old files null-fill at
   // scan time — nothing rewritten at any table size), then an INSERT
@@ -1868,5 +1908,6 @@ object Lakehouse {
     sqlCatalogQuery, sqlCatalogTimeTravel, sqlCatalogUpdate, sqlCatalogMerge,
     sqlCatalogDbTxn, sqlCatalogDbAsof,
     sqlCatalogMetaHistory, sqlCatalogMetaPartitions,
-    sqlCatalogOverwritePartition, sqlCatalogAlterAddColumn)
+    sqlCatalogOverwritePartition, sqlCatalogAlterAddColumn,
+    sqlCatalogXformPrune)
 }

@@ -465,18 +465,19 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
             if (nCounts > 0)
               new GraftCountRelation(context, table, cols, nCounts)
             else new GraftCatalogRelation(context, table, v, cols, filters,
-              partSpec.filterNot(_.contains("(")))
+              partSpec.map(PartitionTransform.parse(_).col))
           rel.asInstanceOf[T]
         }
 
         /** Manifest-derived size/rows so Catalyst's join strategy sees
           * real magnitudes (a dimension-sized table auto-broadcasts); a
-          * pushed identity-partition equality scales the estimate to the
-          * planned files — all metadata, never a job. */
+          * pushed partition-source-column equality scales the estimate
+          * to the planned files (identity AND hidden layouts) — all
+          * metadata, never a job. */
         override def estimateStatistics(): Statistics = new Statistics {
           private val prunedSize: Option[(Long, Long)] =
             if (v >= 0) None
-            else partSpec.filterNot(_.contains("(")).flatMap { pc =>
+            else partSpec.map(PartitionTransform.parse(_).col).flatMap { pc =>
               GraftV2Table.partitionPredicate(filters, pc)
                 .flatMap { case (canon, _) => table.prunedSizeIn(pc, canon) }
             }
@@ -688,15 +689,16 @@ final class GraftCountRelation(context: SQLContext, table: SnapshotTable,
 }
 
 /** The v1 relation a [[V1Scan]] lowers to: projected + pre-filtered
-  * manifest-planned scan at one version. A pushed equality on the
-  * table's identity partition column plans only that partition's files
-  * from the manifest (plus residual-filtered foreign-layout files) —
-  * the same metadata pruning the native `readWhereCol` path gets, so
-  * SQL point queries on the partition key stay O(partition) at any
-  * table size. */
+  * manifest-planned scan at one version. A pushed equality or IN-list on
+  * the table's partition SOURCE column plans only the matching files
+  * from the manifest — identity partitions prune exactly; hidden layouts
+  * (days/months/bucket/truncate) keep only the buckets/days/prefixes the
+  * literals transform to, with the residual row filter where a kept
+  * bucket may hold other values — so SQL point queries on the partition
+  * key stay O(partition) at any table size. */
 final class GraftCatalogRelation(context: SQLContext, table: SnapshotTable,
     version: Int, required: StructType, pushed: Array[Filter],
-    identityPartCol: Option[String])
+    partSourceCol: Option[String])
   extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = context
@@ -711,7 +713,7 @@ final class GraftCatalogRelation(context: SQLContext, table: SnapshotTable,
   override lazy val sizeInBytes: Long = {
     val prunedBytes =
       if (version >= 0) None
-      else identityPartCol.flatMap { pc =>
+      else partSourceCol.flatMap { pc =>
         GraftV2Table.partitionPredicate(pushed, pc)
           .flatMap { case (canon, _) => table.prunedSizeIn(pc, canon) }
           .map(_._1)
@@ -722,11 +724,11 @@ final class GraftCatalogRelation(context: SQLContext, table: SnapshotTable,
   private def base: DataFrame = {
     // manifest partition pruning: current-version reads only (the
     // pruned planner works on head state); equality or IN-list on the
-    // identity partition column, any value type with a canonical
-    // directory-string form
+    // partition source column, any value type with a canonical
+    // directory-string form, identity and hidden layouts alike
     val prunedEq =
       if (version >= 0) None
-      else identityPartCol.flatMap { pc =>
+      else partSourceCol.flatMap { pc =>
         GraftV2Table.partitionPredicate(pushed, pc).flatMap {
           case (canon, typed) => table.prunedWhereColIn(pc, canon, typed)
         }

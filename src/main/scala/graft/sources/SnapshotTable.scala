@@ -586,38 +586,63 @@ class SnapshotTable(spark: SparkSession, root: String) {
     if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
   }
 
+  /** Manifest file planning for `colName IN (canon values)` across ALL
+    * layouts an entry may carry: identity partitions prune exactly
+    * (every row matches — no filter); HIDDEN layouts (days/months/
+    * bucket/truncate of `colName`) keep only the buckets/days/prefixes
+    * the literals transform to — the plan-time mirror of the write-side
+    * function — but a kept bucket may hold other values, so those files
+    * take the residual row filter, as do foreign-layout files. Returns
+    * (exact, residual) entry lists; None = no layout on `colName` at
+    * all (the caller falls back to the full manifest plan). */
+  private def planFilesIn(colName: String, canon: Seq[String])
+      : Option[(Seq[FileEntry], Seq[FileEntry])] = {
+    val entries = fileEntries(currentVersion)
+    val anyLayout = entries.exists(e => e.partCol == colName ||
+      (e.xformCol == colName && e.xformTag != null))
+    if (!anyLayout) return None
+    val vals = canon.toSet
+    val (ident, rest0) = entries.partition(_.partCol == colName)
+    val (xf, rest) = rest0.partition(e =>
+      e.xformCol == colName && e.xformTag != null)
+    val identKeep = ident.filter(e => e.partValue != null && vals(e.partValue))
+    val xfKeep = xf.filter(e => e.partValue != null && canon.exists(v =>
+      e.partValue == PartitionTransform.applyLiteral(e.xformTag, v)))
+    Some((identKeep, xfKeep ++ rest))
+  }
+
   /** [[prunedWhereCol]] generalized to a value SET (SQL `IN`-list, or a
-    * single non-string equality canonicalized to its directory form):
-    * entries partitioned by `colName` keep only the listed partitions
-    * (metadata alone); other-layout entries scan with the typed residual
-    * filter. None when preconditions fail — callers fall back to the
-    * full manifest-planned read with identical row semantics. */
+    * single non-string equality canonicalized to its directory form)
+    * and to hidden-partition layouts — see [[planFilesIn]]. None when
+    * preconditions fail; Some(empty frame) when the manifest PROVES no
+    * file can match (zero data files opened). */
   def prunedWhereColIn(colName: String, canon: Seq[String],
       typed: Seq[Any]): Option[DataFrame] = {
     if (deltaEntries(currentVersion).nonEmpty) return None
-    if (!fileEntries(currentVersion).exists(_.partCol == colName)) return None
-    val vals = canon.toSet
-    val (exact, rest) = fileEntries(currentVersion).partition(_.partCol == colName)
-    val pruned = exact.filter(e => e.partValue != null && vals(e.partValue))
-    val dvs = dvEntries(currentVersion)
-    val parts = Seq(
-      if (pruned.nonEmpty) Some(baseScan(pruned, dvs)) else None,
-      if (rest.nonEmpty)
-        Some(baseScan(rest, dvs).filter(col(colName).isin(typed: _*)))
-      else None).flatten
-    if (parts.isEmpty) None else Some(parts.reduce(_ unionByName _))
+    planFilesIn(colName, canon).map { case (exact, residual) =>
+      val dvs = dvEntries(currentVersion)
+      val parts = Seq(
+        if (exact.nonEmpty) Some(baseScan(exact, dvs)) else None,
+        if (residual.nonEmpty)
+          Some(baseScan(residual, dvs).filter(col(colName).isin(typed: _*)))
+        else None).flatten
+      if (parts.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          read(currentVersion).schema)
+      else parts.reduce(_ unionByName _)
+    }
   }
 
   /** Manifest bytes/rows for the entries [[prunedWhereColIn]] would plan
-    * (pruned partitions + all residual-layout files) — stats estimation
-    * for the SQL catalog, metadata only. None = no pruning applies. */
+    * (pruned partitions + residual-layout files) — stats estimation for
+    * the SQL catalog, metadata only. None = no pruning applies. */
   def prunedSizeIn(colName: String, canon: Seq[String]): Option[(Long, Long)] = {
     if (hasPendingDeltas) return None
-    if (!fileEntries(currentVersion).exists(_.partCol == colName)) return None
-    val vals = canon.toSet
-    val (exact, rest) = fileEntries(currentVersion).partition(_.partCol == colName)
-    val planned = exact.filter(e => e.partValue != null && vals(e.partValue)) ++ rest
-    Some((planned.map(_.bytes).sum, planned.map(_.rows).sum))
+    planFilesIn(colName, canon).map { case (exact, residual) =>
+      val planned = exact ++ residual
+      (planned.map(_.bytes).sum, planned.map(_.rows).sum)
+    }
   }
 
   /** Transform-aware file planning for `colName = value` over hidden

@@ -214,6 +214,42 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$plan")
   }
 
+  test("hidden-partition transforms prune from the manifest through SQL") {
+    sql("CREATE NAMESPACE gtest.xf")
+    // days(d): queries filter the RAW column; the planner applies the
+    // transform to the literal and prunes files on metadata alone
+    sql("CREATE TABLE gtest.xf.t (k BIGINT, d DATE) PARTITIONED BY (days(d))")
+    sql("""INSERT INTO gtest.xf.t VALUES
+           (1, DATE'2024-01-01'), (2, DATE'2024-01-02'), (3, DATE'2024-01-01')""")
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/xf/t")
+    // prime the schema cache while every file exists (first-query probe)
+    assert(sql("SELECT count(*) FROM gtest.xf.t WHERE k > 0").head.getLong(0) == 3)
+    // physically delete the other day's files: the day-1 query can
+    // succeed only if the manifest prune never plans them
+    val day2 = t.files.filter(_.partValue == "2024-01-02")
+    assert(day2.nonEmpty)
+    day2.foreach(e => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(new java.net.URI(e.path))))
+    assert(sql("SELECT k FROM gtest.xf.t WHERE d = DATE'2024-01-01' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    intercept[Exception] { sql("SELECT count(k) FROM gtest.xf.t").collect() }
+
+    // bucket(4, m): the CRC-bucket of the literal locates the files
+    sql("CREATE TABLE gtest.xf.b (k BIGINT, m INT) PARTITIONED BY (bucket(4, m))")
+    sql("INSERT INTO gtest.xf.b SELECT id, CAST(id % 8 AS INT) FROM range(64)")
+    val tb = new graft.sources.SnapshotTable(spark, s"$root/xf/b")
+    assert(sql("SELECT count(*) FROM gtest.xf.b WHERE k >= 0").head.getLong(0) == 64)
+    val bucketOf3 = graft.sources.PartitionTransform.applyLiteral("bucket4", "3")
+    // (keep the v0 zero-row schema carrier — it has no partition value
+    // and legitimately stays in every plan)
+    val others = tb.files.filter(e => e.partValue != bucketOf3 && e.rows > 0)
+    assert(others.nonEmpty)
+    others.foreach(e => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(new java.net.URI(e.path))))
+    assert(sql("SELECT count(*) FROM gtest.xf.b WHERE m = 3").head.getLong(0) == 8)
+  }
+
   test("ALTER TABLE ADD COLUMNS is metadata-only and version-correct") {
     sql("CREATE NAMESPACE gtest.alt")
     sql("CREATE TABLE gtest.alt.t (k BIGINT)")
