@@ -399,7 +399,8 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
   }.toArray
 
   override def properties(): util.Map[String, String] =
-    Map(TableCatalog.PROP_PROVIDER -> "graft-snapshot").asJava
+    (table.propertiesMap +
+      (TableCatalog.PROP_PROVIDER -> "graft-snapshot")).asJava
 
   // BATCH_WRITE rides along with V1_BATCH_WRITE only to satisfy the
   // analyzer's dynamic-overwrite capability check — Spark has no V1

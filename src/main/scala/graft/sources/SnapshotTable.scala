@@ -150,6 +150,20 @@ class SnapshotTable(spark: SparkSession, root: String) {
       this
     }
 
+  /** Every durable string property in the sidecar (SHOW TBLPROPERTIES
+    * surface). */
+  def propertiesMap: Map[String, String] = {
+    if (!fs.exists(propsPath)) return Map.empty
+    val n = new ObjectMapper().readTree(readFileString(fs, propsPath))
+    val it = n.fieldNames()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val k = it.next()
+      if (n.get(k).isTextual) b += k -> n.get(k).asText()
+    }
+    b.result()
+  }
+
   /** A durable string property, if set. */
   def property(key: String): Option[String] = {
     if (!fs.exists(propsPath)) return None

@@ -272,9 +272,12 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     // duplicate adds and unsupported changes refuse loudly
     intercept[Exception] { sql("ALTER TABLE gtest.alt.t ADD COLUMNS (c STRING)") }
     intercept[Exception] { sql("ALTER TABLE gtest.alt.t DROP COLUMN k") }
-    // properties land in the durable sidecar
+    // properties land in the durable sidecar and SHOW TBLPROPERTIES sees them
     sql("ALTER TABLE gtest.alt.t SET TBLPROPERTIES ('quality.tier' = 'gold')")
     assert(t.property("quality.tier").contains("gold"))
+    val shown = sql("SHOW TBLPROPERTIES gtest.alt.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(shown.get("quality.tier").contains("gold"))
   }
 
   test("INSERT OVERWRITE PARTITION replaces only that partition; dynamic mode replaces present ones") {
