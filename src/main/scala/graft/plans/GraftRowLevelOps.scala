@@ -119,7 +119,12 @@ final case class GraftReplaceDataExec(
 
 /** Physical node for `INSERT OVERWRITE` in dynamic partition-overwrite
   * mode: the partitions PRESENT in the query's result replace wholesale
-  * (O(new data)); every other partition carries by reference. */
+  * (O(new data)); every other partition carries by reference. Hidden
+  * layouts (`months(ts)`, `bucket(n, k)`, …) replace at the TRANSFORMED
+  * partition granularity — `overwritePartitions` maps the data through
+  * the layout's write function, so one month's rows replace exactly
+  * that month. Only a genuinely unpartitioned table widens to a full
+  * overwrite (the standard dynamic-overwrite semantic there). */
 final case class GraftDynamicOverwriteExec(
     snapshot: SnapshotTable,
     partSpec: Option[String],
@@ -132,9 +137,9 @@ final case class GraftDynamicOverwriteExec(
     val df = org.apache.spark.sql.GraftStreamShim.ofRows(spark, query)
     val cols = snapshot.read().schema.fieldNames.toIndexedSeq
     val aligned = df.select(cols.map(col): _*)
-    partSpec.filterNot(_.contains("(")) match {
+    partSpec match {
       case Some(pc) => snapshot.overwritePartitions(aligned, pc)
-      case None => snapshot.overwriteAll(aligned, partSpec)
+      case None => snapshot.overwriteAll(aligned, None)
     }
     ()
   }

@@ -71,17 +71,32 @@ final class GraftDatabase(spark: SparkSession, val root: String) {
   }
 
   /** Run the mutations, then publish every named table's resulting
-    * current version as ONE atomic db commit. Returns the db version. */
+    * current version as ONE atomic db commit. Returns the db version.
+    * The pins are captured IMMEDIATELY after the mutation, so a vacuum
+    * racing in between the table commits and the publish is caught by
+    * the publish-time manifest validation (the pinned versions no
+    * longer exist → publish fails loudly) instead of silently
+    * re-pinning the rolled-back pre-txn versions. */
   def transact(names: Seq[String])(mutate: GraftDatabase => Unit): Int = {
     mutate(this)
-    publish(names)
+    publishPins(names.map(n => n -> table(n).currentVersion))
   }
 
   /** Publish the named tables' current versions (other members keep
     * their existing pins). Write-once create is the atomicity point:
     * the snapshot file either exists completely or not at all. */
-  def publish(names: Seq[String]): Int = {
-    val pins = names.map(n => n -> table(n).currentVersion)
+  def publish(names: Seq[String]): Int =
+    publishPins(names.map(n => n -> table(n).currentVersion))
+
+  /** Publish EXPLICIT (table -> version) pins — the recovery face of
+    * [[transact]]: a transaction records its members' commit versions
+    * the moment it commits them, and (re-)publishes exactly those, so a
+    * concurrent vacuum that reclaimed one of them as a crash orphan is
+    * detected here (the pinned manifest no longer exists → fail loudly)
+    * instead of surfacing as broken reads under a corrupt snapshot. */
+  def publish(pins: Map[String, Int]): Int = publishPins(pins.toSeq)
+
+  private def publishPins(pins: Seq[(String, Int)]): Int = {
     var attempts = 0
     while (true) {
       val cur = currentVersion
@@ -95,6 +110,21 @@ final class GraftDatabase(spark: SparkSession, val root: String) {
       if (regressed.nonEmpty) throw new java.util.ConcurrentModificationException(
         s"db publish at $root: concurrent transaction already published " +
           s"newer versions of ${regressed.mkString(",")}")
+      // vacuum/publish race: a concurrent vacuum treats every
+      // unpublished version above the newest retained pin as a crash
+      // orphan and rolls it back — if it reclaimed one of THIS txn's
+      // versions, pinning it would publish dangling manifests that
+      // break every subsequent reader. Validate the pinned versions
+      // still exist (re-checked on every retry) and fail the PUBLISH,
+      // not the readers. The mutation must be re-run; published state
+      // is untouched.
+      val reclaimed = pins.collect {
+        case (n, v) if !table(n).versionExists(v) => s"$n@v$v"
+      }
+      if (reclaimed.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"db publish at $root: a concurrent vacuum reclaimed unpublished " +
+          s"${reclaimed.mkString(",")} before this transaction could " +
+          "publish — re-run the transaction")
       val next = cur + 1
       val json = {
         val n = mapper.createObjectNode()

@@ -179,10 +179,12 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace.length == 1 && snapshotOf(ident).exists
 
-  private def loadPinned(ident: Identifier, pinned: Option[Int]): Table = {
+  private def loadPinned(ident: Identifier, pinned: Option[Int],
+      dbPinned: Boolean = false): Table = {
     val t = snapshotOf(ident)
     if (!t.exists) throw new NoSuchTableException(ident)
-    new GraftV2Table(t, pinned, s"$catalogName.${ident.namespace.head}.${ident.name}")
+    new GraftV2Table(t, pinned,
+      s"$catalogName.${ident.namespace.head}.${ident.name}", dbPinned)
   }
 
   /** The namespace's transaction database, when the namespace directory
@@ -219,7 +221,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       if (db.currentVersion < 0) None
       else db.tableVersions().get(ident.name)
     }
-    loadPinned(ident, dbPin)
+    loadPinned(ident, dbPin, dbPinned = dbPin.isDefined)
   }
 
   /** SQL `VERSION AS OF <v>`: the table's own version — except in a
@@ -288,25 +290,29 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     * ([[SnapshotTable.addColumns]] — one empty footer, no data
     * rewritten); `SET TBLPROPERTIES` lands in the durable sidecar.
     * Renames/drops/type-changes would need per-version column mapping
-    * (Delta's column-mapping mode) and are refused loudly. */
+    * (Delta's column-mapping mode) and are refused loudly. The WHOLE
+    * change list validates before anything commits: a mixed
+    * supported/unsupported ALTER is all-or-nothing, never half-applied. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = snapshotOf(ident)
     if (!t.exists) throw new NoSuchTableException(ident)
-    val adds = changes.collect { case a: TableChange.AddColumn => a }
-    adds.foreach { a =>
-      require(a.fieldNames.length == 1,
-        s"ALTER TABLE ADD COLUMNS: nested field ${a.fieldNames.mkString(".")} unsupported")
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"ALTER TABLE ADD COLUMNS: nested field ${a.fieldNames.mkString(".")} unsupported")
+      case _: TableChange.SetProperty => ()
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE: unsupported change $other — only ADD COLUMNS and " +
+          "SET TBLPROPERTIES commit without per-version column mapping")
     }
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.nonEmpty)
       t.addColumns(adds.map(a =>
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)))
     changes.foreach {
-      case _: TableChange.AddColumn => () // handled above
       case p: TableChange.SetProperty => t.withProperty(p.property, p.value)
-      case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE: unsupported change $other — only ADD COLUMNS and " +
-          "SET TBLPROPERTIES commit without per-version column mapping")
+      case _ => () // AddColumn handled above
     }
     loadTable(ident)
   }
@@ -346,11 +352,26 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   * [[V1Write]] → APPEND commit (INSERT INTO) or OVERWRITE commit
   * (INSERT OVERWRITE, via `SupportsTruncate`). */
 final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
-    qualifiedName: String) extends Table with SupportsRead with SupportsWrite
+    qualifiedName: String, dbPinned: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite
     with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def readVersion: Int = pinned.getOrElse(-1)
+
+  /** Why a write against this handle must be refused: a member of a
+    * database namespace resolves at the latest PUBLISHED db snapshot, so
+    * a direct SQL write would bypass the cross-table atomicity contract
+    * — point the user at the transaction API instead of the misleading
+    * generic time-travel message. */
+  private def refuseWrite(what: String): String =
+    if (dbPinned)
+      s"cannot $what $qualifiedName directly: the table is a member of a " +
+        "transaction database namespace and resolves at the latest " +
+        "published db snapshot — route writes through " +
+        "GraftDatabase.transact(...) so they publish atomically with " +
+        "their sibling tables"
+    else s"cannot $what $qualifiedName pinned at VERSION AS OF ${pinned.get}"
 
   /** Engine handles for graft.plans.GraftRowLevelOps, which executes
     * UPDATE / MERGE / CoW-DELETE rewrites through the snapshot commit. */
@@ -366,8 +387,7 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    require(pinned.isEmpty,
-      s"cannot run ${info.command} against $qualifiedName pinned at a version")
+    require(pinned.isEmpty, refuseWrite(s"run ${info.command} against"))
     () => new GraftRowLevelOperation(table, partSpec, info.command,
       schema, qualifiedName)
   }
@@ -502,7 +522,7 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
     * commit to an empty state — metadata-plus-one-empty-footer, history
     * and time travel preserved. */
   override def truncateTable(): Boolean = {
-    require(pinned.isEmpty, s"cannot truncate $qualifiedName pinned at a version")
+    require(pinned.isEmpty, refuseWrite("truncate"))
     val s = SparkSession.active
     table.overwriteAll(
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema), None)
@@ -537,8 +557,7 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
     * non-partition overwrite condition is refused loudly rather than
     * silently widened to a truncate. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(pinned.isEmpty,
-      s"cannot write to $qualifiedName pinned at VERSION AS OF ${pinned.get}")
+    require(pinned.isEmpty, refuseWrite("write to"))
     import org.apache.spark.sql.connector.write.{SupportsDynamicOverwrite, SupportsOverwrite}
     new WriteBuilder with SupportsTruncate with SupportsOverwrite
         with SupportsDynamicOverwrite {
@@ -562,30 +581,40 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
               val identityPartCol = partSpec.filterNot(_.contains("("))
               mode match {
                 case "truncate" => table.overwriteAll(data, partSpec)
-                case "dynamic" => identityPartCol match {
+                // dynamic overwrite replaces the partitions present in
+                // the data under ANY layout — identity AND hidden
+                // transforms (overwritePartitions maps the data through
+                // the layout's write function); only a genuinely
+                // unpartitioned table widens to a full overwrite
+                case "dynamic" => partSpec match {
                   case Some(pc) => table.overwritePartitions(data, pc)
-                  case None => table.overwriteAll(data, partSpec)
+                  case None => table.overwriteAll(data, None)
                 }
                 case "filters" =>
+                  // a raw-value condition does not align with hidden-
+                  // transform partition boundaries (one month/bucket
+                  // holds values the filter may not cover), so REPLACE
+                  // WHERE lowers only on identity layouts
                   val pc = identityPartCol.getOrElse(
                     throw new UnsupportedOperationException(
                       s"$qualifiedName: overwrite-by-condition needs an " +
                         "identity partition column"))
-                  val coveredByPartitionEq =
+                  val canon =
                     GraftV2Table.partitionPredicate(overwriteFilters, pc)
-                      .isDefined && overwriteFilters.forall(f =>
-                        f.references.sameElements(Array(pc)))
-                  if (!coveredByPartitionEq)
-                    throw new UnsupportedOperationException(
-                      s"$qualifiedName: unsupported overwrite condition " +
-                        s"${overwriteFilters.mkString(", ")} — only " +
-                        s"partition-column ($pc) equality/IN overwrites " +
-                        "lower to partition replacement")
-                  // Spark validates the data against the condition, so
-                  // the rows' partitions ⊆ the filtered partitions —
-                  // dynamic replacement of the data's partitions IS the
-                  // static-partition overwrite
-                  table.overwritePartitions(data, pc)
+                      .filter(_ => overwriteFilters.forall(f =>
+                        f.references.sameElements(Array(pc))))
+                      .map(_._1)
+                      .getOrElse(throw new UnsupportedOperationException(
+                        s"$qualifiedName: unsupported overwrite condition " +
+                          s"${overwriteFilters.mkString(", ")} — only " +
+                          s"partition-column ($pc) equality/IN overwrites " +
+                          "lower to partition replacement"))
+                  // OverwriteByExpression replaces the FILTER's partition
+                  // set, not the data's: a filtered partition the data
+                  // has no rows for is emptied (Spark validates the data
+                  // against the condition, so rows ⊆ filtered partitions)
+                  table.overwritePartitionValues(data, pc,
+                    canon.toSet, hasNull = false)
                 case _ =>
                   if (overwriteArg) table.overwriteAll(data, partSpec)
                   else table.append(data, partSpec)

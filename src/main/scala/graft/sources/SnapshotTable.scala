@@ -186,6 +186,13 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private def manifestPath(version: Int): Path =
     new Path(logDir, f"$version%05d.json")
 
+  /** Whether version `v`'s commit record still exists in the log — the
+    * db publish path's validation against a concurrent vacuum having
+    * rolled back an unpublished version as a crash orphan. Probes
+    * STORAGE, not the manifest cache: a rolled-back version is evicted
+    * from the cache but a stale hit would defeat the check. */
+  def versionExists(v: Int): Boolean = fs.exists(manifestPath(v))
+
   /** Parse (or fetch from the process-wide cache) one committed
     * manifest. Manifests are write-once, so caching is sound. The
     * cache-miss read takes [[SnapshotTable.commitLock]]: the local
@@ -1462,28 +1469,60 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * `replaceWhere` at partition granularity): partitions PRESENT in
     * `df` are replaced wholesale — their old files are never read, cost
     * is O(new data) — and every other partition carries over by
-    * reference. Files laid out under a DIFFERENT (or no) partition
-    * column may hold rows of both kinds, so they are rewritten with the
-    * overwritten partitions' rows filtered out (the residue rewrite
-    * that keeps mixed-layout tables correct). DV marks addressing
-    * replaced files die with them; marks on carried files ride along. */
+    * reference. `partitionBy` is the table's partition SPEC — an
+    * identity column or a hidden-partitioning transform
+    * (`"months(ts)"`, `"bucket(8, k)"`, …); for transforms the
+    * replaced set is the TRANSFORMED partition values present in the
+    * data (one month's rows replace that month, never the table).
+    * Files laid out under a DIFFERENT (or no) layout may hold rows of
+    * both kinds, so they are rewritten with the overwritten
+    * partitions' rows filtered out (the residue rewrite that keeps
+    * mixed-layout tables correct). DV marks addressing replaced files
+    * die with them; marks on carried files ride along. */
   def overwritePartitions(df: DataFrame, partitionBy: String): SnapshotTable = {
+    val spec = PartitionTransform.parse(partitionBy)
+    // the data's partition values in the layout's on-disk form — for a
+    // transform layout that is writeColumn(spec) (the exact function the
+    // writer names directories with), for identity the cast to string
+    val rawVals = df.select(PartitionTransform.writeColumn(spec).as("__graft_pv"))
+      .distinct().collect().map(_.getString(0))
+    require(rawVals.nonEmpty, s"overwritePartitions on $root with an empty source")
+    overwritePartitionValues(df, partitionBy,
+      rawVals.filter(_ != null).toSet, rawVals.contains(null))
+  }
+
+  /** Partition overwrite with an EXPLICIT replaced set (SQL
+    * `INSERT OVERWRITE … REPLACE WHERE pc IN (…)` semantics —
+    * Spark's OverwriteByExpression contract): every partition named in
+    * `vals` (plus the null partition when `hasNull`) is replaced by the
+    * matching rows of `df`, whether or not the data HAS rows for it — a
+    * filtered partition absent from the data is emptied, and an empty
+    * `df` empties every filtered partition. `vals` are the layout's
+    * on-disk partition-value strings. Cost O(new data); unfiltered
+    * partitions carry by reference. */
+  def overwritePartitionValues(df: DataFrame, partitionBy: String,
+      vals: Set[String], hasNull: Boolean): SnapshotTable = {
     val v = currentVersion
     require(deltaEntries(v).isEmpty,
       s"overwritePartitions on $root requires compacted state (pending MoR deltas)")
-    val rawVals = df.select(col(partitionBy).cast("string")).distinct()
-      .collect().map(_.getString(0))
-    require(rawVals.nonEmpty, s"overwritePartitions on $root with an empty source")
-    // NULL in the source replaces the null partition like any other
-    // value; on disk identity layouts hold it under the Hive
-    // default-partition sentinel, so that is the file-level match key
-    val hasNull = rawVals.contains(null)
-    val vals = rawVals.filter(_ != null).toSet
+    require(vals.nonEmpty || hasNull,
+      s"overwritePartitionValues on $root with an empty replaced set")
+    val spec = PartitionTransform.parse(partitionBy)
+    val pvCol = PartitionTransform.writeColumn(spec)
+    // NULL replaces the null partition like any other value; on disk
+    // identity layouts hold it under the Hive default-partition
+    // sentinel, so that is the file-level match key
     val diskVals = if (hasNull) vals + HiveNullPart else vals
     val entries = fileEntries(v)
-    val foreign = entries.filter(e => e.partValue == null || e.partCol != partitionBy)
+    // a file is same-layout when it was written under THIS spec — the
+    // manifest records identity layouts in partCol and transform layouts
+    // in xformCol/xformTag (FileEntry doc); anything else is foreign
+    def sameLayout(e: FileEntry): Boolean =
+      if (spec.tag == null) e.partCol == spec.col
+      else e.xformCol == spec.col && e.xformTag == spec.tag
+    val foreign = entries.filter(e => e.partValue == null || !sameLayout(e))
     val replaced = entries.filter(e =>
-      e.partValue != null && e.partCol == partitionBy && diskVals.contains(e.partValue))
+      e.partValue != null && sameLayout(e) && diskVals.contains(e.partValue))
     val carry = entries.filterNot(e => foreign.contains(e) || replaced.contains(e))
     val written = writeData(df, v + 1, Some(partitionBy))
     // rows of mixed-layout files that do NOT belong to a replaced
@@ -1491,7 +1530,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // three-valued (non-matches go NULL and get filtered), so null
     // membership is handled by predicate shape, never by isin(null).
     val keepRow = {
-      val c = col(partitionBy).cast("string")
+      val c = pvCol
       val nonNullKept =
         if (vals.isEmpty) c.isNotNull
         else c.isNotNull && !c.isin(vals.toSeq: _*)

@@ -301,9 +301,62 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
       assert(t.files.filter(_.partValue == "O").map(_.path).toSet == oBefore)
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     // non-partition overwrite conditions refuse loudly (no silent truncate)
-    intercept[Exception] {
-      sql("INSERT OVERWRITE gtest.iow.t REPLACE WHERE k > 100 VALUES (40L, 'O')")
+    val e = intercept[Exception] {
+      sql("INSERT INTO gtest.iow.t REPLACE WHERE k > 100 VALUES (40L, 'O')")
     }
+    assert(e.getMessage.contains("overwrite condition") ||
+      e.getMessage.contains("REPLACE"), e.getMessage)
+    assert(sql("SELECT count(*) FROM gtest.iow.t").head.getLong(0) == 3,
+      "a refused REPLACE WHERE must not change the table")
+  }
+
+  test("dynamic INSERT OVERWRITE on a hidden months(ts) layout replaces only the data's months") {
+    sql("CREATE NAMESPACE gtest.hid")
+    sql("""CREATE TABLE gtest.hid.t (k BIGINT, ts TIMESTAMP)
+           PARTITIONED BY (months(ts))""")
+    sql("""INSERT INTO gtest.hid.t VALUES
+           (1, TIMESTAMP '2024-01-05 00:00:00'),
+           (2, TIMESTAMP '2024-02-10 00:00:00'),
+           (3, TIMESTAMP '2024-02-20 00:00:00'),
+           (4, TIMESTAMP '2024-03-01 00:00:00')""")                        // v1
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/hid/t")
+    val otherMonths = t.files
+      .filter(e => e.partValue != null && e.partValue != "2024-02")
+      .map(_.path).toSet
+    assert(otherMonths.nonEmpty)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // regression pin: this used to fall through to a FULL-TABLE
+      // overwrite (silent loss of Jan + Mar); it must replace 2024-02 only
+      sql("INSERT OVERWRITE gtest.hid.t VALUES (20L, TIMESTAMP '2024-02-15 00:00:00')") // v2
+      assert(sql("SELECT k FROM gtest.hid.t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 4L, 20L))
+      assert(t.files.filter(e =>
+        e.partValue != null && e.partValue != "2024-02").map(_.path).toSet
+        == otherMonths, "untouched months must carry by reference")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+  }
+
+  test("REPLACE WHERE replaces the filter's partition set, not the data's") {
+    sql("CREATE NAMESPACE gtest.rw")
+    sql("CREATE TABLE gtest.rw.t (k BIGINT, status STRING) PARTITIONED BY (status)")
+    sql("INSERT INTO gtest.rw.t VALUES (1, 'A'), (2, 'B'), (3, 'C')")     // v1
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/rw/t")
+    val cFiles = t.files.filter(_.partValue == "C").map(_.path).toSet
+    // the data covers only A; B must be EMPTIED (OverwriteByExpression
+    // contract), C carried by reference
+    sql("INSERT INTO gtest.rw.t REPLACE WHERE status IN ('A', 'B') VALUES (10L, 'A')") // v2
+    assert(sql("SELECT k, status FROM gtest.rw.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((3L, "C"), (10L, "A")))
+    assert(t.files.filter(_.partValue == "C").map(_.path).toSet == cFiles)
+    // empty-but-valid data empties the filtered partition, never aborts
+    sql("""INSERT INTO gtest.rw.t REPLACE WHERE status = 'C'
+           SELECT k, status FROM VALUES (0L, 'C') AS s(k, status) WHERE 1 = 0""") // v3
+    assert(sql("SELECT k FROM gtest.rw.t").collect().map(_.getLong(0)).toSeq == Seq(10L))
+    // history intact: the replaced versions stay time-travelable
+    assert(sql("SELECT count(*) FROM gtest.rw.t VERSION AS OF 1").head.getLong(0) == 3)
   }
 
   test("metadata tables answer from the manifest: history, partitions, detail, files") {
@@ -357,10 +410,32 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     db.table("facts").append(spark.range(25, 30).toDF("k")
       .withColumn("grp", lit("a")))
     assert(sql("SELECT count(*) FROM gtest.txndb.facts").head.getLong(0) == 25)
-    // writes through SQL bypass the txn log and are rejected loudly
-    intercept[Exception] {
+    // writes through SQL bypass the txn log and are rejected loudly,
+    // with a message that points at the transaction API — not the
+    // misleading generic "pinned at VERSION AS OF" wording
+    val e = intercept[Exception] {
       sql("INSERT INTO gtest.txndb.facts VALUES (99, 'a')")
     }
+    assert(e.getMessage.contains("GraftDatabase.transact"), e.getMessage)
+    assert(!e.getMessage.contains("VERSION AS OF"), e.getMessage)
+  }
+
+  test("a mixed supported/unsupported ALTER is all-or-nothing") {
+    sql("CREATE NAMESPACE gtest.atomalt")
+    sql("CREATE TABLE gtest.atomalt.t (k BIGINT)")
+    sql("INSERT INTO gtest.atomalt.t VALUES (1)")                         // v1
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/atomalt/t")
+    val vBefore = t.currentVersion
+    // REPLACE COLUMNS arrives as one change list mixing supported
+    // AddColumn with unsupported DeleteColumn — it must commit NOTHING,
+    // not half-apply the adds before rejecting the deletes
+    intercept[Exception] {
+      sql("ALTER TABLE gtest.atomalt.t REPLACE COLUMNS (c STRING)")
+    }
+    assert(t.currentVersion == vBefore,
+      "a rejected mixed ALTER must leave no committed version")
+    assert(!sql("SELECT * FROM gtest.atomalt.t").schema.fieldNames.contains("c"))
   }
 
   test("catalog state is the filesystem: a second catalog over the same root sees everything") {

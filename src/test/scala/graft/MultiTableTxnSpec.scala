@@ -109,4 +109,41 @@ class MultiTableTxnSpec extends AnyFunSuite {
     db.transact(Seq("a")) { d => d.table("a").append(df(4L -> "x4")): Unit }
     assert(db.read("a").count() == 3)
   }
+
+  test("vacuum racing between member-commit and publish fails the publish, not the readers") {
+    val db = freshDb()
+    db.transact(Seq("a", "b")) { d =>
+      d.table("a").create(df(1L -> "x")): Unit
+      d.table("b").create(df(10L -> "y")): Unit
+    }                                                       // db v0: a@0 b@0
+    // an in-flight transaction commits its member halves and records
+    // the commit versions it intends to publish...
+    db.table("a").append(df(2L -> "x2"))                    // a@1 UNPUBLISHED
+    db.table("b").append(df(20L -> "y2"))                   // b@1 UNPUBLISHED
+    val txnPins = Map(
+      "a" -> db.table("a").currentVersion,
+      "b" -> db.table("b").currentVersion)
+    // ...and a concurrent vacuum runs before it publishes: the
+    // unpublished versions look exactly like crash orphans and are
+    // rolled back — the publish must detect the reclaim and FAIL
+    // rather than pin versions whose manifests are gone
+    db.vacuum(retainDbVersions = 1)
+    val caught = intercept[java.util.ConcurrentModificationException] {
+      db.publish(txnPins)
+    }
+    assert(caught.getMessage.contains("vacuum reclaimed"), caught.getMessage)
+    // published state untouched and every reader still consistent —
+    // no db snapshot may pin a version whose manifest vacuum deleted
+    assert(db.currentVersion == 0)
+    assert(db.read("a").count() == 1 && db.read("b").count() == 1)
+    db.tableVersions().foreach { case (n, v) =>
+      assert(db.table(n).versionExists(v), s"$n@v$v must still resolve")
+    }
+    // the transaction re-runs cleanly afterwards
+    db.transact(Seq("a", "b")) { d =>
+      d.table("a").append(df(2L -> "x2"))
+      d.table("b").append(df(20L -> "y2"))
+    }
+    assert(db.read("a").count() == 2 && db.read("b").count() == 2)
+  }
 }

@@ -223,6 +223,69 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(ks.count(_._2 == "B") === 21)
   }
 
+  test("overwritePartitions on a hidden months layout replaces only the data's months") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-02-10 00:00:00"), 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-02-20 00:00:00"), 3.0),
+      (4L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 4.0))
+      .toDF("k", "ts", "v")
+    val t = new SnapshotTable(spark, tmp("ovwm"))
+      .create(base, partitionBy = Some("months(ts)"))
+    val otherMonths = t.files
+      .filter(e => e.partValue != null && e.partValue != "2024-02")
+      .map(_.path).toSet
+    assert(otherMonths.nonEmpty)
+    // one February row replaces exactly the 2024-02 partition — never a
+    // full-table truncate (the silent-data-loss regression this pins)
+    t.overwritePartitions(
+      Seq((20L, java.sql.Timestamp.valueOf("2024-02-15 00:00:00"), 20.0))
+        .toDF("k", "ts", "v"), "months(ts)")
+    assert(t.read().orderBy("k").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 4L, 20L))
+    // untouched months carried by reference: same physical files
+    assert(t.files.filter(e =>
+      e.partValue != null && e.partValue != "2024-02").map(_.path).toSet
+      == otherMonths)
+    // a foreign-layout append holding two months' rows: a Feb overwrite
+    // rewrites it keeping only the non-Feb rows
+    t.append(Seq(
+      (30L, java.sql.Timestamp.valueOf("2024-02-02 00:00:00"), 30.0),
+      (31L, java.sql.Timestamp.valueOf("2024-03-12 00:00:00"), 31.0))
+      .toDF("k", "ts", "v"))
+    t.overwritePartitions(
+      Seq((40L, java.sql.Timestamp.valueOf("2024-02-28 00:00:00"), 40.0))
+        .toDF("k", "ts", "v"), "months(ts)")
+    val ks = t.read().collect().map(_.getLong(0)).toSet
+    assert(ks == Set(1L, 4L, 31L, 40L),
+      s"foreign-file Feb rows must not survive; others must: $ks")
+  }
+
+  test("overwritePartitionValues empties a filtered partition absent from the data") {
+    import spark.implicits._
+    val df = (0 until 30).map(i => (i.toLong, ('A' + i % 3).toChar.toString, i * 1.0))
+      .toDF("k", "p", "v")
+    val t = new SnapshotTable(spark, tmp("ovwv"))
+      .create(df, partitionBy = Some("p"))
+    val cFiles = t.files.filter(_.partValue == "C").map(_.path).toSet
+    // REPLACE WHERE p IN ('A','B') with A-only data: B is EMPTIED (the
+    // filter's set, not the data's), C carries by reference
+    t.overwritePartitionValues(
+      Seq((100L, "A", 100.0)).toDF("k", "p", "v"), "p",
+      vals = Set("A", "B"), hasNull = false)
+    val got = t.read().collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.filter(_._2 == "A").map(_._1).toSet == Set(100L))
+    assert(!got.exists(_._2 == "B"), s"B must be emptied: ${got.toSeq}")
+    assert(got.count(_._2 == "C") == 10)
+    assert(t.files.filter(_.partValue == "C").map(_.path).toSet == cFiles)
+    // an empty source empties every filtered partition instead of aborting
+    t.overwritePartitionValues(
+      Seq.empty[(Long, String, Double)].toDF("k", "p", "v"), "p",
+      vals = Set("C"), hasNull = false)
+    assert(t.read().collect().map(_.getLong(0)).toSet == Set(100L))
+  }
+
   test("overwritePartitions treats NULL as a replaceable partition") {
     import spark.implicits._
     def p(i: Int): String = i % 3 match {
