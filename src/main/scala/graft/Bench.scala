@@ -72,7 +72,7 @@ object Bench {
     // protocol sweeps (merge-micro CoW/MoR crossover, file-count planning
     // tiers) run once after the query loop; a failing sweep must not kill
     // the round's report
-    // SPARK_GRAFT_EXTRAS may name a subset (mm,fc,dm,ir,irp,inc,skip)
+    // SPARK_GRAFT_EXTRAS may name a subset (mm,fc,dm,ir,irp,rpf,inc,skip)
     // for the dev loop; unset with a full run, or set empty, means all.
     val extrasSel = sys.env.get("SPARK_GRAFT_EXTRAS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -92,6 +92,7 @@ object Bench {
           "dm" -> (() => operators.BenchExtras.deleteMicroSweep(spark)),
           "ir" -> (() => operators.BenchExtras.incrementalRounds(spark)),
           "irp" -> (() => operators.BenchExtras.refreshProtocol(spark, sfDir)),
+          "rpf" -> (() => operators.BenchExtras.refreshFullIsolated(spark, sfDir)),
           "inc" -> (() => operators.BenchExtras.incrementalDedupRounds(spark, sfDir)),
           "skip" -> (() => operators.BenchExtras.skipRatios(spark, sfDir))
         ).flatMap { case (tag, sweep) =>
@@ -110,7 +111,10 @@ object Bench {
     // sweeps: delete crossover, incremental merges, corpus-fidelity
     // refresh, merge micro (largest sizes first within each).
     val extrasOrdered = {
-      val (inc, rest0) = extras.partition(_._1.startsWith("inc_"))
+      // rpf leads: the isolated refresh_pipeline_full pin is the number
+      // the drift check reads against the in-loop headline
+      val (rpf, restR) = extras.partition(_._1.startsWith("rpf_"))
+      val (inc, rest0) = restR.partition(_._1.startsWith("inc_"))
       val (skip, rest1) = rest0.partition(_._1.startsWith("skip_"))
       val (ir, rest2) = rest1.partition(_._1.startsWith("ir_"))
       val (irp, rest3) = rest2.partition(_._1.startsWith("irp_"))
@@ -148,7 +152,7 @@ object Bench {
         "ir_merge_10"))
       val (irpTop, irpRest) = headThenRest(irp, Seq("irp_query_0",
         "irp_query_post", "irp_compact", "irp_merge_1", "irp_merge_10"))
-      inc ++ fcOrdered ++ skip ++ dm ++ irTop ++ irpTop ++
+      rpf ++ inc ++ fcOrdered ++ skip ++ dm ++ irTop ++ irpTop ++
         irRest ++ irpRest ++ mmBySize ++ other
     }
     val json = Harness.reportJson(results, sfDir, Harness.envInfo(spark), extras)

@@ -271,10 +271,15 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions` entry point: injects the engine's SQL
-  * functions into every session derived from the config — the
-  * SparkSessionExtensions route from SURVEY.md §5. */
+  * functions, the maintenance-verb parser (`OPTIMIZE` / `VACUUM` /
+  * `DESCRIBE HISTORY` — graft.plans.GraftSqlParser), and the strategy
+  * that executes those commands, into every session derived from the
+  * config — the SparkSessionExtensions route from SURVEY.md §5. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) =>
+      new graft.plans.GraftSqlParser(delegate))
+    ext.injectPlannerStrategy(_ => graft.plans.GraftMaintenanceStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),

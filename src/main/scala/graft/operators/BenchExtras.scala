@@ -384,4 +384,28 @@ object BenchExtras {
       graft.sources.Tpcds.ensure(spark, sfDir)
     }
   }
+
+  /** Isolated A/B pin for `refresh_pipeline_full` (the round-11/12
+    * drift flag): the SAME entry re-measured in the settled extras
+    * context (post-System.gc + warmup, no 300-query loop residue),
+    * three iterations — `rpf_iso_1..3`. The in-loop headline number
+    * absorbs neighbor GC/page-cache pressure and has drifted
+    * 5.4→8.6→11.4 s across rounds at zero code delta; if these isolated
+    * numbers stay flat round-over-round while the in-loop one moves,
+    * the drift is loop-context noise by construction, never a plan
+    * regression — and a real regression moves BOTH. */
+  def refreshFullIsolated(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    val entry = graft.operators.Refresh.defs
+      .find(_.name == "refresh_pipeline_full")
+      .getOrElse(throw new IllegalStateException(
+        "refresh_pipeline_full entry missing"))
+    (1 to 3).map { i =>
+      val (_, t) = time {
+        entry.build(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      graft.Scratch.sweep(spark)
+      s"rpf_iso_$i" -> sec(t)
+    }
+  }
 }

@@ -1894,6 +1894,160 @@ object Lakehouse {
         .orderBy("snapshot", "o_orderstatus")
     })
 
+  /** Staged ONCE per sf dir: a hidden-layout (`months(o_orderdate)`)
+    * orders table in a SQL catalog; per-invocation metadata-only clone
+    * (the sidecar carries the partition spec, so the clone keeps the
+    * hidden layout). Mirrors [[freshSqlCatalogOrders]] for the
+    * transform-layout DML gates. */
+  private def freshSqlCatalogOrdersMonths(s: SparkSession, d: String): (String, String) = {
+    val cat = s"graftsqlh_${math.abs(d.hashCode).toHexString}"
+    val root = stagedRoots.computeIfAbsent((d, "sqlcat_hid_root"), _ => {
+      val root = stagedTmp("stage_sqlcat_hid")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .createOrReplaceTempView("sqlhid_orders_src")
+      s.sql(s"CREATE NAMESPACE $cat.bench")
+      s.sql(s"""CREATE TABLE $cat.bench.orders_mbase
+                (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE)
+                PARTITIONED BY (months(o_orderdate))""")
+      s.sql(s"""INSERT INTO $cat.bench.orders_mbase
+                SELECT o_orderkey, o_totalprice, o_orderdate
+                FROM sqlhid_orders_src""")
+      root
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftSqlCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Tables.load(s, d, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+      .createOrReplaceTempView("sqlhid_orders_src")
+    val t = s"orders_m${sqlDmlCatCounter.incrementAndGet()}"
+    new SnapshotTable(s, s"$root/bench/orders_mbase")
+      .shallowCloneTo(graft.Scratch.register(s"$root/bench/$t")): Unit
+    (cat, t)
+  }
+
+  // Dynamic partition overwrite on a HIDDEN layout (the round-12 `weak`
+  // grade): under partitionOverwriteMode=dynamic, one year's rows
+  // replace exactly that year's month partitions of a months(ts) table
+  // — never a full-table truncate (the silent-data-loss path this
+  // pins); every other month carries by reference.
+  private val sqlCatalogOverwriteHidden = OpQuery(
+    "sql_catalog_overwrite_hidden",
+    Some("""
+      WITH rows AS (
+        SELECT o_totalprice
+                 + CASE WHEN year(o_orderdate) = 1995 THEN 9.0 ELSE 0.0 END
+                 AS o_totalprice,
+               o_orderdate
+        FROM orders)
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM rows GROUP BY yr ORDER BY yr
+    """),
+    (s, d) => {
+      val (cat, tbl) = freshSqlCatalogOrdersMonths(s, d)
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        s.sql(s"""INSERT OVERWRITE $cat.bench.$tbl
+                  SELECT o_orderkey, o_totalprice + 9.0, o_orderdate
+                  FROM sqlhid_orders_src
+                  WHERE YEAR(o_orderdate) = 1995""")           // v1
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      s.sql(s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM $cat.bench.$tbl GROUP BY yr ORDER BY yr""")
+    })
+
+  // REPLACE WHERE follows Spark's OverwriteByExpression contract: the
+  // replaced set is the FILTER's partitions, not the data's — 'P' is
+  // named by the condition but absent from the data, so it is EMPTIED
+  // (pre-fix the engine silently kept P's old rows).
+  private val sqlReplaceWhere = OpQuery(
+    "sql_replace_where",
+    Some("""
+      WITH merged AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderstatus NOT IN ('F', 'P')
+        UNION ALL
+        SELECT 'F', o_totalprice + 7.0 FROM orders WHERE o_orderstatus = 'F')
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val (cat, tbl) = freshSqlCatalogOrders(s, d)
+      s.sql(s"""INSERT INTO $cat.bench.$tbl
+                REPLACE WHERE o_orderstatus IN ('F', 'P')
+                SELECT o_orderkey, o_totalprice + 7.0, 'F'
+                FROM sqldml_orders_src WHERE o_orderstatus = 'F'""") // v1
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM $cat.bench.$tbl
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
+  // SQL maintenance verbs (OPTIMIZE / VACUUM / DESCRIBE HISTORY via the
+  // GraftSqlParser extension — the reference's housekeeping is SQL,
+  // IncrementalTPCDSBenchmark.scala:186-204, TPCDSDataLoad.scala:137):
+  // the full verb sequence on a mutated clone, then the data read back —
+  // compaction and retention must be invisible to query results.
+  private val sqlMaintenanceVerbs = OpQuery(
+    "sql_maintenance_verbs",
+    Some("""
+      WITH all_rows AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT 'O', o_totalprice + 5.0 FROM orders WHERE o_orderkey % 9 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM all_rows GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val (cat, tbl) = freshSqlCatalogOrders(s, d)
+      s.sql(s"""INSERT INTO $cat.bench.$tbl
+                SELECT o_orderkey + 20000000, o_totalprice + 5.0, 'O'
+                FROM sqldml_orders_src WHERE o_orderkey % 9 = 0""")  // v1
+      s.sql(s"OPTIMIZE $cat.bench.$tbl")                             // v2 (bin-pack)
+      s.sql(s"VACUUM $cat.bench.$tbl RETAIN 1 VERSIONS")             // history ≤ v2 reclaimed
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM $cat.bench.$tbl
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
+  // DESCRIBE HISTORY as SQL: the commit log surfaces as rows with exact
+  // per-version logical row counts — all manifest metadata, zero data
+  // files opened (the oracle recomputes the counts from the source).
+  private val sqlDescribeHistory = OpQuery(
+    "sql_describe_history",
+    Some("""
+      SELECT 0 AS version, 'CLONE' AS operation,
+             (SELECT COUNT(*) FROM orders) AS num_rows
+      UNION ALL
+      SELECT 1, 'APPEND',
+             (SELECT COUNT(*) FROM orders)
+               + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0)
+      UNION ALL
+      SELECT 2, 'ZORDER',
+             (SELECT COUNT(*) FROM orders)
+               + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0)
+      ORDER BY version
+    """),
+    (s, d) => {
+      val (cat, tbl) = freshSqlCatalogOrders(s, d)
+      s.sql(s"""INSERT INTO $cat.bench.$tbl
+                SELECT o_orderkey + 30000000, o_totalprice, 'F'
+                FROM sqldml_orders_src WHERE o_orderkey % 7 = 0""")       // v1
+      s.sql(s"OPTIMIZE $cat.bench.$tbl ZORDER BY (o_orderkey, o_totalprice)") // v2
+      s.sql(s"DESCRIBE HISTORY $cat.bench.$tbl")
+        .select("version", "operation", "num_rows")
+        .orderBy("version")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
@@ -1909,5 +2063,6 @@ object Lakehouse {
     sqlCatalogDbTxn, sqlCatalogDbAsof,
     sqlCatalogMetaHistory, sqlCatalogMetaPartitions,
     sqlCatalogOverwritePartition, sqlCatalogAlterAddColumn,
-    sqlCatalogXformPrune)
+    sqlCatalogXformPrune, sqlMaintenanceVerbs, sqlDescribeHistory,
+    sqlCatalogOverwriteHidden, sqlReplaceWhere)
 }

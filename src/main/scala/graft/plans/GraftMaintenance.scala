@@ -1,0 +1,157 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+
+import graft.sources.SnapshotTable
+
+/** SQL maintenance verbs over catalog tables — the housekeeping the
+  * reference drives AS SQL (`OPTIMIZE` / `CALL rewrite_data_files`,
+  * IncrementalTPCDSBenchmark.scala:186-204; `DESCRIBE HISTORY`,
+  * TPCDSDataLoad.scala:137-141), mapped onto the engine's existing
+  * metadata-bounded operations:
+  *
+  *   - `OPTIMIZE t` — bin-pack files smaller than the threshold
+  *     ([[SnapshotTable.compactSmallFiles]]; cost ∝ small-file bytes,
+  *     already-compact files carry by reference — Delta's OPTIMIZE).
+  *   - `OPTIMIZE t ZORDER BY (a, b)` — Morton-curve rewrite
+  *     ([[SnapshotTable.compactZOrder]]) so BOTH columns get sub-linear
+  *     per-file min/max spans (Delta's OPTIMIZE ZORDER).
+  *   - `VACUUM t [RETAIN n VERSIONS]` — reclaim versions outside the
+  *     retention window ([[SnapshotTable.vacuum]]; O(log + reclaimed
+  *     files), never a data scan).
+  *   - `DESCRIBE HISTORY t` — the commit log as rows
+  *     ([[SnapshotTable.history]]; O(log records), zero data files).
+  *
+  * The statements parse in [[GraftSqlParser]] (injected via
+  * `spark.sql.extensions`), plan through [[GraftMaintenanceStrategy]],
+  * and execute eagerly like every Spark `Command`. Names resolve
+  * against the session catalog manager, so all three verbs work on
+  * 1/2/3-part names exactly like any other table statement.
+  */
+object GraftMaintenance {
+
+  private[plans] def attrs(schema: StructType): Seq[Attribute] =
+    schema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+
+  val OptimizeSchema: StructType = new StructType()
+    .add("files_before", LongType, nullable = false)
+    .add("files_after", LongType, nullable = false)
+    .add("version", IntegerType, nullable = false)
+
+  val VacuumSchema: StructType = new StructType()
+    .add("reclaimed_files", IntegerType, nullable = false)
+    .add("version", IntegerType, nullable = false)
+
+  /** Mirrors [[SnapshotTable.history]]'s frame schema. */
+  val HistorySchema: StructType = new StructType()
+    .add("version", IntegerType, nullable = false)
+    .add("operation", StringType, nullable = false)
+    .add("num_files", LongType, nullable = false)
+    .add("num_rows", LongType, nullable = false)
+    .add("pending_delta_rows", LongType, nullable = false)
+
+  /** Default small-file threshold for bare `OPTIMIZE` (Delta's
+    * optimize.minFileSize default: files under 128 MiB bin-pack). */
+  val DefaultMinBytes: Long = 128L * 1024 * 1024
+
+  /** Resolve the named table to its engine handle via the session's
+    * catalog manager (only graft catalogs carry maintainable tables). */
+  private[plans] def snapshotOf(spark: SparkSession,
+      name: Seq[String]): SnapshotTable = {
+    val (plugin, ident) =
+      org.apache.spark.sql.GraftStreamShim.resolveCatalogTable(spark, name)
+    plugin match {
+      case g: graft.sources.GraftSqlCatalog => g.snapshotFor(ident)
+      case other => throw new UnsupportedOperationException(
+        s"${name.mkString(".")}: catalog '${other.name}' is not a graft " +
+          "catalog — OPTIMIZE/VACUUM/DESCRIBE HISTORY operate on graft " +
+          "snapshot tables")
+    }
+  }
+}
+
+/** `OPTIMIZE name [ZORDER BY (a, b)]`. */
+final case class GraftOptimizeCommand(name: Seq[String],
+    zorderBy: Seq[String]) extends LeafNode with Command {
+  require(zorderBy.isEmpty || zorderBy.length == 2,
+    s"OPTIMIZE ZORDER BY takes exactly two columns (Morton curve is " +
+      s"two-dimensional here), got (${zorderBy.mkString(", ")})")
+  override def output: Seq[Attribute] =
+    GraftMaintenance.attrs(GraftMaintenance.OptimizeSchema)
+}
+
+/** `VACUUM name [RETAIN n VERSIONS]`. */
+final case class GraftVacuumCommand(name: Seq[String],
+    retainVersions: Option[Int]) extends LeafNode with Command {
+  override def output: Seq[Attribute] =
+    GraftMaintenance.attrs(GraftMaintenance.VacuumSchema)
+}
+
+/** `DESCRIBE HISTORY name`. */
+final case class GraftDescribeHistoryCommand(name: Seq[String])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] =
+    GraftMaintenance.attrs(GraftMaintenance.HistorySchema)
+}
+
+/** Plans the maintenance commands onto their engine execs; injected via
+  * `spark.sql.extensions` (GraftExtensions) next to the parser that
+  * produces them. */
+object GraftMaintenanceStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case c: GraftOptimizeCommand =>
+      GraftMaintenanceExec(c.output, GraftMaintenance.OptimizeSchema, { spark =>
+        val t = GraftMaintenance.snapshotOf(spark, c.name)
+        val before = t.files.size.toLong
+        if (c.zorderBy.isEmpty)
+          t.compactSmallFiles(GraftMaintenance.DefaultMinBytes)
+        else t.compactZOrder(math.max(1, t.files.size / 4),
+          c.zorderBy.head, c.zorderBy(1))
+        // Seq[Any] forestalls Scala's numeric widening (a mixed
+        // Long/Int Seq infers Seq[Long] and silently widens the Int,
+        // breaking the IntegerType projection)
+        Seq(Seq[Any](before, t.files.size.toLong, t.currentVersion))
+      }) :: Nil
+    case c: GraftVacuumCommand =>
+      GraftMaintenanceExec(c.output, GraftMaintenance.VacuumSchema, { spark =>
+        val t = GraftMaintenance.snapshotOf(spark, c.name)
+        val reclaimed = t.vacuum(c.retainVersions.getOrElse(1))
+        Seq(Seq[Any](reclaimed, t.currentVersion))
+      }) :: Nil
+    case c: GraftDescribeHistoryCommand =>
+      GraftMaintenanceExec(c.output, GraftMaintenance.HistorySchema, { spark =>
+        GraftMaintenance.snapshotOf(spark, c.name).history.collect()
+          .map(_.toSeq).toSeq
+      }) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Executes one maintenance command on the driver (all three verbs are
+  * metadata-bounded: compaction launches its own distributed rewrite
+  * jobs through the engine; vacuum/history never touch data files) and
+  * returns the result rows Spark's eager command execution surfaces. */
+final case class GraftMaintenanceExec(
+    override val output: Seq[Attribute],
+    schema2: StructType,
+    run: SparkSession => Seq[Seq[Any]]) extends LeafExecNode {
+
+  private lazy val result: Array[InternalRow] = {
+    val conv = CatalystTypeConverters.createToCatalystConverter(schema2)
+    run(SparkSession.active).map(vals =>
+      conv(org.apache.spark.sql.Row.fromSeq(vals)).asInstanceOf[InternalRow])
+      .toArray
+  }
+
+  override def executeCollect(): Array[InternalRow] = result
+
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(result.toIndexedSeq, 1)
+}

@@ -344,6 +344,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def invalidateTable(ident: Identifier): Unit = ()
+
+  /** Engine handle for the SQL maintenance verbs
+    * ([[graft.plans.GraftMaintenance]]): the snapshot table behind a
+    * catalog identifier. */
+  private[graft] def snapshotFor(ident: Identifier): SnapshotTable = {
+    val t = snapshotOf(ident)
+    if (!t.exists) throw new NoSuchTableException(ident)
+    t
+  }
 }
 
 /** One snapshot table as a DSv2 [[Table]], optionally pinned to a
@@ -355,7 +364,35 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
     qualifiedName: String, dbPinned: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.GraftV1FallbackTable {
+
+  /** `spark.readStream.table("cat.ns.t")` — tables-as-catalog-names is
+    * the standard streaming idiom (Delta's default), so the catalog
+    * table must be tailable by NAME, not only by
+    * `format("graft-snapshot").option("path", …)`. Spark's analyzer
+    * resolves a streaming read over a `V2TableWithV1Fallback` catalog
+    * table into the fallback's v1 source (RelationResolution →
+    * FindDataSourceTable → DataSource.createSource): this descriptor
+    * routes it to [[graft.streaming.SnapshotStreamProvider]] at the
+    * table's root — the same manifest-diff-driven micro-batch source
+    * the path-addressed stream uses (per-trigger cost O(new files of
+    * the commit), no directory listing, no seen-files state) — exactly
+    * Delta's DeltaTableV2 fallback shape. Batch reads/writes never see
+    * this: the table deliberately does not advertise MICRO_BATCH_READ,
+    * so only the streaming planner consults the fallback. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    val parts = qualifiedName.split('.')
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last, Some(parts(parts.length - 2)), Some(parts.head)),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        properties = Map("path" -> table.location)),
+      schema = schema,
+      provider = Some("graft-snapshot"))
+  }
 
   private def readVersion: Int = pinned.getOrElse(-1)
 

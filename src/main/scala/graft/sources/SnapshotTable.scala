@@ -75,6 +75,11 @@ import org.apache.spark.sql.functions._
   */
 class SnapshotTable(spark: SparkSession, root: String) {
 
+  /** The table root path string — the address every by-path access mode
+    * (format("graft-snapshot"), streaming source/sink, clone targets)
+    * keys on. */
+  def location: String = root
+
   import SnapshotTable._
 
   private val rootPath = new Path(root)
@@ -1660,6 +1665,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
     clone.writeManifest(Manifest(0, "CLONE", mergeKeysOf(v),
       rebased(fileEntries(v)), rebased(deltaEntries(v)),
       dvs = rebased(dvEntries(v))))
+    // The clone inherits the durable property sidecar: a hidden-layout
+    // table's partition spec and bloom-filter columns live there — a
+    // clone losing them would write subsequent commits unpartitioned
+    // (no pruning) and unprotected (no row-group skipping).
+    if (fs.exists(propsPath)) clone.writeSidecar(sidecarNode())
     clone
   }
 

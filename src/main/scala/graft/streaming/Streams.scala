@@ -643,6 +643,41 @@ object Streams {
         .orderBy("o_orderpriority")
     })
 
+  // Catalog-name streaming read: `spark.readStream.table("cat.ns.t")` —
+  // Delta's default tailing idiom (tables are catalog NAMES in the
+  // reference's world, TPCDSBenchmark.scala:93 `USE $dbName`). The DSv2
+  // catalog table carries a V1 streaming fallback (GraftV1FallbackTable)
+  // that resolves to the same manifest-diff-driven SnapshotStreamSource
+  // the path-addressed format uses: per-trigger cost O(new files of the
+  // commit), no directory listing, no seen-files state. Same 3-commit
+  // shape as stream_table_appends, addressed by NAME instead of path.
+  private val streamCatalogTable = OpQuery(
+    "stream_catalog_table",
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val catRoot = scratch("cat_stream_root")
+      s.conf.set("spark.sql.catalog.gstream",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set("spark.sql.catalog.gstream.root", catRoot)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(catRoot, "strm"))
+      val t = new graft.sources.SnapshotTable(s, s"$catRoot/strm/orders")
+        .create(o.filter(col("o_orderkey") % 3 === 0))
+      t.append(o.filter(col("o_orderkey") % 3 === 1))
+      t.append(o.filter(col("o_orderkey") % 3 === 2))
+      val feed = s.readStream.table("gstream.strm.orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
+      runToMemory(feed, "cattail", OutputMode.Complete)
+        .orderBy("o_orderpriority")
+    })
+
   // ------------------------------------------------------------------
   // Native snapshot-table SINK: writeStream.format("graft-snapshot") —
   // the exactly-once append path as a first-class streaming format, no
@@ -706,5 +741,5 @@ object Streams {
     windowedAgg, streamDedup, streamSessionize, streamEnrich, streamMerge,
     streamStreamJoin, streamJoinLeftOuter, slidingWindowAgg, streamCdcApply,
     streamTableAppends,
-    streamTableStartVersion, streamNativeSink)
+    streamTableStartVersion, streamCatalogTable, streamNativeSink)
 }

@@ -24,6 +24,15 @@ import org.apache.spark.sql.types.StructType
   * Catalyst planning over the manifest-backed relation (column pruning,
   * filter pushdown into the parquet scan, whole-stage codegen).
   */
+/** Public face of Spark's `private[sql]`
+  * [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]]:
+  * the analyzer resolves `readStream.table("cat.ns.t")` over a catalog
+  * table implementing it into the fallback's v1 streaming source
+  * (RelationResolution's V2TableWithV1Fallback branch). Delta's
+  * DeltaTableV2 uses the same trait from inside the org.apache.spark.sql
+  * tree; graft's catalog table lives outside it, hence this bridge. */
+trait GraftV1FallbackTable extends connector.catalog.V2TableWithV1Fallback
+
 object GraftStreamShim {
 
   /** Re-plan a batch DataFrame as a streaming micro-batch: identical
@@ -51,6 +60,28 @@ object GraftStreamShim {
     * `private[sql]`, hence this bridge. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Resolve a (possibly partial) multipart table name against the
+    * session's catalog manager — the name surface of the SQL
+    * maintenance verbs (`OPTIMIZE` / `VACUUM` / `DESCRIBE HISTORY`).
+    * `CatalogManager` is `private[sql]`, hence this bridge. A 1-part
+    * name resolves in the current catalog + namespace, a 2-part name in
+    * the current catalog, a 3-part name names its catalog. */
+  def resolveCatalogTable(spark: SparkSession,
+      name: Seq[String]): (connector.catalog.CatalogPlugin,
+        connector.catalog.Identifier) = {
+    import connector.catalog.Identifier
+    val cm = spark.asInstanceOf[classic.SparkSession]
+      .sessionState.catalogManager
+    name match {
+      case Seq(c, n, t) if cm.isCatalogRegistered(c) =>
+        (cm.catalog(c), Identifier.of(Array(n), t))
+      case Seq(n, t) => (cm.currentCatalog, Identifier.of(Array(n), t))
+      case Seq(t) => (cm.currentCatalog, Identifier.of(cm.currentNamespace, t))
+      case other => throw new IllegalArgumentException(
+        s"cannot resolve table name ${other.mkString(".")}")
+    }
+  }
 
   /** The inverse bridge, for the SINK side: a v1 `Sink.addBatch` receives
     * a DataFrame bound to the micro-batch's IncrementalExecution, which

@@ -438,6 +438,70 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(!sql("SELECT * FROM gtest.atomalt.t").schema.fieldNames.contains("c"))
   }
 
+  test("readStream.table tails a catalog table by name through the manifest log") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    sql("CREATE NAMESPACE gtest.strm")
+    sql("CREATE TABLE gtest.strm.t (k BIGINT, v DOUBLE)")
+    sql("INSERT INTO gtest.strm.t VALUES (1, 1.0), (2, 2.0)")            // v1
+    sql("INSERT INTO gtest.strm.t VALUES (3, 3.0)")                      // v2
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cattail_ckpt").toString
+    def drain(name: String): Unit = {
+      val q = spark.readStream.table("gtest.strm.t")
+        .groupBy().agg(count(lit(1)).as("n"), sum("v").as("sv"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain("cattail1")
+    val r1 = spark.table("cattail1").head
+    assert((r1.getLong(0), r1.getDouble(1)) == ((3L, 6.0)))
+    // the checkpointed offset is the manifest version: a restart picks
+    // up exactly the commits made since, by version diff
+    sql("INSERT INTO gtest.strm.t VALUES (4, 4.0)")                      // v3
+    drain("cattail2")
+    val r2 = spark.table("cattail2").head
+    assert((r2.getLong(0), r2.getDouble(1)) == ((4L, 10.0)))
+  }
+
+  test("SQL maintenance verbs: OPTIMIZE, OPTIMIZE ZORDER BY, VACUUM, DESCRIBE HISTORY") {
+    sql("CREATE NAMESPACE gtest.maint")
+    sql("CREATE TABLE gtest.maint.t (k BIGINT, c BIGINT)")                // v0
+    sql("INSERT INTO gtest.maint.t SELECT id, id % 7 FROM range(0, 400)")   // v1
+    sql("INSERT INTO gtest.maint.t SELECT id, id % 7 FROM range(400, 800)") // v2
+    sql("INSERT INTO gtest.maint.t SELECT id, id % 7 FROM range(800, 1000)")// v3
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/maint/t")
+    val filesBefore = t.files.size
+    assert(filesBefore > 1)
+    // OPTIMIZE bin-packs the small files into one commit; data unchanged
+    val opt = sql("OPTIMIZE gtest.maint.t").head
+    assert(opt.getLong(0) == filesBefore.toLong && opt.getLong(1) < opt.getLong(0),
+      s"optimize must shrink the file count: $opt")
+    assert(sql("SELECT count(*), sum(k) FROM gtest.maint.t").head.toSeq
+      == Seq(1000L, (0L until 1000L).sum))
+    // OPTIMIZE ZORDER BY rewrites on the Morton curve; data unchanged
+    sql("OPTIMIZE gtest.maint.t ZORDER BY (k, c)")                        // v5
+    assert(sql("SELECT count(*) FROM gtest.maint.t").head.getLong(0) == 1000)
+    // DESCRIBE HISTORY surfaces the commit log as rows
+    val hist = sql("DESCRIBE HISTORY gtest.maint.t").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(hist == Seq((0, "CREATE"), (1, "APPEND"), (2, "APPEND"),
+      (3, "APPEND"), (4, "OPTIMIZE"), (5, "ZORDER")), s"got $hist")
+    // VACUUM RETAIN n VERSIONS reclaims files + history below the window
+    val vac = sql("VACUUM gtest.maint.t RETAIN 2 VERSIONS").head
+    assert(vac.getInt(0) > 0 && vac.getInt(1) == 5, s"got $vac")
+    assert(sql("DESCRIBE HISTORY gtest.maint.t").collect()
+      .map(_.getInt(0)).toSeq == Seq(4, 5))
+    assert(sql("SELECT count(*) FROM gtest.maint.t").head.getLong(0) == 1000)
+    intercept[Exception] { sql("SELECT * FROM gtest.maint.t VERSION AS OF 1") }
+    // unrelated statements still parse through the delegate
+    assert(sql("SELECT 1 + 1").head.getInt(0) == 2)
+  }
+
   test("catalog state is the filesystem: a second catalog over the same root sees everything") {
     sql("CREATE NAMESPACE gtest.persist")
     sql("CREATE TABLE gtest.persist.t AS SELECT id FROM range(5)")

@@ -262,6 +262,21 @@ class SnapshotTableSpec extends AnyFunSuite {
       s"foreign-file Feb rows must not survive; others must: $ks")
   }
 
+  test("shallow clone inherits the durable property sidecar") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("clonep"))
+      .create(Seq((1L, "a")).toDF("k", "v"))
+      .withProperty("partitionSpec", "months(ts)")
+      .withBloomFilters("k")
+    val c = t.shallowCloneTo(tmp("clonep_dst"))
+    // a clone losing the spec would write later commits unpartitioned
+    assert(c.property("partitionSpec").contains("months(ts)"))
+    // bloom-filter columns ride along too (array-valued sidecar entry)
+    assert(c.shallowCloneTo(tmp("clonep_dst2"))
+      .property("partitionSpec").contains("months(ts)"),
+      "clone-of-clone keeps properties")
+  }
+
   test("overwritePartitionValues empties a filtered partition absent from the data") {
     import spark.implicits._
     val df = (0 until 30).map(i => (i.toLong, ('A' + i % 3).toChar.toString, i * 1.0))
