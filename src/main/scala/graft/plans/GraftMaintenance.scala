@@ -57,6 +57,14 @@ object GraftMaintenance {
     .add("num_rows", LongType, nullable = false)
     .add("pending_delta_rows", LongType, nullable = false)
 
+  /** Mirrors [[SnapshotTable.detail]]'s frame schema. */
+  val DetailSchema: StructType = new StructType()
+    .add("version", IntegerType, nullable = false)
+    .add("num_files", LongType, nullable = false)
+    .add("total_bytes", LongType, nullable = false)
+    .add("num_rows", LongType, nullable = false)
+    .add("pending_delta_rows", LongType, nullable = false)
+
   /** Default small-file threshold for bare `OPTIMIZE` (Delta's
     * optimize.minFileSize default: files under 128 MiB bin-pack). */
   val DefaultMinBytes: Long = 128L * 1024 * 1024
@@ -87,9 +95,12 @@ final case class GraftOptimizeCommand(name: Seq[String],
     GraftMaintenance.attrs(GraftMaintenance.OptimizeSchema)
 }
 
-/** `VACUUM name [RETAIN n VERSIONS]`. */
+/** `VACUUM name [RETAIN n VERSIONS | RETAIN n HOURS]` — version-count
+  * retention maps to [[SnapshotTable.vacuum]], hour-based (Delta's
+  * syntax) to [[SnapshotTable.vacuumOlderThan]]. */
 final case class GraftVacuumCommand(name: Seq[String],
-    retainVersions: Option[Int]) extends LeafNode with Command {
+    retainVersions: Option[Int],
+    retainHours: Option[Int] = None) extends LeafNode with Command {
   override def output: Seq[Attribute] =
     GraftMaintenance.attrs(GraftMaintenance.VacuumSchema)
 }
@@ -99,6 +110,13 @@ final case class GraftDescribeHistoryCommand(name: Seq[String])
     extends LeafNode with Command {
   override def output: Seq[Attribute] =
     GraftMaintenance.attrs(GraftMaintenance.HistorySchema)
+}
+
+/** `DESCRIBE DETAIL name` (Delta's table-summary verb). */
+final case class GraftDescribeDetailCommand(name: Seq[String])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] =
+    GraftMaintenance.attrs(GraftMaintenance.DetailSchema)
 }
 
 /** Plans the maintenance commands onto their engine execs; injected via
@@ -122,12 +140,26 @@ object GraftMaintenanceStrategy extends SparkStrategy {
     case c: GraftVacuumCommand =>
       GraftMaintenanceExec(c.output, GraftMaintenance.VacuumSchema, { spark =>
         val t = GraftMaintenance.snapshotOf(spark, c.name)
-        val reclaimed = t.vacuum(c.retainVersions.getOrElse(1))
+        val reclaimed = c.retainHours match {
+          case Some(h) =>
+            val cutoff = System.currentTimeMillis() - h * 3600L * 1000L
+            // a cutoff preceding the whole retained log reclaims
+            // nothing (versionAsOf refuses instants before the first
+            // commit — that refusal means "retain everything" here)
+            try t.vacuumOlderThan(cutoff)
+            catch { case _: IllegalArgumentException => 0 }
+          case None => t.vacuum(c.retainVersions.getOrElse(1))
+        }
         Seq(Seq[Any](reclaimed, t.currentVersion))
       }) :: Nil
     case c: GraftDescribeHistoryCommand =>
       GraftMaintenanceExec(c.output, GraftMaintenance.HistorySchema, { spark =>
         GraftMaintenance.snapshotOf(spark, c.name).history.collect()
+          .map(_.toSeq).toSeq
+      }) :: Nil
+    case c: GraftDescribeDetailCommand =>
+      GraftMaintenanceExec(c.output, GraftMaintenance.DetailSchema, { spark =>
+        GraftMaintenance.snapshotOf(spark, c.name).detail.collect()
           .map(_.toSeq).toSeq
       }) :: Nil
     case _ => Nil

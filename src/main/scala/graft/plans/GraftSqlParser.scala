@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   {{{
   *   OPTIMIZE cat.ns.t
   *   OPTIMIZE cat.ns.t ZORDER BY (o_custkey, o_orderkey)
-  *   VACUUM cat.ns.t [RETAIN 3 VERSIONS]
+  *   VACUUM cat.ns.t [RETAIN 3 VERSIONS | RETAIN 168 HOURS]
   *   DESCRIBE HISTORY cat.ns.t      -- DESC HISTORY also accepted
+  *   DESCRIBE DETAIL cat.ns.t
   *   }}}
   *
   * Anything else falls through to the built-in parser untouched. The
@@ -33,10 +34,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftOptimizeCommand(parts(name), Seq.empty)
     case VacuumRetainRe(name, n) =>
       GraftVacuumCommand(parts(name), Some(n.toInt))
+    case VacuumHoursRe(name, h) =>
+      GraftVacuumCommand(parts(name), None, retainHours = Some(h.toInt))
     case VacuumRe(name) =>
       GraftVacuumCommand(parts(name), None)
     case DescribeHistoryRe(name) =>
       GraftDescribeHistoryCommand(parts(name))
+    case DescribeDetailRe(name) =>
+      GraftDescribeDetailCommand(parts(name))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -75,6 +80,10 @@ object GraftSqlParser {
     s"(?is)\\s*VACUUM\\s+$Name\\s*;?\\s*".r
   private val VacuumRetainRe =
     s"(?is)\\s*VACUUM\\s+$Name\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*".r
+  private val VacuumHoursRe =
+    s"(?is)\\s*VACUUM\\s+$Name\\s+RETAIN\\s+(\\d+)\\s+HOURS\\s*;?\\s*".r
   private val DescribeHistoryRe =
     s"(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Name\\s*;?\\s*".r
+  private val DescribeDetailRe =
+    s"(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Name\\s*;?\\s*".r
 }

@@ -498,6 +498,13 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
       .map(_.getInt(0)).toSeq == Seq(4, 5))
     assert(sql("SELECT count(*) FROM gtest.maint.t").head.getLong(0) == 1000)
     intercept[Exception] { sql("SELECT * FROM gtest.maint.t VERSION AS OF 1") }
+    // DESCRIBE DETAIL summarizes the current snapshot
+    val det = sql("DESCRIBE DETAIL gtest.maint.t").head
+    assert(det.getInt(0) == 5 && det.getLong(3) == 1000L, s"got $det")
+    // hour-based retention (Delta syntax): everything is newer than
+    // 1 hour, so nothing reclaims and history is untouched
+    assert(sql("VACUUM gtest.maint.t RETAIN 1 HOURS").head.getInt(0) == 0)
+    assert(sql("DESCRIBE HISTORY gtest.maint.t").count() == 2)
     // unrelated statements still parse through the delegate
     assert(sql("SELECT 1 + 1").head.getInt(0) == 2)
   }
