@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   VACUUM cat.ns.t [RETAIN 3 VERSIONS | RETAIN 168 HOURS]
   *   DESCRIBE HISTORY cat.ns.t      -- DESC HISTORY also accepted
   *   DESCRIBE DETAIL cat.ns.t
+  *   CALL cat.system.rewrite_data_files(table => 'ns.t')
+  *   CALL cat.system.expire_snapshots(table => 'ns.t', retain_last => 3)
   *   }}}
   *
   * Anything else falls through to the built-in parser untouched. The
@@ -42,6 +44,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftDescribeHistoryCommand(parts(name))
     case DescribeDetailRe(name) =>
       GraftDescribeDetailCommand(parts(name))
+    // Iceberg-procedure spellings of the same maintenance ops — the
+    // reference's Iceberg path compacts via CALL
+    // (IncrementalTPCDSBenchmark.scala:186-204)
+    case CallRewriteRe(cat, tbl) =>
+      GraftOptimizeCommand(strip(cat) +: parts(tbl), Seq.empty)
+    case CallExpireRe(cat, tbl, n) =>
+      GraftVacuumCommand(strip(cat) +: parts(tbl),
+        Option(n).map(_.toInt))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -86,4 +96,14 @@ object GraftSqlParser {
     s"(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Name\\s*;?\\s*".r
   private val DescribeDetailRe =
     s"(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Name\\s*;?\\s*".r
+  // CALL cat.system.rewrite_data_files([table =>] 'ns.t')
+  private val CallRewriteRe =
+    (s"(?is)\\s*CALL\\s+($P)\\.system\\.rewrite_data_files\\s*\\(\\s*" +
+      "(?:table\\s*=>\\s*)?'([^']+)'\\s*\\)\\s*;?\\s*").r
+  // CALL cat.system.expire_snapshots([table =>] 'ns.t'
+  //                                  [, retain_last => n])
+  private val CallExpireRe =
+    (s"(?is)\\s*CALL\\s+($P)\\.system\\.expire_snapshots\\s*\\(\\s*" +
+      "(?:table\\s*=>\\s*)?'([^']+)'\\s*" +
+      "(?:,\\s*retain_last\\s*=>\\s*(\\d+)\\s*)?\\)\\s*;?\\s*").r
 }

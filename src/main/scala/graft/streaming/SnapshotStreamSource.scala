@@ -258,14 +258,28 @@ class SnapshotStreamProvider extends StreamSourceProvider
     else StructType(base.fields :+ StructField(SnapshotTable.ChangeCol, StringType))
   }
 
+  /** The stream's schema given an optional user/catalog-supplied one: a
+    * change-feed read always carries `_change_type` — the catalog-name
+    * path (`readStream.option("readChangeFeed", true).table(…)`) hands
+    * this provider the table's BASE schema through Spark's V1 streaming
+    * fallback, and honoring it verbatim would silently drop the change
+    * column from every CDF row. */
+  private def effectiveSchema(table: => SnapshotTable, changeFeed: Boolean,
+      given: Option[StructType]): StructType = given match {
+    case Some(s) if !changeFeed => s
+    case Some(s) if s.fieldNames.contains(SnapshotTable.ChangeCol) => s
+    case Some(s) =>
+      StructType(s.fields :+ StructField(SnapshotTable.ChangeCol, StringType))
+    case None => derivedSchema(table, changeFeed)
+  }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      derivedSchema(tableOf(sqlContext, parameters),
-        boolOpt(parameters, "readChangeFeed"))))
+    (shortName(), effectiveSchema(tableOf(sqlContext, parameters),
+      boolOpt(parameters, "readChangeFeed"), schema))
 
   override def createSource(
       sqlContext: SQLContext,
@@ -301,7 +315,7 @@ class SnapshotStreamProvider extends StreamSourceProvider
     }
     new SnapshotStreamSource(
       sqlContext.sparkSession, table,
-      schema.getOrElse(derivedSchema(table, changeFeed)),
+      effectiveSchema(table, changeFeed, schema),
       starting,
       parameters.get("maxVersionsPerTrigger").map(_.trim.toLong).getOrElse(0L),
       changeFeed)

@@ -465,6 +465,24 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     drain("cattail2")
     val r2 = spark.table("cattail2").head
     assert((r2.getLong(0), r2.getDouble(1)) == ((4L, 10.0)))
+    // reader options flow through the fallback: readChangeFeed by NAME
+    // gets `_change_type` rows (the fallback hands the provider the
+    // base schema — the provider must still append the change column)
+    val qc = spark.readStream
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .table("gtest.strm.t")
+      .groupBy(graft.sources.SnapshotTable.ChangeCol)
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("cattail_cdf")
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cattail_cdf").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    qc.awaitTermination()
+    val cdf = spark.table("cattail_cdf").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(cdf == Map("insert" -> 4L), s"got $cdf")
   }
 
   test("SQL maintenance verbs: OPTIMIZE, OPTIMIZE ZORDER BY, VACUUM, DESCRIBE HISTORY") {
@@ -507,6 +525,18 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(sql("DESCRIBE HISTORY gtest.maint.t").count() == 2)
     // unrelated statements still parse through the delegate
     assert(sql("SELECT 1 + 1").head.getInt(0) == 2)
+  }
+
+  test("Iceberg CALL procedures map onto the maintenance commands") {
+    sql("CREATE NAMESPACE gtest.callp")
+    sql("CREATE TABLE gtest.callp.t (k BIGINT)")                         // v0
+    sql("INSERT INTO gtest.callp.t VALUES (1), (2)")                     // v1
+    sql("INSERT INTO gtest.callp.t VALUES (3)")                          // v2
+    val r = sql("CALL gtest.system.rewrite_data_files(table => 'callp.t')").head // v3
+    assert(r.getLong(1) < r.getLong(0), s"rewrite must bin-pack: $r")
+    sql("CALL gtest.system.expire_snapshots(table => 'callp.t', retain_last => 1)")
+    assert(sql("DESCRIBE HISTORY gtest.callp.t").count() == 1)
+    assert(sql("SELECT sum(k) FROM gtest.callp.t").head.getLong(0) == 6)
   }
 
   test("catalog state is the filesystem: a second catalog over the same root sees everything") {
