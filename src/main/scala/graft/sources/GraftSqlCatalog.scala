@@ -819,12 +819,14 @@ final class GraftCatalogRelation(context: SQLContext, table: SnapshotTable,
   * The replacement GROUP is the file: Spark reads groups through this
   * operation's scan, rewrites their rows via the command's replacement
   * query, and the write replaces exactly what was read. When the
-  * command's condition carries an equality/IN on the identity partition
-  * column, [[pushFilters]] prunes whole conforming partitions out of the
-  * scan — rows there cannot match, and their files carry by reference
-  * through [[SnapshotTable.replaceFiles]] — so a partition-scoped
-  * UPDATE at 100 TB rewrites one partition, not the table. Foreign-
-  * layout and null-partition files always stay in the replaced set
+  * command's condition carries an equality/IN on the partition SOURCE
+  * column (identity or hidden layout — literals map through the
+  * layout's transform), [[pushFilters]] prunes whole conforming
+  * partitions out of the scan — rows there cannot match, and their
+  * files carry by reference through [[SnapshotTable.replaceFiles]] —
+  * so a partition-scoped UPDATE at 100 TB rewrites one partition, not
+  * the table. Foreign-layout and null-partition files always stay in
+  * the replaced set
   * (their rows might match; group semantics forbid row filtering).
   * Without a usable partition predicate the whole table is one group
   * (full OVERWRITE, Delta's unpruned-merge shape).
@@ -857,20 +859,29 @@ final class GraftRowLevelOperation(
         // GROUP pruning only, never row filtering: every row of every
         // kept file must reach the replacement query, or carried rows
         // would vanish from the rewrite. MoR state disables pruning —
-        // delta rows are not file-addressable groups.
-        val identityPartCol = partSpec.filterNot(_.contains("("))
+        // delta rows are not file-addressable groups. Hidden layouts
+        // prune too: the condition's literals map through the layout's
+        // transform (months/days/bucket/truncate), and a same-layout
+        // file whose partition value differs from every transformed
+        // literal cannot hold a matching row — so a one-month UPDATE on
+        // a months(ts) table rewrites one month, not the table.
+        val spec = partSpec.map(PartitionTransform.parse)
         plannedReplace =
           if (table.hasPendingDeltas) None
-          else identityPartCol.flatMap { pc =>
-            GraftV2Table.partitionPredicate(filters, pc).map { case (canon, _) =>
-              val vals = canon.toSet
+          else spec.flatMap { sp =>
+            GraftV2Table.partitionPredicate(filters, sp.col).map { case (canon, _) =>
+              val vals = canon
+                .map(PartitionTransform.applyLiteral(sp.tag, _)).toSet
+              def sameLayout(e: SnapshotTable.FileEntry): Boolean =
+                if (sp.tag == null) e.partCol == sp.col
+                else e.xformCol == sp.col && e.xformTag == sp.tag
               // carry = conforming partitions the predicate excludes;
               // replace = matching partitions + foreign layouts + null
               val (carry, replace) = table.files.partition(e =>
-                e.partCol == pc && e.partValue != null && !vals(e.partValue))
+                sameLayout(e) && e.partValue != null && !vals(e.partValue))
               reported = filters.filter {
-                case org.apache.spark.sql.sources.EqualTo(a, _) => a == pc
-                case org.apache.spark.sql.sources.In(a, _) => a == pc
+                case org.apache.spark.sql.sources.EqualTo(a, _) => a == sp.col
+                case org.apache.spark.sql.sources.In(a, _) => a == sp.col
                 case _ => false
               }
               val _ = carry

@@ -661,16 +661,21 @@ object Streams {
     (s, d) => {
       val o = Tables.load(s, d, "orders")
       val catRoot = scratch("cat_stream_root")
-      s.conf.set("spark.sql.catalog.gstream",
+      // catalog name must be per-invocation: CatalogManager caches the
+      // plugin INSTANCE by name, so a re-pointed `.root` conf on a
+      // reused name would keep resolving the previous (swept) root —
+      // the second bench iteration would tail a deleted table
+      val cat = s"gstream_${runId.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftSqlCatalog].getName)
-      s.conf.set("spark.sql.catalog.gstream.root", catRoot)
+      s.conf.set(s"spark.sql.catalog.$cat.root", catRoot)
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(catRoot, "strm"))
       val t = new graft.sources.SnapshotTable(s, s"$catRoot/strm/orders")
         .create(o.filter(col("o_orderkey") % 3 === 0))
       t.append(o.filter(col("o_orderkey") % 3 === 1))
       t.append(o.filter(col("o_orderkey") % 3 === 2))
-      val feed = s.readStream.table("gstream.strm.orders")
+      val feed = s.readStream.table(s"$cat.strm.orders")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))

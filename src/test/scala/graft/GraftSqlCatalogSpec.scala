@@ -165,6 +165,33 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(t.files.filter(_.partValue == "O").map(_.path).toSet == oFilesBefore)
   }
 
+  test("partition-scoped UPDATE prunes hidden layouts through the transform") {
+    sql("CREATE NAMESPACE gtest.updh")
+    sql("""CREATE TABLE gtest.updh.t (k BIGINT, d DATE, price DOUBLE)
+           PARTITIONED BY (months(d))""")
+    sql("""INSERT INTO gtest.updh.t VALUES
+           (1, DATE '2024-01-05', 10.0), (2, DATE '2024-02-10', 20.0),
+           (3, DATE '2024-02-20', 30.0), (4, DATE '2024-03-01', 40.0)""")    // v1
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val t = new graft.sources.SnapshotTable(spark, s"$root/updh/t")
+    val otherMonths = t.files
+      .filter(e => e.partValue != null && e.partValue != "2024-02")
+      .map(_.path).toSet
+    assert(otherMonths.nonEmpty)
+    assert(sql("SELECT sum(price) FROM gtest.updh.t").head.getDouble(0) == 100.0)
+    // delete the other months' data files: the UPDATE succeeds only if
+    // the rewrite maps the literal through months() and never plans them
+    otherMonths.foreach(p => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(new java.net.URI(p))))
+    sql("UPDATE gtest.updh.t SET price = price + 1000 WHERE d = DATE '2024-02-10'") // v2
+    assert(t.files.filter(e =>
+      e.partValue != null && e.partValue != "2024-02").map(_.path).toSet
+      == otherMonths, "untouched months must carry by reference")
+    assert(sql("""SELECT sum(price) FROM gtest.updh.t
+                  WHERE d BETWEEN DATE '2024-02-01' AND DATE '2024-02-29'""")
+      .head.getDouble(0) == 1050.0) // 1020 + 30
+  }
+
   test("MERGE INTO through SQL: matched update + not-matched insert") {
     sql("CREATE NAMESPACE gtest.mrg")
     sql("CREATE TABLE gtest.mrg.t (k BIGINT, v STRING)")
