@@ -177,19 +177,22 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     val otherMonths = t.files
       .filter(e => e.partValue != null && e.partValue != "2024-02")
       .map(_.path).toSet
-    assert(otherMonths.nonEmpty)
+    val febBefore = t.files.filter(_.partValue == "2024-02").map(_.path).toSet
+    assert(otherMonths.nonEmpty && febBefore.nonEmpty)
     assert(sql("SELECT sum(price) FROM gtest.updh.t").head.getDouble(0) == 100.0)
-    // delete the other months' data files: the UPDATE succeeds only if
-    // the rewrite maps the literal through months() and never plans them
-    otherMonths.foreach(p => java.nio.file.Files.delete(
-      java.nio.file.Paths.get(new java.net.URI(p))))
+    // the rewrite must map the literal through months(): only the
+    // 2024-02 partition's files are replaced, every other month's
+    // files carry BY REFERENCE (identical physical paths)
     sql("UPDATE gtest.updh.t SET price = price + 1000 WHERE d = DATE '2024-02-10'") // v2
     assert(t.files.filter(e =>
       e.partValue != null && e.partValue != "2024-02").map(_.path).toSet
       == otherMonths, "untouched months must carry by reference")
+    assert(t.files.filter(_.partValue == "2024-02").map(_.path).toSet
+      .intersect(febBefore).isEmpty, "the matched month must be rewritten")
     assert(sql("""SELECT sum(price) FROM gtest.updh.t
                   WHERE d BETWEEN DATE '2024-02-01' AND DATE '2024-02-29'""")
       .head.getDouble(0) == 1050.0) // 1020 + 30
+    assert(sql("SELECT sum(price) FROM gtest.updh.t").head.getDouble(0) == 1100.0)
   }
 
   test("MERGE INTO through SQL: matched update + not-matched insert") {
