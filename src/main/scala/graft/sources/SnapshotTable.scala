@@ -1491,7 +1491,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // writer names directories with), for identity the cast to string
     val rawVals = df.select(PartitionTransform.writeColumn(spec).as("__graft_pv"))
       .distinct().collect().map(_.getString(0))
-    require(rawVals.nonEmpty, s"overwritePartitions on $root with an empty source")
+    // no rows → no partitions present → nothing replaces: dynamic
+    // overwrite of an empty source is a NO-OP (Spark's dynamic-mode
+    // contract), not an error and never a truncate
+    if (rawVals.isEmpty) return this
     overwritePartitionValues(df, partitionBy,
       rawVals.filter(_ != null).toSet, rawVals.contains(null))
   }

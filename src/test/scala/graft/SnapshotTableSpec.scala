@@ -299,6 +299,13 @@ class SnapshotTableSpec extends AnyFunSuite {
       Seq.empty[(Long, String, Double)].toDF("k", "p", "v"), "p",
       vals = Set("C"), hasNull = false)
     assert(t.read().collect().map(_.getLong(0)).toSet == Set(100L))
+    // DYNAMIC overwrite of an empty source is a no-op (no partitions
+    // present → nothing replaces), never an error or a truncate
+    val vBefore = t.currentVersion
+    t.overwritePartitions(
+      Seq.empty[(Long, String, Double)].toDF("k", "p", "v"), "p")
+    assert(t.currentVersion == vBefore)
+    assert(t.read().collect().map(_.getLong(0)).toSet == Set(100L))
   }
 
   test("overwritePartitions treats NULL as a replaceable partition") {
