@@ -69,14 +69,20 @@ object GraftMaintenance {
     * optimize.minFileSize default: files under 128 MiB bin-pack). */
   val DefaultMinBytes: Long = 128L * 1024 * 1024
 
+  /** Default retention for bare `VACUUM` (Delta's
+    * deletedFileRetentionDuration default: 7 days). */
+  val DefaultRetainHours: Int = 168
+
   /** Resolve the named table to its engine handle via the session's
-    * catalog manager (only graft catalogs carry maintainable tables). */
+    * catalog manager (only graft catalogs carry maintainable tables).
+    * `forMutation` verbs are refused on transaction-database members —
+    * see [[graft.sources.GraftSqlCatalog.snapshotFor]]. */
   private[plans] def snapshotOf(spark: SparkSession,
-      name: Seq[String]): SnapshotTable = {
+      name: Seq[String], forMutation: Boolean = false): SnapshotTable = {
     val (plugin, ident) =
       org.apache.spark.sql.GraftStreamShim.resolveCatalogTable(spark, name)
     plugin match {
-      case g: graft.sources.GraftSqlCatalog => g.snapshotFor(ident)
+      case g: graft.sources.GraftSqlCatalog => g.snapshotFor(ident, forMutation)
       case other => throw new UnsupportedOperationException(
         s"${name.mkString(".")}: catalog '${other.name}' is not a graft " +
           "catalog — OPTIMIZE/VACUUM/DESCRIBE HISTORY operate on graft " +
@@ -125,8 +131,8 @@ final case class GraftDescribeDetailCommand(name: Seq[String])
 object GraftMaintenanceStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case c: GraftOptimizeCommand =>
-      GraftMaintenanceExec(c.output, GraftMaintenance.OptimizeSchema, { spark =>
-        val t = GraftMaintenance.snapshotOf(spark, c.name)
+      GraftMaintenanceExec(c.output, { spark =>
+        val t = GraftMaintenance.snapshotOf(spark, c.name, forMutation = true)
         val before = t.files.size.toLong
         if (c.zorderBy.isEmpty)
           t.compactSmallFiles(GraftMaintenance.DefaultMinBytes)
@@ -138,27 +144,32 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         Seq(Seq[Any](before, t.files.size.toLong, t.currentVersion))
       }) :: Nil
     case c: GraftVacuumCommand =>
-      GraftMaintenanceExec(c.output, GraftMaintenance.VacuumSchema, { spark =>
-        val t = GraftMaintenance.snapshotOf(spark, c.name)
-        val reclaimed = c.retainHours match {
-          case Some(h) =>
+      GraftMaintenanceExec(c.output, { spark =>
+        val t = GraftMaintenance.snapshotOf(spark, c.name, forMutation = true)
+        // bare VACUUM (no RETAIN clause) keeps Delta's 168-hour default
+        // retention — destroying ALL history by default would be the
+        // opposite of what the syntax means everywhere else; explicit
+        // RETAIN n VERSIONS is the whole-log reclamation switch
+        val reclaimed = c.retainVersions match {
+          case Some(n) => t.vacuum(n)
+          case None =>
+            val h = c.retainHours.getOrElse(GraftMaintenance.DefaultRetainHours)
             val cutoff = System.currentTimeMillis() - h * 3600L * 1000L
             // a cutoff preceding the whole retained log reclaims
             // nothing (versionAsOf refuses instants before the first
             // commit — that refusal means "retain everything" here)
             try t.vacuumOlderThan(cutoff)
             catch { case _: IllegalArgumentException => 0 }
-          case None => t.vacuum(c.retainVersions.getOrElse(1))
         }
         Seq(Seq[Any](reclaimed, t.currentVersion))
       }) :: Nil
     case c: GraftDescribeHistoryCommand =>
-      GraftMaintenanceExec(c.output, GraftMaintenance.HistorySchema, { spark =>
+      GraftMaintenanceExec(c.output, { spark =>
         GraftMaintenance.snapshotOf(spark, c.name).history.collect()
           .map(_.toSeq).toSeq
       }) :: Nil
     case c: GraftDescribeDetailCommand =>
-      GraftMaintenanceExec(c.output, GraftMaintenance.DetailSchema, { spark =>
+      GraftMaintenanceExec(c.output, { spark =>
         GraftMaintenance.snapshotOf(spark, c.name).detail.collect()
           .map(_.toSeq).toSeq
       }) :: Nil
@@ -172,11 +183,14 @@ object GraftMaintenanceStrategy extends SparkStrategy {
   * returns the result rows Spark's eager command execution surfaces. */
 final case class GraftMaintenanceExec(
     override val output: Seq[Attribute],
-    schema2: StructType,
     run: SparkSession => Seq[Seq[Any]]) extends LeafExecNode {
 
   private lazy val result: Array[InternalRow] = {
-    val conv = CatalystTypeConverters.createToCatalystConverter(schema2)
+    // converter schema derives from the declared output, so the two can
+    // never drift apart
+    val conv = CatalystTypeConverters.createToCatalystConverter(
+      StructType(output.map(a =>
+        org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable))))
     run(SparkSession.active).map(vals =>
       conv(org.apache.spark.sql.Row.fromSeq(vals)).asInstanceOf[InternalRow])
       .toArray

@@ -55,8 +55,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case _ => delegate.parsePlan(sqlText)
   }
 
+  // tokenize on dots OUTSIDE backquotes only (a backquoted part may
+  // itself contain dots: OPTIMIZE cat.ns.`my.table`)
   private def parts(name: String): Seq[String] =
-    name.split('.').toIndexedSeq.map(strip)
+    PartRe.findAllIn(name).toIndexedSeq.map(strip)
   private def strip(s: String): String = s.stripPrefix("`").stripSuffix("`")
 
   override def parseExpression(sqlText: String): Expression =
@@ -80,6 +82,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   // one name part: backquoted (anything but a backquote) or bare word
   private val P = "(?:`[^`]+`|\\w+)"
+  private val PartRe = P.r
   private val Name = s"($P(?:\\.$P){0,2})"
 
   private val OptimizeRe =

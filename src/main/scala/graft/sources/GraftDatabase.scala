@@ -96,7 +96,10 @@ final class GraftDatabase(spark: SparkSession, val root: String) {
     * instead of surfacing as broken reads under a corrupt snapshot. */
   def publish(pins: Map[String, Int]): Int = publishPins(pins.toSeq)
 
-  private def publishPins(pins: Seq[(String, Int)]): Int = {
+  private def publishPins(pins: Seq[(String, Int)]): Int =
+    GraftDatabase.lockFor(root).synchronized { publishPinsLocked(pins) }
+
+  private def publishPinsLocked(pins: Seq[(String, Int)]): Int = {
     var attempts = 0
     while (true) {
       val cur = currentVersion
@@ -178,7 +181,12 @@ final class GraftDatabase(spark: SparkSession, val root: String) {
     * Returns per-table counts of rolled-back orphan versions. Cost is
     * O(log records + reclaimed files) metadata and deletes — never a
     * data scan. */
-  def vacuum(retainDbVersions: Int = 1): Map[String, Int] = {
+  def vacuum(retainDbVersions: Int = 1): Map[String, Int] =
+    GraftDatabase.lockFor(root).synchronized {
+      vacuumLocked(retainDbVersions)
+    }
+
+  private def vacuumLocked(retainDbVersions: Int): Map[String, Int] = {
     require(retainDbVersions >= 1, "must retain at least the current snapshot")
     val cur = currentVersion
     require(cur >= 0, s"database $root has no published snapshot")
@@ -207,4 +215,19 @@ final class GraftDatabase(spark: SparkSession, val root: String) {
       new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     } finally in.close()
   }
+}
+
+object GraftDatabase {
+  /** Per-root monitor serializing [[GraftDatabase.vacuum]] against
+    * [[GraftDatabase.publish]] within the driver JVM — the same
+    * single-commit-point assumption the table-level commitLock makes.
+    * The publish-time manifest validation alone is check-then-act (a
+    * vacuum landing between the existence probe and the snapshot
+    * create could still publish dangling pins); holding one lock
+    * across both closes that window completely in-process, and the
+    * validation stays as the cross-process / crash-recovery backstop. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(root: String): Object =
+    locks.computeIfAbsent(root, _ => new Object)
 }

@@ -347,10 +347,25 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
 
   /** Engine handle for the SQL maintenance verbs
     * ([[graft.plans.GraftMaintenance]]): the snapshot table behind a
-    * catalog identifier. */
-  private[graft] def snapshotFor(ident: Identifier): SnapshotTable = {
+    * catalog identifier. Mutating verbs (`forMutation`) are refused on
+    * transaction-database members for the same reason direct INSERTs
+    * are: a member resolves through PUBLISHED db pins, so a direct
+    * VACUUM could reclaim manifests that published snapshots still pin
+    * (breaking every db read at those versions) and a direct OPTIMIZE
+    * would commit an unpublished version the db's own vacuum later
+    * rolls back as a crash orphan — route maintenance through
+    * [[GraftDatabase]] instead. */
+  private[graft] def snapshotFor(ident: Identifier,
+      forMutation: Boolean = false): SnapshotTable = {
     val t = snapshotOf(ident)
     if (!t.exists) throw new NoSuchTableException(ident)
+    if (forMutation && databaseOf(ident.namespace).isDefined)
+      throw new UnsupportedOperationException(
+        s"${ident.namespace.mkString(".")}.${ident.name} is a member of a " +
+          "transaction database namespace — run maintenance through " +
+          "GraftDatabase (vacuum respects published pins there; a direct " +
+          "table-level VACUUM could delete versions db snapshots still " +
+          "pin)")
     t
   }
 }
@@ -636,16 +651,22 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
                     throw new UnsupportedOperationException(
                       s"$qualifiedName: overwrite-by-condition needs an " +
                         "identity partition column"))
+                  // exactly ONE equality/IN conjunct: with several
+                  // conjuncts on pc the extracted set would be one
+                  // conjunct's values while the CONDITION matches only
+                  // their intersection — replacing the superset would
+                  // silently empty partitions the condition never named
                   val canon =
                     GraftV2Table.partitionPredicate(overwriteFilters, pc)
-                      .filter(_ => overwriteFilters.forall(f =>
-                        f.references.sameElements(Array(pc))))
+                      .filter(_ => overwriteFilters.length == 1 &&
+                        overwriteFilters.forall(f =>
+                          f.references.sameElements(Array(pc))))
                       .map(_._1)
                       .getOrElse(throw new UnsupportedOperationException(
                         s"$qualifiedName: unsupported overwrite condition " +
-                          s"${overwriteFilters.mkString(", ")} — only " +
-                          s"partition-column ($pc) equality/IN overwrites " +
-                          "lower to partition replacement"))
+                          s"${overwriteFilters.mkString(", ")} — only a " +
+                          s"single partition-column ($pc) equality/IN " +
+                          "overwrite lowers to partition replacement"))
                   // OverwriteByExpression replaces the FILTER's partition
                   // set, not the data's: a filtered partition the data
                   // has no rows for is emptied (Spark validates the data

@@ -557,6 +557,39 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(sql("SELECT 1 + 1").head.getInt(0) == 2)
   }
 
+  test("maintenance guard rails: db members refused, multi-conjunct REPLACE WHERE refused, backquoted names parse") {
+    // mutating verbs on a transaction-database member bypass the db's
+    // published pins — refused like direct INSERTs are
+    val root = spark.conf.get("spark.sql.catalog.gtest.root")
+    val db = new graft.sources.GraftDatabase(spark, s"$root/mguard")
+    db.transact(Seq("m")) { d =>
+      d.table("m").create(spark.range(3).toDF("k")): Unit
+    }
+    val e1 = intercept[Exception] { sql("VACUUM gtest.mguard.m RETAIN 1 VERSIONS") }
+    assert(e1.getMessage.contains("transaction database"), e1.getMessage)
+    val e2 = intercept[Exception] { sql("OPTIMIZE gtest.mguard.m") }
+    assert(e2.getMessage.contains("transaction database"), e2.getMessage)
+    // read-only verbs stay allowed
+    assert(sql("DESCRIBE HISTORY gtest.mguard.m").count() >= 1)
+    // several conjuncts on the partition column: the condition matches
+    // their INTERSECTION — replacing one conjunct's whole value set
+    // would empty partitions the condition never named; refuse loudly
+    sql("CREATE NAMESPACE gtest.rwm")
+    sql("CREATE TABLE gtest.rwm.t (k BIGINT, s STRING) PARTITIONED BY (s)")
+    sql("INSERT INTO gtest.rwm.t VALUES (1, 'A'), (2, 'B'), (3, 'C')")
+    intercept[Exception] {
+      sql("""INSERT INTO gtest.rwm.t
+             REPLACE WHERE s IN ('A', 'B') AND s IN ('A', 'C')
+             VALUES (10L, 'A')""")
+    }
+    assert(sql("SELECT count(*) FROM gtest.rwm.t").head.getLong(0) == 3,
+      "a refused REPLACE WHERE must not change the table")
+    // backquoted name parts may contain dots
+    sql("CREATE TABLE gtest.rwm.`dotted.name` (k BIGINT)")
+    sql("INSERT INTO gtest.rwm.`dotted.name` VALUES (1), (2)")
+    assert(sql("DESCRIBE HISTORY gtest.rwm.`dotted.name`").count() == 2)
+  }
+
   test("Iceberg CALL procedures map onto the maintenance commands") {
     sql("CREATE NAMESPACE gtest.callp")
     sql("CREATE TABLE gtest.callp.t (k BIGINT)")                         // v0
