@@ -73,6 +73,10 @@ object GraftMaintenance {
     * deletedFileRetentionDuration default: 7 days). */
   val DefaultRetainHours: Int = 168
 
+  val VacuumDbSchema: StructType = new StructType()
+    .add("member", StringType, nullable = false)
+    .add("rolled_back_orphans", IntegerType, nullable = false)
+
   /** Resolve the named table to its engine handle via the session's
     * catalog manager (only graft catalogs carry maintainable tables).
     * `forMutation` verbs are refused on transaction-database members —
@@ -125,6 +129,17 @@ final case class GraftDescribeDetailCommand(name: Seq[String])
     GraftMaintenance.attrs(GraftMaintenance.DetailSchema)
 }
 
+/** `VACUUM DATABASE cat.ns [RETAIN n SNAPSHOTS]` — the db-level
+  * retention path the table-level guard points at: rolls back crash-
+  * orphaned unpublished member versions and reclaims history outside
+  * the retained published snapshots, all WHILE respecting every
+  * retained pin ([[graft.sources.GraftDatabase.vacuum]]). */
+final case class GraftVacuumDatabaseCommand(name: Seq[String],
+    retainSnapshots: Option[Int]) extends LeafNode with Command {
+  override def output: Seq[Attribute] =
+    GraftMaintenance.attrs(GraftMaintenance.VacuumDbSchema)
+}
+
 /** Plans the maintenance commands onto their engine execs; injected via
   * `spark.sql.extensions` (GraftExtensions) next to the parser that
   * produces them. */
@@ -172,6 +187,19 @@ object GraftMaintenanceStrategy extends SparkStrategy {
       GraftMaintenanceExec(c.output, { spark =>
         GraftMaintenance.snapshotOf(spark, c.name).detail.collect()
           .map(_.toSeq).toSeq
+      }) :: Nil
+    case c: GraftVacuumDatabaseCommand =>
+      GraftMaintenanceExec(c.output, { spark =>
+        val (plugin, ns) = org.apache.spark.sql.GraftStreamShim
+          .resolveCatalogNamespace(spark, c.name)
+        val db = plugin match {
+          case g: graft.sources.GraftSqlCatalog => g.databaseFor(ns)
+          case other => throw new UnsupportedOperationException(
+            s"${c.name.mkString(".")}: catalog '${other.name}' is not a " +
+              "graft catalog")
+        }
+        db.vacuum(c.retainSnapshots.getOrElse(1)).toSeq.sortBy(_._1)
+          .map { case (n, rolled) => Seq[Any](n, rolled) }
       }) :: Nil
     case _ => Nil
   }

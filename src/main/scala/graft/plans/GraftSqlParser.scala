@@ -13,6 +13,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   OPTIMIZE cat.ns.t
   *   OPTIMIZE cat.ns.t ZORDER BY (o_custkey, o_orderkey)
   *   VACUUM cat.ns.t [RETAIN 3 VERSIONS | RETAIN 168 HOURS]
+  *   VACUUM DATABASE cat.ns [RETAIN 2 SNAPSHOTS]
   *   DESCRIBE HISTORY cat.ns.t      -- DESC HISTORY also accepted
   *   DESCRIBE DETAIL cat.ns.t
   *   CALL cat.system.rewrite_data_files(table => 'ns.t')
@@ -34,6 +35,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftOptimizeCommand(parts(name), Seq(strip(c1), strip(c2)))
     case OptimizeRe(name) =>
       GraftOptimizeCommand(parts(name), Seq.empty)
+    case VacuumDbRe(name, n) =>
+      GraftVacuumDatabaseCommand(parts(name), Option(n).map(_.toInt))
     case VacuumRetainRe(name, n) =>
       GraftVacuumCommand(parts(name), Some(n.toInt))
     case VacuumHoursRe(name, h) =>
@@ -95,6 +98,11 @@ object GraftSqlParser {
     s"(?is)\\s*VACUUM\\s+$Name\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*".r
   private val VacuumHoursRe =
     s"(?is)\\s*VACUUM\\s+$Name\\s+RETAIN\\s+(\\d+)\\s+HOURS\\s*;?\\s*".r
+  // VACUUM DATABASE cat.ns [RETAIN n SNAPSHOTS] — the transaction-db
+  // retention path (1- or 2-part namespace name)
+  private val VacuumDbRe =
+    (s"(?is)\\s*VACUUM\\s+DATABASE\\s+($P(?:\\.$P)?)\\s*" +
+      "(?:RETAIN\\s+(\\d+)\\s+SNAPSHOTS\\s*)?;?\\s*").r
   private val DescribeHistoryRe =
     s"(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Name\\s*;?\\s*".r
   private val DescribeDetailRe =

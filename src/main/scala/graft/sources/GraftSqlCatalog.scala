@@ -345,6 +345,12 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
 
   override def invalidateTable(ident: Identifier): Unit = ()
 
+  /** The transaction database behind a namespace, for the db-level SQL
+    * maintenance verb (`VACUUM DATABASE cat.ns`). */
+  private[graft] def databaseFor(ns: String): GraftDatabase =
+    databaseOf(Array(ns)).getOrElse(
+      throw new NoSuchNamespaceException(Array(ns)))
+
   /** Engine handle for the SQL maintenance verbs
     * ([[graft.plans.GraftMaintenance]]): the snapshot table behind a
     * catalog identifier. Mutating verbs (`forMutation`) are refused on

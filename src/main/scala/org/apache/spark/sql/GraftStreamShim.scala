@@ -83,6 +83,21 @@ object GraftStreamShim {
     }
   }
 
+  /** Companion namespace resolver for database-level maintenance
+    * (`VACUUM DATABASE cat.ns`): returns the owning catalog plugin and
+    * the single-level namespace name. */
+  def resolveCatalogNamespace(spark: SparkSession,
+      name: Seq[String]): (connector.catalog.CatalogPlugin, String) = {
+    val cm = spark.asInstanceOf[classic.SparkSession]
+      .sessionState.catalogManager
+    name match {
+      case Seq(c, n) if cm.isCatalogRegistered(c) => (cm.catalog(c), n)
+      case Seq(n) => (cm.currentCatalog, n)
+      case other => throw new IllegalArgumentException(
+        s"cannot resolve namespace ${other.mkString(".")}")
+    }
+  }
+
   /** The inverse bridge, for the SINK side: a v1 `Sink.addBatch` receives
     * a DataFrame bound to the micro-batch's IncrementalExecution, which
     * batch writers reject (`isStreaming = true`). Re-wrap its physical

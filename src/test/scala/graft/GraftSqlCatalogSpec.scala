@@ -571,6 +571,13 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("transaction database"), e2.getMessage)
     // read-only verbs stay allowed
     assert(sql("DESCRIBE HISTORY gtest.mguard.m").count() >= 1)
+    // ...and the db-level SQL verb IS the sanctioned maintenance path:
+    // it rolls back crash orphans while respecting every published pin
+    db.table("m").append(spark.range(3, 5).toDF("k"))  // orphan (unpublished)
+    val dbv = sql("VACUUM DATABASE gtest.mguard RETAIN 1 SNAPSHOTS").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(dbv == Map("m" -> 1), s"got $dbv")
+    assert(sql("SELECT count(*) FROM gtest.mguard.m").head.getLong(0) == 3)
     // several conjuncts on the partition column: the condition matches
     // their INTERSECTION — replacing one conjunct's whole value set
     // would empty partitions the condition never named; refuse loudly
