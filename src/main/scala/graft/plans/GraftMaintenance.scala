@@ -148,10 +148,22 @@ object GraftMaintenanceStrategy extends SparkStrategy {
     case c: GraftOptimizeCommand =>
       GraftMaintenanceExec(c.output, { spark =>
         val t = GraftMaintenance.snapshotOf(spark, c.name, forMutation = true)
-        val before = t.files.size.toLong
-        if (c.zorderBy.isEmpty)
-          t.compactSmallFiles(GraftMaintenance.DefaultMinBytes)
-        else t.compactZOrder(math.max(1, t.files.size / 4),
+        val entries = t.files
+        val before = entries.size.toLong
+        // size-targeted bins (~128 MiB output files), never a fixed
+        // count: at 100 TB "compact into 1 file" is the wrong shape —
+        // the bin count scales with the bytes being rewritten. All
+        // manifest arithmetic, no scan.
+        def binsFor(bytes: Long): Int =
+          math.max(1L, (bytes + GraftMaintenance.DefaultMinBytes - 1) /
+            GraftMaintenance.DefaultMinBytes).toInt
+        if (c.zorderBy.isEmpty) {
+          val smallBytes = entries
+            .filter(_.bytes < GraftMaintenance.DefaultMinBytes)
+            .map(_.bytes).sum
+          t.compactSmallFiles(GraftMaintenance.DefaultMinBytes,
+            targetFiles = binsFor(smallBytes))
+        } else t.compactZOrder(binsFor(entries.map(_.bytes).sum),
           c.zorderBy.head, c.zorderBy(1))
         // Seq[Any] forestalls Scala's numeric widening (a mixed
         // Long/Int Seq infers Seq[Long] and silently widens the Int,
