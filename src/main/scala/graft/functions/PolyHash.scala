@@ -251,6 +251,100 @@ object ZOrder2 {
   }
 }
 
+/** n-ary Z-order (Morton) curve value, 1–4 dimensions — the clustering
+  * key behind `OPTIMIZE … ZORDER BY (a, b, c[, d])`. Generalizes
+  * [[ZOrder2]]'s layout: bit `i` of dimension `d` lands at position
+  * `i * n + d`, so the 2-ary case is bit-identical to ZOrder2 and every
+  * dimension gets the same interleaving weight. 16 low bits per
+  * dimension (the lattice [[graft.sources.SnapshotTable.compactZOrder]]
+  * normalizes to); 4 × 16 = 64 bits is the Long's capacity and the
+  * practical ZORDER dimension bound Delta documents. Codegen'd — the
+  * rewrite job's hot loop stays in whole-stage codegen. */
+case class ZOrderN(children: Seq[Expression]) extends Expression {
+
+  private def intLike(dt: DataType): Boolean =
+    dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.ShortType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.isEmpty || children.size > 4)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_zorder takes 1 to 4 arguments, got ${children.size}")
+    else if (children.forall(c => intLike(c.dataType)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_zorder requires integral arguments, got (" +
+        children.map(_.dataType).mkString(", ") + ")")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "graft_zorder"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = new Array[Long](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      vals(i) = v.asInstanceOf[Number].longValue()
+      i += 1
+    }
+    ZOrderN.z(vals)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zdims")
+    val setup = evals.zipWithIndex.map { case (e, i) =>
+      s"""
+      ${e.code}
+      if (${e.isNull}) { ${ev.isNull} = true; }
+      else { $arr[$i] = (long) ${e.value}; }"""
+    }.mkString("\n")
+    ev.copy(code = code"""
+      boolean ${ev.isNull} = false;
+      long[] $arr = new long[${children.size}];
+      long ${ev.value} = 0L;
+      ${setup}
+      if (!${ev.isNull}) { ${ev.value} = graft.functions.ZOrderN.z($arr); }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderN = copy(children = newChildren)
+}
+
+object ZOrderN {
+  /** Static hot loop invoked from generated code: round-robin interleave
+    * the low 16 bits of every dimension (dim d's bit i → i*n + d). */
+  def z(xs: Array[Long]): Long = {
+    val n = xs.length
+    var r = 0L
+    var d = 0
+    while (d < n) {
+      val m = xs(d) & 0xFFFFL
+      var i = 0
+      while (i < 16) {
+        r |= ((m >> i) & 1L) << (i * n + d)
+        i += 1
+      }
+      d += 1
+    }
+    r
+  }
+
+  /** The identical formula as DuckDB SQL (disjoint-bit terms summed). */
+  def duckSql(cols: Seq[String]): String = {
+    val n = cols.size
+    val terms = cols.zipWithIndex.flatMap { case (c, d) =>
+      (0 until 16).map(i =>
+        s"(((($c & 65535) >> $i) & 1) << ${i * n + d})")
+    }
+    terms.mkString("(", " + ", ")")
+  }
+}
+
 /** Imperative registration for sessions not built with the extension
   * (idempotent; used by operator builds so they work in any session). */
 object GraftFunctions {
@@ -265,8 +359,13 @@ object GraftFunctions {
       "graft_shingles", exprs => WordShingles(exprs.head, intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDot(exprs.head, exprs(1)), "built-in")
+    // 2-ary keeps the dedicated ZOrder2 (bit-identical layout; its
+    // duckSql mirror anchors the oracle gate); other arities take the
+    // n-ary generalization
     reg.createOrReplaceTempFunction(
-      "graft_zorder", exprs => ZOrder2(exprs.head, exprs(1)), "built-in")
+      "graft_zorder", exprs =>
+        if (exprs.size == 2) ZOrder2(exprs.head, exprs(1))
+        else ZOrderN(exprs), "built-in")
   }
 }
 
@@ -280,6 +379,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, delegate) =>
       new graft.plans.GraftSqlParser(delegate))
     ext.injectPlannerStrategy(_ => graft.plans.GraftMaintenanceStrategy)
+    // `SELECT … FROM graft.`/path`` — path-addressed batch reads
+    ext.injectResolutionRule(spark =>
+      new graft.plans.GraftPathTableResolution(spark))
+    // Delta's CDF TVF spelling: table_changes('t', start[, end])
+    ext.injectTableFunction((
+      new FunctionIdentifier("table_changes"),
+      new ExpressionInfo(graft.plans.GraftTableChanges.getClass.getName,
+        "table_changes"),
+      (exprs: Seq[Expression]) => graft.plans.GraftTableChanges.build(exprs)))
     ext.injectFunction((
       new FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
@@ -296,6 +404,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_zorder"),
       new ExpressionInfo(classOf[ZOrder2].getName, "graft_zorder"),
-      (exprs: Seq[Expression]) => ZOrder2(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) =>
+        if (exprs.size == 2) ZOrder2(exprs.head, exprs(1))
+        else ZOrderN(exprs)))
   }
 }

@@ -77,32 +77,122 @@ object GraftMaintenance {
     .add("member", StringType, nullable = false)
     .add("rolled_back_orphans", IntegerType, nullable = false)
 
-  /** Resolve the named table to its engine handle via the session's
-    * catalog manager (only graft catalogs carry maintainable tables).
-    * `forMutation` verbs are refused on transaction-database members —
-    * see [[graft.sources.GraftSqlCatalog.snapshotFor]]. */
-  private[plans] def snapshotOf(spark: SparkSession,
-      name: Seq[String], forMutation: Boolean = false): SnapshotTable = {
-    val (plugin, ident) =
-      org.apache.spark.sql.GraftStreamShim.resolveCatalogTable(spark, name)
-    plugin match {
-      case g: graft.sources.GraftSqlCatalog => g.snapshotFor(ident, forMutation)
-      case other => throw new UnsupportedOperationException(
-        s"${name.mkString(".")}: catalog '${other.name}' is not a graft " +
-          "catalog — OPTIMIZE/VACUUM/DESCRIBE HISTORY operate on graft " +
-          "snapshot tables")
-    }
+  /** Default retention for bare `VACUUM DATABASE` — conservative like
+    * the table-level bare VACUUM's 168 h: the no-clause spelling keeps
+    * a week of daily-cadence snapshots instead of destroying all
+    * published history; `RETAIN n SNAPSHOTS` is the explicit
+    * reclamation switch. */
+  val DefaultRetainDbSnapshots: Int = 7
+
+  val RestoreSchema: StructType = new StructType()
+    .add("restored_to_version", IntegerType, nullable = false)
+    .add("new_version", IntegerType, nullable = false)
+    .add("num_files", LongType, nullable = false)
+
+  val CloneSchema: StructType = new StructType()
+    .add("source_version", IntegerType, nullable = false)
+    .add("num_files", LongType, nullable = false)
+
+  /** The path-addressed table spelling (`` graft.`/abs/path` `` — the
+    * reference's own Delta idiom, `` OPTIMIZE delta.`$path` ``
+    * IncrementalTPCDSBenchmark.scala:192): a 2-part name whose head is
+    * the datasource name and whose tail is an absolute path. */
+  private def asPath(name: Seq[String]): Option[String] = name match {
+    case Seq(ds, p)
+        if (ds.equalsIgnoreCase("graft") ||
+          ds.equalsIgnoreCase("graft-snapshot")) &&
+          (p.startsWith("/") || p.contains(":/")) => Some(p)
+    case _ => None
   }
+
+  /** Resolve the named table to its engine handle — path-addressed
+    * (`` graft.`/path` ``) directly, catalog names via the session's
+    * catalog manager (only graft catalogs carry maintainable tables).
+    * `forMutation` verbs are refused on transaction-database members
+    * (see [[graft.sources.GraftSqlCatalog.snapshotFor]]); the
+    * path-addressed form applies the same guard by probing for a
+    * db log beside the table's root — a path spelling must not become
+    * the loophole around the published-pin protection. */
+  private[plans] def snapshotOf(spark: SparkSession,
+      name: Seq[String], forMutation: Boolean = false): SnapshotTable =
+    asPath(name) match {
+      case Some(p) =>
+        val t = new SnapshotTable(spark, p)
+        require(t.exists, s"no graft snapshot table at $p")
+        if (forMutation) {
+          val root = new org.apache.hadoop.fs.Path(p)
+          val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          val dbLog = new org.apache.hadoop.fs.Path(
+            root.getParent, "_graft_db_log")
+          if (root.getParent != null && fs.exists(dbLog))
+            throw new UnsupportedOperationException(
+              s"$p is a member of a transaction database namespace — " +
+                "run maintenance through GraftDatabase / VACUUM DATABASE " +
+                "(vacuum respects published pins there)")
+        }
+        t
+      case None =>
+        val (plugin, ident) =
+          org.apache.spark.sql.GraftStreamShim.resolveCatalogTable(spark, name)
+        plugin match {
+          case g: graft.sources.GraftSqlCatalog =>
+            g.snapshotFor(ident, forMutation)
+          case other => throw new UnsupportedOperationException(
+            s"${name.mkString(".")}: catalog '${other.name}' is not a graft " +
+              "catalog — OPTIMIZE/VACUUM/DESCRIBE HISTORY operate on graft " +
+              "snapshot tables")
+        }
+    }
+
+  /** Where a CLONE target will live: path-addressed targets verbatim;
+    * catalog targets at the owning graft catalog's table path (the
+    * table must not exist yet — CREATE semantics). */
+  private[plans] def cloneTargetPath(spark: SparkSession,
+      name: Seq[String]): String =
+    asPath(name).getOrElse {
+      val (plugin, ident) =
+        org.apache.spark.sql.GraftStreamShim.resolveCatalogTable(spark, name)
+      plugin match {
+        case g: graft.sources.GraftSqlCatalog => g.pathOf(ident)
+        case other => throw new UnsupportedOperationException(
+          s"${name.mkString(".")}: catalog '${other.name}' is not a graft " +
+            "catalog — SHALLOW CLONE targets a graft catalog table or a " +
+            "graft.`/path`")
+      }
+    }
 }
 
-/** `OPTIMIZE name [ZORDER BY (a, b)]`. */
+/** `OPTIMIZE name [WHERE pc = v] [ZORDER BY (a[, b, c, d])]`. */
 final case class GraftOptimizeCommand(name: Seq[String],
-    zorderBy: Seq[String]) extends LeafNode with Command {
-  require(zorderBy.isEmpty || zorderBy.length == 2,
-    s"OPTIMIZE ZORDER BY takes exactly two columns (Morton curve is " +
-      s"two-dimensional here), got (${zorderBy.mkString(", ")})")
+    zorderBy: Seq[String],
+    where: Option[(String, String)],
+    zorderWritten: Boolean = false) extends LeafNode with Command {
+  require(!zorderWritten || (zorderBy.nonEmpty && zorderBy.length <= 4),
+    s"OPTIMIZE ZORDER BY takes 1 to 4 columns (16 interleaved bits per " +
+      s"dimension — 4 fills the 64-bit curve value), got " +
+      s"(${zorderBy.mkString(", ")})")
   override def output: Seq[Attribute] =
     GraftMaintenance.attrs(GraftMaintenance.OptimizeSchema)
+}
+
+/** `RESTORE [TABLE] name TO VERSION|TIMESTAMP AS OF …` (Delta RESTORE):
+  * a new commit whose file list IS the target version's — metadata
+  * only, revertible, history preserved. */
+final case class GraftRestoreCommand(name: Seq[String],
+    version: Option[Int], timestamp: Option[String])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] =
+    GraftMaintenance.attrs(GraftMaintenance.RestoreSchema)
+}
+
+/** `CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n]` (Delta
+  * SHALLOW CLONE): the target's version 0 references the source's
+  * files — zero data copied, O(manifest). */
+final case class GraftCloneCommand(target: Seq[String],
+    source: Seq[String], version: Option[Int])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] =
+    GraftMaintenance.attrs(GraftMaintenance.CloneSchema)
 }
 
 /** `VACUUM name [RETAIN n VERSIONS | RETAIN n HOURS]` — version-count
@@ -150,6 +240,22 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         val t = GraftMaintenance.snapshotOf(spark, c.name, forMutation = true)
         val entries = t.files
         val before = entries.size.toLong
+        // Partition-scoped OPTIMIZE (`WHERE pc = v`): resolve the
+        // filter's column against the table's layout — identity or
+        // hidden transform (the literal maps through the same
+        // applyLiteral the read planner prunes with) — and restrict
+        // the rewrite to exactly that partition's files.
+        val scope: Option[Set[String]] = c.where.map { case (cond, value) =>
+          val spec = t.layoutSpec.map(
+            graft.sources.PartitionTransform.parse).getOrElse(
+            throw new UnsupportedOperationException(
+              s"OPTIMIZE … WHERE on ${c.name.mkString(".")}: the table " +
+                "has no partition layout to scope by"))
+          require(cond == spec.col,
+            s"OPTIMIZE … WHERE must filter the partition source column " +
+              s"'${spec.col}', got '$cond'")
+          Set(graft.sources.PartitionTransform.applyLiteral(spec.tag, value))
+        }
         // size-targeted bins (~128 MiB output files), never a fixed
         // count: at 100 TB "compact into 1 file" is the wrong shape —
         // the bin count scales with the bytes being rewritten. All
@@ -162,13 +268,30 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             .filter(_.bytes < GraftMaintenance.DefaultMinBytes)
             .map(_.bytes).sum
           t.compactSmallFiles(GraftMaintenance.DefaultMinBytes,
-            targetFiles = binsFor(smallBytes))
+            targetFiles = binsFor(smallBytes), onlyPartitions = scope)
         } else t.compactZOrder(binsFor(entries.map(_.bytes).sum),
-          c.zorderBy.head, c.zorderBy(1))
+          c.zorderBy, onlyPartitions = scope)
         // Seq[Any] forestalls Scala's numeric widening (a mixed
         // Long/Int Seq infers Seq[Long] and silently widens the Int,
         // breaking the IntegerType projection)
         Seq(Seq[Any](before, t.files.size.toLong, t.currentVersion))
+      }) :: Nil
+    case c: GraftRestoreCommand =>
+      GraftMaintenanceExec(c.output, { spark =>
+        val t = GraftMaintenance.snapshotOf(spark, c.name, forMutation = true)
+        val target = c.version.getOrElse(
+          t.versionAsOf(java.sql.Timestamp.valueOf(
+            c.timestamp.get.replace('T', ' ')).getTime))
+        t.restoreTo(target)
+        Seq(Seq[Any](target, t.currentVersion, t.files.size.toLong))
+      }) :: Nil
+    case c: GraftCloneCommand =>
+      GraftMaintenanceExec(c.output, { spark =>
+        val src = GraftMaintenance.snapshotOf(spark, c.source)
+        val srcVersion = c.version.getOrElse(src.currentVersion)
+        val dst = GraftMaintenance.cloneTargetPath(spark, c.target)
+        val clone = src.shallowCloneTo(dst, srcVersion)
+        Seq(Seq[Any](srcVersion, clone.files.size.toLong))
       }) :: Nil
     case c: GraftVacuumCommand =>
       GraftMaintenanceExec(c.output, { spark =>
@@ -183,10 +306,13 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             val h = c.retainHours.getOrElse(GraftMaintenance.DefaultRetainHours)
             val cutoff = System.currentTimeMillis() - h * 3600L * 1000L
             // a cutoff preceding the whole retained log reclaims
-            // nothing (versionAsOf refuses instants before the first
-            // commit — that refusal means "retain everything" here)
-            try t.vacuumOlderThan(cutoff)
-            catch { case _: IllegalArgumentException => 0 }
+            // nothing — resolved EXPLICITLY (versionAtOrBefore → None)
+            // rather than by catching IllegalArgumentException, which
+            // would also swallow real argument-validation failures
+            t.versionAtOrBefore(cutoff) match {
+              case Some(_) => t.vacuumOlderThan(cutoff)
+              case None    => 0
+            }
         }
         Seq(Seq[Any](reclaimed, t.currentVersion))
       }) :: Nil
@@ -210,7 +336,12 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             s"${c.name.mkString(".")}: catalog '${other.name}' is not a " +
               "graft catalog")
         }
-        db.vacuum(c.retainSnapshots.getOrElse(1)).toSeq.sortBy(_._1)
+        // bare VACUUM DATABASE keeps a conservative snapshot window
+        // (mirroring the table-level bare VACUUM's 168 h default) —
+        // destroying all published history and rolling back in-flight
+        // unpublished member versions needs the explicit RETAIN clause
+        db.vacuum(c.retainSnapshots.getOrElse(
+          GraftMaintenance.DefaultRetainDbSnapshots)).toSeq.sortBy(_._1)
           .map { case (n, rolled) => Seq[Any](n, rolled) }
       }) :: Nil
     case _ => Nil

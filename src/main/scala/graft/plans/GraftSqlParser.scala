@@ -11,17 +11,32 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *   {{{
   *   OPTIMIZE cat.ns.t
-  *   OPTIMIZE cat.ns.t ZORDER BY (o_custkey, o_orderkey)
+  *   OPTIMIZE cat.ns.t WHERE pc = 'v'             -- partition-scoped
+  *   OPTIMIZE cat.ns.t ZORDER BY (a, b[, c, d])   -- 1..4 dimensions
   *   VACUUM cat.ns.t [RETAIN 3 VERSIONS | RETAIN 168 HOURS]
   *   VACUUM DATABASE cat.ns [RETAIN 2 SNAPSHOTS]
   *   DESCRIBE HISTORY cat.ns.t      -- DESC HISTORY also accepted
   *   DESCRIBE DETAIL cat.ns.t
+  *   RESTORE TABLE cat.ns.t TO VERSION AS OF 3
+  *   RESTORE TABLE cat.ns.t TO TIMESTAMP AS OF '2026-01-01 00:00:00'
+  *   CREATE TABLE cat.ns.t2 SHALLOW CLONE cat.ns.t [VERSION AS OF 3]
   *   CALL cat.system.rewrite_data_files(table => 'ns.t')
   *   CALL cat.system.expire_snapshots(table => 'ns.t', retain_last => 3)
+  *   CALL cat.system.run_compaction('run', 'ns.t')   -- Hudi spelling
   *   }}}
   *
+  * Every table name position also accepts the path-addressed spelling
+  * the reference drives its own housekeeping with
+  * (`` OPTIMIZE delta.`/abs/path` ``, IncrementalTPCDSBenchmark
+  * .scala:192; `` DESCRIBE HISTORY delta.`path` `` :213):
+  * `` graft.`/abs/path` `` resolves the backquoted absolute path as a
+  * snapshot-table root directly, no catalog required — the `$P` name
+  * part already admits any backquoted string, so the grammar is
+  * unchanged and only resolution ([[GraftMaintenance.snapshotOf]])
+  * looks at the shape.
+  *
   * Anything else falls through to the built-in parser untouched. The
-  * statement grammar is deliberately tiny (three fixed shapes with a
+  * statement grammar is deliberately tiny (fixed shapes with a
   * multipart name), so a compiled-regex match is the whole front end —
   * the same extension shape Delta ships, minus the ANTLR dependency.
   * Backquoted name parts are supported; names resolve later, at
@@ -31,10 +46,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeZOrderRe(name, c1, c2) =>
-      GraftOptimizeCommand(parts(name), Seq(strip(c1), strip(c2)))
-    case OptimizeRe(name) =>
-      GraftOptimizeCommand(parts(name), Seq.empty)
+    case OptimizeRe(name, whereCond, zcols) =>
+      GraftOptimizeCommand(parts(name),
+        Option(zcols).toSeq.flatMap(splitCols),
+        Option(whereCond).map(parseWhere),
+        zorderWritten = zcols != null)
     case VacuumDbRe(name, n) =>
       GraftVacuumDatabaseCommand(parts(name), Option(n).map(_.toInt))
     case VacuumRetainRe(name, n) =>
@@ -47,14 +63,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftDescribeHistoryCommand(parts(name))
     case DescribeDetailRe(name) =>
       GraftDescribeDetailCommand(parts(name))
+    case RestoreVersionRe(name, v) =>
+      GraftRestoreCommand(parts(name), Some(v.toInt), None)
+    case RestoreTimestampRe(name, ts) =>
+      GraftRestoreCommand(parts(name), None, Some(ts))
+    case ShallowCloneRe(tgt, src, v) =>
+      GraftCloneCommand(parts(tgt), parts(src), Option(v).map(_.toInt))
     // Iceberg-procedure spellings of the same maintenance ops — the
     // reference's Iceberg path compacts via CALL
     // (IncrementalTPCDSBenchmark.scala:186-204)
     case CallRewriteRe(cat, tbl) =>
-      GraftOptimizeCommand(strip(cat) +: parts(tbl), Seq.empty)
+      GraftOptimizeCommand(strip(cat) +: parts(tbl), Seq.empty, None)
     case CallExpireRe(cat, tbl, n) =>
       GraftVacuumCommand(strip(cat) +: parts(tbl),
         Option(n).map(_.toInt))
+    // Hudi's compaction procedure (the reference's Hudi path:
+    // IncrementalTPCDSBenchmark.scala:200) — 'run'/'schedule' both map
+    // to the eager OPTIMIZE (there is no deferred scheduler here)
+    case CallRunCompactionRe(cat, tbl) =>
+      GraftOptimizeCommand(strip(cat) +: parts(tbl), Seq.empty, None)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -63,6 +90,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def parts(name: String): Seq[String] =
     PartRe.findAllIn(name).toIndexedSeq.map(strip)
   private def strip(s: String): String = s.stripPrefix("`").stripSuffix("`")
+  private def splitCols(s: String): Seq[String] =
+    s.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty).map(strip)
+  private def parseWhere(cond: String): (String, String) = cond.trim match {
+    case WhereEqRe(c, sq, dq, bare) =>
+      (strip(c), Seq(sq, dq, bare).find(_ != null).get)
+    case other => throw new UnsupportedOperationException(
+      s"OPTIMIZE … WHERE supports a single partition-column equality " +
+        s"(pc = 'value'), got: $other")
+  }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -88,10 +124,17 @@ object GraftSqlParser {
   private val PartRe = P.r
   private val Name = s"($P(?:\\.$P){0,2})"
 
+  // OPTIMIZE name [WHERE cond] [ZORDER BY (cols)] — one regex, two
+  // optional clauses; a written-but-empty/overlong ZORDER list is
+  // caught at command construction with the graft arity message, not a
+  // generic fall-through parse error
   private val OptimizeRe =
-    s"(?is)\\s*OPTIMIZE\\s+$Name\\s*;?\\s*".r
-  private val OptimizeZOrderRe =
-    s"(?is)\\s*OPTIMIZE\\s+$Name\\s+ZORDER\\s+BY\\s*\\(\\s*($P)\\s*,\\s*($P)\\s*\\)\\s*;?\\s*".r
+    (s"(?is)\\s*OPTIMIZE\\s+$Name" +
+      "(?:\\s+WHERE\\s+(.+?))?" +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*").r
+  // pc = 'v' | pc = "v" | pc = v (single equality on one column)
+  private val WhereEqRe =
+    (s"($P)\\s*=\\s*(?:'([^']*)'|\"([^\"]*)\"|([^\\s'\"]+))\\s*").r
   private val VacuumRe =
     s"(?is)\\s*VACUUM\\s+$Name\\s*;?\\s*".r
   private val VacuumRetainRe =
@@ -107,6 +150,18 @@ object GraftSqlParser {
     s"(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Name\\s*;?\\s*".r
   private val DescribeDetailRe =
     s"(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Name\\s*;?\\s*".r
+  // RESTORE [TABLE] name TO VERSION AS OF n (Delta RESTORE syntax)
+  private val RestoreVersionRe =
+    (s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Name\\s+TO\\s+VERSION\\s+AS\\s+OF" +
+      "\\s+(\\d+)\\s*;?\\s*").r
+  private val RestoreTimestampRe =
+    (s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Name\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF" +
+      "\\s+'([^']+)'\\s*;?\\s*").r
+  // CREATE [OR REPLACE] TABLE tgt SHALLOW CLONE src [VERSION AS OF n]
+  private val ShallowCloneRe =
+    (s"(?is)\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Name" +
+      s"\\s+SHALLOW\\s+CLONE\\s+$Name" +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*").r
   // CALL cat.system.rewrite_data_files([table =>] 'ns.t')
   private val CallRewriteRe =
     (s"(?is)\\s*CALL\\s+($P)\\.system\\.rewrite_data_files\\s*\\(\\s*" +
@@ -117,4 +172,10 @@ object GraftSqlParser {
     (s"(?is)\\s*CALL\\s+($P)\\.system\\.expire_snapshots\\s*\\(\\s*" +
       "(?:table\\s*=>\\s*)?'([^']+)'\\s*" +
       "(?:,\\s*retain_last\\s*=>\\s*(\\d+)\\s*)?\\)\\s*;?\\s*").r
+  // CALL cat.system.run_compaction('run'|'schedule'[, ]'ns.t') — Hudi's
+  // procedure name; op and table accepted positionally or named
+  private val CallRunCompactionRe =
+    (s"(?is)\\s*CALL\\s+($P)\\.system\\.run_compaction\\s*\\(\\s*" +
+      "(?:op\\s*=>\\s*)?'(?:run|schedule|scheduleandexecute)'\\s*,\\s*" +
+      "(?:table\\s*=>\\s*)?'([^']+)'\\s*\\)\\s*;?\\s*").r
 }

@@ -229,5 +229,9 @@ object GraftDatabase {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(root: String): Object =
-    locks.computeIfAbsent(root, _ => new Object)
+    // normalize the key: two instances addressing one directory via
+    // different spellings (trailing slash, scheme-qualified vs plain)
+    // must map to the SAME monitor, or they silently fall back to the
+    // weaker check-then-act manifest validation
+    locks.computeIfAbsent(new Path(root).toUri.getPath, _ => new Object)
 }

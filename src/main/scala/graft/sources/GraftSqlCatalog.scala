@@ -117,6 +117,11 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   }
   private def tablePath(ident: Identifier): Path =
     new Path(nsPath(ident.namespace), ident.name)
+  /** Where a table of this catalog lives on disk — the SQL SHALLOW
+    * CLONE target resolver ([[graft.plans.GraftMaintenance]]) needs
+    * the path BEFORE the table exists. */
+  private[graft] def pathOf(ident: Identifier): String =
+    tablePath(ident).toString
   private def snapshotOf(ident: Identifier): SnapshotTable =
     new SnapshotTable(spark, tablePath(ident).toString)
 
@@ -693,7 +698,7 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
 
 object GraftV2Table {
   /** Table property recording the partition layout SQL writes use. */
-  val PartSpecProp = "partitionSpec"
+  val PartSpecProp = SnapshotTable.PartSpecProp
 
   /** Canonical directory-string form of a pushed filter value — the form
     * the partitioned writer names directories with, hence the form the

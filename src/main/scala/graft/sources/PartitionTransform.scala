@@ -60,6 +60,21 @@ private[graft] object PartitionTransform {
   private val Bucket = """bucket(\d+)""".r
   private val Trunc = """trunc(\d+)""".r
 
+  /** The spec string `parse` would read back — how a layout recorded in
+    * manifest entries (`partCol` / `xformCol` + `xformTag`) is turned
+    * back into the `partitionBy` argument a rewrite commit needs to
+    * PRESERVE that layout (compaction must never flatten a partitioned
+    * table to unpartitioned: partition pruning and O(partition)
+    * overwrites die with the layout). */
+  def unparse(spec: Spec): String = spec.tag match {
+    case null      => spec.col
+    case "days"    => s"days(${spec.col})"
+    case "months"  => s"months(${spec.col})"
+    case Bucket(n) => s"bucket($n, ${spec.col})"
+    case Trunc(w)  => s"truncate($w, ${spec.col})"
+    case t         => throw new IllegalArgumentException(s"unknown transform $t")
+  }
+
   /** The write-side partition value as a Column (always a string). */
   def writeColumn(spec: Spec): Column = {
     val c = col(spec.col)

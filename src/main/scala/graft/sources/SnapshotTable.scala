@@ -367,6 +367,28 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * latest version — the metadata probes read this, not the filesystem. */
   def files: Seq[FileEntry] = fileEntries(currentVersion)
 
+  /** The table's partition layout as a `partitionBy` spec string, when
+    * one is discoverable: the durable sidecar property when present
+    * (SQL-created tables record it; survives empty tables), else
+    * reconstructed from the current files' manifest layout fields —
+    * identity layouts from `partCol`, hidden transforms from
+    * `xformCol`/`xformTag`. Rewrite commits (OPTIMIZE / ZORDER) use this
+    * to PRESERVE the layout instead of flattening to unpartitioned. */
+  def layoutSpec: Option[String] =
+    property(SnapshotTable.PartSpecProp).orElse {
+      val specs = fileEntries(currentVersion).flatMap { e =>
+        if (e.partCol != null) Some(PartitionTransform.Spec(e.partCol, null))
+        else if (e.xformCol != null)
+          Some(PartitionTransform.Spec(e.xformCol, e.xformTag))
+        else None
+      }.distinct
+      // a single unambiguous layout across all files; evolved/mixed
+      // layouts have no one spec to preserve (the rewrite normalizes to
+      // the majority would be a guess — callers fall back explicitly)
+      if (specs.size == 1) Some(PartitionTransform.unparse(specs.head))
+      else None
+    }
+
   /** Deletion-vector file list at the latest version (empty unless
     * positional deletes are pending) — `rows` sums to the count of
     * deleted (file, position) marks, the DV observability number. */
@@ -379,12 +401,19 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   /** TIMESTAMP AS OF resolution: the latest version committed at or
     * before `ts` — pure manifest metadata, no data files touched. */
-  def versionAsOf(ts: Long): Int = {
-    val vs = versions.sorted.filter(commitTimestamp(_) <= ts)
-    require(vs.nonEmpty,
+  def versionAsOf(ts: Long): Int =
+    versionAtOrBefore(ts).getOrElse(throw new IllegalArgumentException(
       s"no commit at or before ts=$ts in $root " +
-        s"(earliest is ${commitTimestamp(versions.min)})")
-    vs.max
+        s"(earliest is ${commitTimestamp(versions.min)})"))
+
+  /** [[versionAsOf]] as an Option: `None` means the instant precedes the
+    * FIRST commit — the one case callers legitimately treat as "retain
+    * everything" (time-based VACUUM) rather than an error. Distinct from
+    * the throwing form so those callers never blanket-catch an
+    * IllegalArgumentException that could also signal a real bug. */
+  def versionAtOrBefore(ts: Long): Option[Int] = {
+    val vs = versions.sorted.filter(commitTimestamp(_) <= ts)
+    if (vs.isEmpty) None else Some(vs.max)
   }
 
   /** Time travel by timestamp (Delta `TIMESTAMP AS OF` analog). */
@@ -415,6 +444,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
         "(commit with trackChanges = true)")
     readEntries(entries)
   }
+
+  /** Whether a commit captured change-data-feed rows — the
+    * `table_changes(…)` range read skips CDC-less commits (OPTIMIZE,
+    * plain appends) instead of erroring mid-range. O(manifest). */
+  def hasChanges(version: Int): Boolean =
+    manifestOf(version).changes.nonEmpty
 
   // ------------------------------------------- streaming-source hooks
   // (graft.streaming.SnapshotStreamSource tails the table by manifest
@@ -1564,20 +1599,40 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * size. At 100 TB this is the difference between a nightly
     * housekeeping job and a full rewrite. DV marks on rewritten files
     * are applied and dropped; marks on carried files persist. */
-  def compactSmallFiles(minBytes: Long, targetFiles: Int = 1): SnapshotTable = {
+  def compactSmallFiles(minBytes: Long, targetFiles: Int = 1,
+      onlyPartitions: Option[Set[String]] = None): SnapshotTable = {
     val v = currentVersion
     require(deltaEntries(v).isEmpty,
       s"compactSmallFiles on $root requires compacted state (pending MoR deltas)")
-    val (small, big) = fileEntries(v).partition(_.bytes < minBytes)
+    // Preserve the table's layout (identity OR hidden transform): the
+    // rewrite commits under the same spec, so partition pruning and
+    // O(partition) overwrites survive an OPTIMIZE — Delta compacts
+    // within partitions for the same reason. Mixed/unknown layouts fall
+    // back to unpartitioned bins (there is no single spec to keep).
+    val spec = layoutSpec
+    val specParsed = spec.map(PartitionTransform.parse)
+    def sameLayout(e: FileEntry): Boolean = specParsed.exists(s =>
+      if (s.tag == null) e.partCol == s.col
+      else e.xformCol == s.col && e.xformTag == s.tag)
+    // Partition-scoped OPTIMIZE (`OPTIMIZE t WHERE pc = v`): only
+    // same-layout files of the named partitions rewrite; every other
+    // file — other partitions AND layout-foreign files (which are not
+    // partition-attributable) — carries by reference, path-identical.
+    def inScope(e: FileEntry): Boolean = onlyPartitions match {
+      case None       => true
+      case Some(vals) => sameLayout(e) && vals.contains(e.partValue)
+    }
+    val (small, big) = fileEntries(v)
+      .partition(e => e.bytes < minBytes && inScope(e))
     if (small.size <= 1) this // nothing to gain: 0/1 small file
     else {
-      val pcols = small.map(_.partCol).distinct
-      val partitionBy = if (pcols.size == 1) Option(pcols.head) else None
-      val df = partitionBy match {
-        case Some(p) => baseScan(small, dvEntries(v)).repartition(targetFiles, col(p))
+      val df = spec match {
+        // writeData re-clusters by the spec's partition value — per-
+        // partition bins; targetFiles governs the unpartitioned shape
+        case Some(_) => baseScan(small, dvEntries(v))
         case None    => baseScan(small, dvEntries(v)).repartition(targetFiles)
       }
-      val written = writeData(df, v + 1, partitionBy)
+      val written = writeData(df, v + 1, spec)
       writeManifest(Manifest(v + 1, "OPTIMIZE", mergeKeysOf(v),
         written ++ big, Seq.empty,
         dvs = remainingDvs(v, small.map(_.path).toSet, v + 1)))
@@ -1607,16 +1662,53 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * manifest captures, so [[readRange]] prunes files on EITHER column —
     * the multi-dimensional data-skipping layout Delta's OPTIMIZE ZORDER
     * exists to produce. Pending MoR deltas fold in like [[compact]]. */
-  def compactZOrder(numFiles: Int, colA: String, colB: String): SnapshotTable = {
+  def compactZOrder(numFiles: Int, colA: String, colB: String): SnapshotTable =
+    compactZOrder(numFiles, Seq(colA, colB))
+
+  /** n-ary form (1–4 dimensions; 16 interleaved bits each — beyond four
+    * columns the per-dimension skipping value collapses anyway, which is
+    * why Delta documents the same practical bound). When the table has a
+    * partition layout ([[layoutSpec]]) the rewrite clusters WITHIN
+    * partitions — range-partitioned by (partition value, curve value) —
+    * and commits under the same spec, so partition pruning and
+    * O(partition) overwrites survive the ZORDER. `onlyPartitions`
+    * restricts the rewrite to the named partitions; every other file
+    * carries by reference, path-identical. */
+  def compactZOrder(numFiles: Int, zcols: Seq[String],
+      onlyPartitions: Option[Set[String]] = None): SnapshotTable = {
+    require(zcols.nonEmpty && zcols.size <= 4,
+      s"ZORDER BY takes 1 to 4 columns, got ${zcols.size} " +
+        s"(${zcols.mkString(", ")})")
     val v = currentVersion
     graft.functions.GraftFunctions.registerAll(spark)
-    // Scale-normalize both dims to a 16-bit lattice before interleaving
+    val spec = layoutSpec
+    val specParsed = spec.map(PartitionTransform.parse)
+    require(onlyPartitions.isEmpty || spec.isDefined,
+      s"partition-scoped ZORDER on $root requires a partitioned table")
+    def sameLayout(e: FileEntry): Boolean = specParsed.exists(s =>
+      if (s.tag == null) e.partCol == s.col
+      else e.xformCol == s.col && e.xformTag == s.tag)
+    val (scoped, carried) = onlyPartitions match {
+      case None => (fileEntries(v), Seq.empty[FileEntry])
+      case Some(vals) => fileEntries(v).partition(e =>
+        sameLayout(e) && vals.contains(e.partValue))
+    }
+    // A scoped rewrite must not fold pending deltas/DVs of UNSCOPED
+    // files away silently — restrict scoping to resolved state.
+    require(onlyPartitions.isEmpty ||
+        (deltaEntries(v).isEmpty && dvEntries(v).isEmpty),
+      s"partition-scoped ZORDER on $root requires compacted state")
+    val source = onlyPartitions match {
+      case None    => read(v) // folds pending MoR deltas (Hudi-style)
+      case Some(_) => baseScan(scoped, Seq.empty)
+    }
+    // Scale-normalize every dim to a 16-bit lattice before interleaving
     // (raw interleaving biases toward the wider-ranged column). Bounds
     // come from the manifest's footer stats — no extra scan; a stat-less
     // column falls back to one min/max aggregate over the table.
     def bounds(c: String): (Double, Double) =
       statsMinMax(c).getOrElse {
-        val r = read(v).agg(
+        val r = source.agg(
           org.apache.spark.sql.functions.min(col(c).cast("double")),
           org.apache.spark.sql.functions.max(col(c).cast("double"))).head()
         // empty table / all-null column: any constant lattice cell works
@@ -1635,15 +1727,35 @@ class SnapshotTable(spark: SparkSession, root: String) {
           lit(0L)),
         lit(65535L)).cast("long")
     }
-    val (za, zb, zc) = ("__graft_za", "__graft_zb", "__graft_z")
-    val df = read(v)
-      .withColumn(za, norm(colA)).withColumn(zb, norm(colB))
-      .withColumn(zc, org.apache.spark.sql.functions.expr(s"graft_zorder($za, $zb)"))
-      .repartitionByRange(numFiles, col(zc))
-      .sortWithinPartitions(zc)
-      .drop(za, zb, zc)
-    val written = writeData(df, v + 1, None)
-    writeManifest(Manifest(v + 1, "ZORDER", Seq.empty, written, Seq.empty))
+    val zc = "__graft_z"
+    val dimCols = zcols.indices.map(i => s"__graft_zd$i")
+    val withDims = zcols.zip(dimCols).foldLeft(source) {
+      case (d, (c, dc)) => d.withColumn(dc, norm(c))
+    }
+    val withZ = withDims.withColumn(zc,
+      org.apache.spark.sql.functions.expr(
+        s"graft_zorder(${dimCols.mkString(", ")})"))
+    val df = specParsed match {
+      case Some(p) =>
+        // cluster by (partition value, curve): contiguous partition runs
+        // per task, curve-ordered within — the partitioned writer then
+        // emits curve-spanned files inside each partition directory
+        val pv = "__graft_zpv"
+        withZ.withColumn(pv, PartitionTransform.writeColumn(p))
+          .repartitionByRange(numFiles, col(pv), col(zc))
+          .sortWithinPartitions(pv, zc)
+          .drop((dimCols :+ zc :+ pv): _*)
+      case None =>
+        withZ.repartitionByRange(numFiles, col(zc))
+          .sortWithinPartitions(zc)
+          .drop((dimCols :+ zc): _*)
+    }
+    // cluster = false: writeData's default re-clustering by partition
+    // value would destroy the curve ordering just built
+    val written = writeData(df, v + 1, spec, cluster = false)
+    writeManifest(Manifest(v + 1, "ZORDER",
+      if (onlyPartitions.isEmpty) Seq.empty else mergeKeysOf(v),
+      written ++ carried, Seq.empty))
     this
   }
 
@@ -1651,8 +1763,13 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * clone's version 0 references this table's current files — zero data
     * copied, O(manifest) cost. DML on the clone writes under the clone's
     * root; carried-over source files stay shared by reference. */
-  def shallowCloneTo(dst: String): SnapshotTable = {
-    val v = currentVersion
+  def shallowCloneTo(dst: String): SnapshotTable =
+    shallowCloneTo(dst, currentVersion)
+
+  /** Clone pinned at a historical version (`SHALLOW CLONE … VERSION AS
+    * OF n`): the clone's version 0 references that version's files. */
+  def shallowCloneTo(dst: String, asOfVersion: Int): SnapshotTable = {
+    val v = asOfVersion
     val clone = new SnapshotTable(spark, dst)
     // Re-base carried ORIGINS below the clone's own version numbering:
     // the clone commits from version 1, so a carried pending delta with
@@ -1937,7 +2054,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * (row counts + per-column numeric min/max from parquet footers —
     * metadata-only, O(new files), fetched in parallel). */
   private def writeData(
-      df: DataFrame, version: Int, partitionBy: Option[String]): Seq[FileEntry] = {
+      df: DataFrame, version: Int, partitionBy: Option[String],
+      cluster: Boolean = true): Seq[FileEntry] = {
     // Unique per-ATTEMPT dir (version prefix + nonce): two writers racing
     // the same version never touch each other's files — the write-once
     // manifest is the only commit point, and a losing attempt's orphaned
@@ -1953,9 +2071,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val spec = partitionBy.map(PartitionTransform.parse)
     val writer = spec match {
       case Some(p) =>
-        df.withColumn(PartCol, PartitionTransform.writeColumn(p))
-          .repartition(col(PartCol)) // cluster by partition → no file spray
-          .write.partitionBy(PartCol)
+        val withPv = df.withColumn(PartCol, PartitionTransform.writeColumn(p))
+        // cluster by partition → no file spray; callers that pre-arranged
+        // their own distribution (ZORDER's curve ranges) opt out
+        val arranged = if (cluster) withPv.repartition(col(PartCol)) else withPv
+        arranged.write.partitionBy(PartCol)
       case None => df.write
     }
     // Table-property bloom columns ride along on every data write; the
@@ -2034,6 +2154,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
 object SnapshotTable {
   /** Duplicated hive-partition column name in data dirs. */
   val PartCol = "__p"
+
+  /** Sidecar property key recording the table's partition layout
+    * (shared with the SQL catalog's `GraftV2Table`). */
+  val PartSpecProp = "partitionSpec"
 
   /** Directory name Spark's partitioned writer gives null partition
     * values — the on-disk identity of the null partition. */

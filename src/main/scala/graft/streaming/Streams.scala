@@ -669,18 +669,25 @@ object Streams {
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftSqlCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", catRoot)
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(catRoot, "strm"))
-      val t = new graft.sources.SnapshotTable(s, s"$catRoot/strm/orders")
-        .create(o.filter(col("o_orderkey") % 3 === 0))
-      t.append(o.filter(col("o_orderkey") % 3 === 1))
-      t.append(o.filter(col("o_orderkey") % 3 === 2))
-      val feed = s.readStream.table(s"$cat.strm.orders")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
-      runToMemory(feed, "cattail", OutputMode.Complete)
-        .orderBy("o_orderpriority")
+      try {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(catRoot, "strm"))
+        val t = new graft.sources.SnapshotTable(s, s"$catRoot/strm/orders")
+          .create(o.filter(col("o_orderkey") % 3 === 0))
+        t.append(o.filter(col("o_orderkey") % 3 === 1))
+        t.append(o.filter(col("o_orderkey") % 3 === 2))
+        val feed = s.readStream.table(s"$cat.strm.orders")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
+        runToMemory(feed, "cattail", OutputMode.Complete)
+          .orderBy("o_orderpriority")
+      } finally {
+        // per-invocation names would otherwise accrete one conf pair
+        // per bench iteration for the session's lifetime
+        s.conf.unset(s"spark.sql.catalog.$cat")
+        s.conf.unset(s"spark.sql.catalog.$cat.root")
+      }
     })
 
   // ------------------------------------------------------------------

@@ -1,0 +1,240 @@
+package graft
+
+import graft.sources.{GraftSqlCatalog, SnapshotTable}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 SQL surface parity: path-addressed verbs and reads
+  * (`` graft.`/abs/path` `` — the reference's own Delta spelling,
+  * IncrementalTPCDSBenchmark.scala:192/213, FileCountBenchmark
+  * .scala:149), RESTORE / SHALLOW CLONE / table_changes spellings,
+  * the Hudi run_compaction CALL alias, n-ary + partition-scoped
+  * OPTIMIZE ZORDER, and layout-preserving compaction. */
+class SqlVerbsSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.gverb", classOf[GraftSqlCatalog].getName)
+    s.conf.set("spark.sql.catalog.gverb.root",
+      java.nio.file.Files.createTempDirectory("graft_verbs").toString)
+    s
+  }
+  private def sql(q: String) = spark.sql(q)
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(s"graft_$p").toString
+
+  test("path-addressed maintenance verbs and batch SQL reads") {
+    import spark.implicits._
+    val root = tmp("pathverbs")
+    val t = new SnapshotTable(spark, root)
+      .create((0L until 400L).map(k => (k, k % 7)).toDF("k", "c").coalesce(1))
+    t.append((400L until 800L).map(k => (k, k % 7)).toDF("k", "c").coalesce(1))
+    // batch read by path — no catalog registration anywhere
+    assert(sql(s"SELECT count(*), sum(k) FROM graft.`$root`").head.toSeq
+      == Seq(800L, (0L until 800L).sum))
+    // pushdown still applies on the path route (same engine relation)
+    assert(sql(s"SELECT count(*) FROM graft.`$root` WHERE k < 10")
+      .head.getLong(0) == 10L)
+    // maintenance verbs by path
+    val opt = sql(s"OPTIMIZE graft.`$root`").head
+    assert(opt.getLong(1) < opt.getLong(0), s"got $opt")
+    assert(sql(s"DESCRIBE HISTORY graft.`$root`").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+      == Seq((0, "CREATE"), (1, "APPEND"), (2, "OPTIMIZE")))
+    assert(sql(s"DESCRIBE DETAIL graft.`$root`").head.getLong(3) == 800L)
+    val vac = sql(s"VACUUM graft.`$root` RETAIN 1 VERSIONS").head
+    assert(vac.getInt(0) > 0)
+    assert(sql(s"SELECT count(*) FROM graft.`$root`").head.getLong(0) == 800L)
+    // a mutating verb on a db-member path is refused like the catalog
+    // route refuses it (path spelling must not bypass published pins)
+    val dbroot = tmp("pathdb")
+    val db = new graft.sources.GraftDatabase(spark, dbroot)
+    db.transact(Seq("m"))(d => d.table("m").create(Seq(1L).toDF("k")): Unit)
+    val e = intercept[Exception] { sql(s"OPTIMIZE graft.`$dbroot/m`") }
+    assert(e.getMessage.contains("transaction database"), e.getMessage)
+  }
+
+  test("RESTORE TABLE to version and timestamp") {
+    sql("CREATE NAMESPACE gverb.rst")
+    sql("CREATE TABLE gverb.rst.t (k BIGINT)")                    // v0
+    sql("INSERT INTO gverb.rst.t VALUES (1), (2)")                // v1
+    Thread.sleep(5)
+    val tsAfterV1 = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(5)
+    sql("INSERT OVERWRITE gverb.rst.t VALUES (9)")                // v2
+    assert(sql("SELECT count(*) FROM gverb.rst.t").head.getLong(0) == 1)
+    val r = sql("RESTORE TABLE gverb.rst.t TO VERSION AS OF 1").head // v3
+    assert(r.getInt(0) == 1 && r.getInt(1) == 3, s"got $r")
+    assert(sql("SELECT sum(k) FROM gverb.rst.t").head.getLong(0) == 3)
+    // restore is itself versioned: going back to the overwrite works
+    sql("RESTORE gverb.rst.t TO VERSION AS OF 2")                 // v4
+    assert(sql("SELECT sum(k) FROM gverb.rst.t").head.getLong(0) == 9)
+    // timestamp form resolves through the manifest commit instants
+    sql(s"RESTORE TABLE gverb.rst.t TO TIMESTAMP AS OF '$tsAfterV1'") // v5
+    assert(sql("SELECT sum(k) FROM gverb.rst.t").head.getLong(0) == 3)
+  }
+
+  test("CREATE TABLE … SHALLOW CLONE, catalog and path targets, VERSION AS OF") {
+    sql("CREATE NAMESPACE gverb.cl")
+    sql("CREATE TABLE gverb.cl.src (k BIGINT)")                   // v0
+    sql("INSERT INTO gverb.cl.src VALUES (1), (2), (3)")          // v1
+    sql("INSERT INTO gverb.cl.src VALUES (4)")                    // v2
+    val c = sql("CREATE TABLE gverb.cl.dst SHALLOW CLONE gverb.cl.src").head
+    assert(c.getInt(0) == 2, s"clone pins the source's current version: $c")
+    assert(sql("SELECT count(*) FROM gverb.cl.dst").head.getLong(0) == 4)
+    // clone shares the source's files by reference (zero data copied)
+    val root = spark.conf.get("spark.sql.catalog.gverb.root")
+    val srcPaths = new SnapshotTable(spark, s"$root/cl/src").files.map(_.path).toSet
+    val dstPaths = new SnapshotTable(spark, s"$root/cl/dst").files.map(_.path).toSet
+    assert(dstPaths == srcPaths)
+    // historical clone + path-addressed target
+    val proot = tmp("clonedst")
+    sql(s"CREATE TABLE graft.`$proot/c1` SHALLOW CLONE gverb.cl.src VERSION AS OF 1")
+    assert(sql(s"SELECT count(*) FROM graft.`$proot/c1`").head.getLong(0) == 3)
+    // DML on the clone never touches the source
+    sql("INSERT INTO gverb.cl.dst VALUES (99)")
+    assert(sql("SELECT count(*) FROM gverb.cl.src").head.getLong(0) == 4)
+    // target exists → loud failure, CREATE semantics
+    intercept[Exception] {
+      sql("CREATE TABLE gverb.cl.dst SHALLOW CLONE gverb.cl.src")
+    }
+  }
+
+  test("table_changes TVF: range read with _commit_version, CDC-less commits skipped") {
+    import spark.implicits._
+    val root = tmp("tvfcdc")
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val t = new SnapshotTable(spark, root).create(base)               // v0
+    t.merge(Seq((2L, "b", 21.0), (4L, "d", 40.0)).toDF("k", "s", "v"),
+      Seq("k"), trackChanges = true)                                  // v1
+    t.append(Seq((9L, "z", 90.0)).toDF("k", "s", "v"))                // v2 (no CDC)
+    t.merge(Seq((1L, "a", 11.0)).toDF("k", "s", "v"),
+      Seq("k"), trackChanges = true)                                  // v3
+    val rows = sql(
+      s"SELECT _change_type, _commit_version, count(*) AS n " +
+        s"FROM table_changes('$root', 1, 3) " +
+        "GROUP BY _change_type, _commit_version")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      ("insert", 1, 1L), ("update_preimage", 1, 1L), ("update_postimage", 1, 1L),
+      ("update_preimage", 3, 1L), ("update_postimage", 3, 1L)), s"got $rows")
+    // single-version form + catalog-name addressing
+    sql("CREATE NAMESPACE gverb.tc")
+    val ct = new SnapshotTable(spark,
+      s"${spark.conf.get("spark.sql.catalog.gverb.root")}/tc/t").create(base)
+    ct.merge(Seq((3L, "c", 31.0)).toDF("k", "s", "v"), Seq("k"),
+      trackChanges = true)
+    assert(sql("SELECT count(*) FROM table_changes('gverb.tc.t', 1)")
+      .head.getLong(0) == 2L)
+    // a CDC-less range fails loudly, not silently empty
+    val e = intercept[Exception] {
+      sql(s"SELECT * FROM table_changes('$root', 2, 2)").collect()
+    }
+    assert(e.getMessage.contains("trackChanges"), e.getMessage)
+  }
+
+  test("OPTIMIZE WHERE compacts only the named partition; others path-identical") {
+    sql("CREATE NAMESPACE gverb.ow")
+    sql("CREATE TABLE gverb.ow.t (k BIGINT, s STRING) PARTITIONED BY (s)")
+    (0 until 3).foreach(i =>
+      sql(s"INSERT INTO gverb.ow.t VALUES (${i * 2}, 'A'), (${i * 2 + 1}, 'B')"))
+    val root = spark.conf.get("spark.sql.catalog.gverb.root")
+    val t = new SnapshotTable(spark, s"$root/ow/t")
+    val bBefore = t.files.filter(_.partValue == "B").map(_.path).toSet
+    assert(t.files.count(_.partValue == "A") == 3)
+    sql("OPTIMIZE gverb.ow.t WHERE s = 'A'")
+    assert(t.files.count(_.partValue == "A") == 1, "A must bin-pack")
+    assert(t.files.filter(_.partValue == "B").map(_.path).toSet == bBefore,
+      "unnamed partitions must carry by reference, path-identical")
+    assert(sql("SELECT count(*), sum(k) FROM gverb.ow.t").head.toSeq
+      == Seq(6L, 15L))
+    // scoped ZORDER: same carry-over contract
+    val bAfter = t.files.filter(_.partValue == "B").map(_.path).toSet
+    sql("OPTIMIZE gverb.ow.t WHERE s = 'A' ZORDER BY (k)")
+    assert(t.files.filter(_.partValue == "B").map(_.path).toSet == bAfter)
+    assert(sql("SELECT count(*) FROM gverb.ow.t").head.getLong(0) == 6)
+    // the filter must name the partition source column
+    val e = intercept[Exception] { sql("OPTIMIZE gverb.ow.t WHERE k = 1") }
+    assert(e.getMessage.contains("partition source column"), e.getMessage)
+  }
+
+  test("OPTIMIZE and ZORDER preserve identity and hidden-transform layouts") {
+    sql("CREATE NAMESPACE gverb.lay")
+    sql("""CREATE TABLE gverb.lay.h (k BIGINT, d DATE)
+           PARTITIONED BY (months(d))""")
+    (0 until 3).foreach(_ => sql(
+      """INSERT INTO gverb.lay.h VALUES
+         (1, DATE'2024-01-05'), (2, DATE'2024-02-11'), (3, DATE'2024-02-20')"""))
+    val root = spark.conf.get("spark.sql.catalog.gverb.root")
+    val h = new SnapshotTable(spark, s"$root/lay/h")
+    assert(h.files.forall(e => e.xformCol == "d" && e.xformTag == "months"))
+    sql("OPTIMIZE gverb.lay.h")
+    assert(h.files.forall(e => e.xformCol == "d" && e.xformTag == "months"),
+      "compaction must keep the hidden transform layout")
+    assert(h.files.map(_.partValue).toSet == Set("2024-01", "2024-02"))
+    // month pruning still works post-OPTIMIZE (the whole point)
+    assert(sql("SELECT count(*) FROM gverb.lay.h WHERE d >= DATE'2024-02-01'")
+      .head.getLong(0) == 6)
+    sql("OPTIMIZE gverb.lay.h ZORDER BY (k)")
+    assert(h.files.forall(e => e.xformCol == "d" && e.xformTag == "months"),
+      "zorder must keep the hidden transform layout")
+    assert(sql("SELECT count(*) FROM gverb.lay.h").head.getLong(0) == 9)
+    // partition-scoped OPTIMIZE maps the RAW-column literal through the
+    // transform (one day names its month partition)
+    val feb = h.files.filter(_.partValue == "2024-02").map(_.path).toSet
+    val jan = h.files.filter(_.partValue == "2024-01").map(_.path).toSet
+    sql("OPTIMIZE gverb.lay.h WHERE d = '2024-01-15'")
+    assert(h.files.filter(_.partValue == "2024-02").map(_.path).toSet == feb)
+    assert(h.files.filter(_.partValue == "2024-01").map(_.path).toSet != jan)
+  }
+
+  test("n-ary ZORDER BY: 3 columns work, bad arity fails with the graft message") {
+    sql("CREATE NAMESPACE gverb.z3")
+    sql("CREATE TABLE gverb.z3.t (a BIGINT, b BIGINT, c BIGINT)")
+    sql("""INSERT INTO gverb.z3.t
+           SELECT id % 17, id % 23, id % 31 FROM range(2000)""")
+    sql("OPTIMIZE gverb.z3.t ZORDER BY (a, b, c)")
+    assert(sql("SELECT count(*), sum(a) FROM gverb.z3.t").head.toSeq
+      == Seq(2000L, (0L until 2000L).map(_ % 17).sum))
+    val e = intercept[Exception] {
+      sql("OPTIMIZE gverb.z3.t ZORDER BY (a, b, c, a, b)")
+    }
+    assert(e.getMessage.contains("1 to 4 columns"), e.getMessage)
+    val e2 = intercept[Exception] { sql("OPTIMIZE gverb.z3.t ZORDER BY ()") }
+    assert(e2.getMessage.contains("1 to 4 columns"), e2.getMessage)
+  }
+
+  test("Hudi CALL run_compaction alias maps onto OPTIMIZE") {
+    sql("CREATE NAMESPACE gverb.hud")
+    sql("CREATE TABLE gverb.hud.t (k BIGINT)")
+    sql("INSERT INTO gverb.hud.t VALUES (1), (2)")
+    sql("INSERT INTO gverb.hud.t VALUES (3)")
+    val r = sql("CALL gverb.system.run_compaction('run', 'hud.t')").head
+    assert(r.getLong(1) < r.getLong(0), s"run_compaction must bin-pack: $r")
+    assert(sql("SELECT sum(k) FROM gverb.hud.t").head.getLong(0) == 6)
+  }
+
+  test("bare VACUUM DATABASE keeps a conservative snapshot window") {
+    import spark.implicits._
+    val root = spark.conf.get("spark.sql.catalog.gverb.root")
+    val db = new graft.sources.GraftDatabase(spark, s"$root/dbdef")
+    db.transact(Seq("m"))(d => d.table("m").create(Seq(1L).toDF("k")): Unit)
+    db.transact(Seq("m"))(d => d.table("m").append(Seq(2L).toDF("k")): Unit)
+    sql("VACUUM DATABASE gverb.dbdef")
+    // both published snapshots survive the bare form (default window 7)
+    assert(db.tableVersions(0) == Map("m" -> 0))
+    assert(db.tableVersions(1) == Map("m" -> 1))
+    // the explicit clause remains the reclamation switch
+    sql("VACUUM DATABASE gverb.dbdef RETAIN 1 SNAPSHOTS")
+    intercept[Exception] { db.tableVersions(0) }
+  }
+
+  test("versionAtOrBefore is the explicit before-first-commit signal") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("vaob")).create(Seq(1L).toDF("k"))
+    val first = t.commitTimestamp(0)
+    assert(t.versionAtOrBefore(first - 1).isEmpty)
+    assert(t.versionAtOrBefore(first).contains(0))
+    intercept[IllegalArgumentException] { t.versionAsOf(first - 1) }
+  }
+}

@@ -35,6 +35,41 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("ZOrderN generalizes ZOrder2 and round-trips 3-D") {
+    import graft.functions.{ZOrder2, ZOrderN}
+    val rnd = new scala.util.Random(31)
+    // 2-ary: bit-identical to the dedicated ZOrder2 (the gate oracle)
+    (1 to 200).foreach { _ =>
+      val x = rnd.nextInt(65536).toLong; val y = rnd.nextInt(65536).toLong
+      assert(ZOrderN.z(Array(x, y)) == ZOrder2.z(x, y))
+    }
+    // 3-ary: de-interleave round-trip (dim d's bit i sits at i*3 + d)
+    (1 to 200).foreach { _ =>
+      val xs = Array.fill(3)(rnd.nextInt(65536).toLong)
+      val v = ZOrderN.z(xs)
+      val back = (0 until 3).map { d =>
+        (0 until 16).foldLeft(0L)((acc, i) =>
+          acc | (((v >> (i * 3 + d)) & 1L) << i))
+      }
+      assert(back == xs.toSeq)
+    }
+    // SQL dispatch: 3-ary goes through ZOrderN inside codegen
+    graft.functions.GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    val r = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L)).toDF("a", "b", "c")
+      .selectExpr("graft_zorder(a, b, c) AS z").collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(1L, 2L, 4L))
+    // nulls propagate
+    val n = Seq((Some(1L), Option.empty[Long])).toDF("a", "b")
+      .selectExpr("graft_zorder(a, b, a) AS z").head
+    assert(n.isNullAt(0))
+    // duckSql mirror agrees with the JVM fold
+    val expr3 = ZOrderN.duckSql(Seq("a", "b", "c"))
+    val viaSql = Seq((7L, 11L, 13L)).toDF("a", "b", "c")
+      .selectExpr(s"$expr3 AS z").head.getLong(0)
+    assert(viaSql == ZOrderN.z(Array(7L, 11L, 13L)))
+  }
+
   test("zorder layout narrows per-file spans on both dimensions") {
     graft.functions.GraftFunctions.registerAll(spark)
     val o = Tables.load(spark, "/root/testdata/sf0.01", "orders")
