@@ -263,13 +263,20 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         def binsFor(bytes: Long): Int =
           math.max(1L, (bytes + GraftMaintenance.DefaultMinBytes - 1) /
             GraftMaintenance.DefaultMinBytes).toInt
+        // … computed over the SCOPED file set when a WHERE clause names
+        // partitions — whole-table bytes would over-partition a scoped
+        // rewrite into mostly-empty tasks
+        def inScope(e: graft.sources.SnapshotTable.FileEntry): Boolean =
+          scope.forall(_.contains(e.partValue))
         if (c.zorderBy.isEmpty) {
           val smallBytes = entries
-            .filter(_.bytes < GraftMaintenance.DefaultMinBytes)
+            .filter(e => e.bytes < GraftMaintenance.DefaultMinBytes &&
+              inScope(e))
             .map(_.bytes).sum
           t.compactSmallFiles(GraftMaintenance.DefaultMinBytes,
             targetFiles = binsFor(smallBytes), onlyPartitions = scope)
-        } else t.compactZOrder(binsFor(entries.map(_.bytes).sum),
+        } else t.compactZOrder(
+          binsFor(entries.filter(inScope).map(_.bytes).sum),
           c.zorderBy, onlyPartitions = scope)
         // Seq[Any] forestalls Scala's numeric widening (a mixed
         // Long/Int Seq infers Seq[Long] and silently widens the Int,

@@ -1593,17 +1593,23 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   /** OPTIMIZE with a small-file threshold (Delta `OPTIMIZE` bin-packing
     * semantics, vs [[compact]]'s full rewrite): only files smaller than
-    * `minBytes` are folded into `targetFiles` bins (per partition value
-    * when the small set shares a layout); every already-compact file
-    * carries over by reference — cost ∝ small-file bytes, never table
-    * size. At 100 TB this is the difference between a nightly
-    * housekeeping job and a full rewrite. DV marks on rewritten files
-    * are applied and dropped; marks on carried files persist. */
+    * `minBytes` are folded into size-targeted bins — `targetFiles` bins
+    * on an unpartitioned table, ~`minBytes`-sized bins per partition on
+    * a partitioned one; every already-compact file carries over by
+    * reference — cost ∝ small-file bytes, never table size. At 100 TB
+    * this is the difference between a nightly housekeeping job and a
+    * full rewrite. DV marks on rewritten files are applied and dropped;
+    * marks on carried files persist. */
   def compactSmallFiles(minBytes: Long, targetFiles: Int = 1,
       onlyPartitions: Option[Set[String]] = None): SnapshotTable = {
     val v = currentVersion
     require(deltaEntries(v).isEmpty,
       s"compactSmallFiles on $root requires compacted state (pending MoR deltas)")
+    // mirror compactZOrder's guard: scoping by partition on a table with
+    // no partition layout would silently match nothing and no-op — a
+    // trap for direct API callers (the SQL route pre-validates)
+    require(onlyPartitions.isEmpty || layoutSpec.isDefined,
+      s"partition-scoped compaction on $root requires a partitioned table")
     // Preserve the table's layout (identity OR hidden transform): the
     // rewrite commits under the same spec, so partition pruning and
     // O(partition) overwrites survive an OPTIMIZE — Delta compacts
@@ -1627,12 +1633,46 @@ class SnapshotTable(spark: SparkSession, root: String) {
     if (small.size <= 1) this // nothing to gain: 0/1 small file
     else {
       val df = spec match {
-        // writeData re-clusters by the spec's partition value — per-
-        // partition bins; targetFiles governs the unpartitioned shape
-        case Some(_) => baseScan(small, dvEntries(v))
-        case None    => baseScan(small, dvEntries(v)).repartition(targetFiles)
+        case Some(_) =>
+          // Size-targeted bins WITHIN partitions: a partition holding N×
+          // `minBytes` of small files compacts into ~N output files,
+          // never one unbounded file — Delta bins to maxFileSize for the
+          // same reason; at 100 TB "one file per partition" collapses a
+          // 10 GiB small-file backlog into a single unsplittable-write
+          // task. Bin assignment is driver-side manifest arithmetic:
+          // each small file maps to a globally-unique bin id (round-
+          // robin by descending size within its partition ≈ balanced
+          // bins), and the scan range-partitions on that id via its
+          // `_metadata.file_path` — no extra scan, no rand(), and bin
+          // ids are disjoint across partitions so no task ever straddles
+          // two partition directories.
+          val binOf: Map[String, Int] = {
+            var next = 0
+            small.groupBy(_.partValue).values.flatMap { es =>
+              // overflow-safe ceil-div (callers pass Long.MaxValue as an
+              // "everything is small" threshold)
+              val bins = math.max(1L,
+                (es.map(_.bytes).sum - 1) / minBytes + 1).toInt
+              val assigned = es.sortBy(-_.bytes).zipWithIndex
+                .map { case (e, i) => e.path -> (next + i % bins) }
+              next += bins
+              assigned
+            }.toMap
+          }
+          val nBins = binOf.values.max + 1
+          val addressed =
+            if (dvEntries(v).isEmpty) readEntriesAddressed(small)
+            else addressedMinusDvs(small, dvEntries(v))
+          addressed
+            .repartitionByRange(nBins,
+              element_at(typedLit(binOf), col(DvFileCol)))
+            .drop(DvFileCol, DvPosCol)
+        case None => baseScan(small, dvEntries(v)).repartition(targetFiles)
       }
-      val written = writeData(df, v + 1, spec)
+      // cluster = false: the pre-arranged per-partition bins ARE the
+      // distribution; writeData's default re-clustering by partition
+      // value would collapse them back to one file per partition
+      val written = writeData(df, v + 1, spec, cluster = false)
       writeManifest(Manifest(v + 1, "OPTIMIZE", mergeKeysOf(v),
         written ++ big, Seq.empty,
         dvs = remainingDvs(v, small.map(_.path).toSet, v + 1)))

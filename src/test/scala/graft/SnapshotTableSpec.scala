@@ -384,6 +384,48 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.currentVersion === v)
   }
 
+  test("partitioned compactSmallFiles bins by size, never one file per partition") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("optsfp"))
+      .create(Seq((0L, "A"), (1L, "B")).toDF("k", "p").coalesce(1),
+        partitionBy = Some("p"))
+    // partition A: 8 small files; partition B: 2 — a fixed-count or
+    // one-per-partition rewrite would collapse A to a single unbounded
+    // file (the 100 TB failure shape)
+    (0 until 8).foreach(i =>
+      t.append(Seq((100L + i, "A")).toDF("k", "p").coalesce(1),
+        partitionBy = Some("p")))
+    (0 until 2).foreach(i =>
+      t.append(Seq((200L + i, "B")).toDF("k", "p").coalesce(1),
+        partitionBy = Some("p")))
+    val before = t.read().orderBy("k").collect().toSeq
+    def bytesOf(pv: String) =
+      t.files.filter(_.partValue == pv).map(_.bytes).sum
+    val (aBytes, bBytes) = (bytesOf("A"), bytesOf("B"))
+    // threshold above every single file but ~1/4 of A's total bytes:
+    // each partition must bin into ceil(partitionBytes / minBytes) files
+    val minBytes = math.max(t.files.map(_.bytes).max + 1, aBytes / 4 + 1)
+    def bins(bytes: Long) = ((bytes - 1) / minBytes + 1).toInt
+    val (expectA, expectB) = (bins(aBytes), bins(bBytes))
+    assert(expectA >= 2, s"fixture must demand >1 bin for A, got $expectA")
+    assert(expectA > expectB, "fixture must demand MORE bins for A than B")
+    t.compactSmallFiles(minBytes)
+    val aAfter = t.files.count(_.partValue == "A")
+    val bAfter = t.files.count(_.partValue == "B")
+    assert(aAfter === expectA,
+      s"A holds ${expectA}× the target bytes — expected $expectA files, got $aAfter")
+    assert(bAfter === expectB, s"B expected $expectB files, got $bAfter")
+    assert(t.read().orderBy("k").collect().toSeq === before)
+    // layout survives: every rewritten file is identity-partitioned on p
+    assert(t.files.filter(_.rows > 0).forall(_.partCol == "p"))
+    // scoping by partition demands a partition layout (silent no-op trap)
+    val u = new SnapshotTable(spark, tmp("optsfp_u"))
+      .create(Seq((1L, "x")).toDF("k", "s"))
+    val e = intercept[IllegalArgumentException](
+      u.compactSmallFiles(1024, onlyPartitions = Some(Set("x"))))
+    assert(e.getMessage.contains("partitioned table"))
+  }
+
   test("clone of a MoR table: the clone's new delta outranks carried deltas") {
     import spark.implicits._
     // source history: CREATE (v0) + deferred upsert (v1) — the carried

@@ -167,25 +167,33 @@ class SqlVerbsSpec extends AnyFunSuite {
          (1, DATE'2024-01-05'), (2, DATE'2024-02-11'), (3, DATE'2024-02-20')"""))
     val root = spark.conf.get("spark.sql.catalog.gverb.root")
     val h = new SnapshotTable(spark, s"$root/lay/h")
-    assert(h.files.forall(e => e.xformCol == "d" && e.xformTag == "months"))
+    // CREATE TABLE commits a zero-row UNPARTITIONED schema-anchor file
+    // (a partitioned write of zero rows emits nothing; the layout lives
+    // as a table property) — layout assertions apply to data files only
+    def dataFiles = h.files.filter(_.rows > 0)
+    assert(dataFiles.forall(e => e.xformCol == "d" && e.xformTag == "months"))
     sql("OPTIMIZE gverb.lay.h")
-    assert(h.files.forall(e => e.xformCol == "d" && e.xformTag == "months"),
+    assert(dataFiles.forall(e => e.xformCol == "d" && e.xformTag == "months"),
       "compaction must keep the hidden transform layout")
-    assert(h.files.map(_.partValue).toSet == Set("2024-01", "2024-02"))
+    assert(dataFiles.map(_.partValue).toSet == Set("2024-01", "2024-02"))
     // month pruning still works post-OPTIMIZE (the whole point)
     assert(sql("SELECT count(*) FROM gverb.lay.h WHERE d >= DATE'2024-02-01'")
       .head.getLong(0) == 6)
     sql("OPTIMIZE gverb.lay.h ZORDER BY (k)")
-    assert(h.files.forall(e => e.xformCol == "d" && e.xformTag == "months"),
+    assert(dataFiles.forall(e => e.xformCol == "d" && e.xformTag == "months"),
       "zorder must keep the hidden transform layout")
     assert(sql("SELECT count(*) FROM gverb.lay.h").head.getLong(0) == 9)
     // partition-scoped OPTIMIZE maps the RAW-column literal through the
-    // transform (one day names its month partition)
-    val feb = h.files.filter(_.partValue == "2024-02").map(_.path).toSet
-    val jan = h.files.filter(_.partValue == "2024-01").map(_.path).toSet
+    // transform (one day names its month partition); a second January
+    // file first — a single-file partition correctly no-ops
+    sql("INSERT INTO gverb.lay.h VALUES (4, DATE'2024-01-07')")
+    val feb = dataFiles.filter(_.partValue == "2024-02").map(_.path).toSet
+    val jan = dataFiles.filter(_.partValue == "2024-01").map(_.path).toSet
+    assert(jan.size >= 2, s"fixture needs >1 January file, got ${jan.size}")
     sql("OPTIMIZE gverb.lay.h WHERE d = '2024-01-15'")
-    assert(h.files.filter(_.partValue == "2024-02").map(_.path).toSet == feb)
-    assert(h.files.filter(_.partValue == "2024-01").map(_.path).toSet != jan)
+    assert(dataFiles.filter(_.partValue == "2024-02").map(_.path).toSet == feb)
+    assert(dataFiles.filter(_.partValue == "2024-01").map(_.path).toSet != jan)
+    assert(sql("SELECT count(*) FROM gverb.lay.h").head.getLong(0) == 10)
   }
 
   test("n-ary ZORDER BY: 3 columns work, bad arity fails with the graft message") {
