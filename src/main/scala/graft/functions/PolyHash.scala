@@ -316,16 +316,27 @@ case class ZOrderN(children: Seq[Expression]) extends Expression {
 }
 
 object ZOrderN {
+  /** Bits interleaved per dimension: 16 up to three dims; 15 for four —
+    * 16×4 would land dim 3's top bit on bit 63 (the Long sign bit),
+    * making half the curve NEGATIVE and inverting the signed ordering
+    * repartitionByRange/sortWithinPartitions cluster by. Dropping the
+    * LOW bit (keep the 15 most significant of the 16-bit lattice) costs
+    * only the finest lattice step, never the coarse clustering. */
+  def bitsFor(n: Int): Int = if (n >= 4) 15 else 16
+
   /** Static hot loop invoked from generated code: round-robin interleave
-    * the low 16 bits of every dimension (dim d's bit i → i*n + d). */
+    * the top `bitsFor(n)` bits of every dimension's 16-bit lattice value
+    * (dim d's bit i → i*n + d). Result is always non-negative. */
   def z(xs: Array[Long]): Long = {
     val n = xs.length
+    val bits = bitsFor(n)
+    val drop = 16 - bits
     var r = 0L
     var d = 0
     while (d < n) {
-      val m = xs(d) & 0xFFFFL
+      val m = (xs(d) & 0xFFFFL) >> drop
       var i = 0
-      while (i < 16) {
+      while (i < bits) {
         r |= ((m >> i) & 1L) << (i * n + d)
         i += 1
       }
@@ -337,9 +348,11 @@ object ZOrderN {
   /** The identical formula as DuckDB SQL (disjoint-bit terms summed). */
   def duckSql(cols: Seq[String]): String = {
     val n = cols.size
+    val bits = bitsFor(n)
+    val drop = 16 - bits
     val terms = cols.zipWithIndex.flatMap { case (c, d) =>
-      (0 until 16).map(i =>
-        s"(((($c & 65535) >> $i) & 1) << ${i * n + d})")
+      (0 until bits).map(i =>
+        s"((((($c & 65535) >> $drop) >> $i) & 1) << ${i * n + d})")
     }
     terms.mkString("(", " + ", ")")
   }

@@ -93,6 +93,10 @@ object GraftMaintenance {
     .add("source_version", IntegerType, nullable = false)
     .add("num_files", LongType, nullable = false)
 
+  val GenerateSchema: StructType = new StructType()
+    .add("manifest_path", StringType, nullable = false)
+    .add("num_files", LongType, nullable = false)
+
   /** The path-addressed table spelling (`` graft.`/abs/path` `` — the
     * reference's own Delta idiom, `` OPTIMIZE delta.`$path` ``
     * IncrementalTPCDSBenchmark.scala:192): a 2-part name whose head is
@@ -144,6 +148,17 @@ object GraftMaintenance {
         }
     }
 
+  /** `TIMESTAMP AS OF` string → epoch millis. Accepts Delta's accepted
+    * shapes: full `yyyy-MM-dd HH:mm:ss[.f…]` (T separator tolerated)
+    * AND date-only `yyyy-MM-dd` (midnight) — `Timestamp.valueOf` alone
+    * rejects the date-only form with an opaque format error. */
+  private[plans] def parseTs(s: String): Long = {
+    val norm = s.trim.replace('T', ' ')
+    val padded =
+      if (norm.matches("\\d{4}-\\d{2}-\\d{2}")) norm + " 00:00:00" else norm
+    java.sql.Timestamp.valueOf(padded).getTime
+  }
+
   /** Where a CLONE target will live: path-addressed targets verbatim;
     * catalog targets at the owning graft catalog's table path (the
     * table must not exist yet — CREATE semantics). */
@@ -162,10 +177,10 @@ object GraftMaintenance {
     }
 }
 
-/** `OPTIMIZE name [WHERE pc = v] [ZORDER BY (a[, b, c, d])]`. */
+/** `OPTIMIZE name [WHERE pc = v | pc IN (…)] [ZORDER BY (a[, b, c, d])]`. */
 final case class GraftOptimizeCommand(name: Seq[String],
     zorderBy: Seq[String],
-    where: Option[(String, String)],
+    where: Option[(String, Seq[String])],
     zorderWritten: Boolean = false) extends LeafNode with Command {
   require(!zorderWritten || (zorderBy.nonEmpty && zorderBy.length <= 4),
     s"OPTIMIZE ZORDER BY takes 1 to 4 columns (16 interleaved bits per " +
@@ -205,6 +220,17 @@ final case class GraftVacuumCommand(name: Seq[String],
     GraftMaintenance.attrs(GraftMaintenance.VacuumSchema)
 }
 
+/** `GENERATE symlink_format_manifest FOR TABLE name` (Delta's verb for
+  * exporting the current snapshot as a plain file list readable by
+  * engines without a manifest planner — Presto/Trino-style symlink
+  * input). Maps onto [[SnapshotTable.generateSymlinkManifest]]:
+  * O(manifest), zero data files opened. */
+final case class GraftGenerateManifestCommand(name: Seq[String])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] =
+    GraftMaintenance.attrs(GraftMaintenance.GenerateSchema)
+}
+
 /** `DESCRIBE HISTORY name`. */
 final case class GraftDescribeHistoryCommand(name: Seq[String])
     extends LeafNode with Command {
@@ -240,12 +266,12 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         val t = GraftMaintenance.snapshotOf(spark, c.name, forMutation = true)
         val entries = t.files
         val before = entries.size.toLong
-        // Partition-scoped OPTIMIZE (`WHERE pc = v`): resolve the
-        // filter's column against the table's layout — identity or
-        // hidden transform (the literal maps through the same
-        // applyLiteral the read planner prunes with) — and restrict
-        // the rewrite to exactly that partition's files.
-        val scope: Option[Set[String]] = c.where.map { case (cond, value) =>
+        // Partition-scoped OPTIMIZE (`WHERE pc = v` / `pc IN (…)`):
+        // resolve the filter's column against the table's layout —
+        // identity or hidden transform (each literal maps through the
+        // same applyLiteral the read planner prunes with) — and
+        // restrict the rewrite to exactly those partitions' files.
+        val scope: Option[Set[String]] = c.where.map { case (cond, values) =>
           val spec = t.layoutSpec.map(
             graft.sources.PartitionTransform.parse).getOrElse(
             throw new UnsupportedOperationException(
@@ -254,7 +280,8 @@ object GraftMaintenanceStrategy extends SparkStrategy {
           require(cond == spec.col,
             s"OPTIMIZE … WHERE must filter the partition source column " +
               s"'${spec.col}', got '$cond'")
-          Set(graft.sources.PartitionTransform.applyLiteral(spec.tag, value))
+          values.map(v =>
+            graft.sources.PartitionTransform.applyLiteral(spec.tag, v)).toSet
         }
         // size-targeted bins (~128 MiB output files), never a fixed
         // count: at 100 TB "compact into 1 file" is the wrong shape —
@@ -287,9 +314,10 @@ object GraftMaintenanceStrategy extends SparkStrategy {
       GraftMaintenanceExec(c.output, { spark =>
         val t = GraftMaintenance.snapshotOf(spark, c.name, forMutation = true)
         val target = c.version.getOrElse(
-          t.versionAsOf(java.sql.Timestamp.valueOf(
-            c.timestamp.get.replace('T', ' ')).getTime))
-        t.restoreTo(target)
+          t.versionAsOf(GraftMaintenance.parseTs(c.timestamp.get)))
+        // restoring to the version already current is a no-op success
+        // (Delta semantics), not an error
+        if (target != t.currentVersion) t.restoreTo(target)
         Seq(Seq[Any](target, t.currentVersion, t.files.size.toLong))
       }) :: Nil
     case c: GraftCloneCommand =>
@@ -322,6 +350,11 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             }
         }
         Seq(Seq[Any](reclaimed, t.currentVersion))
+      }) :: Nil
+    case c: GraftGenerateManifestCommand =>
+      GraftMaintenanceExec(c.output, { spark =>
+        val t = GraftMaintenance.snapshotOf(spark, c.name)
+        Seq(Seq[Any](t.generateSymlinkManifest(), t.files.size.toLong))
       }) :: Nil
     case c: GraftDescribeHistoryCommand =>
       GraftMaintenanceExec(c.output, { spark =>

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, ShortType, StringType, TimestampType}
 
 import graft.sources.SnapshotTable
 
@@ -17,7 +18,10 @@ import graft.sources.SnapshotTable
   * Delta's `ResolveDeltaPathTable`) a resolution rule turns the
   * two-part `graft`.`/path` relation into the engine's manifest-planned
   * scan — same pushdown, stats, and time-travel machinery as the
-  * catalog route, because it IS the same [[SnapshotTable.read]] plan. */
+  * catalog route, because it IS the same [[SnapshotTable.read]] plan.
+  * `VERSION AS OF n` / `TIMESTAMP AS OF ts` wrap the relation in
+  * Spark's `RelationTimeTravel`, handled here too (top-down, so the
+  * travel spec is seen before the bare relation underneath it). */
 class GraftPathTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def pathOf(parts: Seq[String]): Option[String] = parts match {
@@ -28,17 +32,59 @@ class GraftPathTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  // Positive-probe cache: the analyzer runs resolution rules to a fixed
+  // point, and every existence probe is a filesystem LIST on object
+  // storage — a path that resolved once stays resolved for the session
+  // (a table dropped from under it fails loudly at scan planning, same
+  // as any external-location table). Negative probes are NOT cached:
+  // the table may be created later in the session.
+  private val known =
+    new java.util.concurrent.ConcurrentHashMap[String, SnapshotTable]()
+
+  private def tableAt(p: String): Option[SnapshotTable] = {
+    val cached = known.get(p)
+    if (cached != null) Some(cached)
+    else {
+      val t = new SnapshotTable(spark, p)
+      if (t.exists) { known.putIfAbsent(p, t); Some(t) } else None
+    }
+  }
+
+  /** `TIMESTAMP AS OF` operand → epoch millis: Spark hands the parsed
+    * expression through (a string/date/timestamp literal); casting to
+    * TimestampType applies the session time zone, exactly how the
+    * catalog time-travel route resolves the same clause. */
+  private def tsMillis(e: Expression): Long = {
+    val micros = Cast(e, TimestampType,
+      Some(spark.sessionState.conf.sessionLocalTimeZone)).eval()
+    require(micros != null, s"TIMESTAMP AS OF: cannot interpret $e")
+    micros.asInstanceOf[Long] / 1000L
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperatorsUp {
+    plan.resolveOperatorsDown {
+      // SQL time travel on a path read — `` graft.`/p` VERSION AS OF 3 ``
+      // (matched before the bare relation: top-down traversal, so the
+      // child UnresolvedRelation is never resolved to "latest" first)
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        pathOf(u.multipartIdentifier).flatMap(tableAt) match {
+          case Some(t) =>
+            val df = (ver, ts) match {
+              case (Some(v), _) => t.read(v.toInt)
+              case (_, Some(e)) => t.readAsOf(tsMillis(e))
+              case _            => t.read()
+            }
+            df.queryExecution.analyzed
+          case None => tt
+        }
       case u: UnresolvedRelation =>
-        pathOf(u.multipartIdentifier) match {
-          case Some(p) if new SnapshotTable(spark, p).exists =>
+        pathOf(u.multipartIdentifier).flatMap(tableAt) match {
+          case Some(t) =>
             // the analyzed child plan of a normal engine read — embeds
             // the PrunedFilteredScan relation, so filter/column
             // pushdown and manifest stats apply as on any other scan
-            new SnapshotTable(spark, p).read()
-              .queryExecution.analyzed
-          case _ => u
+            t.read().queryExecution.analyzed
+          case None => u
         }
     }
 }
@@ -47,43 +93,99 @@ class GraftPathTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   * — Delta's change-data-feed TVF spelling over the engine's
   * commit-captured CDC files ([[SnapshotTable.changes]]): each version
   * in the range contributes its captured rows tagged with
-  * `_commit_version` / `_commit_timestamp`; CDC-less commits (OPTIMIZE,
-  * plain appends) are skipped, exactly Delta's range semantics. Cost is
-  * O(changed rows of the range) — the changes were captured at commit
-  * time, never recomputed by diffing versions. */
+  * `_commit_version` / `_commit_timestamp`. Delta's range semantics:
+  *
+  *   - `start`/`end` are versions (integer, or all-digit string) OR
+  *     timestamps (string / TIMESTAMP literal) — a start timestamp
+  *     resolves to the FIRST commit at or after it, an end timestamp to
+  *     the LAST commit at or before it.
+  *   - an omitted `end` means the table's CURRENT version.
+  *   - CDC-less commits inside the range (OPTIMIZE, plain appends)
+  *     contribute nothing; a range with NO change-tracking commits
+  *     yields an EMPTY result with the CDF schema, not an error.
+  *   - an end version beyond the table's history is an error (Delta
+  *     rejects out-of-range versions rather than clamping).
+  *
+  * Cost is O(changed rows of the range) — the changes were captured at
+  * commit time, never recomputed by diffing versions. */
 object GraftTableChanges {
 
   private[graft] def build(exprs: Seq[Expression]): LogicalPlan = {
     require(exprs.size == 2 || exprs.size == 3,
-      s"table_changes(table, startVersion[, endVersion]) takes 2 or 3 " +
+      s"table_changes(table, start[, end]) takes 2 or 3 " +
         s"arguments, got ${exprs.size}")
     val spark = SparkSession.active
-    def str(e: Expression): String = String.valueOf(e.eval())
-    def ver(e: Expression): Int = e.eval() match {
-      case n: Number => n.intValue()
-      case other => throw new IllegalArgumentException(
-        s"table_changes: version must be an integer literal, got $other")
-    }
-    val name = str(exprs.head)
-    val start = ver(exprs(1))
-    val end = if (exprs.size == 3) ver(exprs(2)) else start
-    require(start >= 0 && end >= start,
-      s"table_changes: bad version range [$start, $end]")
+    val name = String.valueOf(exprs.head.eval())
     val t =
       if (name.startsWith("/") || name.contains(":/"))
         new SnapshotTable(spark, name)
+      // dot-split OUTSIDE backquotes (`my.db`.t) — the parser's own
+      // name tokenizer, so TVF addressing matches statement addressing
       else GraftMaintenance.snapshotOf(spark,
-        name.split('.').toIndexedSeq)
-    val hi = math.min(end, t.currentVersion)
-    val frames = (start to hi).filter(t.hasChanges).map { v =>
+        GraftSqlParser.splitName(name))
+    val cur = t.currentVersion
+
+    // version-or-timestamp operand (Delta accepts either, in either
+    // position): integers and all-digit strings are versions; strings,
+    // DATE and TIMESTAMP literals are instants
+    sealed trait Bound
+    case class Ver(v: Int) extends Bound
+    case class Ts(ms: Long) extends Bound
+    def bound(e: Expression): Bound = e.dataType match {
+      case ShortType | IntegerType | LongType =>
+        Ver(e.eval().asInstanceOf[Number].intValue())
+      case StringType =>
+        val s = String.valueOf(e.eval())
+        if (s.matches("\\d+")) Ver(s.toInt)
+        else Ts(GraftMaintenance.parseTs(s))
+      case TimestampType => Ts(e.eval().asInstanceOf[Long] / 1000L)
+      case DateType => Ts(java.time.LocalDate
+        .ofEpochDay(e.eval().asInstanceOf[Number].longValue())
+        .atStartOfDay(java.time.ZoneId.systemDefault())
+        .toInstant.toEpochMilli)
+      case other => throw new IllegalArgumentException(
+        s"table_changes: version/timestamp operand expected, got $other")
+    }
+
+    val start = bound(exprs(1)) match {
+      case Ver(v) => v
+      // first commit AT OR AFTER the instant (monotonic manifest
+      // timestamps → pure metadata resolution; same rule as the
+      // streaming source's startingTimestamp)
+      case Ts(ms) => t.versionAtOrBefore(ms) match {
+        case None                                   => 0
+        case Some(v) if t.commitTimestamp(v) == ms  => v
+        case Some(v)                                => v + 1
+      }
+    }
+    val end = exprs.lift(2).map(bound) match {
+      case None          => cur // Delta: omitted end = latest version
+      case Some(Ver(v))  => v
+      // last commit at or before the instant; an instant preceding the
+      // first commit makes the range empty (start > end below)
+      case Some(Ts(ms))  => t.versionAtOrBefore(ms).getOrElse(-1)
+    }
+    require(start >= 0,
+      s"table_changes: bad start version $start")
+    require(end <= cur,
+      s"table_changes: end version $end exceeds the latest version $cur " +
+        s"of $name")
+    val frames = (start to end).filter(t.hasChanges).map { v =>
       t.changes(v)
         .withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp",
           lit(new java.sql.Timestamp(t.commitTimestamp(v))))
     }
-    require(frames.nonEmpty,
-      s"table_changes: no change-data-feed commits in [$start, $end] of " +
-        s"$name (commit DML with trackChanges = true)")
-    frames.reduce(_.unionByName(_)).queryExecution.analyzed
+    val df =
+      // a valid range containing only CDC-less commits is an EMPTY
+      // change feed, not an error (Delta parity — mid-pipeline OPTIMIZE
+      // and append-only stretches must read as zero changes)
+      if (frames.isEmpty)
+        t.read().limit(0)
+          .withColumn("_change_type", lit(null).cast("string"))
+          .withColumn("_commit_version", lit(null).cast("int"))
+          .withColumn("_commit_timestamp", lit(null).cast("timestamp"))
+      else frames.reduce(_.unionByName(_))
+    df.queryExecution.analyzed
   }
 }

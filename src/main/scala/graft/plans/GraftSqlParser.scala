@@ -12,7 +12,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   {{{
   *   OPTIMIZE cat.ns.t
   *   OPTIMIZE cat.ns.t WHERE pc = 'v'             -- partition-scoped
+  *   OPTIMIZE cat.ns.t WHERE pc IN ('a', 'b')     -- many partitions
   *   OPTIMIZE cat.ns.t ZORDER BY (a, b[, c, d])   -- 1..4 dimensions
+  *   GENERATE symlink_format_manifest FOR TABLE cat.ns.t
   *   VACUUM cat.ns.t [RETAIN 3 VERSIONS | RETAIN 168 HOURS]
   *   VACUUM DATABASE cat.ns [RETAIN 2 SNAPSHOTS]
   *   DESCRIBE HISTORY cat.ns.t      -- DESC HISTORY also accepted
@@ -59,6 +61,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftVacuumCommand(parts(name), None, retainHours = Some(h.toInt))
     case VacuumRe(name) =>
       GraftVacuumCommand(parts(name), None)
+    case GenerateRe(name) =>
+      GraftGenerateManifestCommand(parts(name))
     case DescribeHistoryRe(name) =>
       GraftDescribeHistoryCommand(parts(name))
     case DescribeDetailRe(name) =>
@@ -92,12 +96,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private def strip(s: String): String = s.stripPrefix("`").stripSuffix("`")
   private def splitCols(s: String): Seq[String] =
     s.split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty).map(strip)
-  private def parseWhere(cond: String): (String, String) = cond.trim match {
+  private def parseWhere(cond: String): (String, Seq[String]) = cond.trim match {
     case WhereEqRe(c, sq, dq, bare) =>
-      (strip(c), Seq(sq, dq, bare).find(_ != null).get)
+      (strip(c), Seq(Seq(sq, dq, bare).find(_ != null).get))
+    // pc IN ('a', 'b', …) — a maintenance sweep names many partitions
+    // per statement at scale
+    case WhereInRe(c, list) =>
+      val vals = list.split(',').toIndexedSeq.map(_.trim)
+        .filter(_.nonEmpty)
+        .map(v => v.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\""))
+      require(vals.nonEmpty, s"OPTIMIZE … WHERE $c IN (): empty value list")
+      (strip(c), vals)
     case other => throw new UnsupportedOperationException(
-      s"OPTIMIZE … WHERE supports a single partition-column equality " +
-        s"(pc = 'value'), got: $other")
+      s"OPTIMIZE … WHERE supports a partition-column equality or IN list " +
+        s"(pc = 'value' | pc IN ('a', 'b')), got: $other")
   }
 
   override def parseExpression(sqlText: String): Expression =
@@ -122,6 +135,14 @@ object GraftSqlParser {
   // one name part: backquoted (anything but a backquote) or bare word
   private val P = "(?:`[^`]+`|\\w+)"
   private val PartRe = P.r
+
+  /** Tokenize a dotted name on dots OUTSIDE backquotes (a backquoted
+    * part may itself contain dots: `my.db`.t) — shared with the
+    * `table_changes` TVF so string-argument addressing splits exactly
+    * like statement addressing. */
+  private[plans] def splitName(name: String): Seq[String] =
+    PartRe.findAllIn(name).toIndexedSeq
+      .map(_.stripPrefix("`").stripSuffix("`"))
   private val Name = s"($P(?:\\.$P){0,2})"
 
   // OPTIMIZE name [WHERE cond] [ZORDER BY (cols)] — one regex, two
@@ -135,6 +156,12 @@ object GraftSqlParser {
   // pc = 'v' | pc = "v" | pc = v (single equality on one column)
   private val WhereEqRe =
     (s"($P)\\s*=\\s*(?:'([^']*)'|\"([^\"]*)\"|([^\\s'\"]+))\\s*").r
+  // pc IN ('a', 'b', …)
+  private val WhereInRe = s"(?i)($P)\\s+IN\\s*\\(([^)]*)\\)\\s*".r
+  // GENERATE symlink_format_manifest FOR TABLE name (Delta's verb)
+  private val GenerateRe =
+    (s"(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+" +
+      s"$Name\\s*;?\\s*").r
   private val VacuumRe =
     s"(?is)\\s*VACUUM\\s+$Name\\s*;?\\s*".r
   private val VacuumRetainRe =

@@ -71,6 +71,12 @@ class SqlVerbsSpec extends AnyFunSuite {
     // timestamp form resolves through the manifest commit instants
     sql(s"RESTORE TABLE gverb.rst.t TO TIMESTAMP AS OF '$tsAfterV1'") // v5
     assert(sql("SELECT sum(k) FROM gverb.rst.t").head.getLong(0) == 3)
+    // date-only timestamps parse (Delta accepts them), and restoring to
+    // the version already current is a no-op success, not an error
+    val tomorrow = java.time.LocalDate.now().plusDays(1).toString
+    val n = sql(s"RESTORE gverb.rst.t TO TIMESTAMP AS OF '$tomorrow'").head
+    assert(n.getInt(0) == 5 && n.getInt(1) == 5, s"no-op restore: $n")
+    assert(sql("SELECT sum(k) FROM gverb.rst.t").head.getLong(0) == 3)
   }
 
   test("CREATE TABLE … SHALLOW CLONE, catalog and path targets, VERSION AS OF") {
@@ -126,11 +132,69 @@ class SqlVerbsSpec extends AnyFunSuite {
       trackChanges = true)
     assert(sql("SELECT count(*) FROM table_changes('gverb.tc.t', 1)")
       .head.getLong(0) == 2L)
-    // a CDC-less range fails loudly, not silently empty
+    // the omitted end version means LATEST (Delta semantics), not start:
+    // a later tracked commit must show up in the same 2-arg read
+    ct.merge(Seq((7L, "g", 70.0)).toDF("k", "s", "v"), Seq("k"),
+      trackChanges = true)                                            // v2: insert
+    assert(sql("SELECT count(*) FROM table_changes('gverb.tc.t', 1)")
+      .head.getLong(0) == 3L)
+    // a valid range of only CDC-less commits is an EMPTY feed with the
+    // CDF schema (mid-pipeline OPTIMIZE/appends read as zero changes)
+    val empty = sql(s"SELECT * FROM table_changes('$root', 2, 2)")
+    assert(empty.count() == 0L)
+    assert(Seq("_change_type", "_commit_version", "_commit_timestamp")
+      .forall(empty.columns.contains))
+    // an end version beyond the table's history fails loudly (Delta
+    // rejects out-of-range versions rather than clamping)
     val e = intercept[Exception] {
-      sql(s"SELECT * FROM table_changes('$root', 2, 2)").collect()
+      sql(s"SELECT * FROM table_changes('$root', 1, 99)").collect()
     }
-    assert(e.getMessage.contains("trackChanges"), e.getMessage)
+    assert(e.getMessage.contains("exceeds the latest version"), e.getMessage)
+  }
+
+  test("table_changes: timestamp bounds and backquoted dotted names") {
+    import spark.implicits._
+    val root = tmp("tvfts")
+    val t = new SnapshotTable(spark, root)
+      .create(Seq((1L, 10.0)).toDF("k", "v"))                         // v0
+    t.merge(Seq((2L, 20.0)).toDF("k", "v"), Seq("k"),
+      trackChanges = true)                                            // v1: insert
+    t.merge(Seq((3L, 30.0)).toDF("k", "v"), Seq("k"),
+      trackChanges = true)                                            // v2: insert
+    def tsOf(v: Int) = new java.sql.Timestamp(t.commitTimestamp(v)).toString
+    // start timestamp = v1's instant → first commit at-or-after = v1
+    assert(sql(s"SELECT count(*) FROM table_changes('$root', '${tsOf(1)}')")
+      .head.getLong(0) == 2L)
+    // end timestamp = v1's instant → last commit at-or-before = v1
+    assert(
+      sql(s"SELECT count(*) FROM table_changes('$root', 0, '${tsOf(1)}')")
+        .head.getLong(0) == 1L)
+    // an end instant before the first commit → empty feed, not an error
+    assert(sql(s"SELECT count(*) FROM table_changes('$root', 0, '2001-01-02')")
+      .head.getLong(0) == 0L)
+    // dots inside backquotes stay inside one name part
+    sql("CREATE NAMESPACE gverb.tcq")
+    sql("CREATE TABLE gverb.tcq.`my.t` (k BIGINT)")
+    sql("INSERT INTO gverb.tcq.`my.t` VALUES (1)")                    // no CDC
+    assert(sql("SELECT count(*) FROM table_changes('gverb.tcq.`my.t`', 0)")
+      .head.getLong(0) == 0L)
+  }
+
+  test("path reads time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    import spark.implicits._
+    val root = tmp("pathtt")
+    val t = new SnapshotTable(spark, root)
+      .create(Seq(1L, 2L, 3L).toDF("k"))                              // v0
+    t.append(Seq(4L, 5L).toDF("k"))                                   // v1
+    assert(sql(s"SELECT count(*) FROM graft.`$root`").head.getLong(0) == 5)
+    assert(sql(s"SELECT count(*) FROM graft.`$root` VERSION AS OF 0")
+      .head.getLong(0) == 3)
+    val ts0 = new java.sql.Timestamp(t.commitTimestamp(0)).toString
+    assert(sql(s"SELECT count(*) FROM graft.`$root` TIMESTAMP AS OF '$ts0'")
+      .head.getLong(0) == 3)
+    // pushdown survives the travel spelling (same engine relation)
+    assert(sql(s"SELECT sum(k) FROM graft.`$root` VERSION AS OF 1 WHERE k <= 2")
+      .head.getLong(0) == 3)
   }
 
   test("OPTIMIZE WHERE compacts only the named partition; others path-identical") {
@@ -156,6 +220,35 @@ class SqlVerbsSpec extends AnyFunSuite {
     // the filter must name the partition source column
     val e = intercept[Exception] { sql("OPTIMIZE gverb.ow.t WHERE k = 1") }
     assert(e.getMessage.contains("partition source column"), e.getMessage)
+    // IN list names many partitions per statement (the maintenance-sweep
+    // shape at scale); an unnamed partition still carries by reference
+    (0 until 2).foreach(i => sql(
+      s"INSERT INTO gverb.ow.t VALUES (${100 + i}, 'B'), (${200 + i}, 'C')"))
+    val aSet = t.files.filter(_.partValue == "A").map(_.path).toSet
+    assert(t.files.count(_.partValue == "B") >= 2)
+    sql("OPTIMIZE gverb.ow.t WHERE s IN ('B', 'C')")
+    assert(t.files.count(_.partValue == "B") == 1, "B must bin-pack")
+    assert(t.files.count(_.partValue == "C") == 1, "C must bin-pack")
+    assert(t.files.filter(_.partValue == "A").map(_.path).toSet == aSet)
+    assert(sql("SELECT count(*) FROM gverb.ow.t").head.getLong(0) == 10)
+  }
+
+  test("GENERATE symlink_format_manifest FOR TABLE, catalog and path names") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE gverb.gen")
+    sql("CREATE TABLE gverb.gen.t (k BIGINT)")
+    sql("INSERT INTO gverb.gen.t VALUES (1), (2)")
+    sql("INSERT INTO gverb.gen.t VALUES (3)")
+    val r = sql("GENERATE symlink_format_manifest FOR TABLE gverb.gen.t").head
+    val listed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(r.getString(0).stripPrefix("file:"))),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    assert(spark.read.parquet(listed.toIndexedSeq: _*).count() == 3)
+    // path-addressed spelling
+    val root = tmp("genpath")
+    new SnapshotTable(spark, root).create(Seq(1L, 2L).toDF("k"))
+    val pr = sql(s"GENERATE symlink_format_manifest FOR TABLE graft.`$root`").head
+    assert(pr.getLong(1) >= 1L)
   }
 
   test("OPTIMIZE and ZORDER preserve identity and hidden-transform layouts") {

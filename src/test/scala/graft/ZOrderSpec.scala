@@ -70,6 +70,33 @@ class ZOrderSpec extends AnyFunSuite {
     assert(viaSql == ZOrderN.z(Array(7L, 11L, 13L)))
   }
 
+  test("4-dim curve never goes negative (signed range-sort stays in curve order)") {
+    import graft.functions.ZOrderN
+    val rnd = new scala.util.Random(47)
+    (1 to 500).foreach { _ =>
+      val xs = Array.fill(4)(rnd.nextInt(65536).toLong)
+      assert(ZOrderN.z(xs) >= 0L, s"negative curve value for ${xs.toSeq}")
+    }
+    // the old 16-bit interleave put dim 3's top bit on bit 63: a row
+    // with dim3 >= 32768 sorted BELOW all-zero rows under signed order
+    val hi = ZOrderN.z(Array(0L, 0L, 0L, 65535L))
+    assert(hi > ZOrderN.z(Array(0L, 0L, 0L, 0L)))
+    // dominance along each axis is preserved at 15-bit resolution
+    (0 until 4).foreach { d =>
+      val lo = Array.fill(4)(0L)
+      val up = Array.fill(4)(0L); up(d) = 65534L
+      assert(ZOrderN.z(up) > ZOrderN.z(lo))
+    }
+    // duckSql mirror agrees in the 4-ary (15-bit) regime too
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val expr4 = ZOrderN.duckSql(Seq("a", "b", "c", "d"))
+    val row = Seq((40000L, 7L, 65535L, 33000L)).toDF("a", "b", "c", "d")
+      .selectExpr(s"$expr4 AS m", "graft_zorder(a, b, c, d) AS z").head
+    assert(row.getLong(0) == row.getLong(1))
+    assert(row.getLong(1) == ZOrderN.z(Array(40000L, 7L, 65535L, 33000L)))
+  }
+
   test("zorder layout narrows per-file spans on both dimensions") {
     graft.functions.GraftFunctions.registerAll(spark)
     val o = Tables.load(spark, "/root/testdata/sf0.01", "orders")
