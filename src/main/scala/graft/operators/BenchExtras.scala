@@ -399,7 +399,11 @@ object BenchExtras {
       .find(_.name == "refresh_pipeline_full")
       .getOrElse(throw new IllegalStateException(
         "refresh_pipeline_full entry missing"))
-    (1 to 3).map { i =>
+    val iters = (1 to 3).map { i =>
+      // settle between iterations too: a single tail iteration has
+      // caught the session's GC/page-cache pressure slot (r14: iso_3
+      // read 17.9 s while iso_1/2 read 6.1/5.1 s)
+      System.gc()
       val (_, t) = time {
         entry.build(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
@@ -407,5 +411,9 @@ object BenchExtras {
       graft.Scratch.sweep(spark)
       s"rpf_iso_$i" -> sec(t)
     }
+    // the one-number drift sentinel: the MEDIAN of the three isolated
+    // iterations (a single outlier slot cannot move it) — first, so
+    // compact-line trimming drops the raw iterations before it
+    ("rpf_iso_med" -> iters.map(_._2).sorted.apply(1)) +: iters
   }
 }

@@ -2048,6 +2048,116 @@ object Lakehouse {
         .orderBy("version")
     })
 
+  // Path-addressed SQL surface (the reference's literal Delta
+  // spellings: `` select … from delta.`$path` `` FileCountBenchmark
+  // .scala:149, `` OPTIMIZE delta.`$path` `` IncrementalTPCDSBenchmark
+  // .scala:192, `` DESCRIBE HISTORY delta.`$path` `` :213): batch read,
+  // maintenance verbs and time travel on an UNREGISTERED table — no
+  // catalog anywhere — then the data read back by path. OPTIMIZE and
+  // the history probe must be invisible to query results.
+  private val sqlPathVerbs = OpQuery(
+    "sql_path_verbs",
+    Some("""
+      WITH all_rows AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 11 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM all_rows GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val root = tmp("pathverbs")
+      val t = new SnapshotTable(s, root).create(o.coalesce(2))       // v0
+      t.append(o.filter(col("o_orderkey") % 11 === 0).coalesce(1))   // v1
+      s.sql(s"OPTIMIZE graft.`$root`")                               // v2
+      val hist = s.sql(s"DESCRIBE HISTORY graft.`$root`").collect()
+      require(hist.length == 3, s"expected 3 versions, got ${hist.length}")
+      // SQL time travel by path: v0's count must match the history row
+      // (both pure metadata on the engine side; the read is a real scan)
+      val v0 = s.sql(s"SELECT count(*) FROM graft.`$root` VERSION AS OF 0")
+        .head.getLong(0)
+      require(v0 == hist.find(_.getInt(0) == 0).get.getLong(3),
+        s"VERSION AS OF 0 read $v0 rows, history disagrees")
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM graft.`$root`
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
+  // RESTORE + SHALLOW CLONE as SQL: clone pinned at v0 never sees the
+  // later append; RESTORE rewinds the source to v0 (metadata-only, a
+  // new versioned commit). Both read back as exactly the base rows —
+  // the union doubles them, which the oracle recomputes from source.
+  private val sqlRestoreClone = OpQuery(
+    "sql_restore_clone",
+    Some("""
+      WITH both_tables AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM orders)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM both_tables GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val root = tmp("restsrc")
+      val cl = tmp("restclone") + "/t"
+      val t = new SnapshotTable(s, root).create(o.coalesce(2))       // v0
+      t.append(o.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 3.0)
+        .coalesce(1))                                                // v1
+      s.sql(s"CREATE TABLE graft.`$cl` SHALLOW CLONE graft.`$root` " +
+        "VERSION AS OF 0")
+      s.sql(s"RESTORE TABLE graft.`$root` TO VERSION AS OF 0")       // v2
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM (SELECT o_orderstatus, o_totalprice FROM graft.`$root`
+                      UNION ALL
+                      SELECT o_orderstatus, o_totalprice FROM graft.`$cl`)
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
+  // table_changes TVF (Delta's CDF spelling) over commit-captured CDC:
+  // v1 updates (pre+post images), v2 inserts; the 2-arg form's omitted
+  // end must mean LATEST (covering v2), and each tagged row carries the
+  // changed values — all recomputed by the oracle from the source.
+  private val sqlTableChanges = OpQuery(
+    "sql_table_changes",
+    Some("""
+      WITH changes AS (
+        SELECT 'update_preimage' AS _change_type, o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0
+        UNION ALL
+        SELECT 'update_postimage', o_totalprice + 2.0
+        FROM orders WHERE o_orderkey % 17 = 0
+        UNION ALL
+        SELECT 'insert', o_totalprice FROM orders WHERE o_orderkey % 19 = 0)
+      SELECT _change_type, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM changes GROUP BY _change_type ORDER BY _change_type
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val root = tmp("tvfchanges")
+      val t = new SnapshotTable(s, root).create(o.coalesce(2))       // v0
+      t.merge(o.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 2.0),
+        Seq("o_orderkey"), trackChanges = true)                      // v1
+      t.merge(o.filter(col("o_orderkey") % 19 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 50000000L),
+        Seq("o_orderkey"), trackChanges = true)                      // v2
+      s.sql(s"""SELECT _change_type, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM table_changes('$root', 1)
+                GROUP BY _change_type ORDER BY _change_type""")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
@@ -2064,5 +2174,6 @@ object Lakehouse {
     sqlCatalogMetaHistory, sqlCatalogMetaPartitions,
     sqlCatalogOverwritePartition, sqlCatalogAlterAddColumn,
     sqlCatalogXformPrune, sqlMaintenanceVerbs, sqlDescribeHistory,
-    sqlCatalogOverwriteHidden, sqlReplaceWhere)
+    sqlCatalogOverwriteHidden, sqlReplaceWhere,
+    sqlPathVerbs, sqlRestoreClone, sqlTableChanges)
 }
