@@ -49,6 +49,10 @@ object GraftMaintenance {
     .add("reclaimed_files", IntegerType, nullable = false)
     .add("version", IntegerType, nullable = false)
 
+  /** `VACUUM … DRY RUN`: one row per file that WOULD be reclaimed. */
+  val VacuumDryRunSchema: StructType = new StructType()
+    .add("path", StringType, nullable = false)
+
   /** Mirrors [[SnapshotTable.history]]'s frame schema. */
   val HistorySchema: StructType = new StructType()
     .add("version", IntegerType, nullable = false)
@@ -200,24 +204,30 @@ final case class GraftRestoreCommand(name: Seq[String],
     GraftMaintenance.attrs(GraftMaintenance.RestoreSchema)
 }
 
-/** `CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n]` (Delta
-  * SHALLOW CLONE): the target's version 0 references the source's
-  * files — zero data copied, O(manifest). */
+/** `CREATE TABLE tgt SHALLOW|DEEP CLONE src [VERSION AS OF n]` (Delta
+  * CLONE): shallow — the target's version 0 references the source's
+  * files, zero data copied, O(manifest); deep — the target gets its
+  * own copy of the data (one distributed rewrite, nothing shared). */
 final case class GraftCloneCommand(target: Seq[String],
-    source: Seq[String], version: Option[Int])
+    source: Seq[String], version: Option[Int],
+    deep: Boolean = false)
     extends LeafNode with Command {
   override def output: Seq[Attribute] =
     GraftMaintenance.attrs(GraftMaintenance.CloneSchema)
 }
 
-/** `VACUUM name [RETAIN n VERSIONS | RETAIN n HOURS]` — version-count
-  * retention maps to [[SnapshotTable.vacuum]], hour-based (Delta's
-  * syntax) to [[SnapshotTable.vacuumOlderThan]]. */
+/** `VACUUM name [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]` —
+  * version-count retention maps to [[SnapshotTable.vacuum]], hour-based
+  * (Delta's syntax) to [[SnapshotTable.vacuumOlderThan]]; `DRY RUN`
+  * previews the reclaimable file list without touching anything. */
 final case class GraftVacuumCommand(name: Seq[String],
     retainVersions: Option[Int],
-    retainHours: Option[Int] = None) extends LeafNode with Command {
+    retainHours: Option[Int] = None,
+    dryRun: Boolean = false) extends LeafNode with Command {
   override def output: Seq[Attribute] =
-    GraftMaintenance.attrs(GraftMaintenance.VacuumSchema)
+    GraftMaintenance.attrs(
+      if (dryRun) GraftMaintenance.VacuumDryRunSchema
+      else GraftMaintenance.VacuumSchema)
 }
 
 /** `GENERATE symlink_format_manifest FOR TABLE name` (Delta's verb for
@@ -325,8 +335,25 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         val src = GraftMaintenance.snapshotOf(spark, c.source)
         val srcVersion = c.version.getOrElse(src.currentVersion)
         val dst = GraftMaintenance.cloneTargetPath(spark, c.target)
-        val clone = src.shallowCloneTo(dst, srcVersion)
+        val clone =
+          if (c.deep) src.deepCloneTo(dst, srcVersion)
+          else src.shallowCloneTo(dst, srcVersion)
         Seq(Seq[Any](srcVersion, clone.files.size.toLong))
+      }) :: Nil
+    case c: GraftVacuumCommand if c.dryRun =>
+      GraftMaintenanceExec(c.output, { spark =>
+        // read-only preview: no db-member mutation guard needed, and
+        // nothing changes no matter what the clauses say
+        val t = GraftMaintenance.snapshotOf(spark, c.name)
+        val retain = c.retainVersions.orElse {
+          val h = c.retainHours.getOrElse(GraftMaintenance.DefaultRetainHours)
+          val cutoff = System.currentTimeMillis() - h * 3600L * 1000L
+          // mirror the real hour-based path: a cutoff preceding the
+          // whole retained log would reclaim nothing
+          t.versionAtOrBefore(cutoff).map(v => t.currentVersion - v + 1)
+        }
+        retain.map(t.vacuumDryRun(_)).getOrElse(Seq.empty)
+          .map(p => Seq[Any](p))
       }) :: Nil
     case c: GraftVacuumCommand =>
       GraftMaintenanceExec(c.output, { spark =>

@@ -15,13 +15,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   OPTIMIZE cat.ns.t WHERE pc IN ('a', 'b')     -- many partitions
   *   OPTIMIZE cat.ns.t ZORDER BY (a, b[, c, d])   -- 1..4 dimensions
   *   GENERATE symlink_format_manifest FOR TABLE cat.ns.t
-  *   VACUUM cat.ns.t [RETAIN 3 VERSIONS | RETAIN 168 HOURS]
+  *   VACUUM cat.ns.t [RETAIN 3 VERSIONS | RETAIN 168 HOURS] [DRY RUN]
   *   VACUUM DATABASE cat.ns [RETAIN 2 SNAPSHOTS]
   *   DESCRIBE HISTORY cat.ns.t      -- DESC HISTORY also accepted
   *   DESCRIBE DETAIL cat.ns.t
-  *   RESTORE TABLE cat.ns.t TO VERSION AS OF 3
-  *   RESTORE TABLE cat.ns.t TO TIMESTAMP AS OF '2026-01-01 00:00:00'
-  *   CREATE TABLE cat.ns.t2 SHALLOW CLONE cat.ns.t [VERSION AS OF 3]
+  *   RESTORE TABLE cat.ns.t [TO] VERSION AS OF 3
+  *   RESTORE TABLE cat.ns.t [TO] TIMESTAMP AS OF '2026-01-01'
+  *   CREATE TABLE cat.ns.t2 SHALLOW|DEEP CLONE cat.ns.t [VERSION AS OF 3]
   *   CALL cat.system.rewrite_data_files(table => 'ns.t')
   *   CALL cat.system.expire_snapshots(table => 'ns.t', retain_last => 3)
   *   CALL cat.system.run_compaction('run', 'ns.t')   -- Hudi spelling
@@ -55,12 +55,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         zorderWritten = zcols != null)
     case VacuumDbRe(name, n) =>
       GraftVacuumDatabaseCommand(parts(name), Option(n).map(_.toInt))
-    case VacuumRetainRe(name, n) =>
-      GraftVacuumCommand(parts(name), Some(n.toInt))
-    case VacuumHoursRe(name, h) =>
-      GraftVacuumCommand(parts(name), None, retainHours = Some(h.toInt))
-    case VacuumRe(name) =>
-      GraftVacuumCommand(parts(name), None)
+    case VacuumRetainRe(name, n, dry) =>
+      GraftVacuumCommand(parts(name), Some(n.toInt), dryRun = dry != null)
+    case VacuumHoursRe(name, h, dry) =>
+      GraftVacuumCommand(parts(name), None, retainHours = Some(h.toInt),
+        dryRun = dry != null)
+    case VacuumRe(name, dry) =>
+      GraftVacuumCommand(parts(name), None, dryRun = dry != null)
     case GenerateRe(name) =>
       GraftGenerateManifestCommand(parts(name))
     case DescribeHistoryRe(name) =>
@@ -73,6 +74,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftRestoreCommand(parts(name), None, Some(ts))
     case ShallowCloneRe(tgt, src, v) =>
       GraftCloneCommand(parts(tgt), parts(src), Option(v).map(_.toInt))
+    case DeepCloneRe(tgt, src, v) =>
+      GraftCloneCommand(parts(tgt), parts(src), Option(v).map(_.toInt),
+        deep = true)
     // Iceberg-procedure spellings of the same maintenance ops — the
     // reference's Iceberg path compacts via CALL
     // (IncrementalTPCDSBenchmark.scala:186-204)
@@ -163,11 +167,13 @@ object GraftSqlParser {
     (s"(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+" +
       s"$Name\\s*;?\\s*").r
   private val VacuumRe =
-    s"(?is)\\s*VACUUM\\s+$Name\\s*;?\\s*".r
+    s"(?is)\\s*VACUUM\\s+$Name(\\s+DRY\\s+RUN)?\\s*;?\\s*".r
   private val VacuumRetainRe =
-    s"(?is)\\s*VACUUM\\s+$Name\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*".r
+    (s"(?is)\\s*VACUUM\\s+$Name\\s+RETAIN\\s+(\\d+)\\s+VERSIONS" +
+      "(\\s+DRY\\s+RUN)?\\s*;?\\s*").r
   private val VacuumHoursRe =
-    s"(?is)\\s*VACUUM\\s+$Name\\s+RETAIN\\s+(\\d+)\\s+HOURS\\s*;?\\s*".r
+    (s"(?is)\\s*VACUUM\\s+$Name\\s+RETAIN\\s+(\\d+)\\s+HOURS" +
+      "(\\s+DRY\\s+RUN)?\\s*;?\\s*").r
   // VACUUM DATABASE cat.ns [RETAIN n SNAPSHOTS] — the transaction-db
   // retention path (1- or 2-part namespace name)
   private val VacuumDbRe =
@@ -177,17 +183,22 @@ object GraftSqlParser {
     s"(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Name\\s*;?\\s*".r
   private val DescribeDetailRe =
     s"(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Name\\s*;?\\s*".r
-  // RESTORE [TABLE] name TO VERSION AS OF n (Delta RESTORE syntax)
+  // RESTORE [TABLE] name [TO] VERSION AS OF n (Delta accepts both the
+  // TO and the bare spelling)
   private val RestoreVersionRe =
-    (s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Name\\s+TO\\s+VERSION\\s+AS\\s+OF" +
-      "\\s+(\\d+)\\s*;?\\s*").r
+    (s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Name\\s+(?:TO\\s+)?VERSION\\s+AS" +
+      "\\s+OF\\s+(\\d+)\\s*;?\\s*").r
   private val RestoreTimestampRe =
-    (s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Name\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF" +
-      "\\s+'([^']+)'\\s*;?\\s*").r
-  // CREATE [OR REPLACE] TABLE tgt SHALLOW CLONE src [VERSION AS OF n]
+    (s"(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$Name\\s+(?:TO\\s+)?TIMESTAMP\\s+AS" +
+      "\\s+OF\\s+'([^']+)'\\s*;?\\s*").r
+  // CREATE [OR REPLACE] TABLE tgt SHALLOW|DEEP CLONE src [VERSION AS OF n]
   private val ShallowCloneRe =
     (s"(?is)\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Name" +
       s"\\s+SHALLOW\\s+CLONE\\s+$Name" +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*").r
+  private val DeepCloneRe =
+    (s"(?is)\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Name" +
+      s"\\s+DEEP\\s+CLONE\\s+$Name" +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*").r
   // CALL cat.system.rewrite_data_files([table =>] 'ns.t')
   private val CallRewriteRe =

@@ -374,9 +374,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * identity layouts from `partCol`, hidden transforms from
     * `xformCol`/`xformTag`. Rewrite commits (OPTIMIZE / ZORDER) use this
     * to PRESERVE the layout instead of flattening to unpartitioned. */
-  def layoutSpec: Option[String] =
+  def layoutSpec: Option[String] = layoutSpecAt(currentVersion)
+
+  private def layoutSpecAt(version: Int): Option[String] =
     property(SnapshotTable.PartSpecProp).orElse {
-      val specs = fileEntries(currentVersion).flatMap { e =>
+      val specs = fileEntries(version).flatMap { e =>
         if (e.partCol != null) Some(PartitionTransform.Spec(e.partCol, null))
         else if (e.xformCol != null)
           Some(PartitionTransform.Spec(e.xformCol, e.xformTag))
@@ -1833,6 +1835,28 @@ class SnapshotTable(spark: SparkSession, root: String) {
     clone
   }
 
+  /** Deep clone (Delta `DEEP CLONE`): the target gets its OWN copy of
+    * the data — one distributed rewrite of the cloned version, committed
+    * under the source's partition layout, with the property sidecar
+    * (layout spec, bloom columns) carried over. Unlike [[shallowCloneTo]]
+    * nothing is shared, so vacuuming the source can never strand the
+    * clone. Cost is O(cloned data) by design — that is the DEEP
+    * contract; use shallow when referencing suffices. */
+  def deepCloneTo(dst: String, asOfVersion: Int = -1): SnapshotTable = {
+    val v = if (asOfVersion < 0) currentVersion else asOfVersion
+    val clone = new SnapshotTable(spark, dst)
+    // create() commits version 0 via the write-once manifest — an
+    // existing table at dst fails there (CREATE semantics, like shallow)
+    clone.create(read(v), partitionBy = layoutSpecAt(v))
+    if (fs.exists(propsPath)) {
+      clone.writeSidecar(sidecarNode())
+      // create() primed the clone's bloom-column cache from the (then
+      // absent) sidecar — drop it so post-clone writes read the copy
+      clone.bloomColsCache = None
+    }
+    clone
+  }
+
   /** Physically delete data files under THIS root that no retained
     * version references, then drop the vacuumed versions' manifests.
     * `retainVersions = 1` keeps only the current version. Files outside
@@ -1843,11 +1867,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     require(retainVersions >= 1, "must retain at least the current version")
     val cur = currentVersion
     val cutoff = math.max(0, cur - retainVersions + 1)
-    val keep: Set[String] = (cutoff to cur).flatMap { v =>
-      val m = manifestOf(v)
-      (m.files ++ m.deltas ++ m.changes ++ m.dvs).map(_.path)
-    }.toSet
-    val removed = listDataFiles(fs, dataRoot).map(_._1).filterNot(keep)
+    val removed = reclaimableBelow(cutoff)
     removed.foreach(p => fs.delete(new Path(p), false))
     // The incremental log reconstructs DELTA records against their
     // predecessors — deleting versions below the cutoff would orphan a
@@ -1862,6 +1882,27 @@ class SnapshotTable(spark: SparkSession, root: String) {
       fs.delete(p, false)
     }
     removed.size
+  }
+
+  /** Data files under this root no version ≥ `cutoff` references — the
+    * set [[vacuum]] deletes and [[vacuumDryRun]] previews. Pure
+    * metadata + one listing, zero data files opened. */
+  private def reclaimableBelow(cutoff: Int): Seq[String] = {
+    val keep: Set[String] = (cutoff to currentVersion).flatMap { v =>
+      val m = manifestOf(v)
+      (m.files ++ m.deltas ++ m.changes ++ m.dvs).map(_.path)
+    }.toSet
+    listDataFiles(fs, dataRoot).map(_._1).filterNot(keep)
+  }
+
+  /** What [[vacuum]] WOULD delete, without deleting anything (Delta's
+    * `VACUUM … DRY RUN`): the data files only versions below the
+    * retention window reference, sorted. No log surgery, no state
+    * change — safe to run on any table at any time. */
+  def vacuumDryRun(retainVersions: Int = 1): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    reclaimableBelow(
+      math.max(0, currentVersion - retainVersions + 1)).sorted
   }
 
   /** Rewrite version `v`'s log file as a FULL manifest if it is a DELTA

@@ -77,6 +77,55 @@ class SqlVerbsSpec extends AnyFunSuite {
     val n = sql(s"RESTORE gverb.rst.t TO TIMESTAMP AS OF '$tomorrow'").head
     assert(n.getInt(0) == 5 && n.getInt(1) == 5, s"no-op restore: $n")
     assert(sql("SELECT sum(k) FROM gverb.rst.t").head.getLong(0) == 3)
+    // Delta also accepts RESTORE without TO
+    sql("RESTORE gverb.rst.t VERSION AS OF 2")                    // v6
+    assert(sql("SELECT sum(k) FROM gverb.rst.t").head.getLong(0) == 9)
+  }
+
+  test("VACUUM DRY RUN previews reclaimable files without deleting") {
+    sql("CREATE NAMESPACE gverb.vdr")
+    sql("CREATE TABLE gverb.vdr.t (k BIGINT)")                    // v0
+    sql("INSERT INTO gverb.vdr.t VALUES (1), (2)")                // v1
+    sql("INSERT OVERWRITE gverb.vdr.t VALUES (9)")                // v2
+    val preview = sql("VACUUM gverb.vdr.t RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0))
+    assert(preview.nonEmpty && preview.forall(_.endsWith(".parquet")))
+    // nothing was deleted — history still time-travels
+    assert(sql("SELECT count(*) FROM gverb.vdr.t VERSION AS OF 1")
+      .head.getLong(0) == 2)
+    // the real vacuum reclaims exactly the previewed set
+    val vac = sql("VACUUM gverb.vdr.t RETAIN 1 VERSIONS").head
+    assert(vac.getInt(0) == preview.length, s"preview promised " +
+      s"${preview.length}, vacuum reclaimed ${vac.getInt(0)}")
+    // post-reclamation, a bare DRY RUN (168 h default window) is empty
+    assert(sql("VACUUM gverb.vdr.t DRY RUN").collect().isEmpty)
+    assert(sql("SELECT sum(k) FROM gverb.vdr.t").head.getLong(0) == 9)
+  }
+
+  test("CREATE TABLE … DEEP CLONE copies data; source vacuum cannot strand it") {
+    sql("CREATE NAMESPACE gverb.dcl")
+    sql("""CREATE TABLE gverb.dcl.src (k BIGINT, s STRING)
+           PARTITIONED BY (s)""")
+    sql("INSERT INTO gverb.dcl.src VALUES (1, 'A'), (2, 'B')")    // v1
+    sql("INSERT INTO gverb.dcl.src VALUES (3, 'A')")              // v2
+    val c = sql(
+      "CREATE TABLE gverb.dcl.dst DEEP CLONE gverb.dcl.src VERSION AS OF 1")
+      .head
+    assert(c.getInt(0) == 1, s"clone pinned at v1: $c")
+    assert(sql("SELECT sum(k) FROM gverb.dcl.dst").head.getLong(0) == 3)
+    val root = spark.conf.get("spark.sql.catalog.gverb.root")
+    val srcPaths =
+      new SnapshotTable(spark, s"$root/dcl/src").files.map(_.path).toSet
+    val dst = new SnapshotTable(spark, s"$root/dcl/dst")
+    assert(dst.files.map(_.path).toSet.intersect(srcPaths).isEmpty,
+      "deep clone must share NO files with the source")
+    // the source's identity layout carries to the copy
+    assert(dst.files.filter(_.rows > 0).forall(_.partCol == "s"))
+    // source history rewritten + reclaimed: the deep clone is unaffected
+    // (the shallow clone's one stranding hazard, closed by construction)
+    sql("INSERT OVERWRITE gverb.dcl.src VALUES (9, 'Z')")
+    sql("VACUUM gverb.dcl.src RETAIN 1 VERSIONS")
+    assert(sql("SELECT sum(k) FROM gverb.dcl.dst").head.getLong(0) == 3)
   }
 
   test("CREATE TABLE … SHALLOW CLONE, catalog and path targets, VERSION AS OF") {
