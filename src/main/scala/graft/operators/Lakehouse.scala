@@ -2072,9 +2072,12 @@ object Lakehouse {
       val root = tmp("pathverbs")
       val t = new SnapshotTable(s, root).create(o.coalesce(2))       // v0
       t.append(o.filter(col("o_orderkey") % 11 === 0).coalesce(1))   // v1
-      s.sql(s"OPTIMIZE graft.`$root`")                               // v2
+      s.sql(s"OPTIMIZE graft.`$root`")           // v2 (bin-pack; may no-op
+                                                 //  once files exceed the
+                                                 //  threshold at huge SF)
+      s.sql(s"OPTIMIZE graft.`$root` ZORDER BY (o_orderkey)") // always commits
       val hist = s.sql(s"DESCRIBE HISTORY graft.`$root`").collect()
-      require(hist.length == 3, s"expected 3 versions, got ${hist.length}")
+      require(hist.length >= 3, s"expected >= 3 versions, got ${hist.length}")
       // SQL time travel by path: v0's count must match the history row
       // (both pure metadata on the engine side; the read is a real scan)
       val v0 = s.sql(s"SELECT count(*) FROM graft.`$root` VERSION AS OF 0")
@@ -2149,8 +2152,10 @@ object Lakehouse {
       t.merge(o.filter(col("o_orderkey") % 17 === 0)
           .withColumn("o_totalprice", col("o_totalprice") + 2.0),
         Seq("o_orderkey"), trackChanges = true)                      // v1
+      // shift far above any TPC-H key at any plausible SF (max key =
+      // 6M × SF) — a collision would reclassify the inserts as updates
       t.merge(o.filter(col("o_orderkey") % 19 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + 50000000L),
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000000L),
         Seq("o_orderkey"), trackChanges = true)                      // v2
       s.sql(s"""SELECT _change_type, COUNT(*) AS n,
                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -152,15 +152,18 @@ object GraftMaintenance {
         }
     }
 
-  /** `TIMESTAMP AS OF` string → epoch millis. Accepts Delta's accepted
-    * shapes: full `yyyy-MM-dd HH:mm:ss[.f…]` (T separator tolerated)
-    * AND date-only `yyyy-MM-dd` (midnight) — `Timestamp.valueOf` alone
-    * rejects the date-only form with an opaque format error. */
-  private[plans] def parseTs(s: String): Long = {
-    val norm = s.trim.replace('T', ' ')
+  /** `TIMESTAMP AS OF` string → epoch millis, resolved in the given
+    * (session) time zone — the same zone the SQL time-travel clauses
+    * resolve in, so the two spellings of one literal never name two
+    * instants. Accepts Delta's accepted shapes: full
+    * `yyyy-MM-dd HH:mm:ss[.f…]` (T separator tolerated) AND date-only
+    * `yyyy-MM-dd` (midnight). */
+  private[plans] def parseTs(s: String, zone: String): Long = {
+    val norm = s.trim.replace(' ', 'T')
     val padded =
-      if (norm.matches("\\d{4}-\\d{2}-\\d{2}")) norm + " 00:00:00" else norm
-    java.sql.Timestamp.valueOf(padded).getTime
+      if (norm.matches("\\d{4}-\\d{2}-\\d{2}")) norm + "T00:00:00" else norm
+    java.time.LocalDateTime.parse(padded)
+      .atZone(java.time.ZoneId.of(zone)).toInstant.toEpochMilli
   }
 
   /** Where a CLONE target will live: path-addressed targets verbatim;
@@ -324,7 +327,8 @@ object GraftMaintenanceStrategy extends SparkStrategy {
       GraftMaintenanceExec(c.output, { spark =>
         val t = GraftMaintenance.snapshotOf(spark, c.name, forMutation = true)
         val target = c.version.getOrElse(
-          t.versionAsOf(GraftMaintenance.parseTs(c.timestamp.get)))
+          t.versionAsOf(GraftMaintenance.parseTs(c.timestamp.get,
+            spark.sessionState.conf.sessionLocalTimeZone)))
         // restoring to the version already current is a no-op success
         // (Delta semantics), not an error
         if (target != t.currentVersion) t.restoreTo(target)
@@ -342,9 +346,11 @@ object GraftMaintenanceStrategy extends SparkStrategy {
       }) :: Nil
     case c: GraftVacuumCommand if c.dryRun =>
       GraftMaintenanceExec(c.output, { spark =>
-        // read-only preview: no db-member mutation guard needed, and
-        // nothing changes no matter what the clauses say
-        val t = GraftMaintenance.snapshotOf(spark, c.name)
+        // the preview carries the SAME db-member guard as the command it
+        // previews: a dry run listing files the real VACUUM refuses to
+        // reclaim (published db snapshots pin them) invites deleting
+        // them out-of-band — the exact accident the guard exists for
+        val t = GraftMaintenance.snapshotOf(spark, c.name, forMutation = true)
         val retain = c.retainVersions.orElse {
           val h = c.retainHours.getOrElse(GraftMaintenance.DefaultRetainHours)
           val cutoff = System.currentTimeMillis() - h * 3600L * 1000L

@@ -127,7 +127,9 @@ object GraftTableChanges {
 
     // version-or-timestamp operand (Delta accepts either, in either
     // position): integers and all-digit strings are versions; strings,
-    // DATE and TIMESTAMP literals are instants
+    // DATE and TIMESTAMP literals are instants — all resolved in the
+    // SESSION time zone, exactly like the time-travel clauses
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
     sealed trait Bound
     case class Ver(v: Int) extends Bound
     case class Ts(ms: Long) extends Bound
@@ -137,39 +139,49 @@ object GraftTableChanges {
       case StringType =>
         val s = String.valueOf(e.eval())
         if (s.matches("\\d+")) Ver(s.toInt)
-        else Ts(GraftMaintenance.parseTs(s))
+        else Ts(GraftMaintenance.parseTs(s, zone))
       case TimestampType => Ts(e.eval().asInstanceOf[Long] / 1000L)
       case DateType => Ts(java.time.LocalDate
         .ofEpochDay(e.eval().asInstanceOf[Number].longValue())
-        .atStartOfDay(java.time.ZoneId.systemDefault())
+        .atStartOfDay(java.time.ZoneId.of(zone))
         .toInstant.toEpochMilli)
       case other => throw new IllegalArgumentException(
         s"table_changes: version/timestamp operand expected, got $other")
     }
 
-    val start = bound(exprs(1)) match {
+    val startBound = bound(exprs(1))
+    val start = startBound match {
       case Ver(v) => v
-      // first commit AT OR AFTER the instant (monotonic manifest
-      // timestamps → pure metadata resolution; same rule as the
-      // streaming source's startingTimestamp)
+      // first commit AT OR AFTER the instant (manifest timestamps are
+      // STRICTLY monotonic across versions — writeManifest stamps each
+      // commit above its predecessor — so the at-or-before neighbor +1
+      // is exact: no two versions can tie on the instant). Same rule as
+      // the streaming source's startingTimestamp.
       case Ts(ms) => t.versionAtOrBefore(ms) match {
         case None                                   => 0
         case Some(v) if t.commitTimestamp(v) == ms  => v
         case Some(v)                                => v + 1
       }
     }
-    val end = exprs.lift(2).map(bound) match {
+    val endBound = exprs.lift(2).map(bound)
+    val end = endBound match {
       case None          => cur // Delta: omitted end = latest version
       case Some(Ver(v))  => v
       // last commit at or before the instant; an instant preceding the
       // first commit makes the range empty (start > end below)
       case Some(Ts(ms))  => t.versionAtOrBefore(ms).getOrElse(-1)
     }
-    require(start >= 0,
-      s"table_changes: bad start version $start")
+    require(start >= 0 && (start <= cur || startBound.isInstanceOf[Ts]),
+      s"table_changes: start version $start outside [0, $cur] of $name")
     require(end <= cur,
       s"table_changes: end version $end exceeds the latest version $cur " +
         s"of $name")
+    // the silent-empty carve-out is for TIMESTAMP bounds preceding the
+    // first commit — an explicitly inverted VERSION range is a caller
+    // typo and fails loudly (the pre-round-15 contract)
+    require(end >= start || startBound.isInstanceOf[Ts] ||
+        !endBound.exists(_.isInstanceOf[Ver]),
+      s"table_changes: bad version range [$start, $end]")
     val frames = (start to end).filter(t.hasChanges).map { v =>
       t.changes(v)
         .withColumn("_commit_version", lit(v))

@@ -104,12 +104,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case WhereEqRe(c, sq, dq, bare) =>
       (strip(c), Seq(Seq(sq, dq, bare).find(_ != null).get))
     // pc IN ('a', 'b', …) — a maintenance sweep names many partitions
-    // per statement at scale
+    // per statement at scale. Tokenized as quoted-or-bare VALUES, never
+    // split on raw commas (a quoted value may itself contain one)
     case WhereInRe(c, list) =>
-      val vals = list.split(',').toIndexedSeq.map(_.trim)
-        .filter(_.nonEmpty)
-        .map(v => v.stripPrefix("'").stripSuffix("'")
-          .stripPrefix("\"").stripSuffix("\""))
+      val vals = InValRe.findAllMatchIn(list).map(m =>
+        Seq(m.group(1), m.group(2), m.group(3)).find(_ != null).get)
+        .toIndexedSeq
       require(vals.nonEmpty, s"OPTIMIZE … WHERE $c IN (): empty value list")
       (strip(c), vals)
     case other => throw new UnsupportedOperationException(
@@ -162,6 +162,8 @@ object GraftSqlParser {
     (s"($P)\\s*=\\s*(?:'([^']*)'|\"([^\"]*)\"|([^\\s'\"]+))\\s*").r
   // pc IN ('a', 'b', …)
   private val WhereInRe = s"(?i)($P)\\s+IN\\s*\\(([^)]*)\\)\\s*".r
+  // one IN-list value: single-quoted, double-quoted, or bare
+  private val InValRe = "'([^']*)'|\"([^\"]*)\"|([^\\s,'\"]+)".r
   // GENERATE symlink_format_manifest FOR TABLE name (Delta's verb)
   private val GenerateRe =
     (s"(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+" +

@@ -51,6 +51,10 @@ class SqlVerbsSpec extends AnyFunSuite {
     db.transact(Seq("m"))(d => d.table("m").create(Seq(1L).toDF("k")): Unit)
     val e = intercept[Exception] { sql(s"OPTIMIZE graft.`$dbroot/m`") }
     assert(e.getMessage.contains("transaction database"), e.getMessage)
+    // the DRY RUN preview carries the same guard — listing "reclaimable"
+    // files the real VACUUM refuses to touch invites out-of-band deletes
+    val e2 = intercept[Exception] { sql(s"VACUUM graft.`$dbroot/m` DRY RUN") }
+    assert(e2.getMessage.contains("transaction database"), e2.getMessage)
   }
 
   test("RESTORE TABLE to version and timestamp") {
@@ -199,6 +203,12 @@ class SqlVerbsSpec extends AnyFunSuite {
       sql(s"SELECT * FROM table_changes('$root', 1, 99)").collect()
     }
     assert(e.getMessage.contains("exceeds the latest version"), e.getMessage)
+    // an explicitly INVERTED version range is a caller typo, not an
+    // empty feed (the empty carve-out is for timestamp bounds)
+    val inv = intercept[Exception] {
+      sql(s"SELECT * FROM table_changes('$root', 3, 1)").collect()
+    }
+    assert(inv.getMessage.contains("bad version range"), inv.getMessage)
   }
 
   test("table_changes: timestamp bounds and backquoted dotted names") {
@@ -280,6 +290,13 @@ class SqlVerbsSpec extends AnyFunSuite {
     assert(t.files.count(_.partValue == "C") == 1, "C must bin-pack")
     assert(t.files.filter(_.partValue == "A").map(_.path).toSet == aSet)
     assert(sql("SELECT count(*) FROM gverb.ow.t").head.getLong(0) == 10)
+    // a quoted value containing a comma is ONE partition, not two
+    (0 until 2).foreach(i =>
+      sql(s"INSERT INTO gverb.ow.t VALUES (${300 + i}, 'a,b')"))
+    assert(t.files.count(_.partValue == "a,b") == 2)
+    sql("OPTIMIZE gverb.ow.t WHERE s IN ('a,b')")
+    assert(t.files.count(_.partValue == "a,b") == 1, "'a,b' must bin-pack")
+    assert(sql("SELECT count(*) FROM gverb.ow.t").head.getLong(0) == 12)
   }
 
   test("GENERATE symlink_format_manifest FOR TABLE, catalog and path names") {
