@@ -2163,6 +2163,41 @@ object Lakehouse {
                 GROUP BY _change_type ORDER BY _change_type""")
     })
 
+  // Batch CDF via reader OPTIONS (Delta's readChangeFeed spelling): the
+  // same commit-captured feed as table_changes, addressed purely through
+  // DataFrameReader options — startingVersion bound, omitted ending =
+  // latest; O(changed rows), never a version diff.
+  private val cdcBatchOptions = OpQuery(
+    "cdc_batch_options",
+    Some("""
+      WITH changes AS (
+        SELECT 'update_preimage' AS _change_type, o_totalprice
+        FROM orders WHERE o_orderkey % 23 = 0
+        UNION ALL
+        SELECT 'update_postimage', o_totalprice + 4.0
+        FROM orders WHERE o_orderkey % 23 = 0)
+      SELECT _change_type, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM changes GROUP BY _change_type ORDER BY _change_type
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val root = tmp("cdfbatch")
+      val t = new SnapshotTable(s, root).create(o.coalesce(2))       // v0
+      t.merge(o.filter(col("o_orderkey") % 23 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 4.0),
+        Seq("o_orderkey"), trackChanges = true)                      // v1
+      s.read.format("graft-snapshot").option("path", root)
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .load()
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("o_totalprice"))))
+            .as("sum_price"))
+        .orderBy("_change_type")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
@@ -2180,5 +2215,5 @@ object Lakehouse {
     sqlCatalogOverwritePartition, sqlCatalogAlterAddColumn,
     sqlCatalogXformPrune, sqlMaintenanceVerbs, sqlDescribeHistory,
     sqlCatalogOverwriteHidden, sqlReplaceWhere,
-    sqlPathVerbs, sqlRestoreClone, sqlTableChanges)
+    sqlPathVerbs, sqlRestoreClone, sqlTableChanges, cdcBatchOptions)
 }

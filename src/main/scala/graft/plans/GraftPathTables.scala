@@ -182,22 +182,66 @@ object GraftTableChanges {
     require(end >= start || startBound.isInstanceOf[Ts] ||
         !endBound.exists(_.isInstanceOf[Ver]),
       s"table_changes: bad version range [$start, $end]")
+    feed(t, start, end).queryExecution.analyzed
+  }
+
+  /** The CDF frame for version range `[start, end]` — each
+    * change-tracking commit's captured rows tagged with
+    * `_commit_version`/`_commit_timestamp`; CDC-less commits contribute
+    * nothing, and a range with NO tracked commits is an EMPTY feed with
+    * the CDF schema, not an error (Delta parity — mid-pipeline OPTIMIZE
+    * and append-only stretches read as zero changes). */
+  private[graft] def feed(t: SnapshotTable, start: Int, end: Int)
+      : org.apache.spark.sql.DataFrame = {
     val frames = (start to end).filter(t.hasChanges).map { v =>
       t.changes(v)
         .withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp",
           lit(new java.sql.Timestamp(t.commitTimestamp(v))))
     }
-    val df =
-      // a valid range containing only CDC-less commits is an EMPTY
-      // change feed, not an error (Delta parity — mid-pipeline OPTIMIZE
-      // and append-only stretches must read as zero changes)
-      if (frames.isEmpty)
-        t.read().limit(0)
-          .withColumn("_change_type", lit(null).cast("string"))
-          .withColumn("_commit_version", lit(null).cast("int"))
-          .withColumn("_commit_timestamp", lit(null).cast("timestamp"))
-      else frames.reduce(_.unionByName(_))
-    df.queryExecution.analyzed
+    if (frames.isEmpty)
+      t.read().limit(0)
+        .withColumn("_change_type", lit(null).cast("string"))
+        .withColumn("_commit_version", lit(null).cast("int"))
+        .withColumn("_commit_timestamp", lit(null).cast("timestamp"))
+    else frames.reduce(_.unionByName(_))
+  }
+
+  /** Batch CDF read from reader OPTIONS (Delta's
+    * `spark.read.format(…).option("readChangeFeed", true)` spelling):
+    * `startingVersion` or `startingTimestamp` (required — Delta also
+    * refuses an unbounded CDF scan), optional `endingVersion` /
+    * `endingTimestamp` (omitted = latest). Timestamps resolve in the
+    * session time zone with the same at-or-after / at-or-before rules
+    * as the `table_changes` TVF. */
+  private[graft] def fromOptions(spark: SparkSession, t: SnapshotTable,
+      parameters: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "specify startingVersion or startingTimestamp, not both")
+    require(!(parameters.contains("endingVersion") &&
+        parameters.contains("endingTimestamp")),
+      "specify endingVersion or endingTimestamp, not both")
+    val cur = t.currentVersion
+    val start = parameters.get("startingVersion").map(_.trim.toInt)
+      .orElse(parameters.get("startingTimestamp").map { s =>
+        val ms = GraftMaintenance.parseTs(s.trim, zone)
+        t.versionAtOrBefore(ms) match {
+          case None                                  => 0
+          case Some(v) if t.commitTimestamp(v) == ms => v
+          case Some(v)                               => v + 1
+        }
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        "readChangeFeed requires startingVersion or startingTimestamp"))
+    val end = parameters.get("endingVersion").map(_.trim.toInt)
+      .orElse(parameters.get("endingTimestamp").map(s =>
+        t.versionAtOrBefore(GraftMaintenance.parseTs(s.trim, zone))
+          .getOrElse(-1)))
+      .getOrElse(cur)
+    require(start >= 0 && end <= cur,
+      s"readChangeFeed: version range [$start, $end] outside [0, $cur]")
+    feed(t, start, end)
   }
 }

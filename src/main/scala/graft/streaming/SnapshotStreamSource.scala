@@ -336,6 +336,21 @@ class SnapshotStreamProvider extends StreamSourceProvider
         parameters.contains("timestampAsOf")),
       "specify versionAsOf or timestampAsOf, not both")
     val table = tableOf(sqlContext, parameters)
+    // batch CDF read (Delta's readChangeFeed option spelling): the
+    // commit-captured change rows of a version range, same machinery as
+    // the table_changes TVF — O(changed rows), never a version diff
+    if (boolOpt(parameters, "readChangeFeed")) {
+      val ctx = sqlContext
+      val df = graft.plans.GraftTableChanges.fromOptions(
+        ctx.sparkSession, table, parameters)
+      return new org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = ctx
+        override val schema: StructType = df.schema
+        override def buildScan()
+            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
+      }
+    }
     val version = parameters.get("versionAsOf").map(_.trim.toInt)
       .orElse(parameters.get("timestampAsOf")
         .map(ts => table.versionAsOf(ts.trim.toLong)))

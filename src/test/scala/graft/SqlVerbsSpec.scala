@@ -239,6 +239,32 @@ class SqlVerbsSpec extends AnyFunSuite {
       .head.getLong(0) == 0L)
   }
 
+  test("batch CDF via reader options: bounds, omitted end = latest, start required") {
+    import spark.implicits._
+    val root = tmp("cdfopts")
+    val t = new SnapshotTable(spark, root)
+      .create(Seq((1L, 10.0)).toDF("k", "v"))                         // v0
+    t.merge(Seq((2L, 20.0)).toDF("k", "v"), Seq("k"),
+      trackChanges = true)                                            // v1
+    t.merge(Seq((1L, 11.0)).toDF("k", "v"), Seq("k"),
+      trackChanges = true)                                            // v2: update
+    def cdf = spark.read.format("graft-snapshot").option("path", root)
+      .option("readChangeFeed", "true")
+    // omitted ending = latest (v1 insert + v2 pre/post images)
+    assert(cdf.option("startingVersion", "1").load().count() == 3L)
+    assert(cdf.option("startingVersion", "1")
+      .option("endingVersion", "1").load().count() == 1L)
+    // ending timestamp at v1's instant bounds the range at v1
+    val ts1 = new java.sql.Timestamp(t.commitTimestamp(1)).toString
+    assert(cdf.option("startingVersion", "1")
+      .option("endingTimestamp", ts1).load().count() == 1L)
+    assert(cdf.option("startingVersion", "1").load()
+      .columns.contains("_commit_version"))
+    // an unbounded CDF scan is refused (Delta requires a start)
+    val e = intercept[Exception] { cdf.load() }
+    assert(e.getMessage.contains("startingVersion"), e.getMessage)
+  }
+
   test("path reads time travel: VERSION AS OF and TIMESTAMP AS OF") {
     import spark.implicits._
     val root = tmp("pathtt")
