@@ -213,7 +213,7 @@ final case class GraftRestoreCommand(name: Seq[String],
   * own copy of the data (one distributed rewrite, nothing shared). */
 final case class GraftCloneCommand(target: Seq[String],
     source: Seq[String], version: Option[Int],
-    deep: Boolean = false)
+    deep: Boolean = false, orReplace: Boolean = false)
     extends LeafNode with Command {
   override def output: Seq[Attribute] =
     GraftMaintenance.attrs(GraftMaintenance.CloneSchema)
@@ -339,9 +339,15 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         val src = GraftMaintenance.snapshotOf(spark, c.source)
         val srcVersion = c.version.getOrElse(src.currentVersion)
         val dst = GraftMaintenance.cloneTargetPath(spark, c.target)
+        // OR REPLACE onto an EXISTING table mutates it — apply the same
+        // transaction-db member guard every mutating verb carries (the
+        // plain CREATE path needs none: it refuses existing targets)
+        if (c.orReplace && new SnapshotTable(spark, dst).exists)
+          GraftMaintenance.snapshotOf(spark, Seq("graft", dst),
+            forMutation = true): Unit
         val clone =
-          if (c.deep) src.deepCloneTo(dst, srcVersion)
-          else src.shallowCloneTo(dst, srcVersion)
+          if (c.deep) src.deepCloneTo(dst, srcVersion, c.orReplace)
+          else src.shallowCloneTo(dst, srcVersion, c.orReplace)
         Seq(Seq[Any](srcVersion, clone.files.size.toLong))
       }) :: Nil
     case c: GraftVacuumCommand if c.dryRun =>

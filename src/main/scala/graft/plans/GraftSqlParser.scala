@@ -72,11 +72,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftRestoreCommand(parts(name), Some(v.toInt), None)
     case RestoreTimestampRe(name, ts) =>
       GraftRestoreCommand(parts(name), None, Some(ts))
-    case ShallowCloneRe(tgt, src, v) =>
-      GraftCloneCommand(parts(tgt), parts(src), Option(v).map(_.toInt))
-    case DeepCloneRe(tgt, src, v) =>
+    case ShallowCloneRe(orReplace, tgt, src, v) =>
       GraftCloneCommand(parts(tgt), parts(src), Option(v).map(_.toInt),
-        deep = true)
+        orReplace = orReplace != null)
+    case DeepCloneRe(orReplace, tgt, src, v) =>
+      GraftCloneCommand(parts(tgt), parts(src), Option(v).map(_.toInt),
+        deep = true, orReplace = orReplace != null)
     // Iceberg-procedure spellings of the same maintenance ops — the
     // reference's Iceberg path compacts via CALL
     // (IncrementalTPCDSBenchmark.scala:186-204)
@@ -195,11 +196,11 @@ object GraftSqlParser {
       "\\s+OF\\s+'([^']+)'\\s*;?\\s*").r
   // CREATE [OR REPLACE] TABLE tgt SHALLOW|DEEP CLONE src [VERSION AS OF n]
   private val ShallowCloneRe =
-    (s"(?is)\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Name" +
+    (s"(?is)\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+$Name" +
       s"\\s+SHALLOW\\s+CLONE\\s+$Name" +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*").r
   private val DeepCloneRe =
-    (s"(?is)\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+$Name" +
+    (s"(?is)\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+$Name" +
       s"\\s+DEEP\\s+CLONE\\s+$Name" +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*;?\\s*").r
   // CALL cat.system.rewrite_data_files([table =>] 'ns.t')

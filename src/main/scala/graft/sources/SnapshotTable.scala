@@ -1809,10 +1809,16 @@ class SnapshotTable(spark: SparkSession, root: String) {
     shallowCloneTo(dst, currentVersion)
 
   /** Clone pinned at a historical version (`SHALLOW CLONE … VERSION AS
-    * OF n`): the clone's version 0 references that version's files. */
-  def shallowCloneTo(dst: String, asOfVersion: Int): SnapshotTable = {
+    * OF n`): the clone's version 0 references that version's files.
+    * With `orReplace` an EXISTING target is replaced instead — the
+    * clone lands as the target's NEXT commit (Delta's CREATE OR REPLACE
+    * … CLONE), so the target's prior history stays time-travelable. */
+  def shallowCloneTo(dst: String, asOfVersion: Int,
+      orReplace: Boolean = false): SnapshotTable = {
     val v = asOfVersion
     val clone = new SnapshotTable(spark, dst)
+    val atVersion = if (orReplace && clone.exists) clone.currentVersion + 1
+      else 0
     // Re-base carried ORIGINS below the clone's own version numbering:
     // the clone commits from version 1, so a carried pending delta with
     // origin ≥ 1 (a commit of THIS table's history) would tie or outrank
@@ -1824,7 +1830,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val shift = if (all.isEmpty) 0L else all.map(_.origin).max + 1L
     def rebased(es: Seq[FileEntry]): Seq[FileEntry] =
       es.map(e => e.copy(origin = e.origin - shift))
-    clone.writeManifest(Manifest(0, "CLONE", mergeKeysOf(v),
+    clone.writeManifest(Manifest(atVersion, "CLONE", mergeKeysOf(v),
       rebased(fileEntries(v)), rebased(deltaEntries(v)),
       dvs = rebased(dvEntries(v))))
     // The clone inherits the durable property sidecar: a hidden-layout
@@ -1842,12 +1848,17 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * nothing is shared, so vacuuming the source can never strand the
     * clone. Cost is O(cloned data) by design — that is the DEEP
     * contract; use shallow when referencing suffices. */
-  def deepCloneTo(dst: String, asOfVersion: Int = -1): SnapshotTable = {
+  def deepCloneTo(dst: String, asOfVersion: Int = -1,
+      orReplace: Boolean = false): SnapshotTable = {
     val v = if (asOfVersion < 0) currentVersion else asOfVersion
     val clone = new SnapshotTable(spark, dst)
     // create() commits version 0 via the write-once manifest — an
-    // existing table at dst fails there (CREATE semantics, like shallow)
-    clone.create(read(v), partitionBy = layoutSpecAt(v))
+    // existing table at dst fails there (CREATE semantics, like
+    // shallow); with orReplace an existing target takes the copy as a
+    // full-table OVERWRITE commit, prior history time-travelable
+    if (orReplace && clone.exists)
+      clone.overwriteAll(read(v), partitionBy = layoutSpecAt(v))
+    else clone.create(read(v), partitionBy = layoutSpecAt(v))
     if (fs.exists(propsPath)) {
       clone.writeSidecar(sidecarNode())
       // create() primed the clone's bloom-column cache from the (then

@@ -130,6 +130,9 @@ class SqlVerbsSpec extends AnyFunSuite {
     sql("INSERT OVERWRITE gverb.dcl.src VALUES (9, 'Z')")
     sql("VACUUM gverb.dcl.src RETAIN 1 VERSIONS")
     assert(sql("SELECT sum(k) FROM gverb.dcl.dst").head.getLong(0) == 3)
+    // OR REPLACE deep-copies the source's CURRENT state over the target
+    sql("CREATE OR REPLACE TABLE gverb.dcl.dst DEEP CLONE gverb.dcl.src")
+    assert(sql("SELECT sum(k) FROM gverb.dcl.dst").head.getLong(0) == 9)
   }
 
   test("CREATE TABLE … SHALLOW CLONE, catalog and path targets, VERSION AS OF") {
@@ -156,6 +159,13 @@ class SqlVerbsSpec extends AnyFunSuite {
     intercept[Exception] {
       sql("CREATE TABLE gverb.cl.dst SHALLOW CLONE gverb.cl.src")
     }
+    // … unless OR REPLACE: the clone lands as the target's NEXT commit,
+    // prior target content stays time-travelable
+    assert(sql("SELECT sum(k) FROM gverb.cl.dst").head.getLong(0) == 109)
+    sql("CREATE OR REPLACE TABLE gverb.cl.dst SHALLOW CLONE gverb.cl.src")
+    assert(sql("SELECT sum(k) FROM gverb.cl.dst").head.getLong(0) == 10)
+    assert(sql("SELECT sum(k) FROM gverb.cl.dst VERSION AS OF 1")
+      .head.getLong(0) == 109, "replaced content must stay time-travelable")
   }
 
   test("table_changes TVF: range read with _commit_version, CDC-less commits skipped") {
