@@ -309,12 +309,25 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         def inScope(e: graft.sources.SnapshotTable.FileEntry): Boolean =
           scope.forall(_.contains(e.partValue))
         if (c.zorderBy.isEmpty) {
-          val smallBytes = entries
-            .filter(e => e.bytes < GraftMaintenance.DefaultMinBytes &&
-              inScope(e))
-            .map(_.bytes).sum
-          t.compactSmallFiles(GraftMaintenance.DefaultMinBytes,
-            targetFiles = binsFor(smallBytes), onlyPartitions = scope)
+          if (t.deltaFiles.nonEmpty) {
+            // Hudi compaction semantics (`CALL …run_compaction` maps
+            // here): pending MoR deltas FOLD into a compacted base —
+            // the table state the verb exists for. Scoped rewrites
+            // still demand resolved state (a partition-scoped fold
+            // would silently drop unscoped files' delta rows).
+            require(scope.isEmpty, s"partition-scoped OPTIMIZE on " +
+              s"${c.name.mkString(".")} requires compacted state " +
+              "(pending MoR deltas)")
+            val total = (entries ++ t.deltaFiles).map(_.bytes).sum
+            t.compact(binsFor(total), t.layoutSpec)
+          } else {
+            val smallBytes = entries
+              .filter(e => e.bytes < GraftMaintenance.DefaultMinBytes &&
+                inScope(e))
+              .map(_.bytes).sum
+            t.compactSmallFiles(GraftMaintenance.DefaultMinBytes,
+              targetFiles = binsFor(smallBytes), onlyPartitions = scope)
+          }
         } else t.compactZOrder(
           binsFor(entries.filter(inScope).map(_.bytes).sum),
           c.zorderBy, onlyPartitions = scope)

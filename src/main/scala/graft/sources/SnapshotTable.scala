@@ -396,6 +396,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * deleted (file, position) marks, the DV observability number. */
   def dvFiles: Seq[FileEntry] = dvEntries(currentVersion)
 
+  /** Pending MoR delta files at the latest version (empty once
+    * compacted) — the probe maintenance verbs use to pick Hudi-style
+    * delta-folding compaction over small-file bin-packing. */
+  def deltaFiles: Seq[FileEntry] = deltaEntries(currentVersion)
+
   /** Wall-clock commit instant of `version` (monotonically increasing
     * across versions — see [[writeManifest]]). 0 for manifests written
     * before timestamps existed. */
@@ -1682,16 +1687,26 @@ class SnapshotTable(spark: SparkSession, root: String) {
     }
   }
 
-  /** Bin-pack compaction: rewrite the current snapshot into
-    * `numFiles` files (per partition when partitioned). Pending MoR
+  /** Bin-pack compaction: rewrite the current snapshot into ~`numFiles`
+    * files (split across partitions when partitioned). Pending MoR
     * deltas are folded into the compacted base (Hudi-style compaction). */
   def compact(numFiles: Int, partitionBy: Option[String] = None): SnapshotTable = {
     val v = currentVersion
     val df = partitionBy match {
-      case Some(p) => read(v).repartition(numFiles, col(p))
-      case None    => read(v).repartition(numFiles)
+      case Some(p) =>
+        // ONE arranged shuffle: range-partition on (partition value,
+        // deterministic row hash) so `numFiles` tasks SPLIT large
+        // partitions into multiple files instead of collapsing each
+        // partition to a single unbounded one (which is what letting
+        // writeData re-cluster by partition value did — and the
+        // pre-repartition it discarded was a wasted second shuffle).
+        val src = read(v)
+        src.repartitionByRange(numFiles,
+          PartitionTransform.writeColumn(PartitionTransform.parse(p)),
+          xxhash64(src.columns.map(col): _*))
+      case None => read(v).repartition(numFiles)
     }
-    val written = writeData(df, v + 1, partitionBy)
+    val written = writeData(df, v + 1, partitionBy, cluster = false)
     writeManifest(Manifest(v + 1, "COMPACT", Seq.empty, written, Seq.empty))
     this
   }

@@ -415,6 +415,17 @@ class SqlVerbsSpec extends AnyFunSuite {
     val r = sql("CALL gverb.system.run_compaction('run', 'hud.t')").head
     assert(r.getLong(1) < r.getLong(0), s"run_compaction must bin-pack: $r")
     assert(sql("SELECT sum(k) FROM gverb.hud.t").head.getLong(0) == 6)
+    // on a MoR table with PENDING deltas the verb folds them — Hudi
+    // compaction's whole reason to exist (it used to refuse that state)
+    import spark.implicits._
+    val root = tmp("hudmor")
+    val t = new SnapshotTable(spark, root)
+      .create(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+      .mergeDeferred(Seq((1L, 11.0), (3L, 30.0)).toDF("k", "v"), Seq("k"))
+    assert(t.deltaFiles.nonEmpty)
+    sql(s"OPTIMIZE graft.`$root`")
+    assert(t.deltaFiles.isEmpty, "pending deltas must fold into the base")
+    assert(sql(s"SELECT sum(v) FROM graft.`$root`").head.getDouble(0) == 61.0)
   }
 
   test("bare VACUUM DATABASE keeps a conservative snapshot window") {
