@@ -101,6 +101,10 @@ object GraftMaintenance {
     .add("manifest_path", StringType, nullable = false)
     .add("num_files", LongType, nullable = false)
 
+  /** Iceberg `remove_orphan_files`: one row per deleted orphan. */
+  val OrphansSchema: StructType = new StructType()
+    .add("orphan_file_location", StringType, nullable = false)
+
   /** The path-addressed table spelling (`` graft.`/abs/path` `` — the
     * reference's own Delta idiom, `` OPTIMIZE delta.`$path` ``
     * IncrementalTPCDSBenchmark.scala:192): a 2-part name whose head is
@@ -231,6 +235,17 @@ final case class GraftVacuumCommand(name: Seq[String],
     GraftMaintenance.attrs(
       if (dryRun) GraftMaintenance.VacuumDryRunSchema
       else GraftMaintenance.VacuumSchema)
+}
+
+/** `CALL cat.system.remove_orphan_files('ns.t' [, older_than])`
+  * (Iceberg's orphan cleaner): deletes data files NO version
+  * references — losing-OCC attempt output and crash leftovers — that
+  * are older than the horizon ([[SnapshotTable.removeOrphanFiles]]).
+  * No version is touched; time travel is unaffected. */
+final case class GraftRemoveOrphansCommand(name: Seq[String],
+    olderThan: Option[String]) extends LeafNode with Command {
+  override def output: Seq[Attribute] =
+    GraftMaintenance.attrs(GraftMaintenance.OrphansSchema)
 }
 
 /** `GENERATE symlink_format_manifest FOR TABLE name` (Delta's verb for
@@ -402,6 +417,13 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             }
         }
         Seq(Seq[Any](reclaimed, t.currentVersion))
+      }) :: Nil
+    case c: GraftRemoveOrphansCommand =>
+      GraftMaintenanceExec(c.output, { spark =>
+        val t = GraftMaintenance.snapshotOf(spark, c.name)
+        val horizon = c.olderThan.map(GraftMaintenance.parseTs(_,
+          spark.sessionState.conf.sessionLocalTimeZone)).getOrElse(-1L)
+        t.removeOrphanFiles(horizon).map(p => Seq[Any](p))
       }) :: Nil
     case c: GraftGenerateManifestCommand =>
       GraftMaintenanceExec(c.output, { spark =>

@@ -24,6 +24,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   CREATE TABLE cat.ns.t2 SHALLOW|DEEP CLONE cat.ns.t [VERSION AS OF 3]
   *   CALL cat.system.rewrite_data_files(table => 'ns.t')
   *   CALL cat.system.expire_snapshots(table => 'ns.t', retain_last => 3)
+  *   CALL cat.system.rollback_to_snapshot('ns.t', 3)
+  *   CALL cat.system.rollback_to_timestamp('ns.t', '2026-01-01')
+  *   CALL cat.system.remove_orphan_files('ns.t' [, older_than => 'ts'])
   *   CALL cat.system.run_compaction('run', 'ns.t')   -- Hudi spelling
   *   }}}
   *
@@ -91,6 +94,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // to the eager OPTIMIZE (there is no deferred scheduler here)
     case CallRunCompactionRe(cat, tbl) =>
       GraftOptimizeCommand(strip(cat) +: parts(tbl), Seq.empty, None)
+    // Iceberg's RESTORE spellings: rollback_to_snapshot takes a version
+    // (snapshot ids ARE versions here), rollback_to_timestamp an instant
+    case CallRollbackSnapRe(cat, tbl, v) =>
+      GraftRestoreCommand(strip(cat) +: parts(tbl), Some(v.toInt), None)
+    case CallRollbackTsRe(cat, tbl, ts) =>
+      GraftRestoreCommand(strip(cat) +: parts(tbl), None, Some(ts))
+    // Iceberg's orphan cleaner — losing-OCC attempt output + crash
+    // leftovers, guarded by the older_than horizon
+    case CallRemoveOrphansRe(cat, tbl, ts) =>
+      GraftRemoveOrphansCommand(strip(cat) +: parts(tbl), Option(ts))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -219,4 +232,22 @@ object GraftSqlParser {
     (s"(?is)\\s*CALL\\s+($P)\\.system\\.run_compaction\\s*\\(\\s*" +
       "(?:op\\s*=>\\s*)?'(?:run|schedule|scheduleandexecute)'\\s*,\\s*" +
       "(?:table\\s*=>\\s*)?'([^']+)'\\s*\\)\\s*;?\\s*").r
+  // CALL cat.system.rollback_to_snapshot([table =>] 'ns.t',
+  //                                      [snapshot_id =>] n)
+  private val CallRollbackSnapRe =
+    (s"(?is)\\s*CALL\\s+($P)\\.system\\.rollback_to_snapshot\\s*\\(\\s*" +
+      "(?:table\\s*=>\\s*)?'([^']+)'\\s*,\\s*" +
+      "(?:snapshot_id\\s*=>\\s*)?(\\d+)\\s*\\)\\s*;?\\s*").r
+  // CALL cat.system.rollback_to_timestamp([table =>] 'ns.t',
+  //                                       [timestamp =>] 'ts')
+  private val CallRollbackTsRe =
+    (s"(?is)\\s*CALL\\s+($P)\\.system\\.rollback_to_timestamp\\s*\\(\\s*" +
+      "(?:table\\s*=>\\s*)?'([^']+)'\\s*,\\s*" +
+      "(?:timestamp\\s*=>\\s*)?'([^']+)'\\s*\\)\\s*;?\\s*").r
+  // CALL cat.system.remove_orphan_files([table =>] 'ns.t'
+  //                                     [, older_than => 'ts'])
+  private val CallRemoveOrphansRe =
+    (s"(?is)\\s*CALL\\s+($P)\\.system\\.remove_orphan_files\\s*\\(\\s*" +
+      "(?:table\\s*=>\\s*)?'([^']+)'\\s*" +
+      "(?:,\\s*older_than\\s*=>\\s*'([^']+)'\\s*)?\\)\\s*;?\\s*").r
 }

@@ -1931,6 +1931,28 @@ class SnapshotTable(spark: SparkSession, root: String) {
       math.max(0, currentVersion - retainVersions + 1)).sorted
   }
 
+  /** Iceberg `remove_orphan_files` analog: delete data files under this
+    * root that NO version references — the staged output of losing OCC
+    * attempts (uniquely-named attempt dirs whose writer lost the
+    * write-once manifest race) and crash leftovers. Only files modified
+    * at or before `olderThan` (epoch millis; default now − 3 days, the
+    * same guard Iceberg defaults) are touched: a younger unreferenced
+    * file may belong to a commit still in flight between its data write
+    * and its manifest landing. No log surgery, no version changes —
+    * time travel is unaffected (unlike [[vacuum]]). Returns the deleted
+    * paths, sorted. */
+  def removeOrphanFiles(olderThan: Long = -1L): Seq[String] = {
+    val horizon =
+      if (olderThan >= 0) olderThan
+      else System.currentTimeMillis() - 3L * 24 * 3600 * 1000
+    // keep-set over EVERY version: anything referenced anywhere in the
+    // retained log is not an orphan (mtime checked only on candidates)
+    val orphans = reclaimableBelow(0).filter(p =>
+      fs.getFileStatus(new Path(p)).getModificationTime <= horizon).sorted
+    orphans.foreach(p => fs.delete(new Path(p), false))
+    orphans
+  }
+
   /** Rewrite version `v`'s log file as a FULL manifest if it is a DELTA
     * record (no-op otherwise). Semantically identical content — only the
     * encoding changes — so overwriting the write-once file is sound. */

@@ -428,6 +428,39 @@ class SqlVerbsSpec extends AnyFunSuite {
     assert(sql(s"SELECT sum(v) FROM graft.`$root`").head.getDouble(0) == 61.0)
   }
 
+  test("Iceberg CALL aliases: rollback_to_snapshot/timestamp, remove_orphan_files") {
+    sql("CREATE NAMESPACE gverb.ice")
+    sql("CREATE TABLE gverb.ice.t (k BIGINT)")                    // v0
+    sql("INSERT INTO gverb.ice.t VALUES (1), (2)")                // v1
+    sql("INSERT OVERWRITE gverb.ice.t VALUES (9)")                // v2
+    sql("CALL gverb.system.rollback_to_snapshot('ice.t', 1)")     // v3
+    assert(sql("SELECT sum(k) FROM gverb.ice.t").head.getLong(0) == 3)
+    val root = spark.conf.get("spark.sql.catalog.gverb.root")
+    val t = new SnapshotTable(spark, s"$root/ice/t")
+    val ts2 = new java.sql.Timestamp(t.commitTimestamp(2)).toString
+    sql(s"CALL gverb.system.rollback_to_timestamp('ice.t', '$ts2')") // v4
+    assert(sql("SELECT sum(k) FROM gverb.ice.t").head.getLong(0) == 9)
+    // stage an orphan: a data file NO manifest references (what a
+    // losing OCC attempt leaves behind)
+    val src = java.nio.file.Paths.get(t.files.head.path.stripPrefix("file:"))
+    val orphan = java.nio.file.Paths.get(
+      s"$root/ice/t/data/c99999_orphan-part-0000.parquet")
+    java.nio.file.Files.copy(src, orphan)
+    // too young for the default 3-day horizon → kept (in-flight guard)
+    assert(sql("CALL gverb.system.remove_orphan_files('ice.t')")
+      .collect().isEmpty)
+    // explicit future horizon → exactly the orphan goes
+    val tomorrow = java.time.LocalDate.now().plusDays(1).toString
+    val removed = sql("CALL gverb.system.remove_orphan_files('ice.t', " +
+      s"older_than => '$tomorrow')").collect().map(_.getString(0))
+    assert(removed.length == 1 && removed.head.endsWith(
+      "c99999_orphan-part-0000.parquet"), removed.mkString(","))
+    // referenced data and HISTORY untouched (unlike VACUUM)
+    assert(sql("SELECT sum(k) FROM gverb.ice.t").head.getLong(0) == 9)
+    assert(sql("SELECT count(*) FROM gverb.ice.t VERSION AS OF 1")
+      .head.getLong(0) == 2)
+  }
+
   test("bare VACUUM DATABASE keeps a conservative snapshot window") {
     import spark.implicits._
     val root = spark.conf.get("spark.sql.catalog.gverb.root")
