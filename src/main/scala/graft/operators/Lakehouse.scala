@@ -2198,6 +2198,45 @@ object Lakehouse {
         .orderBy("_change_type")
     })
 
+  // Hudi CALL run_compaction ON MoR STATE — the verb's reason to exist:
+  // pending deferred-merge deltas FOLD into a compacted base (before
+  // round 15 the verb refused exactly this state); the read back equals
+  // the oracle's full upsert recompute.
+  private val sqlCallCompaction = OpQuery(
+    "sql_call_compaction",
+    Some("""
+      WITH merged AS (
+        SELECT CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 8.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders
+        UNION ALL
+        SELECT o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 31 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val (cat, tbl) = freshSqlCatalogOrders(s, d)
+      val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+      val t = new SnapshotTable(s, s"$root/bench/$tbl")
+      val o = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      t.mergeDeferred(
+        o.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 8.0)
+          .unionByName(o.filter(col("o_orderkey") % 31 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 10000000000L)),
+        Seq("o_orderkey"))                                           // v1: MoR
+      require(t.deltaFiles.nonEmpty, "fixture must leave pending deltas")
+      s.sql(s"CALL $cat.system.run_compaction('run', 'bench.$tbl')") // v2: fold
+      require(t.deltaFiles.isEmpty, "compaction must fold the deltas")
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM $cat.bench.$tbl
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
   val defs: Seq[OpQuery] = Seq(
     mergeUpsert, compactRoundtrip, history, csvIngest, datagen, fileLayout,
     refreshView, filecountProbes, detail, ddlRoundtrip, bucketedJoin,
@@ -2215,5 +2254,6 @@ object Lakehouse {
     sqlCatalogOverwritePartition, sqlCatalogAlterAddColumn,
     sqlCatalogXformPrune, sqlMaintenanceVerbs, sqlDescribeHistory,
     sqlCatalogOverwriteHidden, sqlReplaceWhere,
-    sqlPathVerbs, sqlRestoreClone, sqlTableChanges, cdcBatchOptions)
+    sqlPathVerbs, sqlRestoreClone, sqlTableChanges, cdcBatchOptions,
+    sqlCallCompaction)
 }
