@@ -2201,9 +2201,20 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val writer = spec match {
       case Some(p) =>
         val withPv = df.withColumn(PartCol, PartitionTransform.writeColumn(p))
-        // cluster by partition → no file spray; callers that pre-arranged
-        // their own distribution (ZORDER's curve ranges) opt out
-        val arranged = if (cluster) withPv.repartition(col(PartCol)) else withPv
+        // Cluster by partition value via REBALANCE (Delta's "optimized
+        // writes" shape): no file spray — one partition's rows land in
+        // few tasks — but, unlike a plain hash repartition on the
+        // partition value, AQE SPLITS an oversized partition into
+        // ~advisory-sized output chunks and coalesces tiny ones, so a
+        // partitioned write emits size-bounded files instead of ONE
+        // unbounded file per touched partition (the shape that breaks
+        // at 100 TB: a MERGE touching a 50 GiB partition must not
+        // serialize it through a single write task). Falls back to the
+        // plain hash repartition when AQE is off. Callers that
+        // pre-arranged their own distribution (ZORDER's curve ranges,
+        // OPTIMIZE's byte bins) opt out via cluster = false.
+        val arranged =
+          if (cluster) withPv.hint("rebalance", col(PartCol)) else withPv
         arranged.write.partitionBy(PartCol)
       case None => df.write
     }

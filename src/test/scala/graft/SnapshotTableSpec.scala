@@ -384,6 +384,32 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.currentVersion === v)
   }
 
+  test("partitioned writes split oversized partitions (optimized-write shape)") {
+    import spark.implicits._
+    // a partitioned CREATE/MERGE must not serialize a big partition
+    // through one task → one unbounded file; with the advisory size
+    // pinned low, the large partition must emit multiple files while
+    // the small one stays single-file
+    val advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val old = spark.conf.get(advisory)
+    spark.conf.set(advisory, "64KB")
+    try {
+      val df = (0 until 60000).map(i =>
+        (i.toLong, if (i % 100 == 0) "small" else "big", s"pad-$i-${"x" * 40}"))
+        .toDF("k", "p", "s")
+      val t = new SnapshotTable(spark, tmp("ovwsplit"))
+        .create(df, partitionBy = Some("p"))
+      val big = t.files.count(_.partValue == "big")
+      val small = t.files.count(_.partValue == "small")
+      assert(big > 1, s"the big partition must split, got $big file(s)")
+      // the tiny partition may ride along in a few of the split chunks
+      // when it hash-collides with the big one (AQE slices a skewed
+      // reducer by position, not key) — bounded, never sprayed
+      assert(small <= big, s"tiny partition sprayed: $small > $big")
+      assert(t.read().count() === 60000L)
+    } finally spark.conf.set(advisory, old)
+  }
+
   test("partitioned compactSmallFiles bins by size, never one file per partition") {
     import spark.implicits._
     val t = new SnapshotTable(spark, tmp("optsfp"))
