@@ -1534,6 +1534,43 @@ object Lakehouse {
         .orderBy("l_returnflag")
     })
 
+  // REORG TABLE … APPLY (PURGE) (Delta's DV-purge verb): after a
+  // positional delete leaves marks, the purge rewrites ONLY the
+  // DV-addressed files — the soft-deleted rows become physically absent,
+  // marks drop, mark-free files carry by reference. The gate drives the
+  // SQL spelling by path and oracle-checks the read equals the CoW
+  // recompute; the engine asserts zero marks remain and that stat-clean
+  // files survived path-identical (cost ∝ marked bytes, never table
+  // size — the 100 TB contract).
+  private val sqlReorgPurge = OpQuery(
+    "sql_reorg_purge",
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      WHERE NOT (l_orderkey BETWEEN 300 AND 800)
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """),
+    (s, d) => {
+      val root = tmp("reorgp")
+      val t = stagedLineitemRange(s, d).shallowCloneTo(root)
+        .deleteWherePositional("l_orderkey", 300, 800)
+      require(t.dvFiles.nonEmpty, "fixture must leave DV marks")
+      val untouched = t.files
+        .filter(e => e.stats.get("l_orderkey").exists(_._1 > 800))
+        .map(_.path).toSet
+      val r = s.sql(s"REORG TABLE graft.`$root` APPLY (PURGE)").head
+      require(r.getInt(0) > 0 && r.getLong(1) > 0,
+        s"purge must rewrite marked files and drop marks, got $r")
+      require(t.dvFiles.isEmpty, "REORG PURGE must drop every DV mark")
+      require(untouched.subsetOf(t.files.map(_.path).toSet),
+        "mark-free files must carry by reference, path-identical")
+      t.read().groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          graft.Cols.moneyOut(sum(graft.Cols.dec(col("l_quantity")))).as("sum_qty"))
+        .orderBy("l_returnflag")
+    })
+
   private val deleteWhereQ = OpQuery(
     "delete_where",
     Some("""
@@ -2244,7 +2281,8 @@ object Lakehouse {
     incrementalJoin,
     tableClone, mergeMorRead, mergeMorDelete, cdcMorRead, vacuumRetention,
     zorderLayout, orcRoundtrip,
-    jsonIngest, deleteWhereQ, deleteDvQ, updateWhereQ, mergeEvolve, timeTravelTs,
+    jsonIngest, deleteWhereQ, deleteDvQ, sqlReorgPurge, updateWhereQ,
+    mergeEvolve, timeTravelTs,
     concurrentMerge, sinkExactlyOnce, insertOverwrite, optimizeSmallFiles,
     partitionXformTime, partitionXformBucket, metadataPartitions,
     exportSymlink, tableReaderFormat, multiTableTxn, multiTableTxnAsof,

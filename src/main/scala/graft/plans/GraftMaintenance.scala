@@ -88,6 +88,30 @@ object GraftMaintenance {
     * reclamation switch. */
   val DefaultRetainDbSnapshots: Int = 7
 
+  val ReorgSchema: StructType = new StructType()
+    .add("files_rewritten", IntegerType, nullable = false)
+    .add("purged_marks", LongType, nullable = false)
+    .add("version", IntegerType, nullable = false)
+
+  /** Resolve a maintenance verb's `WHERE pc = v | pc IN (…)` clause to
+    * the named partitions' TRANSFORMED values: the filter must name the
+    * partition SOURCE column, and each literal maps through the layout's
+    * transform exactly like the read planner's pruning does (one day
+    * literal names its month partition under `months(d)`). */
+  private[plans] def resolveScope(t: SnapshotTable, verb: String,
+      where: (String, Seq[String])): Set[String] = {
+    val (cond, values) = where
+    val spec = t.layoutSpec.map(
+      graft.sources.PartitionTransform.parse).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$verb … WHERE: the table has no partition layout to scope by"))
+    require(cond == spec.col,
+      s"$verb … WHERE must filter the partition source column " +
+        s"'${spec.col}', got '$cond'")
+    values.map(v =>
+      graft.sources.PartitionTransform.applyLiteral(spec.tag, v)).toSet
+  }
+
   val RestoreSchema: StructType = new StructType()
     .add("restored_to_version", IntegerType, nullable = false)
     .add("new_version", IntegerType, nullable = false)
@@ -201,6 +225,18 @@ final case class GraftOptimizeCommand(name: Seq[String],
     GraftMaintenance.attrs(GraftMaintenance.OptimizeSchema)
 }
 
+/** `REORG TABLE name [WHERE pc = v] APPLY (PURGE)` (Delta's
+  * deletion-vector purge verb): rewrite ONLY the DV-addressed files so
+  * soft-deleted rows become physically absent and the marks drop;
+  * mark-free files carry by reference. The GDPR-style physical-removal
+  * step between a DV delete and the VACUUM that reclaims the pre-purge
+  * files. */
+final case class GraftReorgCommand(name: Seq[String],
+    where: Option[(String, Seq[String])]) extends LeafNode with Command {
+  override def output: Seq[Attribute] =
+    GraftMaintenance.attrs(GraftMaintenance.ReorgSchema)
+}
+
 /** `RESTORE [TABLE] name TO VERSION|TIMESTAMP AS OF …` (Delta RESTORE):
   * a new commit whose file list IS the target version's — metadata
   * only, revertible, history preserved. */
@@ -299,18 +335,8 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         // identity or hidden transform (each literal maps through the
         // same applyLiteral the read planner prunes with) — and
         // restrict the rewrite to exactly those partitions' files.
-        val scope: Option[Set[String]] = c.where.map { case (cond, values) =>
-          val spec = t.layoutSpec.map(
-            graft.sources.PartitionTransform.parse).getOrElse(
-            throw new UnsupportedOperationException(
-              s"OPTIMIZE … WHERE on ${c.name.mkString(".")}: the table " +
-                "has no partition layout to scope by"))
-          require(cond == spec.col,
-            s"OPTIMIZE … WHERE must filter the partition source column " +
-              s"'${spec.col}', got '$cond'")
-          values.map(v =>
-            graft.sources.PartitionTransform.applyLiteral(spec.tag, v)).toSet
-        }
+        val scope: Option[Set[String]] =
+          c.where.map(GraftMaintenance.resolveScope(t, "OPTIMIZE", _))
         // size-targeted bins (~128 MiB output files), never a fixed
         // count: at 100 TB "compact into 1 file" is the wrong shape —
         // the bin count scales with the bytes being rewritten. All
@@ -350,6 +376,16 @@ object GraftMaintenanceStrategy extends SparkStrategy {
         // Long/Int Seq infers Seq[Long] and silently widens the Int,
         // breaking the IntegerType projection)
         Seq(Seq[Any](before, t.files.size.toLong, t.currentVersion))
+      }) :: Nil
+    case c: GraftReorgCommand =>
+      GraftMaintenanceExec(c.output, { spark =>
+        val t = GraftMaintenance.snapshotOf(spark, c.name, forMutation = true)
+        val scope = c.where.map(GraftMaintenance.resolveScope(t, "REORG", _))
+        val marksBefore = t.dvFiles.map(_.rows).sum
+        val rewritten = t.reorgPurge(
+          GraftMaintenance.DefaultMinBytes, onlyPartitions = scope)
+        val purged = marksBefore - t.dvFiles.map(_.rows).sum
+        Seq(Seq[Any](rewritten, purged, t.currentVersion))
       }) :: Nil
     case c: GraftRestoreCommand =>
       GraftMaintenanceExec(c.output, { spark =>

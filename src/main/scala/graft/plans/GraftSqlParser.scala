@@ -14,6 +14,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   OPTIMIZE cat.ns.t WHERE pc = 'v'             -- partition-scoped
   *   OPTIMIZE cat.ns.t WHERE pc IN ('a', 'b')     -- many partitions
   *   OPTIMIZE cat.ns.t ZORDER BY (a, b[, c, d])   -- 1..4 dimensions
+  *   REORG TABLE cat.ns.t [WHERE pc = 'v'] APPLY (PURGE)
   *   GENERATE symlink_format_manifest FOR TABLE cat.ns.t
   *   VACUUM cat.ns.t [RETAIN 3 VERSIONS | RETAIN 168 HOURS] [DRY RUN]
   *   VACUUM DATABASE cat.ns [RETAIN 2 SNAPSHOTS]
@@ -65,6 +66,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         dryRun = dry != null)
     case VacuumRe(name, dry) =>
       GraftVacuumCommand(parts(name), None, dryRun = dry != null)
+    case ReorgRe(name, whereCond) =>
+      GraftReorgCommand(parts(name), Option(whereCond).map(parseWhere))
     case GenerateRe(name) =>
       GraftGenerateManifestCommand(parts(name))
     case DescribeHistoryRe(name) =>
@@ -127,8 +130,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       require(vals.nonEmpty, s"OPTIMIZE … WHERE $c IN (): empty value list")
       (strip(c), vals)
     case other => throw new UnsupportedOperationException(
-      s"OPTIMIZE … WHERE supports a partition-column equality or IN list " +
-        s"(pc = 'value' | pc IN ('a', 'b')), got: $other")
+      s"OPTIMIZE/REORG … WHERE supports a partition-column equality or IN " +
+        s"list (pc = 'value' | pc IN ('a', 'b')), got: $other")
   }
 
   override def parseExpression(sqlText: String): Expression =
@@ -178,6 +181,12 @@ object GraftSqlParser {
   private val WhereInRe = s"(?i)($P)\\s+IN\\s*\\(([^)]*)\\)\\s*".r
   // one IN-list value: single-quoted, double-quoted, or bare
   private val InValRe = "'([^']*)'|\"([^\"]*)\"|([^\\s,'\"]+)".r
+  // REORG TABLE name [WHERE cond] APPLY (PURGE) — Delta's
+  // deletion-vector purge verb
+  private val ReorgRe =
+    (s"(?is)\\s*REORG\\s+TABLE\\s+$Name" +
+      "(?:\\s+WHERE\\s+(.+?))?" +
+      "\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*").r
   // GENERATE symlink_format_manifest FOR TABLE name (Delta's verb)
   private val GenerateRe =
     (s"(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+" +

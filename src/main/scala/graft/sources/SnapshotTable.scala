@@ -1639,51 +1639,117 @@ class SnapshotTable(spark: SparkSession, root: String) {
       .partition(e => e.bytes < minBytes && inScope(e))
     if (small.size <= 1) this // nothing to gain: 0/1 small file
     else {
-      val df = spec match {
-        case Some(_) =>
-          // Size-targeted bins WITHIN partitions: a partition holding N×
-          // `minBytes` of small files compacts into ~N output files,
-          // never one unbounded file — Delta bins to maxFileSize for the
-          // same reason; at 100 TB "one file per partition" collapses a
-          // 10 GiB small-file backlog into a single unsplittable-write
-          // task. Bin assignment is driver-side manifest arithmetic:
-          // each small file maps to a globally-unique bin id (round-
-          // robin by descending size within its partition ≈ balanced
-          // bins), and the scan range-partitions on that id via its
-          // `_metadata.file_path` — no extra scan, no rand(), and bin
-          // ids are disjoint across partitions so no task ever straddles
-          // two partition directories.
-          val binOf: Map[String, Int] = {
-            var next = 0
-            small.groupBy(_.partValue).values.flatMap { es =>
-              // overflow-safe ceil-div (callers pass Long.MaxValue as an
-              // "everything is small" threshold)
-              val bins = math.max(1L,
-                (es.map(_.bytes).sum - 1) / minBytes + 1).toInt
-              val assigned = es.sortBy(-_.bytes).zipWithIndex
-                .map { case (e, i) => e.path -> (next + i % bins) }
-              next += bins
-              assigned
-            }.toMap
-          }
-          val nBins = binOf.values.max + 1
-          val addressed =
-            if (dvEntries(v).isEmpty) readEntriesAddressed(small)
-            else addressedMinusDvs(small, dvEntries(v))
-          addressed
-            .repartitionByRange(nBins,
-              element_at(typedLit(binOf), col(DvFileCol)))
-            .drop(DvFileCol, DvPosCol)
-        case None => baseScan(small, dvEntries(v)).repartition(targetFiles)
-      }
-      // cluster = false: the pre-arranged per-partition bins ARE the
-      // distribution; writeData's default re-clustering by partition
-      // value would collapse them back to one file per partition
-      val written = writeData(df, v + 1, spec, cluster = false)
+      val written =
+        writeBinned(small, dvEntries(v), v + 1, spec, minBytes, targetFiles)
       writeManifest(Manifest(v + 1, "OPTIMIZE", mergeKeysOf(v),
         written ++ big, Seq.empty,
         dvs = remainingDvs(v, small.map(_.path).toSet, v + 1)))
       this
+    }
+  }
+
+  /** The shared rewrite arrangement of OPTIMIZE and REORG: scan exactly
+    * `rewrite` (DV marks applied), arranged into size-targeted output
+    * bins — WITHIN partitions under `spec`, a flat `targetFiles`-way
+    * split otherwise. A partition holding N× `minBytes` of rewritten
+    * bytes emits ~N output files, never one unbounded file — Delta bins
+    * to maxFileSize for the same reason; at 100 TB "one file per
+    * partition" collapses a 10 GiB backlog into a single
+    * unsplittable-write task. Bin assignment is driver-side manifest
+    * arithmetic: each file maps to a globally-unique bin id (round-robin
+    * by descending size within its partition ≈ balanced bins), and the
+    * scan range-partitions on that id via its `_metadata.file_path` —
+    * no extra scan, no rand(), and bin ids are disjoint across
+    * partitions so no task ever straddles two partition directories. */
+  private def writeBinned(rewrite: Seq[FileEntry], dvs: Seq[FileEntry],
+      nextVersion: Int, spec: Option[String], minBytes: Long,
+      targetFiles: Int): Seq[FileEntry] = {
+    val df = spec match {
+      case Some(_) =>
+        val binOf: Map[String, Int] = {
+          var next = 0
+          rewrite.groupBy(_.partValue).values.flatMap { es =>
+            // overflow-safe ceil-div (callers pass Long.MaxValue as an
+            // "everything is small" threshold)
+            val bins = math.max(1L,
+              (es.map(_.bytes).sum - 1) / minBytes + 1).toInt
+            val assigned = es.sortBy(-_.bytes).zipWithIndex
+              .map { case (e, i) => e.path -> (next + i % bins) }
+            next += bins
+            assigned
+          }.toMap
+        }
+        val nBins = binOf.values.max + 1
+        val addressed =
+          if (dvs.isEmpty) readEntriesAddressed(rewrite)
+          else addressedMinusDvs(rewrite, dvs)
+        addressed
+          .repartitionByRange(nBins,
+            element_at(typedLit(binOf), col(DvFileCol)))
+          .drop(DvFileCol, DvPosCol)
+      case None => baseScan(rewrite, dvs).repartition(targetFiles)
+    }
+    // cluster = false: the pre-arranged per-partition bins ARE the
+    // distribution; writeData's default re-clustering by partition
+    // value would collapse them back to one file per partition
+    writeData(df, nextVersion, spec, cluster = false)
+  }
+
+  /** `REORG TABLE … APPLY (PURGE)` (Delta's deletion-vector purge verb):
+    * materialize pending DV marks by rewriting ONLY the DV-addressed
+    * data files — the rewrite's DV-resolved scan applies the marks, so
+    * the soft-deleted rows become physically absent and the marks drop;
+    * every mark-free file carries by reference, path-identical. Cost ∝
+    * marked-file bytes, never table size — the difference between
+    * purging a sparse delete on a 100 TB table and rewriting it.
+    * Rewrites preserve the table layout and bin to ~`minBytes` output
+    * files like OPTIMIZE. `onlyPartitions` scopes the purge to named
+    * partitions (`REORG … WHERE pc = v`); marks on unscoped files
+    * persist. Returns the number of files rewritten (0 = metadata-level
+    * no-op, no commit written). After a purge, VACUUM can reclaim the
+    * pre-purge files, which still contain the deleted rows — Delta
+    * documents REORG PURGE as exactly this GDPR-style physical-removal
+    * step. */
+  def reorgPurge(minBytes: Long = 128L * 1024 * 1024,
+      onlyPartitions: Option[Set[String]] = None): Int = {
+    val v = currentVersion
+    require(deltaEntries(v).isEmpty,
+      s"REORG on $root requires compacted state (pending MoR deltas — " +
+        "OPTIMIZE folds them first)")
+    require(onlyPartitions.isEmpty || layoutSpec.isDefined,
+      s"partition-scoped REORG on $root requires a partitioned table")
+    val dvs = dvEntries(v)
+    if (dvs.isEmpty) 0
+    else {
+      // the distinct set of DV-addressed file paths: O(marked files),
+      // bounded by the table's file count — metadata-sized, never rows
+      val addressed = readEntries(dvs).select(col(DvFileCol)).distinct()
+        .collect().map(_.getString(0)).toSet
+      // scoped purge only touches files UNDER the current layout — a
+      // layout-foreign file's partValue lives under a different
+      // transform, so matching it against the scope literals would be
+      // meaningless (same rule as scoped OPTIMIZE)
+      val specParsed = layoutSpec.map(PartitionTransform.parse)
+      def sameLayout(e: FileEntry): Boolean = specParsed.exists(s =>
+        if (s.tag == null) e.partCol == s.col
+        else e.xformCol == s.col && e.xformTag == s.tag)
+      def inScope(e: FileEntry): Boolean = onlyPartitions.forall(vals =>
+        sameLayout(e) && vals.contains(e.partValue))
+      val (marked, clean) = fileEntries(v)
+        .partition(e => addressed.contains(e.path) && inScope(e))
+      if (marked.isEmpty) 0
+      else {
+        // preserve the layout like OPTIMIZE (identity or hidden
+        // transform); mixed/unknown layouts rewrite unpartitioned
+        val spec = layoutSpec
+        val bytes = marked.map(_.bytes).sum
+        val bins = math.max(1L, (bytes - 1) / minBytes + 1).toInt
+        val written = writeBinned(marked, dvs, v + 1, spec, minBytes, bins)
+        writeManifest(Manifest(v + 1, "REORG", mergeKeysOf(v),
+          written ++ clean, Seq.empty,
+          dvs = remainingDvs(v, marked.map(_.path).toSet, v + 1)))
+        marked.size
+      }
     }
   }
 

@@ -48,8 +48,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * default 0 — Delta's startingVersion semantics), `startingTimestamp`
   * (epoch millis: first commit at-or-after the instant, resolved from
   * the manifest's monotonic in-commit timestamps; mutually exclusive
-  * with startingVersion), `maxVersionsPerTrigger` (rate limit; default:
-  * all available in one batch).
+  * with startingVersion), and the rate limits `maxVersionsPerTrigger`,
+  * `maxFilesPerTrigger`, `maxBytesPerTrigger` (byte strings accepted:
+  * "512m", "1g" — Delta's admission-control spellings; default: all
+  * available in one batch). File/byte limits are sized from manifest
+  * metadata and always admit at least one version per trigger.
   *
   * Micro-batches keep full Catalyst planning: the batch DataFrame is the
   * manifest-planned relation (ManifestFileIndex) re-flagged as streaming
@@ -62,7 +65,9 @@ class SnapshotStreamSource(
     override val schema: StructType,
     startingVersion: Long,
     maxVersionsPerTrigger: Long,
-    changeFeed: Boolean)
+    changeFeed: Boolean,
+    maxFilesPerTrigger: Long = 0L,
+    maxBytesPerTrigger: Long = 0L)
   extends Source with SupportsTriggerAvailableNow {
 
   /** Versions ≤ this are exposed via getOffset (advances with rate
@@ -78,11 +83,61 @@ class SnapshotStreamSource(
     availableNowEnd = Some(table.currentVersion.toLong)
   }
 
+  /** Admission control: the highest version whose cumulative batch stays
+    * within maxVersions/maxFiles/maxBytesPerTrigger — Delta's rate-limit
+    * options, sized from MANIFEST metadata (per-version file lists),
+    * never the filesystem. Versions are the commit unit here, so at
+    * least one version is always admitted even if it alone exceeds the
+    * file/byte cap (Delta likewise always admits one file) — otherwise a
+    * single bulk-load commit would stall the stream forever. A restart
+    * against a week-long backlog drains in bounded micro-batches instead
+    * of one executor-flattening batch. */
+  private def admitUpTo(latest: Long): Long = {
+    val unlimited = maxFilesPerTrigger <= 0 && maxBytesPerTrigger <= 0
+    if (maxVersionsPerTrigger <= 0 && unlimited) latest
+    else {
+      val versionCap =
+        if (maxVersionsPerTrigger <= 0) latest
+        else math.min(lastReturned + maxVersionsPerTrigger, latest)
+      if (unlimited) versionCap
+      else {
+        var end = lastReturned
+        var files = 0L
+        var bytes = 0L
+        var full = false
+        while (!full && end < versionCap) {
+          val entries = sliceEntries((end + 1).toInt)
+          val f = files + entries.size
+          val b = bytes + entries.map(_.bytes).sum
+          if (end > lastReturned &&
+              ((maxFilesPerTrigger > 0 && f > maxFilesPerTrigger) ||
+                (maxBytesPerTrigger > 0 && b > maxBytesPerTrigger))) full = true
+          else { files = f; bytes = b; end += 1 }
+        }
+        end
+      }
+    }
+  }
+
+  /** The files version `v` would contribute to a micro-batch — the
+    * admission-control sizing mirror of [[batchSlice]]'s selection
+    * (guards stay in getBatch; sizing must not throw mid-planning). */
+  private def sliceEntries(v: Int): Seq[SnapshotTable.FileEntry] = {
+    val op = table.commitOperation(v)
+    if (!changeFeed) {
+      if (SnapshotStreamSource.ReorgOps(op)) Seq.empty
+      else table.commitAddedDataFiles(v)
+    } else op match {
+      case o if SnapshotStreamSource.AppendOps(o) =>
+        table.commitAddedDataFiles(v)
+      case "COMPACT" | "OPTIMIZE" | "ZORDER" | "RESTORE" => Seq.empty
+      case _ => table.commitChangeFiles(v)
+    }
+  }
+
   override def getOffset: Option[Offset] = synchronized {
     val latest = availableNowEnd.getOrElse(table.currentVersion.toLong)
-    val next =
-      if (maxVersionsPerTrigger <= 0) latest
-      else math.min(lastReturned + maxVersionsPerTrigger, latest)
+    val next = admitUpTo(latest)
     if (next > lastReturned) lastReturned = next
     if (lastReturned < startingVersion) None
     else Some(SnapshotSourceOffset(lastReturned))
@@ -318,7 +373,13 @@ class SnapshotStreamProvider extends StreamSourceProvider
       effectiveSchema(table, changeFeed, schema),
       starting,
       parameters.get("maxVersionsPerTrigger").map(_.trim.toLong).getOrElse(0L),
-      changeFeed)
+      changeFeed,
+      maxFilesPerTrigger =
+        parameters.get("maxFilesPerTrigger").map(_.trim.toLong).getOrElse(0L),
+      // byte-string forms accepted ("512m", "1g") — Delta's spelling
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger")
+        .map(s => org.apache.spark.network.util.JavaUtils
+          .byteStringAsBytes(s.trim)).getOrElse(0L))
   }
 
   /** Batch read through the format string —

@@ -62,6 +62,37 @@ class SnapshotStreamSpec extends AnyFunSuite {
     assert(batches === 3L, "3 commits with maxVersionsPerTrigger=1 → 3 batches")
   }
 
+  test("maxFilesPerTrigger / maxBytesPerTrigger bound each micro-batch") {
+    val root = tmp("snapstream_ratelim")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100).coalesce(2))
+    (1 to 3).foreach(i => t.append(slice(i * 100, i * 100 + 100).coalesce(2)))
+    // 4 commits × 2 files; a 4-file cap admits 2 commits per batch
+    val (rows, batches) = drain(root,
+      Map("startingVersion" -> "0", "maxFilesPerTrigger" -> "4"),
+      _.agg(count(lit(1)).as("n")))
+    assert(rows.head.getLong(0) === 400L)
+    assert(batches === 2L, s"8 files / 4-file cap → 2 batches, got $batches")
+    // a cap SMALLER than one commit still admits that commit (progress
+    // guarantee: a bulk-load version must not stall the stream forever)
+    val (rows1, batches1) = drain(root,
+      Map("startingVersion" -> "0", "maxFilesPerTrigger" -> "1"),
+      _.agg(count(lit(1)).as("n")))
+    assert(rows1.head.getLong(0) === 400L)
+    assert(batches1 === 4L, s"1-file cap → one commit per batch, got $batches1")
+    // byte-based cap: 1-byte budget degenerates to one commit per batch
+    val (rows2, batches2) = drain(root,
+      Map("startingVersion" -> "0", "maxBytesPerTrigger" -> "1"),
+      _.agg(count(lit(1)).as("n")))
+    assert(rows2.head.getLong(0) === 400L)
+    assert(batches2 === 4L, s"1-byte cap → one commit per batch, got $batches2")
+    // a generous byte budget ("1g" byte-string spelling) drains in one
+    val (rows3, batches3) = drain(root,
+      Map("startingVersion" -> "0", "maxBytesPerTrigger" -> "1g"),
+      _.agg(count(lit(1)).as("n")))
+    assert(rows3.head.getLong(0) === 400L)
+    assert(batches3 === 1L, s"1g cap swallows the backlog, got $batches3")
+  }
+
   test("startingVersion skips earlier commits; 'latest' sees nothing") {
     val root = tmp("snapstream_sv")
     val t = new SnapshotTable(spark, root).create(slice(0, 100))

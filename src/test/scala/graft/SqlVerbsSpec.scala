@@ -335,6 +335,45 @@ class SqlVerbsSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) FROM gverb.ow.t").head.getLong(0) == 12)
   }
 
+  test("REORG TABLE APPLY (PURGE) rewrites only DV-addressed files") {
+    import spark.implicits._
+    val root = tmp("reorg")
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(k => (k, k % 2)).toDF("k", "p").coalesce(1)
+    val t = new SnapshotTable(spark, root)
+      .create(batch(0, 50), partitionBy = Some("p"))                 // v0
+    t.append(batch(50, 100), partitionBy = Some("p"))                // v1
+    t.deleteWherePositional("k", 0, 9)                               // v2: 10 marks
+    assert(t.dvFiles.map(_.rows).sum == 10)
+    val markFree = t.files.filter(_.stats("k")._1 >= 50).map(_.path).toSet
+    assert(markFree.size == 2, s"fixture wants 2 mark-free files: $markFree")
+    val r = sql(s"REORG TABLE graft.`$root` APPLY (PURGE)").head
+    assert(r.getInt(0) == 2 && r.getLong(1) == 10L, s"got $r")
+    assert(t.dvFiles.isEmpty, "purge must drop every applied mark")
+    // mark-free files carry by reference, path-identical; the rewritten
+    // files keep the identity layout
+    assert(markFree.subsetOf(t.files.map(_.path).toSet))
+    assert(t.files.filter(_.rows > 0).forall(_.partCol == "p"))
+    assert(sql(s"SELECT count(*), sum(k) FROM graft.`$root`").head.toSeq
+      == Seq(90L, (10L until 100L).sum))
+    // the purged rows are PHYSICALLY absent from the live files (the
+    // GDPR contract) — a raw parquet read finds no trace of them
+    assert(spark.read.parquet(
+        t.files.map(_.path.stripPrefix("file:")): _*)
+      .filter($"k" < 10).count() == 0L)
+    // partition-scoped purge: marks on unscoped partitions persist
+    t.deleteWherePositional("k", 10, 13)                             // 4 marks
+    sql(s"REORG TABLE graft.`$root` WHERE p = '0' APPLY (PURGE)")
+    assert(t.dvFiles.map(_.rows).sum == 2, "odd-partition marks persist")
+    sql(s"REORG TABLE graft.`$root` APPLY (PURGE)")
+    assert(t.dvFiles.isEmpty)
+    assert(sql(s"SELECT count(*) FROM graft.`$root`").head.getLong(0) == 86)
+    // a mark-free table is a metadata-level no-op: no commit written
+    val v = t.currentVersion
+    val n = sql(s"REORG TABLE graft.`$root` APPLY (PURGE)").head
+    assert(n.getInt(0) == 0 && n.getLong(1) == 0L && t.currentVersion == v)
+  }
+
   test("GENERATE symlink_format_manifest FOR TABLE, catalog and path names") {
     import spark.implicits._
     sql("CREATE NAMESPACE gverb.gen")
