@@ -643,6 +643,51 @@ object Streams {
         .orderBy("o_orderpriority")
     })
 
+  // Admission control (Delta `maxFilesPerTrigger`): the same tailing
+  // shape with MULTI-FILE commits, drained under a per-trigger file cap
+  // sized from manifest metadata — versions admit until the cumulative
+  // file count would exceed the cap, so the three 4-file commits drain
+  // as three bounded micro-batches instead of one. At 100 TB this is
+  // what keeps a restart against a week-long commit backlog from
+  // planning one executor-flattening batch; the entry REQUIRES the
+  // multi-batch drain (not just the converged result) so a silently
+  // ignored cap fails the gate.
+  private val streamRateLimited = OpQuery(
+    "stream_rate_limited",
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """),
+    (s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val root = scratch("tbl_stream_rl")
+      val t = new graft.sources.SnapshotTable(s, root)
+        .create(o.filter(col("o_orderkey") % 3 === 0).repartition(4))
+      t.append(o.filter(col("o_orderkey") % 3 === 1).repartition(4))
+      t.append(o.filter(col("o_orderkey") % 3 === 2).repartition(4))
+      val feed = s.readStream.format("graft-snapshot")
+        .option("path", root)
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "4")
+        .load()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
+      val qn = s"graft_ratelim_${runId.incrementAndGet()}"
+      val q = feed.writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Complete)
+        .option("checkpointLocation", scratch("ratelim_ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches == 3,
+        s"4-file cap over three 4-file commits must drain in 3 " +
+          s"micro-batches, got $batches")
+      graft.Scratch.view(qn)
+      s.table(qn).orderBy("o_orderpriority")
+    })
+
   // Catalog-name streaming read: `spark.readStream.table("cat.ns.t")` —
   // Delta's default tailing idiom (tables are catalog NAMES in the
   // reference's world, TPCDSBenchmark.scala:93 `USE $dbName`). The DSv2
@@ -753,5 +798,6 @@ object Streams {
     windowedAgg, streamDedup, streamSessionize, streamEnrich, streamMerge,
     streamStreamJoin, streamJoinLeftOuter, slidingWindowAgg, streamCdcApply,
     streamTableAppends,
-    streamTableStartVersion, streamCatalogTable, streamNativeSink)
+    streamTableStartVersion, streamRateLimited, streamCatalogTable,
+    streamNativeSink)
 }
