@@ -29,7 +29,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     (MERGE, DELETE, MoR deltas, RESTORE) fails the stream loudly —
   *     rows already emitted cannot be retracted (exactly Delta's
   *     "detected a data update" error). Data-reorganization commits
-  *     (COMPACT/OPTIMIZE/ZORDER) are skipped as logical no-ops, so
+  *     (COMPACT/OPTIMIZE/ZORDER/REORG) are skipped as logical no-ops, so
   *     routine housekeeping never kills consumers (Delta's
   *     dataChange=false). A CLONE carrying unresolved MoR/DV state
   *     fails loudly rather than emit stale physical rows. CDC files, DV
@@ -39,7 +39,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     commits contribute their captured change files (pre/post images
   *     with `_change_type`); CREATE/APPEND/CLONE commits contribute
   *     their added data files as `insert` rows (Delta CDF parity);
-  *     data-reorganization commits (COMPACT/ZORDER/RESTORE) are skipped
+  *     data-reorganization commits (COMPACT/ZORDER/REORG/RESTORE) are skipped
   *     (no logical change). An untracked DML commit fails the stream —
   *     its changes are unrecoverable after the fact.
   *
@@ -130,7 +130,8 @@ class SnapshotStreamSource(
     } else op match {
       case o if SnapshotStreamSource.AppendOps(o) =>
         table.commitAddedDataFiles(v)
-      case "COMPACT" | "OPTIMIZE" | "ZORDER" | "RESTORE" => Seq.empty
+      case "COMPACT" | "OPTIMIZE" | "ZORDER" | "REORG" | "RESTORE" =>
+        Seq.empty
       case _ => table.commitChangeFiles(v)
     }
   }
@@ -224,7 +225,7 @@ class SnapshotStreamSource(
         if (added.isEmpty) None
         else Some(table.readEntriesDf(added)
           .withColumn(SnapshotTable.ChangeCol, lit("insert")))
-      case "COMPACT" | "OPTIMIZE" | "ZORDER" | "RESTORE" =>
+      case "COMPACT" | "OPTIMIZE" | "ZORDER" | "REORG" | "RESTORE" =>
         None // data reorganization: no logical change
       case op =>
         val changes = table.commitChangeFiles(v)
@@ -251,7 +252,7 @@ object SnapshotStreamSource {
     * skipped by data mode. RESTORE deliberately excluded here: it
     * rewinds the logical relation, which data mode cannot express (the
     * change-feed branch skips it separately as a file-level no-op). */
-  private val ReorgOps = Set("COMPACT", "OPTIMIZE", "ZORDER")
+  private val ReorgOps = Set("COMPACT", "OPTIMIZE", "ZORDER", "REORG")
 }
 
 /** Offset = highest manifest version consumed (total-ordered, compact —

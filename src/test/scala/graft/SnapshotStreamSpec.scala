@@ -228,6 +228,28 @@ class SnapshotStreamSpec extends AnyFunSuite {
     assert(batches === 4L, "4 row-adding commits; 2 reorg commits skipped")
   }
 
+  test("REORG (DV purge) commits are skipped as data reorganization") {
+    val root = tmp("snapstream_reorgdv")
+    val t = new SnapshotTable(spark, root).create(slice(0, 100))   // v0
+    t.append(slice(100, 200))                                      // v1
+    t.deleteWherePositional("id", 0, 9, trackChanges = true)       // v2
+    assert(t.reorgPurge() > 0)                                     // v3
+    t.append(slice(200, 250))                                      // v4
+    // data mode, tailing from AFTER the delete: the purge rewrite is a
+    // logical no-op and must not kill (or double-feed) the tail
+    val (rows, _) = drain(root, Map("startingVersion" -> "3"),
+      _.agg(count(lit(1)).as("n"), min("id").as("lo")))
+    assert(rows.head.getLong(0) === 50L && rows.head.getLong(1) === 200L,
+      s"REORG must contribute nothing; got ${rows.head}")
+    // change-feed mode across the whole history: the delete's tracked
+    // rows arrive once, the purge arrives not at all
+    val (cdc, _) = drain(root,
+      Map("startingVersion" -> "2", "readChangeFeed" -> "true"),
+      _.groupBy(SnapshotTable.ChangeCol).agg(count(lit(1)).as("n")))
+    val byType = cdc.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("delete" -> 10L, "insert" -> 50L), s"got $byType")
+  }
+
   test("streaming a clone carrying unresolved MoR/DV state fails loudly") {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
