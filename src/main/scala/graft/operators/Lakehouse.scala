@@ -1211,6 +1211,48 @@ object Lakehouse {
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
+  // Column mapping through SQL (Delta columnMapping.mode=name analog):
+  // RENAME COLUMN re-points the logical name at the column's immutable
+  // physical name and DROP COLUMN tombstones it — both metadata-only
+  // commits (zero data rewritten at any table size), with writes after
+  // the rename landing under the stable physical name. The oracle pins
+  // the renamed column's values across pre- and post-rename writes AND
+  // resurrection safety: a dropped-then-re-added column must read NULL
+  // everywhere (COUNT(note) = 0), never the old file values.
+  private val sqlColumnMapping = OpQuery(
+    "sql_column_mapping",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(0 AS BIGINT) AS n_note
+      FROM (
+        SELECT o_orderstatus, o_totalprice AS price FROM orders
+        UNION ALL
+        SELECT 'Z' AS o_orderstatus, o_totalprice * 2 AS price
+        FROM orders WHERE o_orderkey % 13 = 0)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val (cat, tbl) = freshSqlCatalogOrders(s, d)
+      // v1: metadata-only rename; v2: INSERT through the NEW name
+      s.sql(s"ALTER TABLE $cat.bench.$tbl RENAME COLUMN o_totalprice TO price")
+      s.sql(s"""INSERT INTO $cat.bench.$tbl
+                SELECT o_orderkey + 30000000, o_totalprice * 2, 'Z'
+                FROM sqldml_orders_src WHERE o_orderkey % 13 = 0""")
+      // v3..v5: add a column, drop it, re-add the same name — the
+      // re-added column gets a FRESH physical name, so the pre-drop
+      // values can never resurface (COUNT(note) must be 0)
+      s.sql(s"ALTER TABLE $cat.bench.$tbl ADD COLUMNS (note STRING)")
+      s.sql(s"UPDATE $cat.bench.$tbl SET note = 'seen' WHERE o_orderstatus = 'Z'")
+      s.sql(s"ALTER TABLE $cat.bench.$tbl DROP COLUMN note")
+      s.sql(s"ALTER TABLE $cat.bench.$tbl ADD COLUMNS (note STRING)")
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                       COUNT(note) AS n_note
+                FROM $cat.bench.$tbl
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
   // Iceberg-style metadata tables through SQL names: `cat.ns.t.history`
   // and `cat.ns.t.partitions` answer from the commit-log manifest alone
   // (O(log records), zero data files opened — the same property at any
@@ -2293,5 +2335,5 @@ object Lakehouse {
     sqlCatalogXformPrune, sqlMaintenanceVerbs, sqlDescribeHistory,
     sqlCatalogOverwriteHidden, sqlReplaceWhere,
     sqlPathVerbs, sqlRestoreClone, sqlTableChanges, cdcBatchOptions,
-    sqlCallCompaction)
+    sqlCallCompaction, sqlColumnMapping)
 }

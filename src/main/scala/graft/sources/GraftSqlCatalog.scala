@@ -293,11 +293,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
 
   /** `ALTER TABLE … ADD COLUMNS` commits a metadata-only schema widening
     * ([[SnapshotTable.addColumns]] — one empty footer, no data
-    * rewritten); `SET TBLPROPERTIES` lands in the durable sidecar.
-    * Renames/drops/type-changes would need per-version column mapping
-    * (Delta's column-mapping mode) and are refused loudly. The WHOLE
-    * change list validates before anything commits: a mixed
-    * supported/unsupported ALTER is all-or-nothing, never half-applied. */
+    * rewritten); `SET TBLPROPERTIES` lands in the durable sidecar;
+    * `RENAME COLUMN` / `DROP COLUMN` commit through the versioned
+    * column mapping ([[SnapshotTable.renameColumn]] /
+    * [[SnapshotTable.dropColumn]] — Delta columnMapping.mode=name
+    * analog: physical file columns immutable, zero data rewritten,
+    * time-travel-correct). Type changes would need per-version type
+    * widening and are refused loudly. The WHOLE change list validates
+    * before anything commits: a mixed supported/unsupported ALTER is
+    * all-or-nothing, never half-applied. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = snapshotOf(ident)
     if (!t.exists) throw new NoSuchTableException(ident)
@@ -305,18 +309,46 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"ALTER TABLE ADD COLUMNS: nested field ${a.fieldNames.mkString(".")} unsupported")
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"ALTER TABLE RENAME COLUMN: nested field ${r.fieldNames.mkString(".")} unsupported")
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"ALTER TABLE DROP COLUMN: nested field ${d.fieldNames.mkString(".")} unsupported")
       case _: TableChange.SetProperty => ()
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE: unsupported change $other — only ADD COLUMNS and " +
-          "SET TBLPROPERTIES commit without per-version column mapping")
+        s"ALTER TABLE: unsupported change $other — ADD/RENAME/DROP COLUMNS " +
+          "and SET TBLPROPERTIES are the metadata-only commits this " +
+          "engine supports")
     }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val dels = changes.collect { case d: TableChange.DeleteColumn => d }
+    // REPLACE COLUMNS arrives as one mixed add+delete list; the adds and
+    // drops commit separately, so a mid-list failure would half-apply —
+    // refuse the whole statement instead (the single-kind statements
+    // cover the same surface safely)
+    require(adds.isEmpty || (renames.isEmpty && dels.isEmpty),
+      "ALTER TABLE: mixed add/rename/drop change lists (REPLACE COLUMNS) " +
+        "are unsupported — use separate ADD COLUMNS / RENAME COLUMN / " +
+        "DROP COLUMN statements")
+    // pre-validate EVERY rename/drop before the first commit, so a
+    // multi-column DROP can't half-apply; the arity check runs against
+    // the statement's combined effect
+    renames.foreach(r => t.validateRenameColumn(r.fieldNames.head, r.newName))
+    dels.foreach(d => t.validateDropColumn(d.fieldNames.head))
+    require(dels.isEmpty ||
+        t.read().schema.length - dels.length >= 1,
+      "ALTER TABLE DROP COLUMNS: cannot drop every column")
     if (adds.nonEmpty)
       t.addColumns(adds.map(a =>
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)))
     changes.foreach {
       case p: TableChange.SetProperty => t.withProperty(p.property, p.value)
+      case r: TableChange.RenameColumn =>
+        t.renameColumn(r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn => t.dropColumn(d.fieldNames.head)
       case _ => () // AddColumn handled above
     }
     loadTable(ident)

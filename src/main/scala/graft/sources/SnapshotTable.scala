@@ -227,6 +227,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
           case FullRecord(full) => full
           case d: DeltaRecord => applyDelta(manifestOf(version - 1), d)
         }
+        if (m.renames.nonEmpty || m.dropped.nonEmpty)
+          SnapshotTable.mappedRoots.add(root)
         manifestCache.put(key, m)
         m
       }
@@ -239,8 +241,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private def deltaEntries(version: Int): Seq[FileEntry] =
     manifestOf(version).deltas
 
+  /** Merge keys of `version` in LOGICAL names (manifests store physical
+    * names; [[writeManifest]] re-translates on store — the round trip is
+    * exact because rename guards keep the name spaces disjoint). */
   private def mergeKeysOf(version: Int): Seq[String] =
-    manifestOf(version).mergeKeys
+    manifestOf(version).mergeKeys.map(logColName(_, version))
 
   private def dvEntries(version: Int): Seq[FileEntry] =
     manifestOf(version).dvs
@@ -253,8 +258,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
   def read(version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion else version
     val deltas = deltaEntries(v)
-    if (deltas.isEmpty) baseScan(fileEntries(v), dvEntries(v))
-    else resolveMerged(fileEntries(v), deltas, mergeKeysOf(v), dvEntries(v))
+    if (deltas.isEmpty) baseScan(fileEntries(v), dvEntries(v), v)
+    else resolveMerged(fileEntries(v), deltas, mergeKeysOf(v), dvEntries(v),
+      mapV = v)
   }
 
   /** Scan `entries` with each row's physical address attached — the
@@ -262,10 +268,13 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * columns, resolved through the manifest-planned relation. Address
     * strings render identically at capture and at read (both come from
     * the same scan machinery), so DV anti-joins match exactly. */
-  private def readEntriesAddressed(entries: Seq[FileEntry]): DataFrame =
-    readEntries(entries).select(col("*"),
+  private def readEntriesAddressed(
+      entries: Seq[FileEntry], mapV: Int = -1): DataFrame =
+    // metadata columns are selected on the RAW scan (before the
+    // column-mapping projection — a Project on top would hide them)
+    toLogicalDf(readEntriesRaw(entries).select(col("*"),
       col("_metadata.file_path").as(DvFileCol),
-      col("_metadata.row_index").as(DvPosCol))
+      col("_metadata.row_index").as(DvPosCol)), mapV)
 
   /** Addressed scan minus deletion-vector marks: one hash anti-join on
     * (file, pos). The DV side is O(deleted rows) — dimension-sized next
@@ -273,15 +282,16 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * deleted fraction the join degrades gracefully to a shuffled anti
     * join keyed by file path, never a full-table rewrite. */
   private def addressedMinusDvs(
-      entries: Seq[FileEntry], dvs: Seq[FileEntry]): DataFrame =
-    readEntriesAddressed(entries)
-      .join(readEntries(dvs), Seq(DvFileCol, DvPosCol), "left_anti")
+      entries: Seq[FileEntry], dvs: Seq[FileEntry], mapV: Int = -1): DataFrame =
+    readEntriesAddressed(entries, mapV)
+      .join(readEntriesRaw(dvs), Seq(DvFileCol, DvPosCol), "left_anti")
 
   /** Base-layer scan with deletion vectors applied (no-op scan when none
     * are pending — the address projection is only paid on DV tables). */
-  private def baseScan(entries: Seq[FileEntry], dvs: Seq[FileEntry]): DataFrame =
-    if (dvs.isEmpty) readEntries(entries)
-    else addressedMinusDvs(entries, dvs).drop(DvFileCol, DvPosCol)
+  private def baseScan(entries: Seq[FileEntry], dvs: Seq[FileEntry],
+      mapV: Int = -1): DataFrame =
+    if (dvs.isEmpty) readEntries(entries, mapV)
+    else addressedMinusDvs(entries, dvs, mapV).drop(DvFileCol, DvPosCol)
 
   /** Manifest-planned scan: file list, sizes and splits come straight
     * from the log via [[ManifestFileIndex]] — zero filesystem listing.
@@ -292,7 +302,15 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * at scan time (Delta-style metadata-only evolution, no full
     * rewrite). Field order is oldest-origin-first, so added columns
     * append in evolution order. */
-  private def readEntries(entries: Seq[FileEntry]): DataFrame = {
+  /** [[readEntriesRaw]] with the column-mapping projection applied —
+    * frames leaving the file layer are LOGICAL (identity on unmapped
+    * tables). `mapV` pins which version's mapping to apply (current
+    * when negative — time-travel reads pass their version so renames
+    * below it stay invisible). */
+  private def readEntries(entries: Seq[FileEntry], mapV: Int = -1): DataFrame =
+    toLogicalDf(readEntriesRaw(entries), mapV)
+
+  private def readEntriesRaw(entries: Seq[FileEntry]): DataFrame = {
     require(entries.nonEmpty, s"no data files to read at $root")
     val schema = entries.groupBy(_.origin).toSeq.sortBy(_._1)
       .map { case (_, es) =>
@@ -321,7 +339,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private def resolveMerged(
       base: Seq[FileEntry], deltas: Seq[FileEntry], keys: Seq[String],
       dvs: Seq[FileEntry] = Seq.empty,
-      keyProbe: Option[DataFrame] = None): DataFrame = {
+      keyProbe: Option[DataFrame] = None, mapV: Int = -1): DataFrame = {
     require(keys.nonEmpty, s"MoR table at $root has deltas but no merge keys")
     // key-restricted resolution (CDC pre-image capture): both layers are
     // semi-joined down to the probe's keys BEFORE the resolution window,
@@ -336,7 +354,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // tombstone gens carry only (keys, __graft_del) — name-union with
     // null-fill gives one frame where upsert rows have DelCol null
     val deltaDf = restrict(byGen.map { case (gen, es) =>
-      readEntries(es).withColumn(GenCol, lit(gen))
+      readEntries(es, mapV).withColumn(GenCol, lit(gen))
     }.reduce(_.unionByName(_, allowMissingColumns = true)))
     val newest = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(GenCol).desc)
@@ -351,7 +369,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
         latest.filter(!(col(DelCol) <=> true)).drop(DelCol)
       else latest
     val baseDf =
-      if (base.nonEmpty) restrict(baseScan(base, dvs))
+      if (base.nonEmpty) restrict(baseScan(base, dvs, mapV))
       // all-delta slice (a folded partition set with no base files yet):
       // the resolution is the survivors alone
       else spark.createDataFrame(
@@ -435,7 +453,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     require(version >= 0 && version < cur, s"cannot restore to $version from $cur")
     val m = manifestOf(version)
     writeManifest(Manifest(cur + 1, "RESTORE", m.mergeKeys, m.files, m.deltas,
-      dvs = m.dvs))
+      dvs = m.dvs, renames = m.renames, dropped = m.dropped))
     this
   }
 
@@ -449,7 +467,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
     require(entries.nonEmpty,
       s"version $version of $root carries no change files " +
         "(commit with trackChanges = true)")
-    readEntries(entries)
+    // CDF rows surface under the logical names of THEIR version (Delta
+    // reads a range's changes in each commit's own schema)
+    readEntries(entries, version)
   }
 
   /** Whether a commit captured change-data-feed rows — the
@@ -524,6 +544,155 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private[graft] def readEntriesResolved(entries: Seq[FileEntry]): DataFrame =
     baseScan(entries, dvEntries(currentVersion))
 
+  // ---------------------------------------------------- column mapping
+  // (Delta columnMapping.mode=name analog.) Physical column names in
+  // data files are IMMUTABLE; the manifest's versioned `renames`
+  // (logical→physical) and `dropped` (physical tombstones) re-point the
+  // logical schema. DataFrames crossing the public API are always
+  // LOGICAL; manifest-stored names (merge keys, stats, partition
+  // columns) are always PHYSICAL. Translation happens at exactly two
+  // frame boundaries — [[readEntries]] (physical→logical) and
+  // [[writeData]] (logical→physical) — plus the by-name stats lookups.
+
+  private def isMapped: Boolean = SnapshotTable.mappedRoots.contains(root)
+
+  private def mappingAt(version: Int): (Map[String, String], Seq[String]) =
+    if (!isMapped) (Map.empty, Seq.empty)
+    else {
+      val m = manifestOf(if (version < 0) currentVersion else version)
+      (m.renames, m.dropped)
+    }
+
+  /** Physical (on-file) name of logical column `name` at `version`
+    * (current when negative) — identity on unmapped tables. */
+  private[graft] def physColName(name: String, version: Int = -1): String =
+    mappingAt(version)._1.getOrElse(name, name)
+
+  /** Logical name of physical column `phys` at `version`. */
+  private def logColName(phys: String, version: Int = -1): String =
+    mappingAt(version)._1.collectFirst { case (lg, ph) if ph == phys => lg }
+      .getOrElse(phys)
+
+  /** Physical→logical projection at the read boundary: drop tombstoned
+    * physical columns, rename renamed ones. Returns `df` unchanged
+    * (zero plan nodes added) on unmapped tables. */
+  private def toLogicalDf(df: DataFrame, version: Int): DataFrame = {
+    val (renames, dropped) = mappingAt(version)
+    if (renames.isEmpty && dropped.isEmpty) df
+    else {
+      val present = df.columns.toSet
+      val inv = renames.collect { case (lg, ph) if present(ph) => ph -> lg }
+      df.drop(dropped.filter(present): _*).withColumnsRenamed(inv)
+    }
+  }
+
+  /** Logical→physical rename at the write boundary. The mapping guards
+    * keep logical and physical name sets disjoint outside identity, so
+    * this is idempotent on frames already in physical space (the
+    * ADD COLUMNS schema carrier). */
+  private def toPhysicalDf(df: DataFrame, version: Int): DataFrame = {
+    val renames = mappingAt(version)._1
+    if (renames.isEmpty) df
+    else {
+      val present = df.columns.toSet
+      df.withColumnsRenamed(renames.filter { case (lg, _) => present(lg) })
+    }
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a metadata-only commit: the logical
+    * name re-points to the column's (immutable) physical name — zero
+    * data rewritten at any table size, version-correct under time
+    * travel (reads below the commit see the old name). Refused for
+    * partition/layout columns (every pruning path keys on them), merge
+    * keys with PENDING MoR deltas, and names colliding with a live
+    * logical or a retired physical name (keeps translation bijective —
+    * no swap chains, no resurrection). */
+  def renameColumn(oldName: String, newName: String): SnapshotTable = {
+    validateRenameColumn(oldName, newName)
+    val v = currentVersion
+    val m = manifestOf(v)
+    val phys = physColName(oldName, v)
+    val newRenames =
+      if (phys == newName) m.renames - oldName // rename-back to identity
+      else (m.renames - oldName) + (newName -> phys)
+    writeManifest(Manifest(v + 1, "RENAME_COLUMN", m.mergeKeys, m.files,
+      m.deltas, Seq.empty, m.dvs, renames = newRenames, dropped = m.dropped))
+    this
+  }
+
+  /** All of [[renameColumn]]'s guards without the commit — the catalog
+    * pre-validates a whole ALTER change list so a multi-change statement
+    * is all-or-nothing, never half-applied across commits. */
+  private[graft] def validateRenameColumn(
+      oldName: String, newName: String): Unit = {
+    val v = currentVersion
+    val m = manifestOf(v)
+    val logical = read(v).schema.fieldNames
+    require(logical.contains(oldName),
+      s"RENAME COLUMN on $root: no column $oldName (have ${logical.mkString(",")})")
+    require(!logical.contains(newName),
+      s"RENAME COLUMN on $root: column $newName already exists")
+    val phys = physColName(oldName, v)
+    require(phys == newName ||
+        (!m.dropped.contains(newName) && !m.renames.values.exists(_ == newName)),
+      s"RENAME COLUMN on $root: $newName was the physical name of a dropped " +
+        "or renamed column — pick a fresh name")
+    requireNotLayoutColumn(oldName, phys, "RENAME COLUMN")
+    require(m.deltas.isEmpty || !m.mergeKeys.contains(phys),
+      s"RENAME COLUMN on $root: $oldName is a merge key of pending MoR " +
+        "deltas — compact first")
+  }
+
+  /** ALTER TABLE DROP COLUMN as a metadata-only commit: the physical
+    * column stays in the data files (time travel still reads it) but is
+    * tombstoned out of the logical schema — Delta's column-mapping DROP,
+    * zero rewrite. A later ADD COLUMNS of the same name gets a FRESH
+    * physical name, so old values can never resurface. REORG/OPTIMIZE
+    * rewrites physically shed dropped columns file by file. */
+  def dropColumn(name: String): SnapshotTable = {
+    validateDropColumn(name)
+    val v = currentVersion
+    val m = manifestOf(v)
+    val phys = physColName(name, v)
+    writeManifest(Manifest(v + 1, "DROP_COLUMN", m.mergeKeys, m.files,
+      m.deltas, Seq.empty, m.dvs,
+      renames = m.renames - name, dropped = m.dropped :+ phys))
+    this
+  }
+
+  /** [[dropColumn]]'s guards without the commit (see
+    * [[validateRenameColumn]]). */
+  private[graft] def validateDropColumn(name: String): Unit = {
+    val v = currentVersion
+    val m = manifestOf(v)
+    val logical = read(v).schema.fieldNames
+    require(logical.contains(name),
+      s"DROP COLUMN on $root: no column $name (have ${logical.mkString(",")})")
+    require(logical.length > 1, s"DROP COLUMN on $root: cannot drop the only column")
+    val phys = physColName(name, v)
+    requireNotLayoutColumn(name, phys, "DROP COLUMN")
+    require(m.deltas.isEmpty || !m.mergeKeys.contains(phys),
+      s"DROP COLUMN on $root: $name is a merge key of pending MoR deltas — " +
+        "compact first")
+    require(!bloomCols.contains(phys),
+      s"DROP COLUMN on $root: $name carries a bloom-filter property — " +
+        "clear it first")
+  }
+
+  /** Partition/layout columns anchor every pruning path (manifest
+    * partValue canon, hidden-transform mapping, DML partition scoping) —
+    * renaming or dropping one without a layout rewrite would silently
+    * disable pruning, so both are refused loudly. */
+  private def requireNotLayoutColumn(
+      logicalName: String, phys: String, op: String): Unit = {
+    val inSpec = layoutSpec.exists(s => PartitionTransform.parse(s).col == phys)
+    val inFiles = (files ++ deltaFiles)
+      .exists(e => e.partCol == phys || e.xformCol == phys)
+    require(!inSpec && !inFiles,
+      s"$op on $root: $logicalName is a partition/layout column — " +
+        "rewrite the layout first")
+  }
+
   /** ALTER TABLE ADD COLUMNS as a metadata-plus-one-empty-footer commit:
     * one zero-row parquet file carrying the WIDENED schema joins the
     * file set, and the scan-time union-over-origins schema (the same
@@ -534,11 +703,25 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * nullable (old rows have no values). */
   def addColumns(fields: Seq[org.apache.spark.sql.types.StructField]): SnapshotTable = {
     val v = currentVersion
+    val m = manifestOf(v)
     val existing = read(v).schema.fieldNames.toSet
     val dup = fields.map(_.name).filter(existing)
     require(dup.isEmpty, s"ADD COLUMNS on $root: already present: ${dup.mkString(",")}")
+    // Resurrection guard (column mapping): a name whose PHYSICAL form is
+    // tombstoned (dropped) or retired (renamed away) gets a FRESH
+    // physical name — otherwise the scan's union-over-origins schema
+    // would surface the OLD files' values under the re-added column.
+    val reserved = m.dropped.toSet ++ m.renames.values
+    val freshPhys = fields.collect {
+      case f if reserved.contains(f.name) => f.name -> s"${f.name}_p${v + 1}"
+    }.toMap
+    // the schema carrier is written in PHYSICAL space (existing columns
+    // via the current mapping, fresh columns via their assigned names) —
+    // toPhysicalDf inside writeData is a no-op on it by construction
     val widened = org.apache.spark.sql.types.StructType(
-      read(v).schema.fields ++ fields.map(_.copy(nullable = true)))
+      read(v).schema.fields.map(f => f.copy(name = physColName(f.name, v))) ++
+        fields.map(f => f.copy(
+          name = freshPhys.getOrElse(f.name, f.name), nullable = true)))
     // repartition(1): exactly one write task runs, producing one empty
     // part file WITH a footer — the schema carrier
     val empty = spark.createDataFrame(
@@ -547,7 +730,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val written = writeData(empty, v + 1, None)
     require(written.nonEmpty, s"ADD COLUMNS on $root wrote no schema carrier")
     writeManifest(Manifest(v + 1, "ADD_COLUMNS", mergeKeysOf(v),
-      fileEntries(v) ++ written, deltaEntries(v), Seq.empty, dvEntries(v)))
+      fileEntries(v) ++ written, deltaEntries(v), Seq.empty, dvEntries(v),
+      renames = m.renames ++ freshPhys, dropped = m.dropped))
     this
   }
 
@@ -788,7 +972,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * base files, so base-only stats could exclude their values. */
   def statsMinMax(colName: String): Option[(Double, Double)] = {
     val entries = fileEntries(currentVersion)
-    val ss = entries.map(_.stats.get(colName))
+    val ss = entries.map(_.stats.get(physColName(colName)))
     // DV-deleted rows may have held the min/max — footer stats are only
     // an upper bound on the live range, so decline like pending deltas
     if (entries.isEmpty || ss.exists(_.isEmpty) ||
@@ -800,11 +984,13 @@ class SnapshotTable(spark: SparkSession, root: String) {
   /** Data-skipping file selection: files whose [min,max] for `colName`
     * intersects [lo,hi]. Files WITHOUT stats for the column are kept
     * (soundness over pruning); the caller still applies the row filter. */
-  def filesInRange(colName: String, lo: Double, hi: Double): Seq[FileEntry] =
-    fileEntries(currentVersion).filter(e => e.stats.get(colName) match {
+  def filesInRange(colName: String, lo: Double, hi: Double): Seq[FileEntry] = {
+    val pc = physColName(colName)
+    fileEntries(currentVersion).filter(e => e.stats.get(pc) match {
       case Some((mn, mx)) => mx >= lo && mn <= hi
       case None => true
     })
+  }
 
   /** Stats-pruned range read: plan only the files [[filesInRange]] keeps
     * — the Delta-style file-level skipping that the reference's
@@ -1105,8 +1291,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val v = currentVersion
     require(deltaEntries(v).isEmpty,
       s"deleteWhere on $root requires compacted state (pending MoR deltas)")
+    val pc = physColName(colName)
     val (touched, carryOver) =
-      fileEntries(v).partition(e => e.stats.get(colName) match {
+      fileEntries(v).partition(e => e.stats.get(pc) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true // no stats: must assume matches (soundness)
       })
@@ -1148,7 +1335,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
       trackChanges: Boolean = false): SnapshotTable = {
     val v = currentVersion
     val dvs = dvEntries(v)
-    val candidates = fileEntries(v).filter(e => e.stats.get(colName) match {
+    val pc = physColName(colName)
+    val candidates = fileEntries(v).filter(e => e.stats.get(pc) match {
       case Some((mn, mx)) => mx >= lo && mn <= hi
       case None => true // no stats: must scan for marks (soundness)
     })
@@ -1202,8 +1390,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
       s"updateWhere on $root requires compacted state (pending MoR deltas)")
     require(!partitionBy.exists(set.contains),
       s"UPDATE on $root must not assign the partition column")
+    val pc = physColName(colName)
     val (touched, carryOver) =
-      fileEntries(v).partition(e => e.stats.get(colName) match {
+      fileEntries(v).partition(e => e.stats.get(pc) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
       })
@@ -1913,7 +2102,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
       es.map(e => e.copy(origin = e.origin - shift))
     clone.writeManifest(Manifest(atVersion, "CLONE", mergeKeysOf(v),
       rebased(fileEntries(v)), rebased(deltaEntries(v)),
-      dvs = rebased(dvEntries(v))))
+      dvs = rebased(dvEntries(v)),
+      renames = manifestOf(v).renames, dropped = manifestOf(v).dropped))
     // The clone inherits the durable property sidecar: a hidden-layout
     // table's partition spec and bloom-filter columns live there — a
     // clone losing them would write subsequent commits unpartitioned
@@ -2249,8 +2439,14 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * (row counts + per-column numeric min/max from parquet footers —
     * metadata-only, O(new files), fetched in parallel). */
   private def writeData(
-      df: DataFrame, version: Int, partitionBy: Option[String],
+      dfLogical: DataFrame, version: Int, partitionBy: Option[String],
       cluster: Boolean = true): Seq[FileEntry] = {
+    // write boundary of the column mapping: frames arrive LOGICAL, files
+    // carry PHYSICAL names (mapping of the predecessor version — the
+    // commit being written can't have changed it, mapping ops write no
+    // data). Identity on unmapped tables.
+    val df =
+      if (version == 0) dfLogical else toPhysicalDf(dfLogical, version - 1)
     // Unique per-ATTEMPT dir (version prefix + nonce): two writers racing
     // the same version never touch each other's files — the write-once
     // manifest is the only commit point, and a losing attempt's orphaned
@@ -2309,7 +2505,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
 
   /** Write one commit's change-data-feed rows (source-sized, flat) and
     * return their manifest entries. */
-  private def writeChanges(df: DataFrame, version: Int): Seq[FileEntry] = {
+  private def writeChanges(dfLogical: DataFrame, version: Int): Seq[FileEntry] = {
+    val df =
+      if (version == 0) dfLogical else toPhysicalDf(dfLogical, version - 1)
     val cdcDir = new Path(root,
       f"data/c$version%05d_cdc_" + java.util.UUID.randomUUID().toString.take(8))
     df.write.mode(SaveMode.Overwrite).parquet(cdcDir.toString)
@@ -2336,23 +2534,43 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // visible at every later version — one lookup, no log replay
     val carriedTxns =
       if (prev == null) m.txns else prev.txns ++ m.txns
+    // Column mapping carries forward like txns: only the mapping ops
+    // (and RESTORE/CLONE, which pin a specific historical mapping) set
+    // it explicitly; every other commit inherits the predecessor's.
+    val setsMapping =
+      prev == null || MappingOps.contains(m.operation)
+    val (carriedRenames, carriedDropped) =
+      if (setsMapping) (m.renames, m.dropped)
+      else (prev.renames, prev.dropped)
     val stamped = m.copy(
       ts = math.max(System.currentTimeMillis(),
         (if (prev == null) 0L else prev.ts) + 1),
-      txns = carriedTxns)
+      txns = carriedTxns,
+      renames = carriedRenames,
+      dropped = carriedDropped,
+      // manifest-stored column names are always PHYSICAL: merge keys
+      // arrive logical from DML callers and translate here, centrally
+      // (idempotent — a physical name is never a logical name, the
+      // rename guards forbid reusing one)
+      mergeKeys = m.mergeKeys.map(k => carriedRenames.getOrElse(k, k)))
     // Incremental log: checkpoint versions (0 and every
     // CheckpointInterval-th) persist as FULL manifests; everything else
     // as a DELTA against the predecessor — commit metadata written is
     // O(changed files), not O(table files). deltaJson declines (→ FULL)
-    // when the diff isn't smaller or isn't path-representable.
+    // when the diff isn't smaller or isn't path-representable. Mapping
+    // ops always persist FULL (delta records can't express a mapping
+    // change).
     val json =
-      if (prev == null || m.version % CheckpointInterval == 0)
+      if (prev == null || m.version % CheckpointInterval == 0 ||
+          MappingOps.contains(m.operation))
         manifestJson(stamped)
       else deltaJson(stamped, prev, newTxns = m.txns)
         .getOrElse(manifestJson(stamped))
     val out = fs.create(p, /* overwrite = */ false)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (stamped.renames.nonEmpty || stamped.dropped.nonEmpty)
+      SnapshotTable.mappedRoots.add(root)
     manifestCache.put(p.toString, stamped)
   }
 }
@@ -2383,6 +2601,23 @@ object SnapshotTable {
     * (Delta's dataSkippingNumIndexedCols default idea: bound manifest
     * growth at wide schemas). */
   private val MaxStatCols = 8
+
+  /** Operations that SET the column mapping explicitly — every other
+    * commit carries its predecessor's mapping forward (writeManifest).
+    * RESTORE and CLONE pin the mapping of the version they reference,
+    * so a restore below a RENAME also restores the old logical schema
+    * (Delta parity: schema metadata is versioned with the commit). */
+  private val MappingOps =
+    Set("RENAME_COLUMN", "DROP_COLUMN", "ADD_COLUMNS", "RESTORE", "CLONE")
+
+  /** Roots where a column mapping has ever been observed — the
+    * [[SnapshotTable.readEntries]]/[[SnapshotTable.writeData]] fast path
+    * skips mapping resolution (and its manifest lookup) entirely for the
+    * overwhelmingly common unmapped table. Sound because entries always
+    * come from a [[SnapshotTable.manifestOf]] call on the same root,
+    * which registers mapped roots on parse. */
+  private val mappedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** One manifest 'file'/'delta' entry; `origin` = the commit version
     * that wrote the file (drives MoR last-writer-wins resolution);
@@ -2417,7 +2652,15 @@ object SnapshotTable {
       // writer transaction markers (Delta SetTransaction analog):
       // appId → highest applied writer version; carried forward by every
       // commit (writeManifest), so idempotence checks are one map lookup
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      // column mapping (Delta columnMapping.mode=name analog): physical
+      // column names in data files are IMMUTABLE; `renames` maps each
+      // non-identity LOGICAL name to its physical name and `dropped`
+      // tombstones physical names no longer visible. Versioned with the
+      // manifest (carried forward like txns), so time travel below a
+      // RENAME/DROP reads the old logical schema.
+      renames: Map[String, String] = Map.empty,
+      dropped: Seq[String] = Seq.empty) {
     // PHYSICAL row count: base + pending delta rows, DV marks subtracted
     // (dv capture is duplicate-free by construction — marks come from the
     // DV-resolved scan — so the subtraction is exact). Exactly the
@@ -2517,6 +2760,16 @@ object SnapshotTable {
     if (m.dvs.nonEmpty) rootN.set[JsonNode]("dvs", entryArray(m.dvs))
     if (m.ts != 0L) rootN.put("ts", m.ts)
     if (m.txns.nonEmpty) rootN.set[JsonNode]("txns", txnNode(m.txns))
+    if (m.renames.nonEmpty) {
+      val r = mapper.createObjectNode()
+      m.renames.toSeq.sortBy(_._1).foreach { case (lg, ph) => r.put(lg, ph) }
+      rootN.set[JsonNode]("renames", r)
+    }
+    if (m.dropped.nonEmpty) {
+      val d = mapper.createArrayNode()
+      m.dropped.foreach(d.add)
+      rootN.set[JsonNode]("dropped", d)
+    }
     rootN.toString
   }
 
@@ -2663,8 +2916,26 @@ object SnapshotTable {
         entries("add_deltas"), paths("rm_deltas"),
         entries("add_dvs"), paths("rm_dvs"),
         entries("changes"), ts, txns)
-    else
-      Manifest(
+    else {
+      val renames =
+        if (!n.has("renames")) Map.empty[String, String]
+        else {
+          val r = n.get("renames")
+          val it = r.fieldNames()
+          val buf = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val lg = it.next()
+            buf += lg -> r.get(lg).asText()
+          }
+          buf.result()
+        }
+      val dropped =
+        if (!n.has("dropped")) Seq.empty[String]
+        else {
+          val d = n.get("dropped")
+          (0 until d.size()).map(d.get(_).asText())
+        }
+      FullRecord(Manifest(
         n.get("version").asInt(),
         n.get("operation").asText(),
         mergeKeys,
@@ -2673,7 +2944,10 @@ object SnapshotTable {
         entries("changes"),
         entries("dvs"),
         ts,
-        txns) match { case m => FullRecord(m) }
+        txns,
+        renames,
+        dropped))
+    }
   }
 
   /** Apply one delta record to its reconstructed predecessor. */
@@ -2687,7 +2961,12 @@ object SnapshotTable {
       d.changes,
       prev.dvs.filterNot(e => d.rmDvs(e.path)) ++ d.addDvs,
       d.ts,
-      prev.txns ++ d.newTxns)
+      prev.txns ++ d.newTxns,
+      // column mapping only changes on mapping-op commits, which always
+      // persist as FULL records — a delta record inherits its
+      // predecessor's mapping verbatim
+      prev.renames,
+      prev.dropped)
   }
 
   private def readFileString(fs: FileSystem, p: Path): String = {
@@ -2701,9 +2980,11 @@ object SnapshotTable {
     } finally in.close()
   }
 
-  private def partValueOf(path: String): String =
-    path.split('/').find(_.startsWith(s"$PartCol="))
-      .map(_.stripPrefix(s"$PartCol=")).orNull
+  private def partValueOf(path: String): String = partValueOf(path, PartCol)
+
+  private def partValueOf(path: String, col: String): String =
+    path.split('/').find(_.startsWith(s"$col="))
+      .map(_.stripPrefix(s"$col=")).orNull
 
   /** Row count + per-column numeric (min, max) from the parquet footer —
     * no data pages are read. A column's stats survive only if EVERY row
@@ -2761,9 +3042,10 @@ object SnapshotTable {
     } finally reader.close()
   }
 
-  private def listDataFiles(fs: FileSystem, dir: Path): Seq[(String, String, Long)] = {
+  private def listDataFiles(fs: FileSystem, dir: Path,
+      col: String = PartCol): Seq[(String, String, Long)] = {
     if (!fs.exists(dir)) return Seq.empty
-    if (fs.getScheme == "file") listDataFilesNio(dir)
+    if (fs.getScheme == "file") listDataFilesNio(dir, col)
     else {
       val it = fs.listFiles(dir, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -2771,7 +3053,7 @@ object SnapshotTable {
         val st = it.next()
         val name = st.getPath.getName
         if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_"))
-          buf += ((st.getPath.toString, partValueOf(st.getPath.toString), st.getLen))
+          buf += ((st.getPath.toString, partValueOf(st.getPath.toString, col), st.getLen))
       }
       buf.toSeq
     }
@@ -2785,7 +3067,8 @@ object SnapshotTable {
     * Hadoop listing would ("file:" + absolute path) so manifests stay
     * byte-compatible across both branches. Object-store schemes keep the
     * FileSystem listing (their LIST carries size/type without stat-ing). */
-  private def listDataFilesNio(dir: Path): Seq[(String, String, Long)] = {
+  private def listDataFilesNio(dir: Path,
+      col: String = PartCol): Seq[(String, String, Long)] = {
     val root = java.nio.file.Paths.get(dir.toUri.getPath)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     val stream = java.nio.file.Files.walk(root)
@@ -2794,7 +3077,7 @@ object SnapshotTable {
       if (name.endsWith(".parquet") && !name.startsWith("_") &&
           java.nio.file.Files.isRegularFile(p)) {
         val full = "file:" + p.toAbsolutePath.toString
-        buf += ((full, partValueOf(full), java.nio.file.Files.size(p)))
+        buf += ((full, partValueOf(full, col), java.nio.file.Files.size(p)))
       }
     } finally stream.close()
     buf.toSeq

@@ -299,9 +299,11 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     // version-correct: pre-alter versions do not carry the columns
     assert(!sql("SELECT * FROM gtest.alt.t VERSION AS OF 1")
       .schema.fieldNames.contains("c"))
-    // duplicate adds and unsupported changes refuse loudly
+    // duplicate adds and drops of missing columns refuse loudly
+    // (DROP COLUMN of an existing column is supported since the column
+    // mapping landed — ColumnMappingSpec covers it)
     intercept[Exception] { sql("ALTER TABLE gtest.alt.t ADD COLUMNS (c STRING)") }
-    intercept[Exception] { sql("ALTER TABLE gtest.alt.t DROP COLUMN k") }
+    intercept[Exception] { sql("ALTER TABLE gtest.alt.t DROP COLUMN nope") }
     // properties land in the durable sidecar and SHOW TBLPROPERTIES sees them
     sql("ALTER TABLE gtest.alt.t SET TBLPROPERTIES ('quality.tier' = 'gold')")
     assert(t.property("quality.tier").contains("gold"))
