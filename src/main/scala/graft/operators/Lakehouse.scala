@@ -1211,6 +1211,120 @@ object Lakehouse {
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
+  // CONVERT TO GRAFT (Delta CONVERT TO DELTA analog): an existing
+  // plain-parquet Hive-layout directory becomes a snapshot table IN
+  // PLACE — version 0 references the files where they are (zero
+  // rewrite, O(files) footer reads; the only viable migration at
+  // 100 TB), the directory-encoded partition column synthesizes from
+  // the manifest, and the converted table answers path-addressed SQL
+  // like any native table. The oracle pins content equality against
+  // the raw source data.
+  private val sqlConvertInPlace = OpQuery(
+    "sql_convert_in_place",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val dir = stagedRoots.computeIfAbsent((d, "convert_dir"), _ => {
+        val dir = stagedTmp("stage_convert")
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
+        s.sql(s"CONVERT TO GRAFT parquet.`$dir` " +
+          "PARTITIONED BY (o_orderstatus STRING)")
+        dir
+      })
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM graft.`$dir`
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
+  // ANSI CHECK constraints through SQL: ADD CONSTRAINT validates the
+  // existing rows once (refusing if any violate), stores the predicate
+  // as table metadata, and every later INSERT/UPDATE/MERGE is enforced
+  // row-locally inside the write job by Spark's CheckInvariant — a
+  // violating write fails and commits NOTHING. The oracle pins the
+  // final content: base + one conforming insert, the violating insert
+  // absent.
+  private val sqlCheckConstraint = OpQuery(
+    "sql_check_constraint",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n
+      FROM (
+        SELECT o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_orderstatus FROM orders WHERE o_orderkey % 23 = 0)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val (cat, tbl) = freshSqlCatalogOrders(s, d)
+      s.sql(s"ALTER TABLE $cat.bench.$tbl ADD CONSTRAINT price_pos " +
+        "CHECK (o_totalprice > 0)")
+      s.sql(s"""INSERT INTO $cat.bench.$tbl
+                SELECT o_orderkey + 40000000, o_totalprice, o_orderstatus
+                FROM sqldml_orders_src WHERE o_orderkey % 23 = 0""")
+      val violatingFailed =
+        try { s.sql(s"INSERT INTO $cat.bench.$tbl VALUES (1, -5.0, 'X')"); false }
+        catch { case _: Throwable => true }
+      require(violatingFailed,
+        "a CHECK-violating INSERT must fail inside the write")
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n
+                FROM $cat.bench.$tbl
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
+  // Liquid clustering through SQL (Delta CLUSTER BY analog): the table
+  // stores a clustering spec; each bare OPTIMIZE rewrites ONLY files
+  // written since the last clustering commit onto the Morton curve
+  // (clustered files carry by reference — O(new data) per run, the
+  // property that makes scheduled clustering viable at 100 TB). The
+  // oracle pins content across two insert+OPTIMIZE rounds; the
+  // incremental carry-by-reference shape is asserted in ClusterBySpec.
+  private val sqlClusterBy = OpQuery(
+    "sql_cluster_by",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderkey % 17 = 0)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val cat = s"graftliq_${math.abs(d.hashCode).toHexString}"
+      val root = stagedRoots.computeIfAbsent((d, "sqlcat_liq_root"), _ => {
+        val root = stagedTmp("stage_sqlcat_liq")
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .createOrReplaceTempView("sqlliq_src")
+        s.sql(s"CREATE NAMESPACE $cat.bench")
+        s.sql(s"""CREATE TABLE $cat.bench.liq
+                  (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+                  CLUSTER BY (o_orderkey, o_totalprice)""")
+        s.sql(s"INSERT INTO $cat.bench.liq SELECT * FROM sqlliq_src")
+        s.sql(s"OPTIMIZE $cat.bench.liq") // clusters the initial load
+        s.sql(s"""INSERT INTO $cat.bench.liq
+                  SELECT * FROM sqlliq_src WHERE o_orderkey % 17 = 0""")
+        s.sql(s"OPTIMIZE $cat.bench.liq") // incremental: only the tail
+        root
+      })
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM $cat.bench.liq
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
   // Column mapping through SQL (Delta columnMapping.mode=name analog):
   // RENAME COLUMN re-points the logical name at the column's immutable
   // physical name and DROP COLUMN tombstones it — both metadata-only
@@ -2335,5 +2449,6 @@ object Lakehouse {
     sqlCatalogXformPrune, sqlMaintenanceVerbs, sqlDescribeHistory,
     sqlCatalogOverwriteHidden, sqlReplaceWhere,
     sqlPathVerbs, sqlRestoreClone, sqlTableChanges, cdcBatchOptions,
-    sqlCallCompaction, sqlColumnMapping)
+    sqlCallCompaction, sqlColumnMapping, sqlConvertInPlace, sqlClusterBy,
+    sqlCheckConstraint)
 }

@@ -129,6 +129,12 @@ object GraftMaintenance {
   val OrphansSchema: StructType = new StructType()
     .add("orphan_file_location", StringType, nullable = false)
 
+  /** `CONVERT TO GRAFT parquet.`/path`` — in-place conversion summary. */
+  val ConvertSchema: StructType = new StructType()
+    .add("location", StringType, nullable = false)
+    .add("num_files", LongType, nullable = false)
+    .add("num_rows", LongType, nullable = false)
+
   /** The path-addressed table spelling (`` graft.`/abs/path` `` — the
     * reference's own Delta idiom, `` OPTIMIZE delta.`$path` ``
     * IncrementalTPCDSBenchmark.scala:192): a 2-part name whose head is
@@ -216,11 +222,15 @@ object GraftMaintenance {
 final case class GraftOptimizeCommand(name: Seq[String],
     zorderBy: Seq[String],
     where: Option[(String, Seq[String])],
-    zorderWritten: Boolean = false) extends LeafNode with Command {
+    zorderWritten: Boolean = false,
+    full: Boolean = false) extends LeafNode with Command {
   require(!zorderWritten || (zorderBy.nonEmpty && zorderBy.length <= 4),
     s"OPTIMIZE ZORDER BY takes 1 to 4 columns (16 interleaved bits per " +
       s"dimension — 4 fills the 64-bit curve value), got " +
       s"(${zorderBy.mkString(", ")})")
+  require(!full || !zorderWritten,
+    "OPTIMIZE … FULL applies to CLUSTER BY tables; it cannot combine " +
+      "with an explicit ZORDER BY clause")
   override def output: Seq[Attribute] =
     GraftMaintenance.attrs(GraftMaintenance.OptimizeSchema)
 }
@@ -282,6 +292,20 @@ final case class GraftRemoveOrphansCommand(name: Seq[String],
     olderThan: Option[String]) extends LeafNode with Command {
   override def output: Seq[Attribute] =
     GraftMaintenance.attrs(GraftMaintenance.OrphansSchema)
+}
+
+/** `CONVERT TO GRAFT parquet.`/path`` [PARTITIONED BY (pc TYPE)]`
+  * (Delta `CONVERT TO DELTA` analog): version 0's manifest references
+  * the directory's existing parquet files IN PLACE — O(files) footer
+  * reads, zero data rewritten or moved, which is the only viable
+  * migration at 100 TB. Hive-layout directories (`pc=v/…`) declare the
+  * partition column + type, matching Delta's mandatory clause; reads
+  * synthesize the column from the manifest's per-file partition value
+  * ([[graft.sources.SnapshotTable.convertInPlace]]). */
+final case class GraftConvertCommand(path: String,
+    partition: Option[(String, String)]) extends LeafNode with Command {
+  override def output: Seq[Attribute] =
+    GraftMaintenance.attrs(GraftMaintenance.ConvertSchema)
 }
 
 /** `GENERATE symlink_format_manifest FOR TABLE name` (Delta's verb for
@@ -362,12 +386,38 @@ object GraftMaintenanceStrategy extends SparkStrategy {
             val total = (entries ++ t.deltaFiles).map(_.bytes).sum
             t.compact(binsFor(total), t.layoutSpec)
           } else {
-            val smallBytes = entries
-              .filter(e => e.bytes < GraftMaintenance.DefaultMinBytes &&
-                inScope(e))
-              .map(_.bytes).sum
-            t.compactSmallFiles(GraftMaintenance.DefaultMinBytes,
-              targetFiles = binsFor(smallBytes), onlyPartitions = scope)
+            // liquid-clustering tables (CLUSTER BY property): bare
+            // OPTIMIZE runs INCREMENTAL clustering — only files written
+            // since the last clustering commit rewrite onto the curve,
+            // clustered files carry by reference (cost O(new data),
+            // Delta's liquid OPTIMIZE contract). Delta likewise rejects
+            // partition predicates on clustered tables.
+            val clusterCols = t.property(
+              graft.sources.SnapshotTable.ClusterSpecProp)
+              .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+              .filter(_.nonEmpty)
+            clusterCols match {
+              case Some(cols) =>
+                require(scope.isEmpty,
+                  s"OPTIMIZE … WHERE is unsupported on a clustered table " +
+                    s"(${c.name.mkString(".")} clusters by " +
+                    s"${cols.mkString(", ")})")
+                // FULL reclusters everything — the escape hatch after
+                // ALTER … CLUSTER BY changed the columns
+                t.clusterIncremental(cols, GraftMaintenance.DefaultMinBytes,
+                  full = c.full)
+                t
+              case None =>
+                require(!c.full,
+                  s"OPTIMIZE … FULL requires a clustered table " +
+                    s"(${c.name.mkString(".")} has no CLUSTER BY spec)")
+                val smallBytes = entries
+                  .filter(e => e.bytes < GraftMaintenance.DefaultMinBytes &&
+                    inScope(e))
+                  .map(_.bytes).sum
+                t.compactSmallFiles(GraftMaintenance.DefaultMinBytes,
+                  targetFiles = binsFor(smallBytes), onlyPartitions = scope)
+            }
           }
         } else t.compactZOrder(
           binsFor(entries.filter(inScope).map(_.bytes).sum),
@@ -465,6 +515,47 @@ object GraftMaintenanceStrategy extends SparkStrategy {
       GraftMaintenanceExec(c.output, { spark =>
         val t = GraftMaintenance.snapshotOf(spark, c.name)
         Seq(Seq[Any](t.generateSymlinkManifest(), t.files.size.toLong))
+      }) :: Nil
+    // `ALTER TABLE … ADD CONSTRAINT nm CHECK (expr)`: Spark's analyzer
+    // builds the existing-row validation plan (a Filter for violations
+    // over the table scan) but its own exec only plans v2 scan
+    // relations — the engine's V1-fallback relation needs this case.
+    // Semantics match AddCheckConstraintExec: run the validation scan,
+    // refuse on any violating row, then store the constraint; every
+    // LATER write is enforced row-locally by Spark's CheckInvariant
+    // (injected from the constraints() the table reports).
+    case org.apache.spark.sql.catalyst.plans.logical
+        .AddCheckConstraint(child, chk) =>
+      val snaps = child.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if l.relation.isInstanceOf[graft.sources.GraftCatalogRelation] =>
+          l.relation.asInstanceOf[graft.sources.GraftCatalogRelation]
+            .snapshotTable
+      }
+      snaps.headOption match {
+        case Some(t) =>
+          GraftMaintenanceExec(Seq.empty, { spark =>
+            val violating = org.apache.spark.sql.GraftStreamShim
+              .ofRows(spark, child).limit(1).count()
+            require(violating == 0,
+              s"ADD CONSTRAINT ${chk.name}: existing rows violate " +
+                s"CHECK (${chk.condition})")
+            t.withProperty(
+              graft.sources.GraftV2Table.CheckConstraintProp + chk.name,
+              chk.condition)
+            Seq.empty
+          }) :: Nil
+        case None => Nil
+      }
+    case c: GraftConvertCommand =>
+      GraftMaintenanceExec(c.output, { spark =>
+        val field = c.partition.map { case (col, ty) =>
+          org.apache.spark.sql.types.StructField(col,
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(ty), nullable = true)
+        }
+        val t = new SnapshotTable(spark, c.path).convertInPlace(field)
+        Seq(Seq[Any](c.path, t.files.size.toLong, t.countFromManifest))
       }) :: Nil
     case c: GraftDescribeHistoryCommand =>
       GraftMaintenanceExec(c.output, { spark =>

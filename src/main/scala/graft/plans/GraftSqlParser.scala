@@ -52,11 +52,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(name, whereCond, zcols) =>
+    case OptimizeRe(name, full, whereCond, zcols) =>
       GraftOptimizeCommand(parts(name),
         Option(zcols).toSeq.flatMap(splitCols),
         Option(whereCond).map(parseWhere),
-        zorderWritten = zcols != null)
+        zorderWritten = zcols != null,
+        full = full != null)
     case VacuumDbRe(name, n) =>
       GraftVacuumDatabaseCommand(parts(name), Option(n).map(_.toInt))
     case VacuumRetainRe(name, n, dry) =>
@@ -70,6 +71,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftReorgCommand(parts(name), Option(whereCond).map(parseWhere))
     case GenerateRe(name) =>
       GraftGenerateManifestCommand(parts(name))
+    case ConvertRe(path, pc, pcType) =>
+      GraftConvertCommand(path,
+        Option(pc).map(c => (strip(c), pcType.trim)))
     case DescribeHistoryRe(name) =>
       GraftDescribeHistoryCommand(parts(name))
     case DescribeDetailRe(name) =>
@@ -166,12 +170,14 @@ object GraftSqlParser {
       .map(_.stripPrefix("`").stripSuffix("`"))
   private val Name = s"($P(?:\\.$P){0,2})"
 
-  // OPTIMIZE name [WHERE cond] [ZORDER BY (cols)] — one regex, two
-  // optional clauses; a written-but-empty/overlong ZORDER list is
-  // caught at command construction with the graft arity message, not a
-  // generic fall-through parse error
+  // OPTIMIZE name [FULL] [WHERE cond] [ZORDER BY (cols)] — one regex,
+  // three optional clauses; FULL (Delta's liquid-clustering spelling)
+  // reclusters everything on a clustered table; a written-but-empty/
+  // overlong ZORDER list is caught at command construction with the
+  // graft arity message, not a generic fall-through parse error
   private val OptimizeRe =
     (s"(?is)\\s*OPTIMIZE\\s+$Name" +
+      "(?:\\s+(FULL))?" +
       "(?:\\s+WHERE\\s+(.+?))?" +
       "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*").r
   // pc = 'v' | pc = "v" | pc = v (single equality on one column)
@@ -191,6 +197,14 @@ object GraftSqlParser {
   private val GenerateRe =
     (s"(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+" +
       s"$Name\\s*;?\\s*").r
+  // CONVERT TO GRAFT parquet.`/abs/path` [PARTITIONED BY (pc TYPE)] —
+  // Delta's CONVERT TO DELTA spelling; the partition clause is
+  // MANDATORY for Hive-layout sources (validated at execution, where
+  // the layout is visible)
+  private val ConvertRe =
+    ("(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+parquet\\s*\\.\\s*`([^`]+)`" +
+      s"(?:\\s+PARTITIONED\\s+BY\\s*\\(\\s*($P)\\s+([^)]+?)\\s*\\))?" +
+      "\\s*;?\\s*").r
   private val VacuumRe =
     s"(?is)\\s*VACUUM\\s+$Name(\\s+DRY\\s+RUN)?\\s*;?\\s*".r
   private val VacuumRetainRe =

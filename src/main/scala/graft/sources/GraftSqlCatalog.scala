@@ -89,6 +89,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var root: Path = _
 
+  /** ANSI CHECK constraints are supported (stored as sidecar
+    * properties, enforced on writes by Spark's CheckInvariant) —
+    * without this capability the analyzer refuses ADD CONSTRAINT
+    * before it ever reaches alterTable. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark: SparkSession = SparkSession.active
   private def fs: FileSystem =
     root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -281,13 +290,23 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val t = snapshotOf(ident)
     if (t.exists) throw new TableAlreadyExistsException(ident)
+    // CREATE TABLE … CLUSTER BY (a, b) arrives as a ClusterByTransform
+    // among the partitions — it is a LAYOUT HINT (liquid clustering),
+    // not a partition layout: record it and let OPTIMIZE cluster
+    val (clusterBy, partTransforms) = partitions.partition(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform])
     // the schema-carrying create is always a single empty unpartitioned
     // footer (a partitioned write of zero rows emits no file at all);
     // the layout lives as a table property and every INSERT honors it
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     t.create(empty, None)
-    toSpec(partitions).foreach(s => t.withProperty(GraftV2Table.PartSpecProp, s))
+    toSpec(partTransforms).foreach(s => t.withProperty(GraftV2Table.PartSpecProp, s))
+    clusterBy.collectFirst {
+      case cb: org.apache.spark.sql.connector.expressions.ClusterByTransform =>
+        t.withProperty(SnapshotTable.ClusterSpecProp,
+          cb.columnNames.map(_.fieldNames.mkString(".")).mkString(","))
+    }
     loadTable(ident)
   }
 
@@ -315,11 +334,21 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           s"ALTER TABLE DROP COLUMN: nested field ${d.fieldNames.mkString(".")} unsupported")
+      case _: TableChange.ClusterBy => ()
       case _: TableChange.SetProperty => ()
+      case a: TableChange.AddConstraint =>
+        require(a.constraint().isInstanceOf[
+          org.apache.spark.sql.connector.catalog.constraints.Check],
+          s"ALTER TABLE ADD CONSTRAINT: only CHECK constraints are " +
+            s"enforceable here, got ${a.constraint().toDDL}")
+      case d: TableChange.DropConstraint =>
+        require(d.ifExists || t.propertiesMap.contains(
+          GraftV2Table.CheckConstraintProp + d.name),
+          s"ALTER TABLE DROP CONSTRAINT: no constraint ${d.name}")
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE: unsupported change $other — ADD/RENAME/DROP COLUMNS " +
-          "and SET TBLPROPERTIES are the metadata-only commits this " +
-          "engine supports")
+        s"ALTER TABLE: unsupported change $other — ADD/RENAME/DROP COLUMNS, " +
+          "CLUSTER BY, ADD/DROP CONSTRAINT (CHECK) and SET TBLPROPERTIES " +
+          "are the metadata-only commits this engine supports")
     }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
@@ -349,6 +378,33 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       case r: TableChange.RenameColumn =>
         t.renameColumn(r.fieldNames.head, r.newName)
       case d: TableChange.DeleteColumn => t.dropColumn(d.fieldNames.head)
+      // ALTER TABLE … CLUSTER BY (a, b) | CLUSTER BY NONE (Delta liquid
+      // clustering): a layout hint in the sidecar — bare OPTIMIZE then
+      // runs incremental clustering on these columns
+      case cb: TableChange.ClusterBy =>
+        t.withProperty(SnapshotTable.ClusterSpecProp,
+          cb.clusteringColumns.map(_.fieldNames.mkString(".")).mkString(","))
+      // ANSI CHECK constraint: validate EXISTING rows once at ADD time
+      // (Delta's contract), then store the predicate — enforcement on
+      // every subsequent write is Spark's own CheckInvariant, injected
+      // from the constraints() this table reports
+      case a: TableChange.AddConstraint =>
+        val chk = a.constraint().asInstanceOf[
+          org.apache.spark.sql.connector.catalog.constraints.Check]
+        val sql = chk.predicateSql()
+        // the SQL path's AddCheckConstraintExec already ran the
+        // validation scan (and stamped the version it validated at) —
+        // only direct API callers pay one here
+        if (a.validatedTableVersion() == null) {
+          val violating = t.read()
+            .filter(org.apache.spark.sql.functions.expr(sql) <=> false)
+            .limit(1).count()
+          require(violating == 0,
+            s"ADD CONSTRAINT ${chk.name()}: existing rows violate CHECK ($sql)")
+        }
+        t.withProperty(GraftV2Table.CheckConstraintProp + chk.name(), sql)
+      case d: TableChange.DropConstraint =>
+        t.removeProperty(GraftV2Table.CheckConstraintProp + d.name)
       case _ => () // AddColumn handled above
     }
     loadTable(ident)
@@ -516,6 +572,25 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
   override def properties(): util.Map[String, String] =
     (table.propertiesMap +
       (TableCatalog.PROP_PROVIDER -> "graft-snapshot")).asJava
+
+  /** ANSI CHECK constraints (`ALTER TABLE … ADD CONSTRAINT nm CHECK
+    * (expr)`): stored as durable sidecar properties, reported through
+    * the DSv2 constraints API — Spark's own `ResolveTableConstraints`
+    * then injects a `CheckInvariant` into every INSERT/UPDATE/MERGE
+    * write plan, so enforcement is row-local inside the write job
+    * (zero extra passes), exactly Delta's CHECK-constraint shape. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    table.propertiesMap.toSeq.collect {
+      case (k, sql) if k.startsWith(GraftV2Table.CheckConstraintProp) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix(GraftV2Table.CheckConstraintProp))
+          .predicateSql(sql)
+          .enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build()
+    }.toArray
 
   // BATCH_WRITE rides along with V1_BATCH_WRITE only to satisfy the
   // analyzer's dynamic-overwrite capability check — Spark has no V1
@@ -732,6 +807,10 @@ object GraftV2Table {
   /** Table property recording the partition layout SQL writes use. */
   val PartSpecProp = SnapshotTable.PartSpecProp
 
+  /** Sidecar property prefix for ANSI CHECK constraints: key
+    * `constraint.check.<name>`, value = the predicate SQL. */
+  val CheckConstraintProp = "constraint.check."
+
   /** Canonical directory-string form of a pushed filter value — the form
     * the partitioned writer names directories with, hence the form the
     * manifest stores as `partValue`. None for types with no stable
@@ -834,6 +913,10 @@ final class GraftCatalogRelation(context: SQLContext, table: SnapshotTable,
 
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
+
+  /** Engine handle for plan-level commands that locate a table through
+    * its scan relation (ADD CONSTRAINT's validation plan). */
+  private[graft] def snapshotTable: SnapshotTable = table
 
   /** Manifest-derived bytes (partition-scaled when an identity-partition
     * equality was pushed), so the planner broadcasts dimension-sized

@@ -131,6 +131,28 @@ class SnapshotTable(spark: SparkSession, root: String) {
     this
   }
 
+  @volatile private var synthPartCache: Option[Option[org.apache.spark.sql.types.StructField]] = None
+
+  /** The synthesized partition column of a CONVERTed Hive-layout table
+    * (sidecar "name:catalogType") — the pre-existing data files do NOT
+    * carry the column, so reads surface it from the manifest's per-file
+    * partition value ([[ManifestFileIndex]] partition schema). None on
+    * every natively-written table. */
+  private[graft] def synthPartition: Option[org.apache.spark.sql.types.StructField] = {
+    val cached = synthPartCache
+    if (cached.isDefined) cached.get
+    else {
+      val loaded = property(SnapshotTable.SynthPartProp).map { s =>
+        val i = s.indexOf(':')
+        org.apache.spark.sql.types.StructField(s.substring(0, i),
+          org.apache.spark.sql.types.DataType.fromDDL(s.substring(i + 1)),
+          nullable = true)
+      }
+      synthPartCache = Some(loaded)
+      loaded
+    }
+  }
+
   private def sidecarNode(): com.fasterxml.jackson.databind.node.ObjectNode =
     if (fs.exists(propsPath))
       new ObjectMapper().readTree(readFileString(fs, propsPath))
@@ -151,6 +173,16 @@ class SnapshotTable(spark: SparkSession, root: String) {
     commitLock.synchronized {
       val json = sidecarNode()
       json.put(key, value)
+      writeSidecar(json)
+      this
+    }
+
+  /** Remove one durable string property from the side-car (no-op when
+    * absent). Metadata-only — no commit, no data write. */
+  def removeProperty(key: String): SnapshotTable =
+    commitLock.synchronized {
+      val json = sidecarNode()
+      json.remove(key)
       writeSidecar(json)
       this
     }
@@ -322,10 +354,23 @@ class SnapshotTable(spark: SparkSession, root: String) {
         org.apache.spark.sql.types.StructType(
           a.fields ++ b.fields.filterNot(f => known.contains(f.name)))
       }
+    // CONVERTed Hive-layout tables: the synthesized partition column is
+    // served from the manifest's per-file partition value through the
+    // scan's partition schema (the files don't carry it). Applies only
+    // to entry lists laid out under that column — engine side-cars
+    // (DV marks, CDC files, schema carriers) keep flat scans.
+    val synth = synthPartition.filter(f => entries.exists(_.partCol == f.name))
+    val (partSchema, dataSchema) = synth match {
+      case Some(f) => (
+        org.apache.spark.sql.types.StructType(Seq(f)),
+        org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(_.name == f.name)))
+      case None => (new org.apache.spark.sql.types.StructType(), schema)
+    }
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      new ManifestFileIndex(spark, rootPath, entries),
-      partitionSchema = new org.apache.spark.sql.types.StructType(),
-      dataSchema = schema,
+      new ManifestFileIndex(spark, rootPath, entries, partSchema),
+      partitionSchema = partSchema,
+      dataSchema = dataSchema,
       bucketSpec = None,
       fileFormat =
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
@@ -1066,6 +1111,73 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * creating commit — a streaming sink whose FIRST batch creates the
     * table needs the marker so a checkpoint-recovery replay of that
     * batch is detected instead of appended twice. */
+  /** CONVERT TO GRAFT (Delta `CONVERT TO DELTA` analog): turn an
+    * EXISTING plain-parquet directory into a snapshot table IN PLACE —
+    * version 0's manifest references the files where they are, with
+    * row counts and skipping stats read from their footers. Nothing is
+    * rewritten or moved: at 100 TB the conversion costs O(files)
+    * footer reads, not a data pass, which is the only viable migration
+    * at that scale.
+    *
+    * `partition` (Delta's mandatory `PARTITIONED BY (pc TYPE)` clause
+    * for partitioned sources) declares a Hive-layout directory
+    * (`pc=value/…`). Those files do NOT carry the partition column, so
+    * the conversion records it as the table's SYNTHESIZED partition
+    * column: reads surface it from the manifest's per-file partition
+    * value through the scan's partition schema (exactly how Spark reads
+    * the same directory as catalog-partitioned parquet), every pruning
+    * path keys on the manifest `partCol`/`partValue` as usual, and
+    * engine writes after the conversion duplicate the real column into
+    * files natively. Footer stats make range skipping work immediately;
+    * time travel, DML, OPTIMIZE and the rest of the engine apply from
+    * version 0 on. */
+  def convertInPlace(
+      partition: Option[org.apache.spark.sql.types.StructField] = None)
+      : SnapshotTable = {
+    require(!exists, s"CONVERT: $root is already a graft table")
+    val listed = listDataFiles(fs, rootPath,
+      col = partition.map(_.name).getOrElse(PartCol))
+    require(listed.nonEmpty, s"CONVERT: no parquet files under $root")
+    partition match {
+      case Some(f) =>
+        val missing = listed.filter(_._2 == null)
+        require(missing.isEmpty,
+          s"CONVERT: ${missing.size} file(s) outside the ${f.name}=… layout " +
+            s"(e.g. ${missing.head._1}) — PARTITIONED BY must match the " +
+            "directory structure")
+      case None =>
+        // a flat convert of a Hive-layout directory would silently DROP
+        // the directory-encoded column (standard partitioned writes
+        // don't store it in the files) — refuse instead
+        val hive = listed.find(
+          _._1.split('/').dropRight(1).exists(_.matches("[^=/]+=[^=/]*")))
+        require(hive.isEmpty,
+          s"CONVERT: Hive-layout directory detected (e.g. " +
+            s"${hive.map(_._1).getOrElse("")}) — declare " +
+            "PARTITIONED BY (col TYPE)")
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val readOptions = org.apache.parquet.HadoopReadOptions.builder(conf).build()
+    import scala.collection.parallel.CollectionConverters._
+    val entries = listed.par.map { case (p, pv, len) =>
+      val (rows, stats) = footerInfo(conf, readOptions, p)
+      FileEntry(p, pv, len, rows, 0L, partition.map(_.name).orNull, stats)
+    }.seq.toSeq
+    // does the data actually carry the partition column? (rare, but a
+    // directory written WITH the column present needs no synthesis)
+    val carriesCol = partition.exists(f =>
+      spark.read.parquet(entries.head.path).schema.fieldNames.contains(f.name))
+    partition.foreach { f =>
+      if (!carriesCol)
+        withProperty(SnapshotTable.SynthPartProp,
+          s"${f.name}:${f.dataType.catalogString}")
+      withProperty(SnapshotTable.PartSpecProp, f.name)
+    }
+    synthPartCache = None
+    writeManifest(Manifest(0, "CONVERT", Seq.empty, entries, Seq.empty))
+    this
+  }
+
   def create(df: DataFrame, partitionBy: Option[String] = None,
       txn: Option[(String, Long)] = None): SnapshotTable = {
     val written = writeData(df, 0, partitionBy)
@@ -1908,12 +2020,27 @@ class SnapshotTable(spark: SparkSession, root: String) {
     require(onlyPartitions.isEmpty || layoutSpec.isDefined,
       s"partition-scoped REORG on $root requires a partitioned table")
     val dvs = dvEntries(v)
-    if (dvs.isEmpty) 0
-    else {
-      // the distinct set of DV-addressed file paths: O(marked files),
-      // bounded by the table's file count — metadata-sized, never rows
-      val addressed = readEntries(dvs).select(col(DvFileCol)).distinct()
+    // the distinct set of DV-addressed file paths: O(marked files),
+    // bounded by the table's file count — metadata-sized, never rows
+    val addressed =
+      if (dvs.isEmpty) Set.empty[String]
+      else readEntries(dvs).select(col(DvFileCol)).distinct()
         .collect().map(_.getString(0)).toSet
+    // column-mapping PURGE (Delta REORG's second job): files whose
+    // physical schema still stores a DROPPED column rewrite too, so the
+    // soft-dropped data becomes physically absent (the GDPR step before
+    // VACUUM). Detection is per-ORIGIN footer schema — O(commits), the
+    // footer cache the scan planner already keeps, never a data read.
+    val droppedPhys = manifestOf(v).dropped.toSet
+    val originCarriesDropped: Map[Long, Boolean] =
+      if (droppedPhys.isEmpty) Map.empty
+      else fileEntries(v).groupBy(_.origin).map { case (o, es) =>
+        o -> SnapshotTable.schemaCache.computeIfAbsent(es.head.path,
+          p => spark.read.parquet(p).schema)
+          .fieldNames.exists(droppedPhys)
+      }
+    if (addressed.isEmpty && originCarriesDropped.forall(!_._2)) 0
+    else {
       // scoped purge only touches files UNDER the current layout — a
       // layout-foreign file's partValue lives under a different
       // transform, so matching it against the scope literals would be
@@ -1925,7 +2052,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
       def inScope(e: FileEntry): Boolean = onlyPartitions.forall(vals =>
         sameLayout(e) && vals.contains(e.partValue))
       val (marked, clean) = fileEntries(v)
-        .partition(e => addressed.contains(e.path) && inScope(e))
+        .partition(e => (addressed.contains(e.path) ||
+          originCarriesDropped.getOrElse(e.origin, false)) && inScope(e))
       if (marked.isEmpty) 0
       else {
         // preserve the layout like OPTIMIZE (identity or hidden
@@ -1974,6 +2102,103 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * manifest captures, so [[readRange]] prunes files on EITHER column —
     * the multi-dimensional data-skipping layout Delta's OPTIMIZE ZORDER
     * exists to produce. Pending MoR deltas fold in like [[compact]]. */
+  /** Morton-curve arrangement shared by [[compactZOrder]] and
+    * [[clusterIncremental]]: scale-normalize every dim to a 16-bit
+    * lattice (raw interleaving biases toward the wider-ranged column),
+    * interleave with the codegen'd `graft_zorder`, then range-partition
+    * + in-file sort on (partition value, curve). Bounds come from the
+    * manifest's footer stats — no extra scan; a stat-less column falls
+    * back to one min/max aggregate over the source. */
+  private def zorderArrange(source: DataFrame, zcols: Seq[String],
+      numFiles: Int,
+      specParsed: Option[PartitionTransform.Spec]): DataFrame = {
+    def bounds(c: String): (Double, Double) =
+      statsMinMax(c).getOrElse {
+        val r = source.agg(
+          org.apache.spark.sql.functions.min(col(c).cast("double")),
+          org.apache.spark.sql.functions.max(col(c).cast("double"))).head()
+        // empty table / all-null column: any constant lattice cell works
+        if (r.isNullAt(0) || r.isNullAt(1)) (0.0, 0.0)
+        else (r.getDouble(0), r.getDouble(1))
+      }
+    def norm(c: String): org.apache.spark.sql.Column = {
+      val (lo, hi) = bounds(c)
+      val span = math.max(hi - lo, 1e-12)
+      // clamp BOTH ends: stats can lag the data (e.g. folded delta rows
+      // below the base files' min), and graft_zorder needs [0, 65535]
+      org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.greatest(
+          org.apache.spark.sql.functions.floor(
+            (col(c).cast("double") - lit(lo)) * 65536.0 / lit(span)),
+          lit(0L)),
+        lit(65535L)).cast("long")
+    }
+    val zc = "__graft_z"
+    val dimCols = zcols.indices.map(i => s"__graft_zd$i")
+    val withDims = zcols.zip(dimCols).foldLeft(source) {
+      case (d, (c, dc)) => d.withColumn(dc, norm(c))
+    }
+    val withZ = withDims.withColumn(zc,
+      org.apache.spark.sql.functions.expr(
+        s"graft_zorder(${dimCols.mkString(", ")})"))
+    specParsed match {
+      case Some(p) =>
+        // cluster by (partition value, curve): contiguous partition runs
+        // per task, curve-ordered within — the partitioned writer then
+        // emits curve-spanned files inside each partition directory
+        val pv = "__graft_zpv"
+        withZ.withColumn(pv, PartitionTransform.writeColumn(p))
+          .repartitionByRange(numFiles, col(pv), col(zc))
+          .sortWithinPartitions(pv, zc)
+          .drop((dimCols :+ zc :+ pv): _*)
+      case None =>
+        withZ.repartitionByRange(numFiles, col(zc))
+          .sortWithinPartitions(zc)
+          .drop((dimCols :+ zc): _*)
+    }
+  }
+
+  /** Incremental clustering (Delta liquid-clustering OPTIMIZE analog):
+    * rewrite onto the Morton curve of `zcols` ONLY the files written
+    * since the last clustering commit (ZORDER or CLUSTER operation);
+    * already-clustered files carry by reference, path-identical. Each
+    * OPTIMIZE therefore costs O(new data since the last run), never
+    * O(table) — the property that makes scheduled clustering viable at
+    * 100 TB. Returns the number of files rewritten. The curve lattice
+    * normalizes against WHOLE-TABLE stats, so successive increments
+    * cluster on the same coordinates and file-level [min,max] spans
+    * stay tight table-wide. */
+  def clusterIncremental(zcols: Seq[String],
+      minBytes: Long = 128L * 1024 * 1024, full: Boolean = false): Int = {
+    require(zcols.nonEmpty && zcols.size <= 4,
+      s"CLUSTER BY takes 1 to 4 columns, got ${zcols.size}")
+    val v = currentVersion
+    require(deltaEntries(v).isEmpty && dvEntries(v).isEmpty,
+      s"incremental clustering on $root requires compacted state " +
+        "(pending MoR deltas / DV marks)")
+    graft.functions.GraftFunctions.registerAll(spark)
+    // `full` (Delta's `OPTIMIZE … FULL`): recluster EVERYTHING —
+    // the escape hatch after changing the clustering columns, where
+    // "already clustered" files are clustered on the WRONG curve
+    val lastCluster =
+      if (full) -1
+      else versions
+        .filter(x => { val op = manifestOf(x).operation
+          op == "ZORDER" || op == "CLUSTER" })
+        .maxOption.getOrElse(-1)
+    val (tail, carried) = fileEntries(v).partition(_.origin > lastCluster)
+    if (tail.isEmpty) return 0
+    val spec = layoutSpec
+    val numFiles = math.max(1L,
+      (tail.map(_.bytes).sum + minBytes - 1) / minBytes).toInt
+    val df = zorderArrange(baseScan(tail, Seq.empty), zcols, numFiles,
+      spec.map(PartitionTransform.parse))
+    val written = writeData(df, v + 1, spec, cluster = false)
+    writeManifest(Manifest(v + 1, "CLUSTER", mergeKeysOf(v),
+      written ++ carried, Seq.empty))
+    tail.size
+  }
+
   def compactZOrder(numFiles: Int, colA: String, colB: String): SnapshotTable =
     compactZOrder(numFiles, Seq(colA, colB))
 
@@ -2014,54 +2239,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
       case None    => read(v) // folds pending MoR deltas (Hudi-style)
       case Some(_) => baseScan(scoped, Seq.empty)
     }
-    // Scale-normalize every dim to a 16-bit lattice before interleaving
-    // (raw interleaving biases toward the wider-ranged column). Bounds
-    // come from the manifest's footer stats — no extra scan; a stat-less
-    // column falls back to one min/max aggregate over the table.
-    def bounds(c: String): (Double, Double) =
-      statsMinMax(c).getOrElse {
-        val r = source.agg(
-          org.apache.spark.sql.functions.min(col(c).cast("double")),
-          org.apache.spark.sql.functions.max(col(c).cast("double"))).head()
-        // empty table / all-null column: any constant lattice cell works
-        if (r.isNullAt(0) || r.isNullAt(1)) (0.0, 0.0)
-        else (r.getDouble(0), r.getDouble(1))
-      }
-    def norm(c: String): org.apache.spark.sql.Column = {
-      val (lo, hi) = bounds(c)
-      val span = math.max(hi - lo, 1e-12)
-      // clamp BOTH ends: stats can lag the data (e.g. folded delta rows
-      // below the base files' min), and graft_zorder needs [0, 65535]
-      org.apache.spark.sql.functions.least(
-        org.apache.spark.sql.functions.greatest(
-          org.apache.spark.sql.functions.floor(
-            (col(c).cast("double") - lit(lo)) * 65536.0 / lit(span)),
-          lit(0L)),
-        lit(65535L)).cast("long")
-    }
-    val zc = "__graft_z"
-    val dimCols = zcols.indices.map(i => s"__graft_zd$i")
-    val withDims = zcols.zip(dimCols).foldLeft(source) {
-      case (d, (c, dc)) => d.withColumn(dc, norm(c))
-    }
-    val withZ = withDims.withColumn(zc,
-      org.apache.spark.sql.functions.expr(
-        s"graft_zorder(${dimCols.mkString(", ")})"))
-    val df = specParsed match {
-      case Some(p) =>
-        // cluster by (partition value, curve): contiguous partition runs
-        // per task, curve-ordered within — the partitioned writer then
-        // emits curve-spanned files inside each partition directory
-        val pv = "__graft_zpv"
-        withZ.withColumn(pv, PartitionTransform.writeColumn(p))
-          .repartitionByRange(numFiles, col(pv), col(zc))
-          .sortWithinPartitions(pv, zc)
-          .drop((dimCols :+ zc :+ pv): _*)
-      case None =>
-        withZ.repartitionByRange(numFiles, col(zc))
-          .sortWithinPartitions(zc)
-          .drop((dimCols :+ zc): _*)
-    }
+    val df = zorderArrange(source, zcols, numFiles, specParsed)
     // cluster = false: writeData's default re-clustering by partition
     // value would destroy the curve ordering just built
     val written = writeData(df, v + 1, spec, cluster = false)
@@ -2358,8 +2536,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * after deleting the table directory so a later table created at the
     * SAME path (deterministic manifest names) can't be served stale
     * state. */
-  def invalidateCaches(): Unit =
+  def invalidateCaches(): Unit = {
+    bloomColsCache = None
+    synthPartCache = None
     invalidateCachesUnder(rootPath.toUri.getPath)
+  }
 
   private def invalidateCachesUnder(rootAbs: String): Unit = {
     val prefix = rootAbs + "/"
@@ -2582,6 +2763,17 @@ object SnapshotTable {
   /** Sidecar property key recording the table's partition layout
     * (shared with the SQL catalog's `GraftV2Table`). */
   val PartSpecProp = "partitionSpec"
+
+  /** Sidecar property on CONVERTed tables whose pre-existing files lack
+    * the partition column (standard Spark/Hive `pc=v/` layout):
+    * "name:catalogType". See [[SnapshotTable.convertInPlace]]. */
+  val SynthPartProp = "convert.synthesizedPartition"
+
+  /** Sidecar property recording the table's clustering columns (Delta
+    * liquid-clustering `CLUSTER BY` analog, comma-separated): a bare
+    * `OPTIMIZE` on a table carrying it runs [[SnapshotTable.clusterIncremental]]
+    * instead of small-file bin-packing. Empty string = CLUSTER BY NONE. */
+  val ClusterSpecProp = "clusterBy"
 
   /** Directory name Spark's partitioned writer gives null partition
     * values — the on-disk identity of the null partition. */

@@ -1,0 +1,81 @@
+package graft
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Liquid-clustering surface (Delta CLUSTER BY analog): a stored
+  * clustering spec that bare OPTIMIZE serves INCREMENTALLY — only files
+  * written since the last clustering commit rewrite onto the Morton
+  * curve; clustered files carry by reference. */
+class ClusterBySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(p: String) = Files.createTempDirectory(s"graft_$p").toString
+
+  test("clusterIncremental rewrites only the unclustered tail") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("liq"))
+      .create((1L to 4000L).map(k => (k, (k * 37 % 1000).toDouble))
+        .toDF("k", "v").repartition(4))
+    assert(t.clusterIncremental(Seq("k", "v")) > 0) // v1: clusters all
+    val clustered = t.files.map(_.path).toSet
+    // appends after clustering form the unclustered tail
+    t.append((4001L to 4200L).map(k => (k, k.toDouble)).toDF("k", "v")
+      .repartition(2)) // v2
+    assert(t.clusterIncremental(Seq("k", "v")) == 2) // v3: only the tail
+    // the originally-clustered files carried by reference, path-identical
+    assert(clustered.subsetOf(t.files.map(_.path).toSet),
+      "clustered files must carry by reference across incremental runs")
+    // nothing new → zero rewrites, no commit
+    val v = t.currentVersion
+    assert(t.clusterIncremental(Seq("k", "v")) == 0)
+    assert(t.currentVersion == v)
+    // content preserved
+    assert(t.read().count() == 4200)
+    assert(t.read().agg(sum("k")).head.getLong(0) == (1L to 4200L).sum)
+    // curve clustering tightens per-file ranges → skipping prunes
+    assert(t.filesInRange("k", 1.0, 10.0).size < t.files.size)
+  }
+
+  test("SQL CREATE TABLE CLUSTER BY + OPTIMIZE runs incremental clustering") {
+    val cat = tmp("liq_cat")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.liqcat", "graft.sources.GraftSqlCatalog")
+    s.conf.set("spark.sql.catalog.liqcat.root", cat)
+    s.sql("CREATE NAMESPACE liqcat.ns")
+    s.sql("CREATE TABLE liqcat.ns.t (k BIGINT, v DOUBLE) CLUSTER BY (k, v)")
+    s.range(1, 2001).selectExpr("id AS k", "CAST(id * 37 % 500 AS DOUBLE) AS v")
+      .createOrReplaceTempView("liq_src")
+    s.sql("INSERT INTO liqcat.ns.t SELECT * FROM liq_src")
+    val t = new SnapshotTable(s, s"$cat/ns/t")
+    assert(t.property(SnapshotTable.ClusterSpecProp).contains("k,v"))
+    s.sql("OPTIMIZE liqcat.ns.t") // clusters
+    assert(t.commitOperation(t.currentVersion) == "CLUSTER")
+    val clustered = t.files.map(_.path).toSet
+    s.sql("INSERT INTO liqcat.ns.t VALUES (9999, 1.0)")
+    s.sql("OPTIMIZE liqcat.ns.t") // incremental: clustered files carry
+    assert(clustered.subsetOf(t.files.map(_.path).toSet))
+    assert(s.sql("SELECT count(*) FROM liqcat.ns.t").head.getLong(0) == 2001)
+    // WHERE scoping is refused on clustered tables (Delta parity)
+    assertThrows[Exception](s.sql("OPTIMIZE liqcat.ns.t WHERE k = '1'"))
+    // OPTIMIZE FULL reclusters EVERYTHING (the escape hatch after
+    // changing clustering columns): previously-clustered files rewrite
+    s.sql("ALTER TABLE liqcat.ns.t CLUSTER BY (v)")
+    val beforeFull = t.files.map(_.path).toSet
+    s.sql("OPTIMIZE liqcat.ns.t FULL")
+    assert(t.commitOperation(t.currentVersion) == "CLUSTER")
+    assert(t.files.map(_.path).toSet.intersect(beforeFull).isEmpty,
+      "FULL must rewrite previously-clustered files too")
+    assert(s.sql("SELECT count(*) FROM liqcat.ns.t").head.getLong(0) == 2001)
+    // FULL on an unclustered table refuses
+    s.sql("ALTER TABLE liqcat.ns.t CLUSTER BY NONE")
+    assertThrows[Exception](s.sql("OPTIMIZE liqcat.ns.t FULL"))
+    // ALTER TABLE CLUSTER BY NONE reverts OPTIMIZE to bin-packing
+    // (two small files so the bin-pack actually commits)
+    s.sql("INSERT INTO liqcat.ns.t VALUES (10000, 2.0)")
+    s.sql("OPTIMIZE liqcat.ns.t")
+    assert(t.commitOperation(t.currentVersion) != "CLUSTER")
+  }
+}

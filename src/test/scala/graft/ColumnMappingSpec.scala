@@ -124,6 +124,25 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(s.sql("SELECT * FROM cmcat.ns.t WHERE k = 2").count() == 1)
   }
 
+  test("REORG APPLY (PURGE) physically sheds dropped-column data") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("cm_reorg"))
+      .create(Seq((1L, 10.0, "secret"), (2L, 20.0, "pii")).toDF("k", "v", "tag"))
+    t.dropColumn("tag")
+    // the physical bytes still hold the column until REORG purges
+    assert(spark.read.parquet(t.files.head.path)
+      .schema.fieldNames.contains("tag"))
+    val rewritten = t.reorgPurge()
+    assert(rewritten > 0)
+    // every current file is now physically free of the dropped column
+    t.files.foreach(e => assert(!spark.read.parquet(e.path)
+      .schema.fieldNames.contains("tag"), e.path))
+    assert(t.read().orderBy("k").select("v").as[Double].collect()
+      .toSeq == Seq(10.0, 20.0))
+    // idempotent: a second REORG finds nothing to purge
+    assert(t.reorgPurge() == 0)
+  }
+
   test("shallow clone carries the mapping; CDF reads per-version names") {
     import spark.implicits._
     val t = new SnapshotTable(spark, tmp("cm_clone"))

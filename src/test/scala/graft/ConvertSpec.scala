@@ -1,0 +1,114 @@
+package graft
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** CONVERT TO GRAFT (Delta `CONVERT TO DELTA` analog): in-place
+  * conversion of an existing plain-parquet directory — version 0
+  * references the files where they are (zero rewrite, O(files) footer
+  * reads), Hive-layout partition columns synthesize from the manifest. */
+class ConvertSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(p: String) = Files.createTempDirectory(s"graft_$p").toString
+
+  test("unpartitioned parquet dir converts in place: files referenced, stats captured") {
+    import spark.implicits._
+    val dir = tmp("cv_flat")
+    (1L to 100L).map(k => (k, k * 2.0)).toDF("k", "v")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val originals = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map("file:" + _.getPath).toSet
+    val t = new SnapshotTable(spark, dir).convertInPlace()
+    // the manifest references the ORIGINAL files — nothing rewritten
+    assert(t.files.map(_.path).toSet == originals)
+    assert(t.read().count() == 100)
+    assert(t.countFromManifest == 100)
+    // footer stats make skipping work immediately
+    assert(t.statsMinMax("k").contains((1.0, 100.0)))
+    assert(t.filesInRange("k", 1.0, 1.0).size < t.files.size)
+    // the converted table is a full citizen: DML + time travel
+    t.append(Seq((101L, 202.0)).toDF("k", "v"))
+    assert(t.read().count() == 101)
+    assert(t.read(0).count() == 100)
+    assertThrows[IllegalArgumentException](
+      new SnapshotTable(spark, dir).convertInPlace()) // already converted
+  }
+
+  test("Hive-layout dir converts with a synthesized partition column") {
+    import spark.implicits._
+    val dir = tmp("cv_hive")
+    // standard Spark partitioned write: files do NOT contain `status`
+    Seq((1L, "O", 10.0), (2L, "F", 20.0), (3L, "O", 30.0), (4L, "P", 40.0))
+      .toDF("k", "status", "v")
+      .write.partitionBy("status").mode("overwrite").parquet(dir)
+    val t = new SnapshotTable(spark, dir).convertInPlace(
+      Some(org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType)))
+    // the synthesized column reads back with per-file values
+    val got = t.read().orderBy("k")
+      .select("k", "status", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "O", 10.0), (2L, "F", 20.0), (3L, "O", 30.0),
+      (4L, "P", 40.0)))
+    // manifest partition pruning works (identity layout recorded)
+    val (pruned, residual) = t.planFiles("status", "O")
+    assert(pruned.nonEmpty && residual.isEmpty)
+    assert(t.readWhereCol("status", "O").count() == 2)
+    // partition filters prune metadata-only on the SQL path too
+    assert(t.read().filter(col("status") === "F").count() == 1)
+    // engine writes after conversion carry the column natively and
+    // coexist with synthesized files
+    t.append(Seq((5L, "O", 50.0)).toDF("k", "status", "v"), Some("status"))
+    assert(t.read().filter(col("status") === "O").count() == 3)
+    // compaction folds everything into native files, content unchanged
+    t.compact(1, Some("status"))
+    assert(t.read().orderBy("k").select("status").as[String].collect()
+      .toSeq == Seq("O", "F", "O", "P", "O"))
+  }
+
+  test("typed partition values cast through the synthesized column") {
+    import spark.implicits._
+    val dir = tmp("cv_int")
+    Seq((1L, 2021, 1.0), (2L, 2022, 2.0), (3L, 2021, 3.0))
+      .toDF("k", "year", "v")
+      .write.partitionBy("year").mode("overwrite").parquet(dir)
+    val t = new SnapshotTable(spark, dir).convertInPlace(
+      Some(org.apache.spark.sql.types.StructField("year",
+        org.apache.spark.sql.types.IntegerType)))
+    assert(t.read().schema("year").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(t.read().filter(col("year") === 2021).count() == 2)
+    assert(t.read().groupBy("year").count().count() == 2)
+  }
+
+  test("SQL CONVERT TO GRAFT verb with path addressing") {
+    import spark.implicits._
+    val dir = tmp("cv_sql")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .write.mode("overwrite").parquet(dir)
+    val s = spark
+    val res = s.sql(s"CONVERT TO GRAFT parquet.`$dir`").collect()
+    assert(res.head.getLong(1) >= 1 && res.head.getLong(2) == 2)
+    // the converted table answers path-addressed reads + verbs
+    assert(s.sql(s"SELECT count(*) FROM graft.`$dir`").head.getLong(0) == 2)
+    assert(s.sql(s"DESCRIBE HISTORY graft.`$dir`").count() == 1)
+    // partitioned spelling
+    val dir2 = tmp("cv_sql_p")
+    Seq((1L, "O"), (2L, "F")).toDF("k", "st")
+      .write.partitionBy("st").mode("overwrite").parquet(dir2)
+    s.sql(s"CONVERT TO GRAFT parquet.`$dir2` PARTITIONED BY (st STRING)")
+    assert(s.sql(s"SELECT k FROM graft.`$dir2` WHERE st = 'O'")
+      .head.getLong(0) == 1)
+    // a Hive-layout dir WITHOUT the partition clause refuses loudly:
+    // silently reading it flat would drop the partition column
+    val dir3 = tmp("cv_sql_refuse")
+    Seq((1L, "O")).toDF("k", "st")
+      .write.partitionBy("st").mode("overwrite").parquet(dir3)
+    val e = intercept[Exception](s.sql(s"CONVERT TO GRAFT parquet.`$dir3`"))
+    assert(e.getMessage.contains("PARTITIONED BY") ||
+      e.getMessage.contains("partition"), e.getMessage)
+  }
+}
