@@ -1242,6 +1242,98 @@ object Lakehouse {
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
+  // Column DEFAULT values (ANSI DEFAULT expr): the default SQL lives in
+  // the schema field metadata (persisted by the zero-row schema-carrier
+  // footers), Spark's own analysis fills omitted INSERT columns, and
+  // ALTER COLUMN SET DEFAULT re-points FUTURE inserts only (a
+  // metadata-only ALTER_COLUMN commit via the newest-origin-wins field
+  // union). The oracle pins rows inserted under both defaults.
+  private val sqlColumnDefaults = OpQuery(
+    "sql_column_defaults",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM (
+        SELECT o_orderstatus, 5.5 AS price FROM orders
+        WHERE o_orderkey % 19 = 0
+        UNION ALL
+        SELECT 'D' AS o_orderstatus, 9.75 AS price FROM orders
+        WHERE o_orderkey % 29 = 0)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val cat = s"graftdflt_${math.abs(d.hashCode).toHexString}"
+      val root = stagedRoots.computeIfAbsent((d, "sqlcat_dflt_root"), _ => {
+        val root = stagedTmp("stage_sqlcat_dflt")
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus")
+          .createOrReplaceTempView("sqldflt_src")
+        s.sql(s"CREATE NAMESPACE $cat.bench")
+        s.sql(s"""CREATE TABLE $cat.bench.deft
+                  (o_orderkey BIGINT, price DOUBLE DEFAULT 5.5,
+                   o_orderstatus STRING DEFAULT 'D')""")
+        s.sql(s"""INSERT INTO $cat.bench.deft (o_orderkey, o_orderstatus)
+                  SELECT o_orderkey, o_orderstatus FROM sqldflt_src
+                  WHERE o_orderkey % 19 = 0""")
+        s.sql(s"ALTER TABLE $cat.bench.deft ALTER COLUMN price SET DEFAULT 9.75")
+        s.sql(s"""INSERT INTO $cat.bench.deft (o_orderkey)
+                  SELECT o_orderkey + 50000000 FROM sqldflt_src
+                  WHERE o_orderkey % 29 = 0""")
+        root
+      })
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM $cat.bench.deft
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
+  // Generated columns (Delta GENERATED ALWAYS AS analog): the generation
+  // expression lives in the field metadata; INSERTs that omit the column
+  // compute it row-locally inside the write job, provided values must
+  // match (mismatch fails the write, nothing commits). The oracle
+  // recomputes the generated value from the raw data.
+  private val sqlGeneratedColumns = OpQuery(
+    "sql_generated_columns",
+    Some("""
+      SELECT CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS price_band,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderkey % 13 = 0
+      GROUP BY 1 ORDER BY price_band
+    """),
+    (s, d) => {
+      val cat = s"graftgen_${math.abs(d.hashCode).toHexString}"
+      val root = stagedRoots.computeIfAbsent((d, "sqlcat_gen_root"), _ => {
+        val root = stagedTmp("stage_sqlcat_gen")
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .createOrReplaceTempView("sqlgen_src")
+        s.sql(s"CREATE NAMESPACE $cat.bench")
+        s.sql(s"""CREATE TABLE $cat.bench.gen
+                  (o_orderkey BIGINT, o_totalprice DOUBLE,
+                   price_band BIGINT GENERATED ALWAYS AS
+                     (CAST(FLOOR(o_totalprice / 1000) AS BIGINT)))""")
+        s.sql(s"""INSERT INTO $cat.bench.gen (o_orderkey, o_totalprice)
+                  SELECT o_orderkey, o_totalprice FROM sqlgen_src
+                  WHERE o_orderkey % 13 = 0""")
+        root
+      })
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""SELECT price_band, COUNT(*) AS n
+                FROM $cat.bench.gen
+                GROUP BY price_band ORDER BY price_band""")
+    })
+
   // ANSI CHECK constraints through SQL: ADD CONSTRAINT validates the
   // existing rows once (refusing if any violate), stores the predicate
   // as table metadata, and every later INSERT/UPDATE/MERGE is enforced
@@ -2450,5 +2542,5 @@ object Lakehouse {
     sqlCatalogOverwriteHidden, sqlReplaceWhere,
     sqlPathVerbs, sqlRestoreClone, sqlTableChanges, cdcBatchOptions,
     sqlCallCompaction, sqlColumnMapping, sqlConvertInPlace, sqlClusterBy,
-    sqlCheckConstraint)
+    sqlCheckConstraint, sqlColumnDefaults, sqlGeneratedColumns)
 }

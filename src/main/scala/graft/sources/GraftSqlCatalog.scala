@@ -92,11 +92,21 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
   /** ANSI CHECK constraints are supported (stored as sidecar
     * properties, enforced on writes by Spark's CheckInvariant) —
     * without this capability the analyzer refuses ADD CONSTRAINT
-    * before it ever reaches alterTable. */
+    * before it ever reaches alterTable. Column DEFAULT values are
+    * supported too: the default expressions live in the schema field
+    * METADATA (Spark's EXISTS_DEFAULT/CURRENT_DEFAULT keys), which the
+    * zero-row schema-carrier footers persist verbatim — Spark's own
+    * analysis fills omitted columns on INSERT, the connector only has
+    * to keep the metadata. */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def spark: SparkSession = SparkSession.active
   private def fs: FileSystem =
@@ -286,6 +296,31 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** The v2-Column CREATE overload: generation expressions ride on the
+    * [[org.apache.spark.sql.connector.catalog.Column]] API (NOT on
+    * StructField metadata), so the default columns→schema bridge drops
+    * them — re-attach each one as the field-metadata key the write-side
+    * fill ([[GraftV2Table.applyGeneratedColumns]]) and Spark's own
+    * GeneratedColumn util read, then delegate to the schema overload. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val base =
+      org.apache.spark.sql.GraftStreamShim.v2ColumnsToStructType(columns)
+    val schema = StructType(base.fields.zip(columns).map { case (f, c) =>
+      require(c.identityColumnSpec() == null,
+        s"CREATE TABLE: identity column ${c.name()} unsupported")
+      if (c.generationExpression() == null) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .GENERATION_EXPRESSION_METADATA_KEY, c.generationExpression())
+        .build())
+    })
+    createTable(ident, schema, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val t = snapshotOf(ident)
@@ -328,6 +363,12 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"ALTER TABLE ADD COLUMNS: nested field ${a.fieldNames.mkString(".")} unsupported")
+        // an added column's DEFAULT would owe EXISTING rows the default
+        // value (ANSI EXISTS_DEFAULT), which the null-filling scan does
+        // not serve — refuse instead of silently reading NULLs
+        require(a.defaultValue() == null,
+          "ALTER TABLE ADD COLUMNS with DEFAULT is unsupported — add the " +
+            "column, then ALTER COLUMN … SET DEFAULT (existing rows read NULL)")
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"ALTER TABLE RENAME COLUMN: nested field ${r.fieldNames.mkString(".")} unsupported")
@@ -336,14 +377,24 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
           s"ALTER TABLE DROP COLUMN: nested field ${d.fieldNames.mkString(".")} unsupported")
       case _: TableChange.ClusterBy => ()
       case _: TableChange.SetProperty => ()
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          s"ALTER COLUMN DEFAULT: nested field ${u.fieldNames.mkString(".")} unsupported")
       case a: TableChange.AddConstraint =>
+        // CHECK constraints enforce; PK / UNIQUE / FK are accepted as
+        // INFORMATIONAL (NOT ENFORCED — the standard lakehouse stance:
+        // Delta/Snowflake treat them as planner hints via RELY)
         require(a.constraint().isInstanceOf[
-          org.apache.spark.sql.connector.catalog.constraints.Check],
-          s"ALTER TABLE ADD CONSTRAINT: only CHECK constraints are " +
-            s"enforceable here, got ${a.constraint().toDDL}")
+            org.apache.spark.sql.connector.catalog.constraints.Check] ||
+          !a.constraint().enforced(),
+          s"ALTER TABLE ADD CONSTRAINT: ${a.constraint().name()} — only " +
+            "CHECK constraints are enforceable; declare " +
+            "PRIMARY KEY / UNIQUE / FOREIGN KEY as NOT ENFORCED")
       case d: TableChange.DropConstraint =>
-        require(d.ifExists || t.propertiesMap.contains(
-          GraftV2Table.CheckConstraintProp + d.name),
+        val props = t.propertiesMap
+        require(d.ifExists ||
+          props.contains(GraftV2Table.CheckConstraintProp + d.name) ||
+          props.contains(GraftV2Table.InfoConstraintProp + d.name),
           s"ALTER TABLE DROP CONSTRAINT: no constraint ${d.name}")
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE: unsupported change $other — ADD/RENAME/DROP COLUMNS, " +
@@ -388,23 +439,45 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       // (Delta's contract), then store the predicate — enforcement on
       // every subsequent write is Spark's own CheckInvariant, injected
       // from the constraints() this table reports
-      case a: TableChange.AddConstraint =>
-        val chk = a.constraint().asInstanceOf[
-          org.apache.spark.sql.connector.catalog.constraints.Check]
-        val sql = chk.predicateSql()
-        // the SQL path's AddCheckConstraintExec already ran the
-        // validation scan (and stamped the version it validated at) —
-        // only direct API callers pay one here
-        if (a.validatedTableVersion() == null) {
-          val violating = t.read()
-            .filter(org.apache.spark.sql.functions.expr(sql) <=> false)
-            .limit(1).count()
-          require(violating == 0,
-            s"ADD CONSTRAINT ${chk.name()}: existing rows violate CHECK ($sql)")
-        }
-        t.withProperty(GraftV2Table.CheckConstraintProp + chk.name(), sql)
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          val sql = chk.predicateSql()
+          // the SQL path's AddCheckConstraintExec already ran the
+          // validation scan (and stamped the version it validated at) —
+          // only direct API callers pay one here
+          if (a.validatedTableVersion() == null) {
+            val violating = t.read()
+              .filter(org.apache.spark.sql.functions.expr(sql) <=> false)
+              .limit(1).count()
+            require(violating == 0,
+              s"ADD CONSTRAINT ${chk.name()}: existing rows violate CHECK ($sql)")
+          }
+          t.withProperty(GraftV2Table.CheckConstraintProp + chk.name(), sql)
+        // informational constraints: persisted structurally so the
+        // constraints() API reconstructs them across restarts (RELY
+        // flags reach the planner; nothing is validated or enforced —
+        // NOT ENFORCED is required and checked above)
+        case info =>
+          t.withProperty(GraftV2Table.InfoConstraintProp + info.name(),
+            GraftV2Table.encodeInfoConstraint(info))
+      }
       case d: TableChange.DropConstraint =>
         t.removeProperty(GraftV2Table.CheckConstraintProp + d.name)
+        t.removeProperty(GraftV2Table.InfoConstraintProp + d.name)
+      // ALTER COLUMN … SET DEFAULT expr | DROP DEFAULT: the default SQL
+      // lives in the field metadata (Spark's CURRENT_DEFAULT key);
+      // existing rows keep their values (EXISTS_DEFAULT untouched),
+      // only future INSERTs that omit the column pick up the new
+      // expression — Spark's own analysis fills it at write time
+      case u: TableChange.UpdateColumnDefaultValue =>
+        t.alterColumnMeta(u.fieldNames.head, { f =>
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          val sql = u.newDefaultValue()
+          if (sql == null || sql.isEmpty) b.remove("CURRENT_DEFAULT")
+          else b.putString("CURRENT_DEFAULT", sql)
+          f.copy(metadata = b.build())
+        })
       case _ => () // AddColumn handled above
     }
     loadTable(ident)
@@ -590,6 +663,9 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
           .validationStatus(org.apache.spark.sql.connector.catalog
             .constraints.Constraint.ValidationStatus.VALID)
           .build()
+      case (k, enc) if k.startsWith(GraftV2Table.InfoConstraintProp) =>
+        GraftV2Table.decodeInfoConstraint(
+          k.stripPrefix(GraftV2Table.InfoConstraintProp), enc)
     }.toArray
 
   // BATCH_WRITE rides along with V1_BATCH_WRITE only to satisfy the
@@ -747,7 +823,8 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
       override def build(): Write = new V1Write {
         override def toInsertableRelation(): InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, overwriteArg: Boolean): Unit = {
+            override def insert(dataRaw: DataFrame, overwriteArg: Boolean): Unit = {
+              val data = GraftV2Table.applyGeneratedColumns(dataRaw, schema)
               val identityPartCol = partSpec.filterNot(_.contains("("))
               mode match {
                 case "truncate" => table.overwriteAll(data, partSpec)
@@ -810,6 +887,80 @@ object GraftV2Table {
   /** Sidecar property prefix for ANSI CHECK constraints: key
     * `constraint.check.<name>`, value = the predicate SQL. */
   val CheckConstraintProp = "constraint.check."
+
+  /** Sidecar property prefix for INFORMATIONAL constraints (PK / UNIQUE
+    * / FK, NOT ENFORCED): key `constraint.info.<name>`, value =
+    * [[encodeInfoConstraint]]'s structural form. */
+  val InfoConstraintProp = "constraint.info."
+
+  import org.apache.spark.sql.connector.catalog.constraints.{Constraint => V2Constraint, ForeignKey, PrimaryKey, Unique}
+
+  /** Structural encoding of an informational constraint — enough to
+    * REBUILD the object across restarts (catalog state is the
+    * filesystem): `kind|cols|rely[|refTable|refCols]`. */
+  private[graft] def encodeInfoConstraint(c: V2Constraint): String = {
+    def cols(cs: Array[org.apache.spark.sql.connector.expressions.NamedReference]) =
+      cs.map(_.fieldNames.mkString(".")).mkString(",")
+    c match {
+      case pk: PrimaryKey => s"primaryKey|${cols(pk.columns())}|${c.rely()}"
+      case u: Unique      => s"unique|${cols(u.columns())}|${c.rely()}"
+      case fk: ForeignKey =>
+        s"foreignKey|${cols(fk.columns())}|${c.rely()}|" +
+          s"${(fk.referencedTable().namespace() :+ fk.referencedTable().name()).mkString(".")}|" +
+          cols(fk.referencedColumns())
+      case other => throw new UnsupportedOperationException(
+        s"unsupported informational constraint: ${other.toDDL}")
+    }
+  }
+
+  private[graft] def decodeInfoConstraint(
+      name: String, encoded: String): V2Constraint = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val parts = encoded.split('|')
+    def refs(s: String) = s.split(',').map(Expressions.column(_)
+      : org.apache.spark.sql.connector.expressions.NamedReference)
+    val rely = parts(2).toBoolean
+    parts(0) match {
+      case "primaryKey" => V2Constraint.primaryKey(name, refs(parts(1)))
+        .rely(rely).enforced(false).build()
+      case "unique" => V2Constraint.unique(name, refs(parts(1)))
+        .rely(rely).enforced(false).build()
+      case "foreignKey" =>
+        val tn = parts(3).split('.')
+        V2Constraint.foreignKey(name, refs(parts(1)),
+          org.apache.spark.sql.connector.catalog.Identifier.of(
+            tn.dropRight(1), tn.last), refs(parts(4)))
+          .rely(rely).enforced(false).build()
+    }
+  }
+
+  /** Generated columns (Delta `GENERATED ALWAYS AS (expr)` analog): the
+    * generation expression lives in the field metadata (Spark's own
+    * key, persisted by the schema-carrier footers). On every INSERT,
+    * omitted/NULL slots compute the expression and PROVIDED values must
+    * match it — one row-local codegen'd projection inside the write
+    * job (the mismatch raises from the task; no commit happens), so the
+    * invariant costs zero extra passes at any batch size. */
+  private[graft] def applyGeneratedColumns(
+      data: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gens = schema.fields.flatMap(f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map(f -> _))
+    gens.foldLeft(data) { case (df, (f, genSql)) =>
+      val gen = expr(genSql).cast(f.dataType)
+      val filled = when(col(f.name).isNull, gen)
+        .when(col(f.name) <=> gen, col(f.name))
+        .otherwise(raise_error(concat(
+          lit(s"GENERATED ALWAYS column ${f.name}: provided value "),
+          col(f.name).cast("string"),
+          lit(s" does not match ($genSql)"))).cast(f.dataType))
+      // select with an explicit metadata-carrying alias (withColumn
+      // would strip the field metadata from the written footers)
+      df.select(df.columns.map(c =>
+        if (c == f.name) filled.as(c, f.metadata) else col(c)): _*)
+    }
+  }
 
   /** Canonical directory-string form of a pushed filter value — the form
     * the partitioned writer names directories with, hence the form the

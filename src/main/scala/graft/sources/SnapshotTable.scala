@@ -259,7 +259,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
           case FullRecord(full) => full
           case d: DeltaRecord => applyDelta(manifestOf(version - 1), d)
         }
-        if (m.renames.nonEmpty || m.dropped.nonEmpty)
+        if (m.renames.nonEmpty || m.dropped.nonEmpty || m.fieldMeta.nonEmpty)
           SnapshotTable.mappedRoots.add(root)
         manifestCache.put(key, m)
         m
@@ -304,7 +304,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
       entries: Seq[FileEntry], mapV: Int = -1): DataFrame =
     // metadata columns are selected on the RAW scan (before the
     // column-mapping projection — a Project on top would hide them)
-    toLogicalDf(readEntriesRaw(entries).select(col("*"),
+    toLogicalDf(readEntriesRaw(entries, mapV).select(col("*"),
       col("_metadata.file_path").as(DvFileCol),
       col("_metadata.row_index").as(DvPosCol)), mapV)
 
@@ -340,9 +340,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * when negative — time-travel reads pass their version so renames
     * below it stay invisible). */
   private def readEntries(entries: Seq[FileEntry], mapV: Int = -1): DataFrame =
-    toLogicalDf(readEntriesRaw(entries), mapV)
+    toLogicalDf(readEntriesRaw(entries, mapV), mapV)
 
-  private def readEntriesRaw(entries: Seq[FileEntry]): DataFrame = {
+  private def readEntriesRaw(
+      entries: Seq[FileEntry], mapV: Int = -1): DataFrame = {
     require(entries.nonEmpty, s"no data files to read at $root")
     val schema = entries.groupBy(_.origin).toSeq.sortBy(_._1)
       .map { case (_, es) =>
@@ -354,6 +355,21 @@ class SnapshotTable(spark: SparkSession, root: String) {
         org.apache.spark.sql.types.StructType(
           a.fields ++ b.fields.filterNot(f => known.contains(f.name)))
       }
+    // Versioned field-metadata overlay (`ALTER COLUMN … SET/DROP
+    // DEFAULT`, comments): the manifest's fieldMeta wins over whatever
+    // metadata the data-file footers carry — footer copies go stale the
+    // moment a rewrite strips or duplicates them, the commit log never
+    // does. Keyed by PHYSICAL name (this is physical space).
+    val withMeta =
+      if (!isMapped) schema
+      else {
+        val fm = manifestOf(
+          if (mapV < 0) currentVersion else mapV).fieldMeta
+        if (fm.isEmpty) schema
+        else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+          fm.get(f.name).map(j => f.copy(metadata =
+            org.apache.spark.sql.types.Metadata.fromJson(j))).getOrElse(f)))
+      }
     // CONVERTed Hive-layout tables: the synthesized partition column is
     // served from the manifest's per-file partition value through the
     // scan's partition schema (the files don't carry it). Applies only
@@ -364,8 +380,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
       case Some(f) => (
         org.apache.spark.sql.types.StructType(Seq(f)),
         org.apache.spark.sql.types.StructType(
-          schema.fields.filterNot(_.name == f.name)))
-      case None => (new org.apache.spark.sql.types.StructType(), schema)
+          withMeta.fields.filterNot(_.name == f.name)))
+      case None => (new org.apache.spark.sql.types.StructType(), withMeta)
     }
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       new ManifestFileIndex(spark, rootPath, entries, partSchema),
@@ -498,7 +514,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     require(version >= 0 && version < cur, s"cannot restore to $version from $cur")
     val m = manifestOf(version)
     writeManifest(Manifest(cur + 1, "RESTORE", m.mergeKeys, m.files, m.deltas,
-      dvs = m.dvs, renames = m.renames, dropped = m.dropped))
+      dvs = m.dvs, renames = m.renames, dropped = m.dropped,
+      fieldMeta = m.fieldMeta))
     this
   }
 
@@ -661,7 +678,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
       if (phys == newName) m.renames - oldName // rename-back to identity
       else (m.renames - oldName) + (newName -> phys)
     writeManifest(Manifest(v + 1, "RENAME_COLUMN", m.mergeKeys, m.files,
-      m.deltas, Seq.empty, m.dvs, renames = newRenames, dropped = m.dropped))
+      m.deltas, Seq.empty, m.dvs, renames = newRenames, dropped = m.dropped,
+      fieldMeta = m.fieldMeta))
     this
   }
 
@@ -701,7 +719,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val phys = physColName(name, v)
     writeManifest(Manifest(v + 1, "DROP_COLUMN", m.mergeKeys, m.files,
       m.deltas, Seq.empty, m.dvs,
-      renames = m.renames - name, dropped = m.dropped :+ phys))
+      renames = m.renames - name, dropped = m.dropped :+ phys,
+      fieldMeta = m.fieldMeta - phys))
     this
   }
 
@@ -776,7 +795,31 @@ class SnapshotTable(spark: SparkSession, root: String) {
     require(written.nonEmpty, s"ADD COLUMNS on $root wrote no schema carrier")
     writeManifest(Manifest(v + 1, "ADD_COLUMNS", mergeKeysOf(v),
       fileEntries(v) ++ written, deltaEntries(v), Seq.empty, dvEntries(v),
-      renames = m.renames ++ freshPhys, dropped = m.dropped))
+      renames = m.renames ++ freshPhys, dropped = m.dropped,
+      fieldMeta = m.fieldMeta))
+    this
+  }
+
+  /** Metadata-only column redefinition (`ALTER COLUMN … SET/DROP
+    * DEFAULT`, comments): a pure manifest commit recording the column's
+    * new field METADATA in the versioned overlay — no files written,
+    * no data touched; the scan applies the overlay over whatever the
+    * data-file footers carry (footer copies go stale under rewrites,
+    * the commit log never does). Version-correct under time travel. */
+  def alterColumnMeta(name: String,
+      transform: org.apache.spark.sql.types.StructField =>
+        org.apache.spark.sql.types.StructField): SnapshotTable = {
+    val v = currentVersion
+    val m = manifestOf(v)
+    val logical = read(v).schema
+    require(logical.fieldNames.contains(name),
+      s"ALTER COLUMN on $root: no column $name")
+    val phys = physColName(name, v)
+    val nf = transform(logical(name).copy(name = phys))
+    writeManifest(Manifest(v + 1, "ALTER_COLUMN", m.mergeKeys, m.files,
+      m.deltas, Seq.empty, m.dvs, renames = m.renames, dropped = m.dropped,
+      fieldMeta = m.fieldMeta + (phys -> nf.metadata.json)))
+    SnapshotTable.mappedRoots.add(root)
     this
   }
 
@@ -2281,7 +2324,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     clone.writeManifest(Manifest(atVersion, "CLONE", mergeKeysOf(v),
       rebased(fileEntries(v)), rebased(deltaEntries(v)),
       dvs = rebased(dvEntries(v)),
-      renames = manifestOf(v).renames, dropped = manifestOf(v).dropped))
+      renames = manifestOf(v).renames, dropped = manifestOf(v).dropped,
+      fieldMeta = manifestOf(v).fieldMeta))
     // The clone inherits the durable property sidecar: a hidden-layout
     // table's partition spec and bloom-filter columns live there — a
     // clone losing them would write subsequent commits unpartitioned
@@ -2720,15 +2764,16 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // it explicitly; every other commit inherits the predecessor's.
     val setsMapping =
       prev == null || MappingOps.contains(m.operation)
-    val (carriedRenames, carriedDropped) =
-      if (setsMapping) (m.renames, m.dropped)
-      else (prev.renames, prev.dropped)
+    val (carriedRenames, carriedDropped, carriedFieldMeta) =
+      if (setsMapping) (m.renames, m.dropped, m.fieldMeta)
+      else (prev.renames, prev.dropped, prev.fieldMeta)
     val stamped = m.copy(
       ts = math.max(System.currentTimeMillis(),
         (if (prev == null) 0L else prev.ts) + 1),
       txns = carriedTxns,
       renames = carriedRenames,
       dropped = carriedDropped,
+      fieldMeta = carriedFieldMeta,
       // manifest-stored column names are always PHYSICAL: merge keys
       // arrive logical from DML callers and translate here, centrally
       // (idempotent — a physical name is never a logical name, the
@@ -2750,7 +2795,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val out = fs.create(p, /* overwrite = */ false)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (stamped.renames.nonEmpty || stamped.dropped.nonEmpty)
+    if (stamped.renames.nonEmpty || stamped.dropped.nonEmpty ||
+        stamped.fieldMeta.nonEmpty)
       SnapshotTable.mappedRoots.add(root)
     manifestCache.put(p.toString, stamped)
   }
@@ -2800,7 +2846,8 @@ object SnapshotTable {
     * so a restore below a RENAME also restores the old logical schema
     * (Delta parity: schema metadata is versioned with the commit). */
   private val MappingOps =
-    Set("RENAME_COLUMN", "DROP_COLUMN", "ADD_COLUMNS", "RESTORE", "CLONE")
+    Set("RENAME_COLUMN", "DROP_COLUMN", "ADD_COLUMNS", "ALTER_COLUMN",
+      "RESTORE", "CLONE")
 
   /** Roots where a column mapping has ever been observed — the
     * [[SnapshotTable.readEntries]]/[[SnapshotTable.writeData]] fast path
@@ -2852,7 +2899,11 @@ object SnapshotTable {
       // manifest (carried forward like txns), so time travel below a
       // RENAME/DROP reads the old logical schema.
       renames: Map[String, String] = Map.empty,
-      dropped: Seq[String] = Seq.empty) {
+      dropped: Seq[String] = Seq.empty,
+      // versioned field-metadata overlay (ALTER COLUMN SET/DROP DEFAULT,
+      // comments): PHYSICAL column name → StructField metadata JSON,
+      // winning over whatever the data-file footers carry
+      fieldMeta: Map[String, String] = Map.empty) {
     // PHYSICAL row count: base + pending delta rows, DV marks subtracted
     // (dv capture is duplicate-free by construction — marks come from the
     // DV-resolved scan — so the subtraction is exact). Exactly the
@@ -2961,6 +3012,11 @@ object SnapshotTable {
       val d = mapper.createArrayNode()
       m.dropped.foreach(d.add)
       rootN.set[JsonNode]("dropped", d)
+    }
+    if (m.fieldMeta.nonEmpty) {
+      val fmN = mapper.createObjectNode()
+      m.fieldMeta.toSeq.sortBy(_._1).foreach { case (c, j) => fmN.put(c, j) }
+      rootN.set[JsonNode]("field_meta", fmN)
     }
     rootN.toString
   }
@@ -3127,6 +3183,18 @@ object SnapshotTable {
           val d = n.get("dropped")
           (0 until d.size()).map(d.get(_).asText())
         }
+      val fieldMeta =
+        if (!n.has("field_meta")) Map.empty[String, String]
+        else {
+          val fmN = n.get("field_meta")
+          val it = fmN.fieldNames()
+          val buf = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val c = it.next()
+            buf += c -> fmN.get(c).asText()
+          }
+          buf.result()
+        }
       FullRecord(Manifest(
         n.get("version").asInt(),
         n.get("operation").asText(),
@@ -3138,7 +3206,8 @@ object SnapshotTable {
         ts,
         txns,
         renames,
-        dropped))
+        dropped,
+        fieldMeta))
     }
   }
 
@@ -3154,11 +3223,12 @@ object SnapshotTable {
       prev.dvs.filterNot(e => d.rmDvs(e.path)) ++ d.addDvs,
       d.ts,
       prev.txns ++ d.newTxns,
-      // column mapping only changes on mapping-op commits, which always
-      // persist as FULL records — a delta record inherits its
-      // predecessor's mapping verbatim
+      // column mapping / field-metadata overlay only change on
+      // mapping-op commits, which always persist as FULL records — a
+      // delta record inherits its predecessor's verbatim
       prev.renames,
-      prev.dropped)
+      prev.dropped,
+      prev.fieldMeta)
   }
 
   private def readFileString(fs: FileSystem, p: Path): String = {

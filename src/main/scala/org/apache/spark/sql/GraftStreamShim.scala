@@ -61,6 +61,15 @@ object GraftStreamShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** v2 Column array → StructType with Spark's own metadata mapping
+    * (comments, DEFAULT expressions) — `CatalogV2Util` is
+    * `private[sql]`, hence this bridge. */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols)
+
   /** Resolve a (possibly partial) multipart table name against the
     * session's catalog manager — the name surface of the SQL
     * maintenance verbs (`OPTIMIZE` / `VACUUM` / `DESCRIBE HISTORY`).

@@ -51,4 +51,34 @@ class CheckConstraintSqlSpec extends AnyFunSuite {
       s.sql("ALTER TABLE ckcat.ns.t DROP CONSTRAINT nope")
     }
   }
+
+  test("informational PK/UNIQUE/FK persist NOT ENFORCED with RELY; enforced ones refuse") {
+    val cat = tmp("pk_cat")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.pkcat", "graft.sources.GraftSqlCatalog")
+    s.conf.set("spark.sql.catalog.pkcat.root", cat)
+    s.sql("CREATE NAMESPACE pkcat.ns")
+    s.sql("CREATE TABLE pkcat.ns.dim (k BIGINT, v DOUBLE)")
+    s.sql("CREATE TABLE pkcat.ns.fact (fk BIGINT, amt DOUBLE)")
+    s.sql("ALTER TABLE pkcat.ns.dim ADD CONSTRAINT pk_k " +
+      "PRIMARY KEY (k) NOT ENFORCED RELY")
+    s.sql("ALTER TABLE pkcat.ns.fact ADD CONSTRAINT fk_dim " +
+      "FOREIGN KEY (fk) REFERENCES pkcat.ns.dim (k) NOT ENFORCED")
+    // persisted structurally and REBUILT through a fresh table handle
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val plugin = s.sessionState.catalogManager.catalog("pkcat")
+      .asInstanceOf[TableCatalog]
+    val dim = plugin.loadTable(Identifier.of(Array("ns"), "dim"))
+    val pk = dim.constraints().find(_.name == "pk_k").get
+    assert(!pk.enforced() && pk.rely())
+    assert(pk.toDDL.toUpperCase.contains("PRIMARY KEY"))
+    val fact = plugin.loadTable(Identifier.of(Array("ns"), "fact"))
+    val fk = fact.constraints().find(_.name == "fk_dim").get
+    assert(!fk.enforced())
+    assert(fk.toDDL.toUpperCase.contains("FOREIGN KEY"))
+    // DROP CONSTRAINT removes informational constraints too
+    s.sql("ALTER TABLE pkcat.ns.dim DROP CONSTRAINT pk_k")
+    assert(plugin.loadTable(Identifier.of(Array("ns"), "dim"))
+      .constraints().isEmpty)
+  }
 }
