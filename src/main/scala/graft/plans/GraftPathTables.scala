@@ -240,8 +240,20 @@ object GraftTableChanges {
         t.versionAtOrBefore(GraftMaintenance.parseTs(s.trim, zone))
           .getOrElse(-1)))
       .getOrElse(cur)
-    require(start >= 0 && end <= cur,
-      s"readChangeFeed: version range [$start, $end] outside [0, $cur]")
+    // range validation mirrors the table_changes TVF (and Delta): an
+    // out-of-range or inverted EXPLICIT VERSION range is a caller typo
+    // and fails loudly — a misconfigured CDC consumer must not read a
+    // silently empty feed and believe it is caught up. Only
+    // timestamp-derived emptiness (an instant preceding the first
+    // commit / past the latest) reads as zero changes.
+    val startIsTs = parameters.contains("startingTimestamp")
+    val endIsTs = parameters.contains("endingTimestamp")
+    require(start >= 0 && (start <= cur || startIsTs),
+      s"readChangeFeed: start version $start outside [0, $cur]")
+    require(end <= cur,
+      s"readChangeFeed: end version $end exceeds the latest version $cur")
+    require(end >= start || startIsTs || endIsTs,
+      s"readChangeFeed: bad version range [$start, $end]")
     feed(t, start, end)
   }
 }

@@ -202,8 +202,11 @@ object GraftSqlParser {
   // MANDATORY for Hive-layout sources (validated at execution, where
   // the layout is visible)
   private val ConvertRe =
+    // the type may itself carry parens (DECIMAL(10,2)) — one nesting
+    // level of balanced parens in the type group
     ("(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+parquet\\s*\\.\\s*`([^`]+)`" +
-      s"(?:\\s+PARTITIONED\\s+BY\\s*\\(\\s*($P)\\s+([^)]+?)\\s*\\))?" +
+      s"(?:\\s+PARTITIONED\\s+BY\\s*\\(\\s*($P)\\s+" +
+      "((?:[^()]|\\([^()]*\\))+?)\\s*\\))?" +
       "\\s*;?\\s*").r
   private val VacuumRe =
     s"(?is)\\s*VACUUM\\s+$Name(\\s+DRY\\s+RUN)?\\s*;?\\s*".r

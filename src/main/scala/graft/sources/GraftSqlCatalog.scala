@@ -380,6 +380,9 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       case u: TableChange.UpdateColumnDefaultValue =>
         require(u.fieldNames.length == 1,
           s"ALTER COLUMN DEFAULT: nested field ${u.fieldNames.mkString(".")} unsupported")
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames.length == 1,
+          s"ALTER COLUMN COMMENT: nested field ${c.fieldNames.mkString(".")} unsupported")
       case a: TableChange.AddConstraint =>
         // CHECK constraints enforce; PK / UNIQUE / FK are accepted as
         // INFORMATIONAL (NOT ENFORCED — the standard lakehouse stance:
@@ -477,6 +480,14 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
           if (sql == null || sql.isEmpty) b.remove("CURRENT_DEFAULT")
           else b.putString("CURRENT_DEFAULT", sql)
           f.copy(metadata = b.build())
+        })
+      // ALTER TABLE … ALTER COLUMN c COMMENT '…' — same versioned
+      // metadata-overlay commit as SET DEFAULT
+      case c: TableChange.UpdateColumnComment =>
+        t.alterColumnMeta(c.fieldNames.head, { f =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("comment", c.newComment()).build())
         })
       case _ => () // AddColumn handled above
     }

@@ -581,19 +581,21 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private[graft] def commitChangeFiles(version: Int): Seq[FileEntry] =
     manifestOf(version).changes
 
-  /** True iff this commit establishes the table's FULL state (version 0,
-    * i.e. CREATE or a shallow CLONE) while that state carries pending
-    * MoR deltas or deletion-vector marks — the one case where emitting
-    * [[commitAddedDataFiles]] as plain rows is unsound: stale base
-    * copies would be emitted alongside the deltas that shadow them, and
-    * DV-deleted rows would resurface. (At version > 0 an append-only
-    * commit's added files are never delta files and never DV-addressed —
-    * DVs mark positions in files that existed before them.) */
-  private[graft] def commitEmitsUnresolvedState(version: Int): Boolean =
-    version == 0 && {
-      val m = manifestOf(version)
-      m.deltas.nonEmpty || m.dvs.nonEmpty
-    }
+  /** True iff this commit establishes the table's FULL state — version
+    * 0 (CREATE or a shallow CLONE), or an OR REPLACE shallow CLONE at
+    * any later version — while that state carries pending MoR deltas or
+    * deletion-vector marks: the cases where emitting
+    * [[commitAddedDataFiles]] as plain rows is unsound, because stale
+    * base copies would be emitted alongside the deltas that shadow
+    * them, and DV-deleted rows would resurface. (At version > 0 an
+    * append-only commit's added files are never delta files and never
+    * DV-addressed — DVs mark positions in files that existed before
+    * them — but a CLONE replaces the whole state and can carry both.) */
+  private[graft] def commitEmitsUnresolvedState(version: Int): Boolean = {
+    val m = manifestOf(version)
+    (version == 0 || m.operation == "CLONE") &&
+      (m.deltas.nonEmpty || m.dvs.nonEmpty)
+  }
 
   /** Manifest-planned scan of an arbitrary entry list (streaming-source
     * micro-batch construction). */
@@ -701,6 +703,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
       s"RENAME COLUMN on $root: $newName was the physical name of a dropped " +
         "or renamed column — pick a fresh name")
     requireNotLayoutColumn(oldName, phys, "RENAME COLUMN")
+    requireNotReferenced(oldName, "RENAME COLUMN")
     require(m.deltas.isEmpty || !m.mergeKeys.contains(phys),
       s"RENAME COLUMN on $root: $oldName is a merge key of pending MoR " +
         "deltas — compact first")
@@ -735,12 +738,45 @@ class SnapshotTable(spark: SparkSession, root: String) {
     require(logical.length > 1, s"DROP COLUMN on $root: cannot drop the only column")
     val phys = physColName(name, v)
     requireNotLayoutColumn(name, phys, "DROP COLUMN")
+    requireNotReferenced(name, "DROP COLUMN")
     require(m.deltas.isEmpty || !m.mergeKeys.contains(phys),
       s"DROP COLUMN on $root: $name is a merge key of pending MoR deltas — " +
         "compact first")
     require(!bloomCols.contains(phys),
       s"DROP COLUMN on $root: $name carries a bloom-filter property — " +
         "clear it first")
+  }
+
+  /** Columns referenced BY NAME in stored expressions — CHECK-constraint
+    * predicates, generated-column expressions, the CLUSTER BY spec —
+    * must not be renamed or dropped out from under them: the stale
+    * reference would poison every later write (constraint/generation
+    * resolution fails) or OPTIMIZE (clustering on a missing column).
+    * Delta refuses the same ALTERs. Detection is a conservative
+    * word-boundary match over the stored SQL (a false positive refuses
+    * loudly with the reason; it can never corrupt). */
+  private def requireNotReferenced(logicalName: String, op: String): Unit = {
+    val pat = "(?s).*\\b" +
+      java.util.regex.Pattern.quote(logicalName) + "\\b.*"
+    val props = propertiesMap
+    val checkHit = props.collectFirst {
+      case (k, sql) if k.startsWith("constraint.check.") && sql.matches(pat) =>
+        k.stripPrefix("constraint.check.")
+    }
+    require(checkHit.isEmpty,
+      s"$op on $root: $logicalName is referenced by CHECK constraint " +
+        s"'${checkHit.getOrElse("")}' — DROP CONSTRAINT first")
+    require(!props.get(SnapshotTable.ClusterSpecProp).exists(
+        _.split(',').map(_.trim).contains(logicalName)),
+      s"$op on $root: $logicalName is a clustering column — " +
+        "ALTER TABLE … CLUSTER BY a new column set first")
+    val genHit = read(currentVersion).schema.fields.find(f =>
+      f.name != logicalName &&
+        org.apache.spark.sql.catalyst.util.GeneratedColumn
+          .getGenerationExpression(f).exists(_.matches(pat)))
+    require(genHit.isEmpty,
+      s"$op on $root: $logicalName is referenced by generated column " +
+        s"'${genHit.map(_.name).getOrElse("")}' — drop that column first")
   }
 
   /** Partition/layout columns anchor every pruning path (manifest
@@ -777,7 +813,14 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // would surface the OLD files' values under the re-added column.
     val reserved = m.dropped.toSet ++ m.renames.values
     val freshPhys = fields.collect {
-      case f if reserved.contains(f.name) => f.name -> s"${f.name}_p${v + 1}"
+      case f if reserved.contains(f.name) =>
+        // fresh physical name, checked against every name in use —
+        // logical, physical, retired — so a coincidental `x_pN` column
+        // can never collide with the generated one
+        val taken = reserved ++ existing ++ existing.map(physColName(_, v))
+        var cand = s"${f.name}_p${v + 1}"
+        while (taken.contains(cand)) cand += "x"
+        f.name -> cand
     }.toMap
     // the schema carrier is written in PHYSICAL space (existing columns
     // via the current mapping, fresh columns via their assigned names) —
@@ -2223,13 +2266,25 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // `full` (Delta's `OPTIMIZE … FULL`): recluster EVERYTHING —
     // the escape hatch after changing the clustering columns, where
     // "already clustered" files are clustered on the WRONG curve
+    // CLONE/RESTORE replace the file set wholesale (clone origins are
+    // even rebased negative) — clustering state resets there, so only
+    // clustering commits AFTER the latest reset count
+    val lastReset = versions
+      .filter(x => { val op = manifestOf(x).operation
+        op == "CLONE" || op == "RESTORE" })
+      .maxOption.getOrElse(-1)
     val lastCluster =
       if (full) -1
       else versions
-        .filter(x => { val op = manifestOf(x).operation
+        .filter(x => x > lastReset && { val op = manifestOf(x).operation
           op == "ZORDER" || op == "CLUSTER" })
         .maxOption.getOrElse(-1)
-    val (tail, carried) = fileEntries(v).partition(_.origin > lastCluster)
+    // never-clustered (or FULL): EVERYTHING is tail — including
+    // shallow-clone-carried files, whose origins are rebased NEGATIVE
+    // and would otherwise never satisfy an origin comparison
+    val (tail, carried) =
+      if (lastCluster < 0) (fileEntries(v), Seq.empty[FileEntry])
+      else fileEntries(v).partition(_.origin > lastCluster)
     if (tail.isEmpty) return 0
     val spec = layoutSpec
     val numFiles = math.max(1L,
@@ -2329,8 +2384,15 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // The clone inherits the durable property sidecar: a hidden-layout
     // table's partition spec and bloom-filter columns live there — a
     // clone losing them would write subsequent commits unpartitioned
-    // (no pruning) and unprotected (no row-group skipping).
+    // (no pruning) and unprotected (no row-group skipping). A
+    // property-less SOURCE conversely must CLEAR a replaced target's
+    // old sidecar (stale constraints / layout / clustering specs must
+    // not govern the cloned content).
     if (fs.exists(propsPath)) clone.writeSidecar(sidecarNode())
+    else if (clone.fs.exists(clone.propsPath))
+      clone.fs.delete(clone.propsPath, false): Unit
+    clone.bloomColsCache = None
+    clone.synthPartCache = None
     clone
   }
 
@@ -2348,16 +2410,27 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // create() commits version 0 via the write-once manifest — an
     // existing table at dst fails there (CREATE semantics, like
     // shallow); with orReplace an existing target takes the copy as a
-    // full-table OVERWRITE commit, prior history time-travelable
-    if (orReplace && clone.exists)
-      clone.overwriteAll(read(v), partitionBy = layoutSpecAt(v))
-    else clone.create(read(v), partitionBy = layoutSpecAt(v))
-    if (fs.exists(propsPath)) {
-      clone.writeSidecar(sidecarNode())
-      // create() primed the clone's bloom-column cache from the (then
-      // absent) sidecar — drop it so post-clone writes read the copy
-      clone.bloomColsCache = None
+    // full-table CLONE commit, prior history time-travelable. The CLONE
+    // operation RESETS the target's column mapping / field-metadata
+    // overlay: the deep copy materializes the source's LOGICAL state
+    // under fresh physical names, so the replaced target's stale
+    // renames/dropped/fieldMeta must not re-map or hide its columns.
+    if (orReplace && clone.exists) {
+      val cv = clone.currentVersion
+      val written = clone.writeData(read(v), cv + 1, layoutSpecAt(v))
+      clone.writeManifest(Manifest(cv + 1, "CLONE", Seq.empty,
+        written, Seq.empty))
     }
+    else clone.create(read(v), partitionBy = layoutSpecAt(v))
+    // the clone takes the SOURCE's property sidecar wholesale — and a
+    // property-less source must also CLEAR a replaced target's old
+    // sidecar (stale constraints / layout / clustering specs must not
+    // govern the new content)
+    if (fs.exists(propsPath)) clone.writeSidecar(sidecarNode())
+    else if (clone.fs.exists(clone.propsPath))
+      clone.fs.delete(clone.propsPath, false): Unit
+    clone.bloomColsCache = None
+    clone.synthPartCache = None
     clone
   }
 

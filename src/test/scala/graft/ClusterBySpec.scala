@@ -39,6 +39,28 @@ class ClusterBySpec extends AnyFunSuite {
     assert(t.filesInRange("k", 1.0, 10.0).size < t.files.size)
   }
 
+  test("clones cluster from scratch: negative carried origins still rewrite") {
+    import spark.implicits._
+    val src = new SnapshotTable(spark, tmp("liq_src"))
+      .create((1L to 500L).map(k => (k, k * 2.0)).toDF("k", "v")
+        .repartition(2))
+    // shallow clone carries files with NEGATIVE rebased origins — the
+    // first clustering on the clone must still rewrite them
+    val c = src.shallowCloneTo(tmp("liq_clone"))
+    assert(c.files.forall(_.origin < 0))
+    assert(c.clusterIncremental(Seq("k", "v")) == 2)
+    assert(c.read().count() == 500)
+    // OR REPLACE clone onto a PREVIOUSLY CLUSTERED target: the clone
+    // resets clustering state, so the next OPTIMIZE reclusters
+    val tgtPath = tmp("liq_tgt")
+    val tgt = new SnapshotTable(spark, tgtPath)
+      .create((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    tgt.clusterIncremental(Seq("k"))
+    src.shallowCloneTo(tgtPath, src.currentVersion, orReplace = true)
+    assert(tgt.clusterIncremental(Seq("k")) > 0,
+      "post-replace clone files must recluster despite earlier CLUSTER commits")
+  }
+
   test("SQL CREATE TABLE CLUSTER BY + OPTIMIZE runs incremental clustering") {
     val cat = tmp("liq_cat")
     val s = spark.newSession()

@@ -46,5 +46,15 @@ class ColumnDefaultSpec extends AnyFunSuite {
     intercept[Exception] {
       s.sql("ALTER TABLE dfcat.ns.t ADD COLUMNS (w DOUBLE DEFAULT 1.0)")
     }
+    // column comments land in the same versioned overlay and survive
+    // later writes (footer metadata churn cannot erase them)
+    s.sql("ALTER TABLE dfcat.ns.t ALTER COLUMN v COMMENT 'money'")
+    s.sql("INSERT INTO dfcat.ns.t VALUES (7, 1.0, 'x')")
+    val comment = s.table("dfcat.ns.t").schema("v")
+      .metadata.getString("comment")
+    assert(comment == "money")
+    val shown = s.sql("DESCRIBE TABLE dfcat.ns.t").collect()
+      .find(_.getString(0) == "v").get
+    assert(shown.getString(2) == "money")
   }
 }

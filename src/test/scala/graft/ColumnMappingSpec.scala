@@ -143,6 +143,52 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(t.reorgPurge() == 0)
   }
 
+  test("OR REPLACE deep clone resets the target's stale mapping and sidecar") {
+    import spark.implicits._
+    val tgtPath = tmp("cm_dc_tgt")
+    val tgt = new SnapshotTable(spark, tgtPath)
+      .create(Seq((1L, 1.0, "old")).toDF("k", "v", "note"))
+    tgt.dropColumn("note")                       // target mapping: note dropped
+    tgt.withProperty("constraint.check.v_pos", "v > 0") // stale sidecar
+    val src = new SnapshotTable(spark, tmp("cm_dc_src"))
+      .create(Seq((7L, 7.0, "fresh")).toDF("k", "v", "note"))
+    src.deepCloneTo(tgtPath, orReplace = true)
+    val replaced = new SnapshotTable(spark, tgtPath)
+    // the source's `note` column must be VISIBLE (the target's dropped-
+    // column tombstone must not hide it) with the source's values
+    assert(replaced.read().columns.toSeq == Seq("k", "v", "note"))
+    assert(replaced.read().select("note").collect().map(_.getString(0))
+      .toSeq == Seq("fresh"))
+    // the stale sidecar (old CHECK constraint) is gone too
+    assert(!replaced.propertiesMap.contains("constraint.check.v_pos"))
+    // prior history stays time-travelable
+    assert(replaced.read(0).columns.toSeq == Seq("k", "v", "note"))
+  }
+
+  test("rename/drop refuse on columns referenced by constraints, generation, clustering") {
+    val cat = tmp("cm_ref_cat")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.refcat", "graft.sources.GraftSqlCatalog")
+    s.conf.set("spark.sql.catalog.refcat.root", cat)
+    s.sql("CREATE NAMESPACE refcat.ns")
+    s.sql("CREATE TABLE refcat.ns.t (k BIGINT, v DOUBLE, " +
+      "doubled DOUBLE GENERATED ALWAYS AS (v * 2)) CLUSTER BY (k)")
+    s.sql("INSERT INTO refcat.ns.t (k, v) VALUES (1, 10.0)")
+    s.sql("ALTER TABLE refcat.ns.t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // v anchors a CHECK predicate AND a generation expression
+    intercept[Exception](s.sql("ALTER TABLE refcat.ns.t RENAME COLUMN v TO w"))
+    intercept[Exception](s.sql("ALTER TABLE refcat.ns.t DROP COLUMN v"))
+    // k anchors the clustering spec
+    intercept[Exception](s.sql("ALTER TABLE refcat.ns.t RENAME COLUMN k TO id"))
+    // lifting the references unlocks the ALTERs
+    s.sql("ALTER TABLE refcat.ns.t DROP CONSTRAINT v_pos")
+    s.sql("ALTER TABLE refcat.ns.t DROP COLUMN doubled")
+    s.sql("ALTER TABLE refcat.ns.t CLUSTER BY NONE")
+    s.sql("ALTER TABLE refcat.ns.t RENAME COLUMN v TO w")
+    s.sql("ALTER TABLE refcat.ns.t RENAME COLUMN k TO id")
+    assert(s.table("refcat.ns.t").columns.toSeq == Seq("id", "w"))
+  }
+
   test("shallow clone carries the mapping; CDF reads per-version names") {
     import spark.implicits._
     val t = new SnapshotTable(spark, tmp("cm_clone"))

@@ -84,6 +84,24 @@ class ConvertSpec extends AnyFunSuite {
     assert(t.read().groupBy("year").count().count() == 2)
   }
 
+  test("escaped partition-path values round-trip through the synthesized column") {
+    import spark.implicits._
+    val dir = tmp("cv_esc")
+    // values Spark escapes in directory names (colon, space) plus a
+    // null partition (the Hive default-partition sentinel)
+    Seq((1L, "a:b"), (2L, "c d"), (3L, null.asInstanceOf[String]))
+      .toDF("k", "tag")
+      .write.partitionBy("tag").mode("overwrite").parquet(dir)
+    val t = new SnapshotTable(spark, dir).convertInPlace(
+      Some(org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)))
+    val got = t.read().orderBy("k").select("tag").collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+    assert(got == Seq("a:b", "c d", null))
+    assert(t.read().filter(col("tag") === "a:b").count() == 1)
+    assert(t.read().filter(col("tag").isNull).count() == 1)
+  }
+
   test("SQL CONVERT TO GRAFT verb with path addressing") {
     import spark.implicits._
     val dir = tmp("cv_sql")
@@ -101,6 +119,15 @@ class ConvertSpec extends AnyFunSuite {
       .write.partitionBy("st").mode("overwrite").parquet(dir2)
     s.sql(s"CONVERT TO GRAFT parquet.`$dir2` PARTITIONED BY (st STRING)")
     assert(s.sql(s"SELECT k FROM graft.`$dir2` WHERE st = 'O'")
+      .head.getLong(0) == 1)
+    // parenthesized types parse (DECIMAL(10,2) has parens of its own)
+    val dirD = tmp("cv_sql_dec")
+    Seq((1L, BigDecimal("1.50")), (2L, BigDecimal("2.25")))
+      .toDF("k", "amt")
+      .withColumn("amt", col("amt").cast("decimal(10,2)"))
+      .write.partitionBy("amt").mode("overwrite").parquet(dirD)
+    s.sql(s"CONVERT TO GRAFT parquet.`$dirD` PARTITIONED BY (amt DECIMAL(10,2))")
+    assert(s.sql(s"SELECT k FROM graft.`$dirD` WHERE amt = 1.50")
       .head.getLong(0) == 1)
     // a Hive-layout dir WITHOUT the partition clause refuses loudly:
     // silently reading it flat would drop the partition column

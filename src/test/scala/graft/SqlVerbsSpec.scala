@@ -273,6 +273,23 @@ class SqlVerbsSpec extends AnyFunSuite {
     // an unbounded CDF scan is refused (Delta requires a start)
     val e = intercept[Exception] { cdf.load() }
     assert(e.getMessage.contains("startingVersion"), e.getMessage)
+    // out-of-range and inverted EXPLICIT version ranges are caller
+    // typos and fail loudly — a misconfigured CDC consumer must not
+    // read a silently empty feed and believe it is caught up
+    intercept[Exception] { cdf.option("startingVersion", "7").load() }
+    intercept[Exception] {
+      cdf.option("startingVersion", "2")
+        .option("endingVersion", "1").load()
+    }
+    intercept[Exception] {
+      cdf.option("startingVersion", "1")
+        .option("endingVersion", "9").load()
+    }
+    // …while a START TIMESTAMP past the latest commit reads as empty
+    // (Delta's timestamp semantics: nothing committed there yet)
+    val future = new java.sql.Timestamp(
+      t.commitTimestamp(2) + 3600L * 1000L).toString
+    assert(cdf.option("startingTimestamp", future).load().count() == 0L)
   }
 
   test("path reads time travel: VERSION AS OF and TIMESTAMP AS OF") {
