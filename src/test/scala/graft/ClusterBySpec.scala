@@ -61,6 +61,46 @@ class ClusterBySpec extends AnyFunSuite {
       "post-replace clone files must recluster despite earlier CLUSTER commits")
   }
 
+  test("random insert/cluster/compact interleavings preserve content; increments only touch the tail") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(8843)
+    for (trial <- 1 to 3) {
+      val model = scala.collection.mutable.Map[Long, Double]()
+      var nextK = 1L
+      def batch(n: Int) = {
+        val rows = (0 until n).map { _ =>
+          val k = nextK; nextK += 1
+          val v = (k * 37 % 997).toDouble
+          model(k) = v
+          (k, v)
+        }
+        rows.toDF("k", "v")
+      }
+      val t = new SnapshotTable(spark, tmp(s"liqprop$trial"))
+        .create(batch(200).repartition(2))
+      // paths clustered by the LAST cluster run, valid until a compact
+      // rewrites them (compaction legitimately replaces everything)
+      var clustered = Set.empty[String]
+      for (_ <- 1 to 6 + rnd.nextInt(3)) {
+        rnd.nextInt(3) match {
+          case 0 => t.append(batch(20 + rnd.nextInt(50)))
+          case 1 =>
+            val carriedExpected = clustered
+            t.clusterIncremental(Seq("k", "v")): Unit
+            // files clustered by the previous run carry by reference
+            assert(carriedExpected.subsetOf(t.files.map(_.path).toSet),
+              s"trial $trial: clustered files must carry by reference")
+            clustered = t.files.map(_.path).toSet
+          case _ => t.compact(2); clustered = Set.empty
+        }
+        // content invariant after every step
+        assert(t.read().count() == model.size)
+        assert(t.read().agg(org.apache.spark.sql.functions.sum("v"))
+          .head.getDouble(0) == model.values.sum)
+      }
+    }
+  }
+
   test("SQL CREATE TABLE CLUSTER BY + OPTIMIZE runs incremental clustering") {
     val cat = tmp("liq_cat")
     val s = spark.newSession()
