@@ -1293,6 +1293,55 @@ object Lakehouse {
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
+  // Type widening (Delta ALTER COLUMN TYPE analog): a metadata-only
+  // commit re-declares the column's type; files written before keep the
+  // narrow physical type and the parquet scan up-converts per file
+  // (SPARK-40876) — zero data rewritten. The gate stores INTs, widens to
+  // BIGINT, then inserts values above the int range; the oracle
+  // recomputes both generations from the raw data in the wide type.
+  private val sqlTypeWidening = OpQuery(
+    "sql_type_widening",
+    Some("""
+      SELECT grp, COUNT(*) AS n, CAST(SUM(nv) AS BIGINT) AS sum_n
+      FROM (
+        SELECT o_orderstatus AS grp,
+               CAST(o_orderkey % 1000 AS BIGINT) AS nv
+        FROM orders WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT 'W' AS grp, o_orderkey + 3000000000 AS nv
+        FROM orders WHERE o_orderkey % 23 = 0)
+      GROUP BY grp ORDER BY grp
+    """),
+    (s, d) => {
+      val cat = s"graftwide_${math.abs(d.hashCode).toHexString}"
+      val root = stagedRoots.computeIfAbsent((d, "sqlcat_wide_root"), _ => {
+        val root = stagedTmp("stage_sqlcat_wide")
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus")
+          .createOrReplaceTempView("sqlwide_src")
+        s.sql(s"CREATE NAMESPACE $cat.bench")
+        s.sql(s"CREATE TABLE $cat.bench.wide (nv INT, grp STRING)")
+        s.sql(s"""INSERT INTO $cat.bench.wide
+                  SELECT CAST(o_orderkey % 1000 AS INT), o_orderstatus
+                  FROM sqlwide_src WHERE o_orderkey % 11 = 0""")
+        // metadata-only widen, then values only a BIGINT can hold
+        s.sql(s"ALTER TABLE $cat.bench.wide ALTER COLUMN nv TYPE BIGINT")
+        s.sql(s"""INSERT INTO $cat.bench.wide
+                  SELECT o_orderkey + 3000000000, 'W'
+                  FROM sqlwide_src WHERE o_orderkey % 23 = 0""")
+        root
+      })
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""SELECT grp, COUNT(*) AS n, CAST(SUM(nv) AS BIGINT) AS sum_n
+                FROM $cat.bench.wide
+                GROUP BY grp ORDER BY grp""")
+    })
+
   // Generated columns (Delta GENERATED ALWAYS AS analog): the generation
   // expression lives in the field metadata; INSERTs that omit the column
   // compute it row-locally inside the write job, provided values must
@@ -2542,5 +2591,6 @@ object Lakehouse {
     sqlCatalogOverwriteHidden, sqlReplaceWhere,
     sqlPathVerbs, sqlRestoreClone, sqlTableChanges, cdcBatchOptions,
     sqlCallCompaction, sqlColumnMapping, sqlConvertInPlace, sqlClusterBy,
-    sqlCheckConstraint, sqlColumnDefaults, sqlGeneratedColumns)
+    sqlCheckConstraint, sqlColumnDefaults, sqlGeneratedColumns,
+    sqlTypeWidening)
 }

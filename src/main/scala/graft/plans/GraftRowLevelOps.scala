@@ -51,14 +51,16 @@ object GraftRowLevelOps extends SparkStrategy {
           case Some(w: graft.sources.GraftReplaceWrite) => w.op.plannedReplace
           case _ => None
         }
-        GraftReplaceDataExec(t.snapshot, t.writePartSpec, r.query, replace) :: Nil
+        GraftReplaceDataExec(t.snapshot, t.writePartSpec, r.query, replace,
+          t.schema) :: Nil
       }.getOrElse(Nil)
     // Spark has no V1-fallback exec for dynamic partition overwrite
     // (OverwritePartitionsDynamicExec demands a DSv2 BatchWrite); route
     // it onto the engine's dynamic overwrite commit instead.
     case o: org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic =>
       graftTableOf(o.table).map { t =>
-        GraftDynamicOverwriteExec(t.snapshot, t.writePartSpec, o.query) :: Nil
+        GraftDynamicOverwriteExec(t.snapshot, t.writePartSpec, o.query,
+          t.schema) :: Nil
       }.getOrElse(Nil)
     case _ => Nil
   }
@@ -86,12 +88,22 @@ object GraftRowLevelOps extends SparkStrategy {
   * as a distributed DataFrame and commit it — replacing only the
   * planned file groups when the scan pruned to a partition subset, a
   * full OVERWRITE otherwise. Runs once (commands are eagerly executed);
-  * output is empty like Spark's own row-level write execs. */
+  * output is empty like Spark's own row-level write execs.
+  *
+  * GENERATED ALWAYS columns are RECOMPUTED from their source columns on
+  * the replacement frame (one row-local codegen'd projection, same cost
+  * shape as the INSERT-side fill): an UPDATE/MERGE that assigns a
+  * generation-source column must not leave the generated column stale —
+  * Delta recomputes on exactly this path. A direct assignment TO a
+  * generated column is therefore overwritten by the recomputation
+  * (carried rows are unchanged by construction: their stored value
+  * already equals the expression, enforced at insert). */
 final case class GraftReplaceDataExec(
     snapshot: SnapshotTable,
     partSpec: Option[String],
     query: LogicalPlan,
-    replace: Option[Seq[SnapshotTable.FileEntry]]) extends LeafExecNode {
+    replace: Option[Seq[SnapshotTable.FileEntry]],
+    tableSchema: org.apache.spark.sql.types.StructType) extends LeafExecNode {
 
   override def output: Seq[Attribute] = Seq.empty
 
@@ -101,7 +113,8 @@ final case class GraftReplaceDataExec(
     // align to the table's column order and drop any metadata columns
     // the rewrite appended to the replacement query
     val cols = snapshot.read().schema.fieldNames.toIndexedSeq
-    val aligned = df.select(cols.map(col): _*)
+    val aligned = GraftV2Table.regenerateColumns(
+      df.select(cols.map(col): _*), tableSchema)
     replace match {
       case Some(entries) => snapshot.replaceFiles(entries, aligned, partSpec)
       case None => snapshot.overwriteAll(aligned, partSpec)
@@ -128,7 +141,8 @@ final case class GraftReplaceDataExec(
 final case class GraftDynamicOverwriteExec(
     snapshot: SnapshotTable,
     partSpec: Option[String],
-    query: LogicalPlan) extends LeafExecNode {
+    query: LogicalPlan,
+    tableSchema: org.apache.spark.sql.types.StructType) extends LeafExecNode {
 
   override def output: Seq[Attribute] = Seq.empty
 
@@ -136,7 +150,10 @@ final case class GraftDynamicOverwriteExec(
     val spark = SparkSession.active
     val df = org.apache.spark.sql.GraftStreamShim.ofRows(spark, query)
     val cols = snapshot.read().schema.fieldNames.toIndexedSeq
-    val aligned = df.select(cols.map(col): _*)
+    // INSERT semantics: omitted/NULL generated slots fill, provided
+    // values must match (same projection the V1 insert path applies)
+    val aligned = GraftV2Table.applyGeneratedColumns(
+      df.select(cols.map(col): _*), tableSchema)
     partSpec match {
       case Some(pc) => snapshot.overwritePartitions(aligned, pc)
       case None => snapshot.overwriteAll(aligned, None)

@@ -333,6 +333,16 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     // the schema-carrying create is always a single empty unpartitioned
     // footer (a partitioned write of zero rows emits no file at all);
     // the layout lives as a table property and every INSERT honors it
+    // validate the clustering columns against the schema NOW — a typo'd
+    // spec must fail at CREATE, not at the first OPTIMIZE (and a stale
+    // misspelled spec would mis-aim the rename/drop reference guards)
+    clusterBy.collect {
+      case cb: org.apache.spark.sql.connector.expressions.ClusterByTransform =>
+        cb.columnNames.map(_.fieldNames.mkString(".")).foreach(c =>
+          require(schema.fieldNames.contains(c),
+            s"CREATE TABLE ${ident.name}: CLUSTER BY column $c is not in " +
+              s"the schema (have ${schema.fieldNames.mkString(",")})"))
+    }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     t.create(empty, None)
@@ -375,11 +385,21 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           s"ALTER TABLE DROP COLUMN: nested field ${d.fieldNames.mkString(".")} unsupported")
-      case _: TableChange.ClusterBy => ()
+      case cb: TableChange.ClusterBy =>
+        // same CREATE-time guard: a misspelled clustering column must
+        // fail here, not at the next OPTIMIZE (CLUSTER BY NONE = empty)
+        val logical = t.read().schema.fieldNames
+        cb.clusteringColumns.map(_.fieldNames.mkString(".")).foreach(c =>
+          require(logical.contains(c),
+            s"ALTER TABLE CLUSTER BY: column $c is not in the schema " +
+              s"(have ${logical.mkString(",")})"))
       case _: TableChange.SetProperty => ()
       case u: TableChange.UpdateColumnDefaultValue =>
         require(u.fieldNames.length == 1,
           s"ALTER COLUMN DEFAULT: nested field ${u.fieldNames.mkString(".")} unsupported")
+      case w: TableChange.UpdateColumnType =>
+        require(w.fieldNames.length == 1,
+          s"ALTER COLUMN TYPE: nested field ${w.fieldNames.mkString(".")} unsupported")
       case c: TableChange.UpdateColumnComment =>
         require(c.fieldNames.length == 1,
           s"ALTER COLUMN COMMENT: nested field ${c.fieldNames.mkString(".")} unsupported")
@@ -401,8 +421,9 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
           s"ALTER TABLE DROP CONSTRAINT: no constraint ${d.name}")
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE: unsupported change $other — ADD/RENAME/DROP COLUMNS, " +
-          "CLUSTER BY, ADD/DROP CONSTRAINT (CHECK) and SET TBLPROPERTIES " +
-          "are the metadata-only commits this engine supports")
+          "ALTER COLUMN TYPE (lossless widening), CLUSTER BY, ADD/DROP " +
+          "CONSTRAINT (CHECK) and SET TBLPROPERTIES are the metadata-only " +
+          "commits this engine supports")
     }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
@@ -481,6 +502,11 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
           else b.putString("CURRENT_DEFAULT", sql)
           f.copy(metadata = b.build())
         })
+      // ALTER TABLE … ALTER COLUMN c TYPE t: metadata-only lossless
+      // type widening (Delta analog) — files keep their written type,
+      // the scan up-converts, time travel below sees the old type
+      case w: TableChange.UpdateColumnType =>
+        t.widenColumn(w.fieldNames.head, w.newDataType())
       // ALTER TABLE … ALTER COLUMN c COMMENT '…' — same versioned
       // metadata-overlay commit as SET DEFAULT
       case c: TableChange.UpdateColumnComment =>
@@ -951,7 +977,17 @@ object GraftV2Table {
     * omitted/NULL slots compute the expression and PROVIDED values must
     * match it — one row-local codegen'd projection inside the write
     * job (the mismatch raises from the task; no commit happens), so the
-    * invariant costs zero extra passes at any batch size. */
+    * invariant costs zero extra passes at any batch size.
+    *
+    * NULL semantics (pinned): an OMITTED slot and an EXPLICIT NULL are
+    * treated identically — both compute the expression. The SQL write
+    * path cannot distinguish them (Spark null-fills omitted columns
+    * before the write plan reaches the table), so an explicit NULL
+    * against a provably non-null expression is FILLED, not refused —
+    * the stored invariant (`value = expr` on every committed row) holds
+    * either way, which is what downstream readers rely on. Where the
+    * expression itself evaluates to NULL, an explicit NULL is accepted
+    * as matching. */
   private[graft] def applyGeneratedColumns(
       data: DataFrame, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -970,6 +1006,25 @@ object GraftV2Table {
       // would strip the field metadata from the written footers)
       df.select(df.columns.map(c =>
         if (c == f.name) filled.as(c, f.metadata) else col(c)): _*)
+    }
+  }
+
+  /** UPDATE/MERGE-side counterpart of [[applyGeneratedColumns]]: the
+    * row-level rewrite frame RECOMPUTES every generated column from its
+    * source columns unconditionally (an update to a generation-source
+    * column must not leave the generated value stale — Delta recomputes
+    * on this path). Same row-local codegen'd projection, zero extra
+    * passes. */
+  private[graft] def regenerateColumns(
+      data: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gens = schema.fields.flatMap(f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map(f -> _))
+    gens.foldLeft(data) { case (df, (f, genSql)) =>
+      val gen = expr(genSql).cast(f.dataType)
+      df.select(df.columns.map(c =>
+        if (c == f.name) gen.as(c, f.metadata) else col(c)): _*)
     }
   }
 

@@ -259,7 +259,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
           case FullRecord(full) => full
           case d: DeltaRecord => applyDelta(manifestOf(version - 1), d)
         }
-        if (m.renames.nonEmpty || m.dropped.nonEmpty || m.fieldMeta.nonEmpty)
+        if (m.renames.nonEmpty || m.dropped.nonEmpty ||
+            m.fieldMeta.nonEmpty || m.widened.nonEmpty)
           SnapshotTable.mappedRoots.add(root)
         manifestCache.put(key, m)
         m
@@ -363,12 +364,22 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val withMeta =
       if (!isMapped) schema
       else {
-        val fm = manifestOf(
-          if (mapV < 0) currentVersion else mapV).fieldMeta
-        if (fm.isEmpty) schema
-        else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
-          fm.get(f.name).map(j => f.copy(metadata =
-            org.apache.spark.sql.types.Metadata.fromJson(j))).getOrElse(f)))
+        val mv = manifestOf(if (mapV < 0) currentVersion else mapV)
+        val fm = mv.fieldMeta
+        val metaApplied =
+          if (fm.isEmpty) schema
+          else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+            fm.get(f.name).map(j => f.copy(metadata =
+              org.apache.spark.sql.types.Metadata.fromJson(j))).getOrElse(f)))
+        // type-widening overlay (ALTER COLUMN … TYPE): the scan declares
+        // the widened type over files written narrower — Spark's parquet
+        // reader up-converts per file (int32→int64, float→double,
+        // decimal precision growth: SPARK-40876), zero data rewritten
+        if (mv.widened.isEmpty) metaApplied
+        else org.apache.spark.sql.types.StructType(metaApplied.fields.map(
+          f => mv.widened.get(f.name).map(t => f.copy(dataType =
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(t))).getOrElse(f)))
       }
     // CONVERTed Hive-layout tables: the synthesized partition column is
     // served from the manifest's per-file partition value through the
@@ -515,7 +526,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val m = manifestOf(version)
     writeManifest(Manifest(cur + 1, "RESTORE", m.mergeKeys, m.files, m.deltas,
       dvs = m.dvs, renames = m.renames, dropped = m.dropped,
-      fieldMeta = m.fieldMeta))
+      fieldMeta = m.fieldMeta, widened = m.widened))
     this
   }
 
@@ -681,7 +692,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
       else (m.renames - oldName) + (newName -> phys)
     writeManifest(Manifest(v + 1, "RENAME_COLUMN", m.mergeKeys, m.files,
       m.deltas, Seq.empty, m.dvs, renames = newRenames, dropped = m.dropped,
-      fieldMeta = m.fieldMeta))
+      fieldMeta = m.fieldMeta, widened = m.widened))
     this
   }
 
@@ -723,7 +734,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     writeManifest(Manifest(v + 1, "DROP_COLUMN", m.mergeKeys, m.files,
       m.deltas, Seq.empty, m.dvs,
       renames = m.renames - name, dropped = m.dropped :+ phys,
-      fieldMeta = m.fieldMeta - phys))
+      fieldMeta = m.fieldMeta - phys, widened = m.widened - phys))
     this
   }
 
@@ -839,7 +850,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     writeManifest(Manifest(v + 1, "ADD_COLUMNS", mergeKeysOf(v),
       fileEntries(v) ++ written, deltaEntries(v), Seq.empty, dvEntries(v),
       renames = m.renames ++ freshPhys, dropped = m.dropped,
-      fieldMeta = m.fieldMeta))
+      fieldMeta = m.fieldMeta, widened = m.widened))
     this
   }
 
@@ -861,7 +872,65 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val nf = transform(logical(name).copy(name = phys))
     writeManifest(Manifest(v + 1, "ALTER_COLUMN", m.mergeKeys, m.files,
       m.deltas, Seq.empty, m.dvs, renames = m.renames, dropped = m.dropped,
-      fieldMeta = m.fieldMeta + (phys -> nf.metadata.json)))
+      fieldMeta = m.fieldMeta + (phys -> nf.metadata.json),
+      widened = m.widened))
+    SnapshotTable.mappedRoots.add(root)
+    this
+  }
+
+  /** ALTER COLUMN … TYPE as a metadata-only commit (Delta type-widening
+    * analog): the manifest's versioned `widened` overlay re-declares the
+    * column's type; data files keep the narrower physical type they were
+    * written with and Spark's parquet reader up-converts per file at
+    * scan (SPARK-40876) — zero data rewritten at any table size,
+    * version-correct under time travel (reads below the commit see the
+    * old type). Writes after the commit store the wide type natively.
+    * Only LOSSLESS widenings are accepted (Delta's matrix): integral
+    * up-casts, float→double, byte/short/int→double, and decimal growth
+    * that loses neither integer digits nor scale. */
+  def widenColumn(name: String, newType: org.apache.spark.sql.types.DataType)
+      : SnapshotTable = {
+    import org.apache.spark.sql.types._
+    val v = currentVersion
+    val m = manifestOf(v)
+    val logical = read(v).schema
+    require(logical.fieldNames.contains(name),
+      s"ALTER COLUMN TYPE on $root: no column $name")
+    val cur = logical(name).dataType
+    if (cur == newType) return this // no-op widen: nothing to commit
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case _ => false
+    }
+    require(widens(cur, newType),
+      s"ALTER COLUMN TYPE on $root: ${cur.catalogString} → " +
+        s"${newType.catalogString} is not a lossless widening (supported: " +
+        "byte/short/int→long, integral→double, float→double, decimal " +
+        "precision/scale growth)")
+    val phys = physColName(name, v)
+    // layout columns anchor partition-value parsing; the stored
+    // partValue strings render identically for widened integrals, but
+    // the synthesized-partition cast and transform tags key on the
+    // declared type — refuse rather than silently mis-prune
+    requireNotLayoutColumn(name, phys, "ALTER COLUMN TYPE")
+    // a generated column's stored expression result is cast to the
+    // DECLARED type — widening the target would silently change every
+    // future fill; sources are fine (the expression re-evaluates wide)
+    require(org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(logical(name)).isEmpty,
+      s"ALTER COLUMN TYPE on $root: $name is a generated column")
+    require(!bloomCols.contains(phys),
+      s"ALTER COLUMN TYPE on $root: $name carries a bloom-filter " +
+        "property — equality probes hash by physical type; clear it first")
+    writeManifest(Manifest(v + 1, "WIDEN_COLUMN", m.mergeKeys, m.files,
+      m.deltas, Seq.empty, m.dvs, renames = m.renames, dropped = m.dropped,
+      fieldMeta = m.fieldMeta,
+      widened = m.widened + (phys -> newType.catalogString)))
     SnapshotTable.mappedRoots.add(root)
     this
   }
@@ -1242,17 +1311,48 @@ class SnapshotTable(spark: SparkSession, root: String) {
             s"${hive.map(_._1).getOrElse("")}) — declare " +
             "PARTITIONED BY (col TYPE)")
     }
+    // Footer collection runs as a DISTRIBUTED Spark job — at the
+    // multi-thousand-file directories CONVERT targets (in-place
+    // migration is the 100 TB on-ramp), driver-side footer reads would
+    // serialize the only O(files) cost the operation has. Each task
+    // opens its files' footers and ships back metadata-sized rows
+    // (rows, stats, schema fingerprint) — never data pages.
     val conf = spark.sessionState.newHadoopConf()
-    val readOptions = org.apache.parquet.HadoopReadOptions.builder(conf).build()
-    import scala.collection.parallel.CollectionConverters._
-    val entries = listed.par.map { case (p, pv, len) =>
-      val (rows, stats) = footerInfo(conf, readOptions, p)
-      FileEntry(p, pv, len, rows, 0L, partition.map(_.name).orNull, stats)
-    }.seq.toSeq
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val slices = math.max(1,
+      math.min(listed.size, spark.sparkContext.defaultParallelism))
+    val probed = spark.sparkContext.parallelize(listed, slices)
+      .map { case (p, pv, len) =>
+        val c = serConf.value
+        val opts = org.apache.parquet.HadoopReadOptions.builder(c).build()
+        val ((rows, stats), fp) = SnapshotTable.footerProbe(c, opts, p)
+        (p, pv, len, rows, stats, fp)
+      }.collect().toSeq
+    // A raw parquet directory commonly holds EVOLVED schemas (columns
+    // added over time). The scan's union-over-origins schema machinery
+    // probes ONE footer per origin, so CONVERT must keep each origin
+    // schema-homogeneous: group the files by footer-schema fingerprint
+    // and give each group its own origin. Origins count down to 0
+    // (negative = pre-history, the same convention rebased clone
+    // origins use), ordered narrowest-schema-first so evolution-added
+    // columns append in evolution order; the union over the groups is
+    // exactly Delta CONVERT's merged schema, and REORG's per-origin
+    // dropped-column detection stays per-generation-exact.
+    val groups = probed.groupBy(_._6).toSeq
+      .sortBy { case (fp, fs) => (fp.linesIterator.size, fs.map(_._1).min) }
+    val entries = groups.zipWithIndex.flatMap { case ((_, fs), k) =>
+      val origin = (k + 1L) - groups.size
+      fs.map { case (p, pv, len, rows, stats, _) =>
+        FileEntry(p, pv, len, rows, origin,
+          partition.map(_.name).orNull, stats) }
+    }
     // does the data actually carry the partition column? (rare, but a
-    // directory written WITH the column present needs no synthesis)
-    val carriesCol = partition.exists(f =>
-      spark.read.parquet(entries.head.path).schema.fieldNames.contains(f.name))
+    // directory written WITH the column present needs no synthesis —
+    // EVERY schema generation must carry it, else older files would
+    // silently read NULL where the directory value should apply)
+    val carriesCol = partition.exists(f => groups.forall { case (_, fs) =>
+      schemaCache.computeIfAbsent(fs.head._1,
+        p => spark.read.parquet(p).schema).fieldNames.contains(f.name) })
     partition.foreach { f =>
       if (!carriesCol)
         withProperty(SnapshotTable.SynthPartProp,
@@ -2198,15 +2298,25 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private def zorderArrange(source: DataFrame, zcols: Seq[String],
       numFiles: Int,
       specParsed: Option[PartitionTransform.Spec]): DataFrame = {
-    def bounds(c: String): (Double, Double) =
-      statsMinMax(c).getOrElse {
-        val r = source.agg(
+    // stat-less dimensions fall back to a scan for bounds — folded into
+    // ONE aggregate with 2K measures, so K stat-less columns cost one
+    // pass over the rewrite source, never K
+    val statless = zcols.filter(statsMinMax(_).isEmpty).distinct
+    val scanned: Map[String, (Double, Double)] =
+      if (statless.isEmpty) Map.empty
+      else {
+        val measures = statless.flatMap(c => Seq(
           org.apache.spark.sql.functions.min(col(c).cast("double")),
-          org.apache.spark.sql.functions.max(col(c).cast("double"))).head()
-        // empty table / all-null column: any constant lattice cell works
-        if (r.isNullAt(0) || r.isNullAt(1)) (0.0, 0.0)
-        else (r.getDouble(0), r.getDouble(1))
+          org.apache.spark.sql.functions.max(col(c).cast("double"))))
+        val r = source.agg(measures.head, measures.tail: _*).head()
+        statless.zipWithIndex.map { case (c, i) =>
+          // empty table / all-null column: any constant lattice cell works
+          c -> (if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) (0.0, 0.0)
+                else (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+        }.toMap
       }
+    def bounds(c: String): (Double, Double) =
+      statsMinMax(c).orElse(scanned.get(c)).getOrElse((0.0, 0.0))
     def norm(c: String): org.apache.spark.sql.Column = {
       val (lo, hi) = bounds(c)
       val span = math.max(hi - lo, 1e-12)
@@ -2380,7 +2490,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
       rebased(fileEntries(v)), rebased(deltaEntries(v)),
       dvs = rebased(dvEntries(v)),
       renames = manifestOf(v).renames, dropped = manifestOf(v).dropped,
-      fieldMeta = manifestOf(v).fieldMeta))
+      fieldMeta = manifestOf(v).fieldMeta,
+      widened = manifestOf(v).widened))
     // The clone inherits the durable property sidecar: a hidden-layout
     // table's partition spec and bloom-filter columns live there — a
     // clone losing them would write subsequent commits unpartitioned
@@ -2417,7 +2528,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // renames/dropped/fieldMeta must not re-map or hide its columns.
     if (orReplace && clone.exists) {
       val cv = clone.currentVersion
-      val written = clone.writeData(read(v), cv + 1, layoutSpecAt(v))
+      // physical = true: the frame is the SOURCE's logical state and this
+      // CLONE commit resets the target's mapping to empty — the replaced
+      // target's stale renames must not re-map columns whose logical
+      // names happen to collide (the re-clone-from-backup case)
+      val written = clone.writeData(read(v), cv + 1, layoutSpecAt(v),
+        physical = true)
       clone.writeManifest(Manifest(cv + 1, "CLONE", Seq.empty,
         written, Seq.empty))
     }
@@ -2738,13 +2854,18 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * metadata-only, O(new files), fetched in parallel). */
   private def writeData(
       dfLogical: DataFrame, version: Int, partitionBy: Option[String],
-      cluster: Boolean = true): Seq[FileEntry] = {
+      cluster: Boolean = true, physical: Boolean = false): Seq[FileEntry] = {
     // write boundary of the column mapping: frames arrive LOGICAL, files
     // carry PHYSICAL names (mapping of the predecessor version — the
     // commit being written can't have changed it, mapping ops write no
-    // data). Identity on unmapped tables.
+    // data). Identity on unmapped tables. `physical` callers (the OR
+    // REPLACE CLONE write, whose commit RESETS the mapping so physical
+    // == logical) bypass the translation: applying the REPLACED
+    // target's stale renames there would store a source column under
+    // the old physical name the reset mapping no longer re-points.
     val df =
-      if (version == 0) dfLogical else toPhysicalDf(dfLogical, version - 1)
+      if (version == 0 || physical) dfLogical
+      else toPhysicalDf(dfLogical, version - 1)
     // Unique per-ATTEMPT dir (version prefix + nonce): two writers racing
     // the same version never touch each other's files — the write-once
     // manifest is the only commit point, and a losing attempt's orphaned
@@ -2773,8 +2894,16 @@ class SnapshotTable(spark: SparkSession, root: String) {
         // plain hash repartition when AQE is off. Callers that
         // pre-arranged their own distribution (ZORDER's curve ranges,
         // OPTIMIZE's byte bins) opt out via cluster = false.
+        // A/B toggle (spark.graft.write.cluster = rebalance | repartition)
+        // so the bench can attribute the hint's local cost — the
+        // repartition arm is the pre-r15 one-file-per-partition shape,
+        // kept ONLY for measurement, never the scale default.
         val arranged =
-          if (cluster) withPv.hint("rebalance", col(PartCol)) else withPv
+          if (!cluster) withPv
+          else if (spark.conf.getOption("spark.graft.write.cluster")
+              .contains("repartition"))
+            withPv.repartition(col(PartCol))
+          else withPv.hint("rebalance", col(PartCol))
         arranged.write.partitionBy(PartCol)
       case None => df.write
     }
@@ -2837,9 +2966,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // it explicitly; every other commit inherits the predecessor's.
     val setsMapping =
       prev == null || MappingOps.contains(m.operation)
-    val (carriedRenames, carriedDropped, carriedFieldMeta) =
-      if (setsMapping) (m.renames, m.dropped, m.fieldMeta)
-      else (prev.renames, prev.dropped, prev.fieldMeta)
+    val (carriedRenames, carriedDropped, carriedFieldMeta, carriedWidened) =
+      if (setsMapping) (m.renames, m.dropped, m.fieldMeta, m.widened)
+      else (prev.renames, prev.dropped, prev.fieldMeta, prev.widened)
     val stamped = m.copy(
       ts = math.max(System.currentTimeMillis(),
         (if (prev == null) 0L else prev.ts) + 1),
@@ -2847,6 +2976,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
       renames = carriedRenames,
       dropped = carriedDropped,
       fieldMeta = carriedFieldMeta,
+      widened = carriedWidened,
       // manifest-stored column names are always PHYSICAL: merge keys
       // arrive logical from DML callers and translate here, centrally
       // (idempotent — a physical name is never a logical name, the
@@ -2869,7 +2999,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (stamped.renames.nonEmpty || stamped.dropped.nonEmpty ||
-        stamped.fieldMeta.nonEmpty)
+        stamped.fieldMeta.nonEmpty || stamped.widened.nonEmpty)
       SnapshotTable.mappedRoots.add(root)
     manifestCache.put(p.toString, stamped)
   }
@@ -2920,7 +3050,7 @@ object SnapshotTable {
     * (Delta parity: schema metadata is versioned with the commit). */
   private val MappingOps =
     Set("RENAME_COLUMN", "DROP_COLUMN", "ADD_COLUMNS", "ALTER_COLUMN",
-      "RESTORE", "CLONE")
+      "WIDEN_COLUMN", "RESTORE", "CLONE")
 
   /** Roots where a column mapping has ever been observed — the
     * [[SnapshotTable.readEntries]]/[[SnapshotTable.writeData]] fast path
@@ -2976,7 +3106,14 @@ object SnapshotTable {
       // versioned field-metadata overlay (ALTER COLUMN SET/DROP DEFAULT,
       // comments): PHYSICAL column name → StructField metadata JSON,
       // winning over whatever the data-file footers carry
-      fieldMeta: Map[String, String] = Map.empty) {
+      fieldMeta: Map[String, String] = Map.empty,
+      // versioned type-widening overlay (ALTER COLUMN … TYPE, Delta
+      // type-widening analog): PHYSICAL column name → widened catalog
+      // type string. Files keep their written (narrower) physical type;
+      // the scan declares the widened type and Spark's parquet reader
+      // up-converts per file (SPARK-40876) — zero data rewritten,
+      // version-correct under time travel.
+      widened: Map[String, String] = Map.empty) {
     // PHYSICAL row count: base + pending delta rows, DV marks subtracted
     // (dv capture is duplicate-free by construction — marks come from the
     // DV-resolved scan — so the subtraction is exact). Exactly the
@@ -3090,6 +3227,11 @@ object SnapshotTable {
       val fmN = mapper.createObjectNode()
       m.fieldMeta.toSeq.sortBy(_._1).foreach { case (c, j) => fmN.put(c, j) }
       rootN.set[JsonNode]("field_meta", fmN)
+    }
+    if (m.widened.nonEmpty) {
+      val wN = mapper.createObjectNode()
+      m.widened.toSeq.sortBy(_._1).foreach { case (c, t) => wN.put(c, t) }
+      rootN.set[JsonNode]("widened", wN)
     }
     rootN.toString
   }
@@ -3256,18 +3398,20 @@ object SnapshotTable {
           val d = n.get("dropped")
           (0 until d.size()).map(d.get(_).asText())
         }
-      val fieldMeta =
-        if (!n.has("field_meta")) Map.empty[String, String]
+      def strMap(field: String): Map[String, String] =
+        if (!n.has(field)) Map.empty[String, String]
         else {
-          val fmN = n.get("field_meta")
-          val it = fmN.fieldNames()
+          val mN = n.get(field)
+          val it = mN.fieldNames()
           val buf = Map.newBuilder[String, String]
           while (it.hasNext) {
             val c = it.next()
-            buf += c -> fmN.get(c).asText()
+            buf += c -> mN.get(c).asText()
           }
           buf.result()
         }
+      val fieldMeta = strMap("field_meta")
+      val widened = strMap("widened")
       FullRecord(Manifest(
         n.get("version").asInt(),
         n.get("operation").asText(),
@@ -3280,7 +3424,8 @@ object SnapshotTable {
         txns,
         renames,
         dropped,
-        fieldMeta))
+        fieldMeta,
+        widened))
     }
   }
 
@@ -3296,12 +3441,13 @@ object SnapshotTable {
       prev.dvs.filterNot(e => d.rmDvs(e.path)) ++ d.addDvs,
       d.ts,
       prev.txns ++ d.newTxns,
-      // column mapping / field-metadata overlay only change on
-      // mapping-op commits, which always persist as FULL records — a
-      // delta record inherits its predecessor's verbatim
+      // column mapping / field-metadata / type-widening overlays only
+      // change on mapping-op commits, which always persist as FULL
+      // records — a delta record inherits its predecessor's verbatim
       prev.renames,
       prev.dropped,
-      prev.fieldMeta)
+      prev.fieldMeta,
+      prev.widened)
   }
 
   private def readFileString(fs: FileSystem, p: Path): String = {
@@ -3325,10 +3471,20 @@ object SnapshotTable {
     * no data pages are read. A column's stats survive only if EVERY row
     * group carries non-null min/max for it (a single stat-less chunk
     * makes file-level pruning unsound → the column is dropped); at most
-    * [[MaxStatCols]] columns are kept, in schema order. */
-  private def footerInfo(
+    * [[MaxStatCols]] columns are kept, in schema order. Lives on the
+    * companion (no instance state) so [[SnapshotTable.convertInPlace]]
+    * can run it from executor-side task closures. */
+  private[sources] def footerInfo(
       conf: Configuration, options: org.apache.parquet.ParquetReadOptions,
-      path: String): (Long, Map[String, (Double, Double)]) = {
+      path: String): (Long, Map[String, (Double, Double)]) =
+    footerProbe(conf, options, path)._1
+
+  /** [[footerInfo]] plus the footer's parquet schema rendered as a
+    * fingerprint string — one footer open serves both. The fingerprint
+    * groups CONVERT's files by physical schema generation. */
+  private[sources] def footerProbe(
+      conf: Configuration, options: org.apache.parquet.ParquetReadOptions,
+      path: String): ((Long, Map[String, (Double, Double)]), String) = {
     import scala.jdk.CollectionConverters._
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), conf), options)
@@ -3373,7 +3529,8 @@ object SnapshotTable {
       }
       val stats = order.iterator.filter(mins.contains).take(MaxStatCols)
         .map(c => c -> (mins(c), maxs(c))).toMap
-      (reader.getRecordCount, stats)
+      ((reader.getRecordCount, stats),
+        reader.getFooter.getFileMetaData.getSchema.toString)
     } finally reader.close()
   }
 

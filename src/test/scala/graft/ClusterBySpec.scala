@@ -140,4 +140,27 @@ class ClusterBySpec extends AnyFunSuite {
     s.sql("OPTIMIZE liqcat.ns.t")
     assert(t.commitOperation(t.currentVersion) != "CLUSTER")
   }
+
+  test("CLUSTER BY validates its columns at CREATE and ALTER, not at the next OPTIMIZE") {
+    val cat = tmp("liq_val_cat")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.liqval", "graft.sources.GraftSqlCatalog")
+    s.conf.set("spark.sql.catalog.liqval.root", cat)
+    s.sql("CREATE NAMESPACE liqval.ns")
+    // a typo'd CREATE spec fails loudly at CREATE time
+    val e1 = intercept[Exception](s.sql(
+      "CREATE TABLE liqval.ns.bad (k BIGINT, v DOUBLE) CLUSTER BY (kk)"))
+    assert(e1.getMessage.contains("kk"), e1.getMessage)
+    assert(!s.catalog.tableExists("liqval.ns.bad"))
+    // and a typo'd ALTER spec fails at ALTER time
+    s.sql("CREATE TABLE liqval.ns.t (k BIGINT, v DOUBLE)")
+    val e2 = intercept[Exception](
+      s.sql("ALTER TABLE liqval.ns.t CLUSTER BY (vv)"))
+    assert(e2.getMessage.contains("vv"), e2.getMessage)
+    // the valid spellings still land
+    s.sql("ALTER TABLE liqval.ns.t CLUSTER BY (v)")
+    assert(new SnapshotTable(s, s"$cat/ns/t")
+      .property(SnapshotTable.ClusterSpecProp).contains("v"))
+    s.sql("ALTER TABLE liqval.ns.t CLUSTER BY NONE")
+  }
 }

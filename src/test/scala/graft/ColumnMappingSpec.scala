@@ -165,6 +165,30 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(replaced.read(0).columns.toSeq == Seq("k", "v", "note"))
   }
 
+  test("OR REPLACE deep clone ignores the target's stale RENAMES on the copy write") {
+    import spark.implicits._
+    // the re-clone-from-backup case: the target renamed v -> w, so its
+    // stale mapping is {w -> v}; the SOURCE (a backup taken after the
+    // rename) carries the LOGICAL name w. The replace write must store
+    // the source's w AS w — translating it through the stale mapping
+    // would write physical `v`, and the reset (empty) mapping would then
+    // surface the wrong column name.
+    val tgtPath = tmp("cm_dcren_tgt")
+    val tgt = new SnapshotTable(spark, tgtPath)
+      .create(Seq((1L, 1.0)).toDF("k", "v"))
+    tgt.renameColumn("v", "w") // target mapping: w -> v (stale after replace)
+    val src = new SnapshotTable(spark, tmp("cm_dcren_src"))
+      .create(Seq((7L, 7.5), (8L, 8.5)).toDF("k", "w"))
+    src.deepCloneTo(tgtPath, orReplace = true)
+    val replaced = new SnapshotTable(spark, tgtPath)
+    assert(replaced.read().columns.toSeq == Seq("k", "w"))
+    assert(replaced.read().orderBy("k").select("w").as[Double].collect()
+      .toSeq == Seq(7.5, 8.5))
+    // history below the replace still reads the target's own schema
+    assert(replaced.read(1).columns.toSeq == Seq("k", "w"))
+    assert(replaced.read(0).columns.toSeq == Seq("k", "v"))
+  }
+
   test("rename/drop refuse on columns referenced by constraints, generation, clustering") {
     val cat = tmp("cm_ref_cat")
     val s = spark.newSession()

@@ -102,6 +102,53 @@ class ConvertSpec extends AnyFunSuite {
     assert(t.read().filter(col("tag").isNull).count() == 1)
   }
 
+  test("evolved (heterogeneous-schema) dir converts with the merged schema, per-generation origins") {
+    import spark.implicits._
+    val dir = tmp("cv_evolved")
+    // two schema generations in one raw directory — the common shape
+    // CONVERT targets (columns added over the directory's lifetime)
+    (1L to 4L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .repartition(2).write.mode("append").parquet(dir)
+    (5L to 6L).map(k => (k, k * 1.0, s"t$k")).toDF("k", "v", "tag")
+      .repartition(1).write.mode("append").parquet(dir)
+    // count tasks: footer collection must run as a DISTRIBUTED job
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t =
+      try {
+        val t0 = new SnapshotTable(spark, dir).convertInPlace()
+        // listener events are posted asynchronously — give the bus a beat
+        val deadline = System.currentTimeMillis() + 10000
+        while (tasks.get() < 2 && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        t0
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(tasks.get() > 1, s"expected a distributed footer job, saw ${tasks.get()} tasks")
+    // merged schema: union over both generations, evolution order
+    assert(t.read().columns.toSeq == Seq("k", "v", "tag"))
+    // older-generation rows null-fill the added column; newer keep values
+    val got = t.read().orderBy("k").select("k", "tag").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(got.toSeq == Seq((1L, null), (2L, null), (3L, null), (4L, null),
+      (5L, "t5"), (6L, "t6")))
+    // distinct origins per schema generation (union machinery probes one
+    // footer per origin — a single origin would silently drop `tag`)
+    assert(t.files.map(_.origin).distinct.size == 2)
+    // per-generation REORG detection: dropping `tag` marks ONLY the
+    // generation that physically carries it
+    val carriers = t.files.count(_.origin == 0L)
+    t.dropColumn("tag")
+    assert(t.reorgPurge(minBytes = 1L << 30) == carriers)
+    assert(t.read().orderBy("k").select("k").as[Long].collect().toSeq ==
+      (1L to 6L))
+  }
+
   test("SQL CONVERT TO GRAFT verb with path addressing") {
     import spark.implicits._
     val dir = tmp("cv_sql")
