@@ -87,6 +87,7 @@ object Bench {
       if (!runExtras) Seq.empty // dev-loop subset: skip the sweeps
       else try {
         Seq(
+          "ow" -> (() => operators.BenchExtras.writeShapeBins(spark)),
           "mm" -> (() => operators.BenchExtras.mergeMicroSweep(spark)),
           "fc" -> (() => operators.BenchExtras.fileCountTiers(spark)),
           "dm" -> (() => operators.BenchExtras.deleteMicroSweep(spark)),
@@ -112,8 +113,11 @@ object Bench {
     // refresh, merge micro (largest sizes first within each).
     val extrasOrdered = {
       // rpf leads: the isolated refresh_pipeline_full pin is the number
-      // the drift check reads against the in-loop headline
-      val (rpf, restR) = extras.partition(_._1.startsWith("rpf_"))
+      // the drift check reads against the in-loop headline; the write-
+      // shape pin (ow_*) rides right behind it — ow_hot_files = 1 IS the
+      // r14 regression class resurfacing
+      val (ow, restOw) = extras.partition(_._1.startsWith("ow_"))
+      val (rpf, restR) = restOw.partition(_._1.startsWith("rpf_"))
       val (inc, rest0) = restR.partition(_._1.startsWith("inc_"))
       val (skip, rest1) = rest0.partition(_._1.startsWith("skip_"))
       val (ir, rest2) = rest1.partition(_._1.startsWith("ir_"))
@@ -152,7 +156,7 @@ object Bench {
         "ir_merge_10"))
       val (irpTop, irpRest) = headThenRest(irp, Seq("irp_query_0",
         "irp_query_post", "irp_compact", "irp_merge_1", "irp_merge_10"))
-      rpf ++ inc ++ fcOrdered ++ skip ++ dm ++ irTop ++ irpTop ++
+      rpf ++ ow ++ inc ++ fcOrdered ++ skip ++ dm ++ irTop ++ irpTop ++
         irRest ++ irpRest ++ mmBySize ++ other
     }
     val json = Harness.reportJson(results, sfDir, Harness.envInfo(spark), extras)

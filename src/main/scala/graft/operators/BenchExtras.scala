@@ -32,6 +32,49 @@ object BenchExtras {
 
   private def sec(d: Double): Double = math.rint(d * 10000) / 10000
 
+  /** REBALANCE write-shape pin (the r14 OPTIMIZE regression class, now
+    * guarded on EVERY partitioned write path): a MERGE touching one
+    * deliberately skewed partition (~95% of ~250 MB in a single
+    * partition value) must emit SIZE-BOUNDED files — more than one file
+    * for the hot partition (a 50 GiB partition at 100 TB must not
+    * serialize through one write task) and a bounded total (no
+    * file spray). Reported: the merge seconds plus the observed file
+    * counts, so a regression shows up as ow_hot_files = 1 in the round
+    * report, not just as drift. */
+  def writeShapeBins(spark: SparkSession): Seq[(String, Double)] = {
+    val rows = 1000000L
+    // incompressible payload (hex digest), so the hot partition's
+    // SHUFFLE size — what AQE's rebalance chunks on — reliably tops the
+    // advisory several times over; a compressible pad would fit one
+    // chunk and make the pin vacuous
+    val base = spark.range(rows).select(
+      col("id").as("key"),
+      when(col("id") % 20 === 0, lit("cold")).otherwise(lit("hot"))
+        .as("partition"),
+      sha2(col("id").cast("string"), 256).as("value"))
+    val t = new SnapshotTable(spark, graft.Scratch.dir("ow_shape"))
+      .create(base, partitionBy = Some("partition"))
+    // pin the advisory chunk size for the measured merge so the pass/
+    // fail threshold is deterministic across driver environments
+    val advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val old = spark.conf.get(advisory)
+    spark.conf.set(advisory, "8MB")
+    try {
+      // merge replays 10% of the keys (all partitions touched — the hot
+      // one rewrites wholesale under CoW)
+      val src = base.filter(col("key") % 10 === 0)
+        .withColumn("value", concat(lit("u"), col("value")))
+      val (_, wSec) = time {
+        t.merge(src, Seq("key", "partition"), Some("partition"))
+      }
+      val hotFiles = t.files.count(_.partValue == "hot")
+      Seq(
+        "ow_merge_bins" -> sec(wSec),
+        "ow_hot_files" -> hotFiles.toDouble,
+        "ow_total_files" -> t.files.size.toDouble)
+    } finally spark.conf.set(advisory, old)
+  }
+
   /** 8 rows of (metric, seconds): {cow,mor} x {merge,read} x sizes. */
   def mergeMicroSweep(spark: SparkSession): Seq[(String, Double)] = {
     val rows = 200000L

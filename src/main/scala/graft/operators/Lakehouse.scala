@@ -1252,13 +1252,17 @@ object Lakehouse {
     "sql_column_defaults",
     Some("""
       SELECT o_orderstatus, COUNT(*) AS n,
-             CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE) AS sum_bonus
       FROM (
-        SELECT o_orderstatus, 5.5 AS price FROM orders
+        SELECT o_orderstatus, 5.5 AS price, 1.25 AS bonus FROM orders
         WHERE o_orderkey % 19 = 0
         UNION ALL
-        SELECT 'D' AS o_orderstatus, 9.75 AS price FROM orders
-        WHERE o_orderkey % 29 = 0)
+        SELECT 'D' AS o_orderstatus, 9.75 AS price, 1.25 AS bonus FROM orders
+        WHERE o_orderkey % 29 = 0
+        UNION ALL
+        SELECT 'E' AS o_orderstatus, 2.0 AS price, 2.5 AS bonus FROM orders
+        WHERE o_orderkey % 37 = 0)
       GROUP BY o_orderstatus ORDER BY o_orderstatus
     """),
     (s, d) => {
@@ -1282,15 +1286,70 @@ object Lakehouse {
         s.sql(s"""INSERT INTO $cat.bench.deft (o_orderkey)
                   SELECT o_orderkey + 50000000 FROM sqldflt_src
                   WHERE o_orderkey % 29 = 0""")
+        // ADD COLUMNS … DEFAULT (ANSI EXISTS_DEFAULT, zero rewrite):
+        // every PRE-EXISTING row reads 1.25 straight from the scan; then
+        // re-pointing the CURRENT default to 2.5 governs the next insert
+        // only — the split proves exists- and current-defaults are
+        // tracked independently
+        s.sql(s"ALTER TABLE $cat.bench.deft ADD COLUMNS (bonus DOUBLE DEFAULT 1.25)")
+        s.sql(s"ALTER TABLE $cat.bench.deft ALTER COLUMN bonus SET DEFAULT 2.5")
+        s.sql(s"""INSERT INTO $cat.bench.deft (o_orderkey, price, o_orderstatus)
+                  SELECT o_orderkey + 90000000, 2.0, 'E' FROM sqldflt_src
+                  WHERE o_orderkey % 37 = 0""")
         root
       })
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftSqlCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.root", root)
       s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
-                       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                       CAST(SUM(CAST(bonus AS DECIMAL(18,2))) AS DOUBLE) AS sum_bonus
                 FROM $cat.bench.deft
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
+  // Identity columns (GENERATED ALWAYS AS IDENTITY): NULL slots take
+  // values reserved off the table's high-water mark — unique and
+  // batch-monotonic; this engine's reservation is exact-sized, so two
+  // sequential inserts yield a contiguous arithmetic sequence and the
+  // aggregate invariants (count, distinct count, min, max) are fully
+  // deterministic for the oracle even though the row→value assignment
+  // order is not.
+  private val sqlIdentityColumns = OpQuery(
+    "sql_identity_columns",
+    Some("""
+      SELECT CAST(c AS BIGINT) AS n, CAST(c AS BIGINT) AS n_ids,
+             CAST(10 AS BIGINT) AS min_id,
+             CAST(10 + 2 * (c - 1) AS BIGINT) AS max_id
+      FROM (SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 19 = 0)
+                 + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 29 = 0) AS c)
+    """),
+    (s, d) => {
+      val cat = s"graftident_${math.abs(d.hashCode).toHexString}"
+      val root = stagedRoots.computeIfAbsent((d, "sqlcat_ident_root"), _ => {
+        val root = stagedTmp("stage_sqlcat_ident")
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        Tables.load(s, d, "orders")
+          .select("o_orderkey")
+          .createOrReplaceTempView("sqlident_src")
+        s.sql(s"CREATE NAMESPACE $cat.bench")
+        s.sql(s"""CREATE TABLE $cat.bench.ids
+                  (id BIGINT GENERATED ALWAYS AS IDENTITY
+                     (START WITH 10 INCREMENT BY 2), k BIGINT)""")
+        s.sql(s"""INSERT INTO $cat.bench.ids (k)
+                  SELECT o_orderkey FROM sqlident_src WHERE o_orderkey % 19 = 0""")
+        s.sql(s"""INSERT INTO $cat.bench.ids (k)
+                  SELECT o_orderkey FROM sqlident_src WHERE o_orderkey % 29 = 0""")
+        root
+      })
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""SELECT COUNT(*) AS n, COUNT(DISTINCT id) AS n_ids,
+                       MIN(id) AS min_id, MAX(id) AS max_id
+                FROM $cat.bench.ids""")
     })
 
   // Type widening (Delta ALTER COLUMN TYPE analog): a metadata-only
@@ -2592,5 +2651,5 @@ object Lakehouse {
     sqlPathVerbs, sqlRestoreClone, sqlTableChanges, cdcBatchOptions,
     sqlCallCompaction, sqlColumnMapping, sqlConvertInPlace, sqlClusterBy,
     sqlCheckConstraint, sqlColumnDefaults, sqlGeneratedColumns,
-    sqlTypeWidening)
+    sqlTypeWidening, sqlIdentityColumns)
 }

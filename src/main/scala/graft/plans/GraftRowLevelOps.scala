@@ -113,8 +113,12 @@ final case class GraftReplaceDataExec(
     // align to the table's column order and drop any metadata columns
     // the rewrite appended to the replacement query
     val cols = snapshot.read().schema.fieldNames.toIndexedSeq
-    val aligned = GraftV2Table.regenerateColumns(
-      df.select(cols.map(col): _*), tableSchema)
+    // merge-inserted rows arrive with NULL identity slots — fill them;
+    // carried/updated rows keep their stored values (no validation here:
+    // the rewrite frame cannot distinguish carried from assigned)
+    val aligned = GraftV2Table.applyIdentityColumns(
+      GraftV2Table.regenerateColumns(df.select(cols.map(col): _*), tableSchema),
+      tableSchema, snapshot, validateExplicit = false)
     replace match {
       case Some(entries) => snapshot.replaceFiles(entries, aligned, partSpec)
       case None => snapshot.overwriteAll(aligned, partSpec)
@@ -151,9 +155,12 @@ final case class GraftDynamicOverwriteExec(
     val df = org.apache.spark.sql.GraftStreamShim.ofRows(spark, query)
     val cols = snapshot.read().schema.fieldNames.toIndexedSeq
     // INSERT semantics: omitted/NULL generated slots fill, provided
-    // values must match (same projection the V1 insert path applies)
-    val aligned = GraftV2Table.applyGeneratedColumns(
-      df.select(cols.map(col): _*), tableSchema)
+    // values must match (same projection the V1 insert path applies);
+    // identity slots allocate
+    val aligned = GraftV2Table.applyIdentityColumns(
+      GraftV2Table.applyGeneratedColumns(df.select(cols.map(col): _*),
+        tableSchema),
+      tableSchema, snapshot, validateExplicit = true)
     partSpec match {
       case Some(pc) => snapshot.overwritePartitions(aligned, pc)
       case None => snapshot.overwriteAll(aligned, None)

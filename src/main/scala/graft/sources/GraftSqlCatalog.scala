@@ -106,7 +106,9 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def spark: SparkSession = SparkSession.active
   private def fs: FileSystem =
@@ -309,14 +311,33 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     val base =
       org.apache.spark.sql.GraftStreamShim.v2ColumnsToStructType(columns)
     val schema = StructType(base.fields.zip(columns).map { case (f, c) =>
-      require(c.identityColumnSpec() == null,
-        s"CREATE TABLE: identity column ${c.name()} unsupported")
-      if (c.generationExpression() == null) f
-      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata)
-        .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
-          .GENERATION_EXPRESSION_METADATA_KEY, c.generationExpression())
-        .build())
+      val withGen =
+        if (c.generationExpression() == null) f
+        else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+            .GENERATION_EXPRESSION_METADATA_KEY, c.generationExpression())
+          .build())
+      // GENERATED ALWAYS AS IDENTITY (START WITH s INCREMENT BY i):
+      // the spec rides the field metadata under Spark's own keys
+      // (IdentityColumn.getIdentityInfo reads them back); allocation
+      // happens at write ([[GraftV2Table.applyIdentityColumns]])
+      c.identityColumnSpec() match {
+        case null => withGen
+        case ispec =>
+          require(withGen.dataType == org.apache.spark.sql.types.LongType ||
+              withGen.dataType == org.apache.spark.sql.types.IntegerType,
+            s"CREATE TABLE: identity column ${c.name()} must be BIGINT or INT")
+          import org.apache.spark.sql.catalyst.util.IdentityColumn
+          withGen.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(withGen.metadata)
+              .putLong(IdentityColumn.IDENTITY_INFO_START, ispec.getStart)
+              .putLong(IdentityColumn.IDENTITY_INFO_STEP, ispec.getStep)
+              .putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+                ispec.isAllowExplicitInsert)
+              .build())
+      }
     })
     createTable(ident, schema, partitions, properties)
   }
@@ -373,12 +394,6 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"ALTER TABLE ADD COLUMNS: nested field ${a.fieldNames.mkString(".")} unsupported")
-        // an added column's DEFAULT would owe EXISTING rows the default
-        // value (ANSI EXISTS_DEFAULT), which the null-filling scan does
-        // not serve — refuse instead of silently reading NULLs
-        require(a.defaultValue() == null,
-          "ALTER TABLE ADD COLUMNS with DEFAULT is unsupported — add the " +
-            "column, then ALTER COLUMN … SET DEFAULT (existing rows read NULL)")
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"ALTER TABLE RENAME COLUMN: nested field ${r.fieldNames.mkString(".")} unsupported")
@@ -445,9 +460,24 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
         t.read().schema.length - dels.length >= 1,
       "ALTER TABLE DROP COLUMNS: cannot drop every column")
     if (adds.nonEmpty)
-      t.addColumns(adds.map(a =>
+      t.addColumns(adds.map { a =>
+        // ADD COLUMNS … DEFAULT expr: CURRENT_DEFAULT governs future
+        // inserts that omit the column (Spark's own analysis fills it);
+        // EXISTS_DEFAULT serves pre-existing rows AT SCAN — the parquet
+        // reader fills it for files that physically lack the column
+        // (ANSI semantics, zero rewrite). DEFAULT expressions are
+        // constant-foldable by Spark's validation, so the add-time SQL
+        // is the add-time value.
+        val meta = Option(a.defaultValue()) match {
+          case None => org.apache.spark.sql.types.Metadata.empty
+          case Some(dv) => new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("CURRENT_DEFAULT", dv.getSql)
+            .putString("EXISTS_DEFAULT", dv.getSql)
+            .build()
+        }
         org.apache.spark.sql.types.StructField(
-          a.fieldNames.head, a.dataType, nullable = true)))
+          a.fieldNames.head, a.dataType, nullable = true, meta)
+      })
     changes.foreach {
       case p: TableChange.SetProperty => t.withProperty(p.property, p.value)
       case r: TableChange.RenameColumn =>
@@ -861,7 +891,9 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
         override def toInsertableRelation(): InsertableRelation =
           new InsertableRelation {
             override def insert(dataRaw: DataFrame, overwriteArg: Boolean): Unit = {
-              val data = GraftV2Table.applyGeneratedColumns(dataRaw, schema)
+              val data = GraftV2Table.applyIdentityColumns(
+                GraftV2Table.applyGeneratedColumns(dataRaw, schema),
+                schema, table, validateExplicit = true)
               val identityPartCol = partSpec.filterNot(_.contains("("))
               mode match {
                 case "truncate" => table.overwriteAll(data, partSpec)
@@ -1006,6 +1038,25 @@ object GraftV2Table {
       // would strip the field metadata from the written footers)
       df.select(df.columns.map(c =>
         if (c == f.name) filled.as(c, f.metadata) else col(c)): _*)
+    }
+  }
+
+  /** Identity columns (`GENERATED ALWAYS/BY DEFAULT AS IDENTITY`): NULL
+    * slots take freshly reserved values from the table's high-water
+    * mark ([[SnapshotTable.reserveIdentity]]) — unique, batch-monotonic,
+    * gaps allowed (Delta's contract). `validateExplicit` enforces the
+    * ALWAYS variant (provided values refused); the row-level rewrite
+    * path passes false — carried/updated rows already hold their
+    * values, and only merge-inserted NULL slots fill. */
+  private[graft] def applyIdentityColumns(
+      data: DataFrame, schema: StructType, snapshot: SnapshotTable,
+      validateExplicit: Boolean): DataFrame = {
+    import org.apache.spark.sql.catalyst.util.IdentityColumn
+    val ids = schema.fields.flatMap(f =>
+      IdentityColumn.getIdentityInfo(f).map(f -> _))
+    ids.foldLeft(data) { case (df, (f, spec)) =>
+      snapshot.fillIdentity(df, f, spec.getStart, spec.getStep,
+        forbidExplicit = validateExplicit && !spec.isAllowExplicitInsert)
     }
   }
 

@@ -811,7 +811,17 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * null-filled on every older file — no data rewritten, cost is one
     * ~KB footer at any table size. Version-correct: time travel below
     * this commit does not see the columns. Added columns are forced
-    * nullable (old rows have no values). */
+    * nullable (old rows have no values).
+    *
+    * ADD COLUMNS … DEFAULT expr (ANSI EXISTS_DEFAULT): a field carrying
+    * `EXISTS_DEFAULT` metadata serves the default — not NULL — for rows
+    * in files that PHYSICALLY lack the column (Spark's parquet reader
+    * fills existence defaults per file, SPARK-38334), while files
+    * written after the add read their stored values, so an explicit
+    * NULL inserted later stays NULL. The metadata rides the versioned
+    * fieldMeta overlay (footer copies go stale under rewrites), making
+    * the fill time-travel-correct and rewrite-proof — still zero data
+    * rewritten at any table size. */
   def addColumns(fields: Seq[org.apache.spark.sql.types.StructField]): SnapshotTable = {
     val v = currentVersion
     val m = manifestOf(v)
@@ -847,10 +857,17 @@ class SnapshotTable(spark: SparkSession, root: String) {
       .repartition(1)
     val written = writeData(empty, v + 1, None)
     require(written.nonEmpty, s"ADD COLUMNS on $root wrote no schema carrier")
+    // added-field metadata (DEFAULT / EXISTS_DEFAULT, comments) lands in
+    // the versioned overlay keyed by PHYSICAL name — the carrier footer's
+    // copy is best-effort only (rewrites strip footer metadata)
+    val addedMeta = fields.collect {
+      case f if f.metadata != org.apache.spark.sql.types.Metadata.empty =>
+        freshPhys.getOrElse(f.name, f.name) -> f.metadata.json
+    }
     writeManifest(Manifest(v + 1, "ADD_COLUMNS", mergeKeysOf(v),
       fileEntries(v) ++ written, deltaEntries(v), Seq.empty, dvEntries(v),
       renames = m.renames ++ freshPhys, dropped = m.dropped,
-      fieldMeta = m.fieldMeta, widened = m.widened))
+      fieldMeta = m.fieldMeta ++ addedMeta, widened = m.widened))
     this
   }
 
@@ -876,6 +893,88 @@ class SnapshotTable(spark: SparkSession, root: String) {
       widened = m.widened))
     SnapshotTable.mappedRoots.add(root)
     this
+  }
+
+  /** Reserve `n` consecutive identity values for column `col` and
+    * return the FIRST of them (row i of the batch takes base + step·i).
+    * Reservation is an atomic bump of the in-process high-water mark,
+    * seeded once per session from the manifest's footer stats (the
+    * stored max/min of the column — stats are widened OUTWARD at
+    * capture, so the seed can only over-shoot: a gap, never a
+    * duplicate); a stat-less column falls back to one max() scan.
+    * Values are unique and batch-monotonic with gaps allowed — exactly
+    * Delta's IDENTITY contract. Concurrent writers in ONE process
+    * serialize on the atomic; cross-process concurrent identity inserts
+    * need external coordination (same caveat as Delta without a
+    * catalog-level lock). */
+  private[graft] def reserveIdentity(
+      col: String, start: Long, step: Long, n: Long): Long = {
+    require(step != 0, s"identity column $col: step must be non-zero")
+    val key = root + " " + col
+    val hwm = SnapshotTable.identityHwm.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong(
+        seedIdentity(col, start, step)))
+    hwm.getAndAdd(step * n) + step
+  }
+
+  /** Last-allocated identity value to seed the in-process counter: the
+    * stored extreme of the column across the current snapshot (manifest
+    * stats — zero data read), `start - step` on an empty table. */
+  private def seedIdentity(name: String, start: Long, step: Long): Long = {
+    val v = currentVersion
+    val phys = physColName(name, v)
+    val entries =
+      (fileEntries(v) ++ deltaEntries(v)).filter(_.rows > 0)
+    val virgin = start - step
+    if (entries.isEmpty) return virgin
+    def beyond(a: Long, b: Long): Long =
+      if (step > 0) math.max(a, b) else math.min(a, b)
+    if (entries.forall(_.stats.contains(phys))) {
+      val extreme =
+        if (step > 0) math.ceil(entries.map(_.stats(phys)._2).max).toLong
+        else math.floor(entries.map(_.stats(phys)._1).min).toLong
+      beyond(extreme, virgin)
+    } else {
+      // stat-less column: one aggregate over the snapshot, once per
+      // session — after that the atomic carries the mark
+      val agg = if (step > 0) max(col(name)) else min(col(name))
+      val r = read(v).agg(agg.cast("long")).head()
+      if (r.isNullAt(0)) virgin else beyond(r.getLong(0), virgin)
+    }
+  }
+
+  /** Fill NULL slots of identity column `f` with freshly reserved
+    * values — one cached pass to size the reservation, then the
+    * assignment rides the write job itself (global row indices come
+    * from per-partition offsets, so no shuffle and no driver loop;
+    * cost is O(batch), never table-sized). `forbidExplicit` raises on
+    * any non-NULL provided value (GENERATED ALWAYS AS IDENTITY without
+    * ALLOW EXPLICIT INSERT); explicit values never advance the
+    * high-water mark (Delta parity — SYNC semantics are out of scope). */
+  private[graft] def fillIdentity(
+      df: DataFrame, f: org.apache.spark.sql.types.StructField,
+      start: Long, step: Long, forbidExplicit: Boolean): DataFrame = {
+    val idx = df.schema.fieldIndex(f.name)
+    val rdd = df.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rdd.count()
+    if (n == 0) { rdd.unpersist(false); return df }
+    val base = reserveIdentity(f.name, start, step, n)
+    val isLong = f.dataType == org.apache.spark.sql.types.LongType
+    val name = f.name
+    val filled = rdd.zipWithIndex().map { case (r, i) =>
+      if (!r.isNullAt(idx)) {
+        if (forbidExplicit) throw new IllegalArgumentException(
+          s"GENERATED ALWAYS AS IDENTITY column $name: explicit values " +
+            "are not allowed (declare BY DEFAULT to permit them)")
+        r
+      } else {
+        val v = base + step * i
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.updated(idx, if (isLong) v else v.toInt))
+      }
+    }
+    df.sparkSession.createDataFrame(filled, df.schema)
   }
 
   /** ALTER COLUMN … TYPE as a metadata-only commit (Delta type-widening
@@ -1367,8 +1466,17 @@ class SnapshotTable(spark: SparkSession, root: String) {
   def create(df: DataFrame, partitionBy: Option[String] = None,
       txn: Option[(String, Long)] = None): SnapshotTable = {
     val written = writeData(df, 0, partitionBy)
+    // CREATE-time field metadata (DEFAULT / generation / identity specs)
+    // is pinned into the versioned overlay — footer copies of it go
+    // stale the moment a rewrite (OPTIMIZE / UPDATE) strips them; the
+    // commit log never does
+    val createMeta = df.schema.fields.collect {
+      case f if f.metadata != org.apache.spark.sql.types.Metadata.empty =>
+        f.name -> f.metadata.json
+    }.toMap
     writeManifest(Manifest(0, "CREATE", Seq.empty, written, Seq.empty,
-      txns = txn.map(t => Map(t._1 -> t._2)).getOrElse(Map.empty)))
+      txns = txn.map(t => Map(t._1 -> t._2)).getOrElse(Map.empty),
+      fieldMeta = createMeta))
     this
   }
 
@@ -3137,6 +3245,13 @@ object SnapshotTable {
     * half-written log entry; the write-once create inside remains the
     * cross-writer commit point. */
   private val commitLock = new Object
+
+  /** Process-wide identity high-water marks, keyed "root col" — the
+    * last ALLOCATED value per identity column (seeded from manifest
+    * stats on first use; see [[SnapshotTable.reserveIdentity]]). */
+  private val identityHwm =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
 
   /** Process-wide data-schema cache keyed by a representative file path
     * (one footer read per distinct table generation). */

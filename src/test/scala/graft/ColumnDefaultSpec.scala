@@ -41,11 +41,6 @@ class ColumnDefaultSpec extends AnyFunSuite {
     s.sql("ALTER TABLE dfcat.ns.t ALTER COLUMN v DROP DEFAULT")
     s.sql("INSERT INTO dfcat.ns.t (k) VALUES (5)")
     assert(s.sql("SELECT v FROM dfcat.ns.t WHERE k = 5").head.isNullAt(0))
-    // ADD COLUMNS with a DEFAULT refuses (existing rows would owe the
-    // default, which the null-filling scan does not serve)
-    intercept[Exception] {
-      s.sql("ALTER TABLE dfcat.ns.t ADD COLUMNS (w DOUBLE DEFAULT 1.0)")
-    }
     // column comments land in the same versioned overlay and survive
     // later writes (footer metadata churn cannot erase them)
     s.sql("ALTER TABLE dfcat.ns.t ALTER COLUMN v COMMENT 'money'")
@@ -56,5 +51,48 @@ class ColumnDefaultSpec extends AnyFunSuite {
     val shown = s.sql("DESCRIBE TABLE dfcat.ns.t").collect()
       .find(_.getString(0) == "v").get
     assert(shown.getString(2) == "money")
+  }
+
+  test("ADD COLUMNS with DEFAULT serves the exists-default to pre-existing rows, zero rewrite") {
+    val cat = tmp("dflt_add_cat")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.dfadd", "graft.sources.GraftSqlCatalog")
+    s.conf.set("spark.sql.catalog.dfadd.root", cat)
+    s.sql("CREATE NAMESPACE dfadd.ns")
+    s.sql("CREATE TABLE dfadd.ns.t (k BIGINT, v DOUBLE)")
+    s.sql("INSERT INTO dfadd.ns.t VALUES (1, 1.0), (2, 2.0)")
+    val t = new SnapshotTable(s, s"$cat/ns/t")
+    val before = t.files.map(_.path).toSet
+    val addVersion = t.currentVersion + 1
+    s.sql("ALTER TABLE dfadd.ns.t ADD COLUMNS (bonus DOUBLE DEFAULT 1.25)")
+    // metadata-plus-carrier commit: the original data files are untouched
+    assert(before.subsetOf(t.files.map(_.path).toSet))
+    // ANSI EXISTS_DEFAULT: pre-existing rows read 1.25, not NULL
+    assert(s.sql("SELECT bonus FROM dfadd.ns.t WHERE k = 1")
+      .head.getDouble(0) == 1.25)
+    // omitted on a new insert → CURRENT_DEFAULT fills
+    s.sql("INSERT INTO dfadd.ns.t (k, v) VALUES (3, 3.0)")
+    assert(s.sql("SELECT bonus FROM dfadd.ns.t WHERE k = 3")
+      .head.getDouble(0) == 1.25)
+    // an EXPLICIT NULL written after the add stays NULL (stored value
+    // wins over the exists-default — the fill is per missing FILE column)
+    s.sql("INSERT INTO dfadd.ns.t VALUES (4, 4.0, NULL)")
+    assert(s.sql("SELECT bonus FROM dfadd.ns.t WHERE k = 4").head.isNullAt(0))
+    // re-pointing the CURRENT default governs future inserts only;
+    // pre-add rows keep reading the exists-default
+    s.sql("ALTER TABLE dfadd.ns.t ALTER COLUMN bonus SET DEFAULT 9.0")
+    s.sql("INSERT INTO dfadd.ns.t (k, v) VALUES (5, 5.0)")
+    assert(s.sql("SELECT bonus FROM dfadd.ns.t WHERE k = 5")
+      .head.getDouble(0) == 9.0)
+    assert(s.sql("SELECT bonus FROM dfadd.ns.t WHERE k = 2")
+      .head.getDouble(0) == 1.25)
+    // time travel below the add sees neither column nor defaults
+    assert(!t.read(addVersion - 1).columns.contains("bonus"))
+    // a rewrite (OPTIMIZE) materializes the fills; values are unchanged
+    t.compact(1)
+    val got = s.sql("SELECT k, bonus FROM dfadd.ns.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 1.25), (2L, 1.25), (3L, 1.25),
+      (4L, null), (5L, 9.0)))
   }
 }

@@ -125,4 +125,89 @@ class ColumnMappingPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("clone x mapping x MoR-delta interleavings match a logical model") {
+    // the clone product space: renames land while MoR deltas pend, the
+    // live handle switches to a shallow clone mid-history (carrying
+    // mapping + pending deltas with rebased-negative origins), and the
+    // resolved read must keep matching the driver-side model throughout
+    val rnd = new Random(90210)
+    for (trial <- 1 to 3) {
+      var columns = Vector("k", "a", "b")
+      val model = scala.collection.mutable.Map[Long, Map[String, Double]]()
+      (0L until 16L).foreach(k =>
+        model(k) = Map("a" -> k * 1.0, "b" -> k * 3.0))
+      def frame(rows: Seq[(Long, Map[String, Double])]) = {
+        val cols = columns
+        val data = rows.map { case (k, m) =>
+          org.apache.spark.sql.Row.fromSeq(
+            k +: cols.drop(1).map(c => m.get(c).map(Double.box).orNull))
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(data.toList, 2),
+          org.apache.spark.sql.types.StructType(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType, nullable = false) +:
+              cols.drop(1).map(c => org.apache.spark.sql.types.StructField(
+                c, org.apache.spark.sql.types.DoubleType))))
+      }
+      var t = new SnapshotTable(spark, tmp(s"cmclprop$trial"))
+        .create(frame(model.toSeq.sortBy(_._1)))
+      var nextCol = 0
+      var clones = 0
+      def touch(n: Int): Seq[(Long, Map[String, Double])] = {
+        val upd = rnd.shuffle(model.keys.toList).take(n).map { k =>
+          val m = columns.drop(1).map(c => c -> rnd.nextDouble()).toMap
+          model(k) = m
+          (k, m)
+        }
+        val maxK = model.keys.max
+        val ins = (maxK + 1 to maxK + 1 + rnd.nextInt(2)).map { k =>
+          val m = columns.drop(1).map(c => c -> rnd.nextDouble()).toMap
+          model(k) = m
+          (k, m)
+        }
+        upd ++ ins
+      }
+      for (step <- 1 to 10 + rnd.nextInt(4)) {
+        rnd.nextInt(5) match {
+          case 0 => // MoR upsert: deltas stay pending across later steps
+            t.mergeDeferred(frame(touch(1 + rnd.nextInt(4))), Seq("k"))
+          case 1 if columns.size > 2 => // RENAME while deltas may pend
+            val old = columns(1 + rnd.nextInt(columns.size - 1))
+            val nw = s"m${nextCol}"; nextCol += 1
+            t.renameColumn(old, nw)
+            columns = columns.map(c => if (c == old) nw else c)
+            model.keys.foreach(k =>
+              model(k) = model(k).map { case (c, v) =>
+                (if (c == old) nw else c) -> v })
+          case 2 => // COMPACT folds pending deltas under the mapping
+            t.compact(2)
+          case 3 => // switch the live handle to a SHALLOW CLONE
+            clones += 1
+            t = t.shallowCloneTo(tmp(s"cmclprop${trial}_c$clones"))
+          case _ => // CoW merge through the logical names
+            t.merge(frame(touch(rnd.nextInt(3))), Seq("k"))
+        }
+        assert(t.read().columns.toSeq == columns,
+          s"trial $trial step $step: schema drift")
+        val got = t.read().collect().map { r =>
+          r.getLong(r.fieldIndex("k")) -> columns.drop(1).map(c =>
+            c -> (if (r.isNullAt(r.fieldIndex(c))) null
+                  else Double.box(r.getDouble(r.fieldIndex(c))))).toMap
+        }.toMap
+        assert(got.keySet == model.keySet.toSet,
+          s"trial $trial step $step: key drift")
+        got.foreach { case (k, m) =>
+          columns.drop(1).foreach { c =>
+            val expected = model(k).get(c).map(Double.box).orNull
+            assert(m(c) == expected,
+              s"trial $trial step $step: key $k col $c: got ${m(c)}, " +
+                s"expected $expected")
+          }
+        }
+      }
+      assert(clones == 0 || t.read().columns.toSeq == columns)
+    }
+  }
 }
