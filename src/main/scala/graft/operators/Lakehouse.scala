@@ -1308,6 +1308,107 @@ object Lakehouse {
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
+  // SQL DELETE through deletion vectors (Delta enableDeletionVectors):
+  // with the table property set, an arbitrary-predicate DELETE writes
+  // O(matched rows) of (file, position) marks — ZERO base files
+  // rewritten (asserted in the builder: a regression to the CoW rewrite
+  // fails the gate, not just the timing). The oracle recomputes the
+  // surviving rows from the raw data.
+  private val sqlDeleteDv = OpQuery(
+    "sql_delete_dv",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE NOT (o_orderstatus = 'O' AND o_orderkey % 3 = 0)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val cat = s"graftdvd_${math.abs(d.hashCode).toHexString}"
+      val root = stagedRoots.computeIfAbsent((d, "sqlcat_dvd_root"), _ => {
+        val root = stagedTmp("stage_sqlcat_dvd")
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.plans.GraftRowLevelOps.register(s)
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .createOrReplaceTempView("sqldvd_src")
+        s.sql(s"CREATE NAMESPACE $cat.bench")
+        s.sql(s"""CREATE TABLE $cat.bench.t
+                  (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+                  TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')""")
+        s.sql(s"INSERT INTO $cat.bench.t SELECT * FROM sqldvd_src")
+        val t = new SnapshotTable(s, s"$root/bench/t")
+        val before = t.files.map(_.path).toSet
+        s.sql(s"""DELETE FROM $cat.bench.t
+                  WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0""")
+        require(t.files.map(_.path).toSet == before,
+          "DV delete rewrote base files — the positional path regressed")
+        require(t.commitOperation(t.currentVersion) == "DELETE_DV",
+          s"expected DELETE_DV, got ${t.commitOperation(t.currentVersion)}")
+        root
+      })
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM $cat.bench.t
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
+  // NOT NULL constraints: the flag rides the versioned fieldMeta
+  // overlay (parquet reads force nullable=true, so the StructField flag
+  // cannot survive the file round-trip) and Spark's output resolver
+  // enforces it on every write; a refused NULL insert commits nothing.
+  // The oracle pins the surviving rows plus the schema's round-tripped
+  // nullability as a constant column.
+  private val sqlNotNull = OpQuery(
+    "sql_not_null",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n, CAST(1 AS BIGINT) AS k_not_null
+      FROM orders WHERE o_orderkey % 17 = 0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val cat = s"graftnn_${math.abs(d.hashCode).toHexString}"
+      val root = stagedRoots.computeIfAbsent((d, "sqlcat_nn_root"), _ => {
+        val root = stagedTmp("stage_sqlcat_nn")
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_orderstatus")
+          .createOrReplaceTempView("sqlnn_src")
+        s.sql(s"CREATE NAMESPACE $cat.bench")
+        s.sql(s"CREATE TABLE $cat.bench.nn (k BIGINT NOT NULL, o_orderstatus STRING)")
+        s.sql(s"""INSERT INTO $cat.bench.nn
+                  SELECT o_orderkey, o_orderstatus FROM sqlnn_src
+                  WHERE o_orderkey % 17 = 0""")
+        // a NULL into the NOT NULL column must refuse and commit nothing
+        try {
+          s.sql(s"INSERT INTO $cat.bench.nn VALUES (NULL, 'X')")
+          throw new IllegalStateException(
+            "NOT NULL column accepted a NULL insert")
+        } catch {
+          case _: IllegalStateException => throw new IllegalStateException(
+            "NOT NULL column accepted a NULL insert")
+          case _: Exception => () // expected refusal
+        }
+        root
+      })
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      // k_not_null pins the schema round trip inside the hashed result
+      val notNull = !s.table(s"$cat.bench.nn").schema("k").nullable
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(${if (notNull) 1 else 0} AS BIGINT) AS k_not_null
+                FROM $cat.bench.nn
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
   // Identity columns (GENERATED ALWAYS AS IDENTITY): NULL slots take
   // values reserved off the table's high-water mark — unique and
   // batch-monotonic; this engine's reservation is exact-sized, so two
@@ -2651,5 +2752,5 @@ object Lakehouse {
     sqlPathVerbs, sqlRestoreClone, sqlTableChanges, cdcBatchOptions,
     sqlCallCompaction, sqlColumnMapping, sqlConvertInPlace, sqlClusterBy,
     sqlCheckConstraint, sqlColumnDefaults, sqlGeneratedColumns,
-    sqlTypeWidening, sqlIdentityColumns)
+    sqlTypeWidening, sqlIdentityColumns, sqlNotNull, sqlDeleteDv)
 }

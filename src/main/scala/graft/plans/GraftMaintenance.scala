@@ -117,6 +117,10 @@ object GraftMaintenance {
     .add("new_version", IntegerType, nullable = false)
     .add("num_files", LongType, nullable = false)
 
+  val SetNotNullSchema: StructType = new StructType()
+    .add("column", StringType, nullable = false)
+    .add("new_version", IntegerType, nullable = false)
+
   val CloneSchema: StructType = new StructType()
     .add("source_version", IntegerType, nullable = false)
     .add("num_files", LongType, nullable = false)
@@ -255,6 +259,18 @@ final case class GraftRestoreCommand(name: Seq[String],
     extends LeafNode with Command {
   override def output: Seq[Attribute] =
     GraftMaintenance.attrs(GraftMaintenance.RestoreSchema)
+}
+
+/** `ALTER TABLE name ALTER COLUMN col SET NOT NULL` — Spark's own v2
+  * ALTER path hard-refuses nullable→non-nullable at analysis, so the
+  * verb routes through this extension command (exactly how Delta ships
+  * it). Existing rows validate once (one stop-at-first-NULL count);
+  * the flag then rides the versioned fieldMeta overlay and Spark's
+  * output resolver enforces it on every subsequent write. */
+final case class GraftSetNotNullCommand(name: Seq[String], column: String)
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] =
+    GraftMaintenance.attrs(GraftMaintenance.SetNotNullSchema)
 }
 
 /** `CREATE TABLE tgt SHALLOW|DEEP CLONE src [VERSION AS OF n]` (Delta
@@ -436,6 +452,21 @@ object GraftMaintenanceStrategy extends SparkStrategy {
           GraftMaintenance.DefaultMinBytes, onlyPartitions = scope)
         val purged = marksBefore - t.dvFiles.map(_.rows).sum
         Seq(Seq[Any](rewritten, purged, t.currentVersion))
+      }) :: Nil
+    case c: GraftSetNotNullCommand =>
+      GraftMaintenanceExec(c.output, { spark =>
+        val t = GraftMaintenance.snapshotOf(spark, c.name, forMutation = true)
+        val nulls = t.read().filter(
+          org.apache.spark.sql.functions.col(c.column).isNull)
+          .limit(1).count()
+        require(nulls == 0,
+          s"ALTER COLUMN ${c.column} SET NOT NULL: existing rows contain NULLs")
+        t.alterColumnMeta(c.column, { f =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putBoolean(SnapshotTable.NotNullKey, true).build())
+        })
+        Seq(Seq[Any](c.column, t.currentVersion))
       }) :: Nil
     case c: GraftRestoreCommand =>
       GraftMaintenanceExec(c.output, { spark =>

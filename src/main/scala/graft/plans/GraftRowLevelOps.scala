@@ -45,14 +45,34 @@ object GraftRowLevelOps extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case r: ReplaceData =>
       graftTableOf(r.originalTable).map { t =>
-        // partition-scoped rewrites carry their planned file split on
-        // the write (set during scan planning); None = whole table
-        val replace = r.write match {
-          case Some(w: graft.sources.GraftReplaceWrite) => w.op.plannedReplace
-          case _ => None
+        // DELETE on a deletion-vector-enabled table takes the positional
+        // path: O(matched rows) of (file, pos) marks, ZERO files
+        // rewritten — the scale shape for predicate deletes at 100 TB
+        // (Delta's enableDeletionVectors does exactly this). Falls back
+        // to the CoW rewrite for subquery/non-deterministic conditions
+        // and uncompacted (pending-MoR) state.
+        import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+        val cmd = r.write match {
+          case Some(w: graft.sources.GraftReplaceWrite) => w.op.command()
+          case _ => Command.UPDATE // unknown: stay on the general rewrite
         }
-        GraftReplaceDataExec(t.snapshot, t.writePartSpec, r.query, replace,
-          t.schema) :: Nil
+        val dvEligible = cmd == Command.DELETE && t.dvDeletesEnabled &&
+          r.condition.deterministic &&
+          !org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+            .hasSubquery(r.condition) &&
+          !t.snapshot.hasPendingDeltas
+        if (dvEligible)
+          GraftDvDeleteExec(t.snapshot, r.condition) :: Nil
+        else {
+          // partition-scoped rewrites carry their planned file split on
+          // the write (set during scan planning); None = whole table
+          val replace = r.write match {
+            case Some(w: graft.sources.GraftReplaceWrite) => w.op.plannedReplace
+            case _ => None
+          }
+          GraftReplaceDataExec(t.snapshot, t.writePartSpec, r.query, replace,
+            t.schema) :: Nil
+        }
       }.getOrElse(Nil)
     // Spark has no V1-fallback exec for dynamic partition overwrite
     // (OverwritePartitionsDynamicExec demands a DSv2 BatchWrite); route
@@ -124,6 +144,37 @@ final case class GraftReplaceDataExec(
       case None => snapshot.overwriteAll(aligned, partSpec)
     }
     ()
+  }
+
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    done
+    sparkContext.emptyRDD[InternalRow]
+  }
+}
+
+/** Physical node for a deletion-vector SQL DELETE: the resolved DELETE
+  * condition re-binds by NAME onto the snapshot's logical frame (the
+  * attribute ids of the row-level scan are irrelevant — the predicate
+  * re-plans against a fresh addressed scan) and
+  * [[SnapshotTable.deleteExprPositional]] writes O(matched rows) of
+  * (file, position) marks. No base file is rewritten. */
+final case class GraftDvDeleteExec(
+    snapshot: SnapshotTable,
+    condition: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Seq.empty
+
+  private lazy val done: Unit = {
+    val rebound = condition.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(a.name)
+    }
+    snapshot.deleteExprPositional(
+      org.apache.spark.sql.GraftStreamShim.columnOf(rebound)): Unit
   }
 
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }

@@ -67,6 +67,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         dryRun = dry != null)
     case VacuumRe(name, dry) =>
       GraftVacuumCommand(parts(name), None, dryRun = dry != null)
+    case SetNotNullRe(name, c) =>
+      GraftSetNotNullCommand(parts(name), strip(c))
     case ReorgRe(name, whereCond) =>
       GraftReorgCommand(parts(name), Option(whereCond).map(parseWhere))
     case GenerateRe(name) =>
@@ -187,6 +189,12 @@ object GraftSqlParser {
   private val WhereInRe = s"(?i)($P)\\s+IN\\s*\\(([^)]*)\\)\\s*".r
   // one IN-list value: single-quoted, double-quoted, or bare
   private val InValRe = "'([^']*)'|\"([^\"]*)\"|([^\\s,'\"]+)".r
+  // ALTER TABLE name ALTER|CHANGE COLUMN col SET NOT NULL — Spark's v2
+  // ALTER path refuses nullable→non-nullable at analysis, so the verb
+  // ships through the extension (Delta does the same)
+  private val SetNotNullRe =
+    (s"(?is)\\s*ALTER\\s+TABLE\\s+$Name\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+" +
+      s"($P)\\s+SET\\s+NOT\\s+NULL\\s*;?\\s*").r
   // REORG TABLE name [WHERE cond] APPLY (PURGE) — Delta's
   // deletion-vector purge verb
   private val ReorgRe =

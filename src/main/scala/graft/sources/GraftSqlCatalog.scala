@@ -342,7 +342,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     createTable(ident, schema, partitions, properties)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
+  override def createTable(ident: Identifier, schemaRaw: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val t = snapshotOf(ident)
     if (t.exists) throw new TableAlreadyExistsException(ident)
@@ -354,6 +354,16 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     // the schema-carrying create is always a single empty unpartitioned
     // footer (a partitioned write of zero rows emits no file at all);
     // the layout lives as a table property and every INSERT honors it
+    // NOT NULL columns: the flag rides the versioned overlay as a
+    // metadata marker ([[SnapshotTable.NotNullKey]] — parquet reads
+    // force nullable=true, so the StructField flag alone cannot survive
+    // the file round-trip); the scan re-flips nullability from it and
+    // Spark's output resolver enforces the constraint on every write
+    val schema = StructType(schemaRaw.fields.map(f =>
+      if (f.nullable) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putBoolean(SnapshotTable.NotNullKey, true).build())))
     // validate the clustering columns against the schema NOW — a typo'd
     // spec must fail at CREATE, not at the first OPTIMIZE (and a stale
     // misspelled spec would mis-aim the rename/drop reference guards)
@@ -367,6 +377,18 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     t.create(empty, None)
+    // CREATE TABLE … TBLPROPERTIES land in the durable sidecar exactly
+    // like ALTER … SET TBLPROPERTIES would; Spark's reserved/managed
+    // keys (provider, location, owner, …) are catalog-level bookkeeping,
+    // not table state, and stay out
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      "transient_lastDdlTime")
+    properties.forEach { (k, v) =>
+      if (!reserved.contains(k) && !k.startsWith("option."))
+        t.withProperty(k, v)
+    }
     toSpec(partTransforms).foreach(s => t.withProperty(GraftV2Table.PartSpecProp, s))
     clusterBy.collectFirst {
       case cb: org.apache.spark.sql.connector.expressions.ClusterByTransform =>
@@ -415,6 +437,20 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       case w: TableChange.UpdateColumnType =>
         require(w.fieldNames.length == 1,
           s"ALTER COLUMN TYPE: nested field ${w.fieldNames.mkString(".")} unsupported")
+      case nn: TableChange.UpdateColumnNullability =>
+        require(nn.fieldNames.length == 1,
+          s"ALTER COLUMN NULLABILITY: nested field ${nn.fieldNames.mkString(".")} unsupported")
+        // SET NOT NULL must validate EXISTING rows once (Delta's
+        // contract) before the constraint is declared — a scan claiming
+        // non-nullable over stored NULLs would mislead the optimizer
+        if (!nn.nullable) {
+          val nulls = t.read()
+            .filter(org.apache.spark.sql.functions
+              .col(nn.fieldNames.head).isNull).limit(1).count()
+          require(nulls == 0,
+            s"ALTER COLUMN ${nn.fieldNames.head} SET NOT NULL: existing " +
+              "rows contain NULLs")
+        }
       case c: TableChange.UpdateColumnComment =>
         require(c.fieldNames.length == 1,
           s"ALTER COLUMN COMMENT: nested field ${c.fieldNames.mkString(".")} unsupported")
@@ -530,6 +566,17 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
           val sql = u.newDefaultValue()
           if (sql == null || sql.isEmpty) b.remove("CURRENT_DEFAULT")
           else b.putString("CURRENT_DEFAULT", sql)
+          f.copy(metadata = b.build())
+        })
+      // ALTER COLUMN … SET / DROP NOT NULL: the flag is an overlay
+      // metadata marker (existing rows pre-validated above); Spark's
+      // output resolver enforces it on every subsequent write
+      case nn: TableChange.UpdateColumnNullability =>
+        t.alterColumnMeta(nn.fieldNames.head, { f =>
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          if (nn.nullable) b.remove(SnapshotTable.NotNullKey)
+          else b.putBoolean(SnapshotTable.NotNullKey, true)
           f.copy(metadata = b.build())
         })
       // ALTER TABLE … ALTER COLUMN c TYPE t: metadata-only lossless
@@ -668,6 +715,13 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
     * UPDATE / MERGE / CoW-DELETE rewrites through the snapshot commit. */
   private[graft] def snapshot: SnapshotTable = table
   private[graft] def writePartSpec: Option[String] = partSpec
+
+  /** True when `graft.enableDeletionVectors` is set on the table: SQL
+    * DELETE routes to positional (file, pos) marks — O(matched rows),
+    * zero files rewritten — instead of the CoW rewrite (Delta's
+    * enableDeletionVectors contract). */
+  private[graft] def dvDeletesEnabled: Boolean =
+    table.propertiesMap.get(GraftV2Table.DvDeleteProp).contains("true")
 
   /** SQL UPDATE / MERGE INTO / arbitrary-predicate DELETE: group-based
     * copy-on-write ([[GraftRowLevelOperation]] — partition-scoped when
@@ -849,7 +903,7 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
     * partial delete. Cost: only files whose min/max overlap the interval
     * rewrite; the rest carry by reference. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinned.isEmpty && !table.hasPendingDeltas &&
+    pinned.isEmpty && !table.hasPendingDeltas && !dvDeletesEnabled &&
       GraftV2Table.numericInterval(filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -952,6 +1006,10 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
 object GraftV2Table {
   /** Table property recording the partition layout SQL writes use. */
   val PartSpecProp = SnapshotTable.PartSpecProp
+
+  /** Table property switching SQL DELETE to deletion-vector marks
+    * (Delta `delta.enableDeletionVectors` analog). */
+  val DvDeleteProp = "graft.enableDeletionVectors"
 
   /** Sidecar property prefix for ANSI CHECK constraints: key
     * `constraint.check.<name>`, value = the predicate SQL. */

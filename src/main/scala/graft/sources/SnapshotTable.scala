@@ -369,8 +369,17 @@ class SnapshotTable(spark: SparkSession, root: String) {
         val metaApplied =
           if (fm.isEmpty) schema
           else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
-            fm.get(f.name).map(j => f.copy(metadata =
-              org.apache.spark.sql.types.Metadata.fromJson(j))).getOrElse(f)))
+            fm.get(f.name).map { j =>
+              val md = org.apache.spark.sql.types.Metadata.fromJson(j)
+              // NOT NULL rides the overlay as a marker (parquet reads
+              // force nullable=true, so the flag cannot survive the file
+              // round-trip): a marked column surfaces non-nullable, and
+              // Spark's output resolver then enforces it on every SQL
+              // write (runtime AssertNotNull under ANSI assignment)
+              f.copy(metadata = md,
+                nullable = f.nullable && !(md.contains(SnapshotTable.NotNullKey) &&
+                  md.getBoolean(SnapshotTable.NotNullKey)))
+            }.getOrElse(f)))
         // type-widening overlay (ALTER COLUMN … TYPE): the scan declares
         // the widened type over files written narrower — Spark's parquet
         // reader up-converts per file (int32→int64, float→double,
@@ -1781,6 +1790,39 @@ class SnapshotTable(spark: SparkSession, root: String) {
     this
   }
 
+  /** Positional (deletion-vector) DELETE on an ARBITRARY predicate —
+    * the scale path for predicate deletes Delta enables with
+    * deletionVectors: one addressed scan of the base files filters the
+    * predicate and writes O(matched rows) of (file, position) marks;
+    * NO base file is rewritten at any table size (a GDPR delete on a
+    * 100 TB table costs the scan plus marks, not a rewrite). Readers
+    * anti-join the marks out ([[baseScan]]); REORG APPLY (PURGE)
+    * materializes them physically later. Stats cannot pre-prune an
+    * opaque predicate, so every base file is scanned once — still
+    * strictly cheaper than the CoW rewrite, which scans AND rewrites.
+    * Requires compacted state (marks address base copies only; a
+    * pending MoR delta row matching the predicate would silently
+    * survive). Returns the number of rows marked. */
+  def deleteExprPositional(cond: org.apache.spark.sql.Column): Long = {
+    val v = currentVersion
+    require(deltaEntries(v).isEmpty,
+      s"positional DELETE on $root requires compacted state (pending MoR " +
+        "deltas — OPTIMIZE folds them first)")
+    val dvs = dvEntries(v)
+    val entries = fileEntries(v)
+    if (entries.isEmpty) return 0L
+    val addressed =
+      if (dvs.isEmpty) readEntriesAddressed(entries)
+      else addressedMinusDvs(entries, dvs)
+    val written = writeData(
+      addressed.filter(cond <=> true).select(col(DvFileCol), col(DvPosCol)),
+      v + 1, None).filter(_.rows > 0)
+    if (written.isEmpty) return 0L // no matches: nothing to commit
+    writeManifest(Manifest(v + 1, "DELETE_DV", mergeKeysOf(v), entries,
+      Seq.empty, Seq.empty, dvs ++ written))
+    written.map(_.rows).sum
+  }
+
   /** Copy-on-write UPDATE … SET `set` WHERE `colName BETWEEN lo AND hi`
     * (Delta `UPDATE` with data-skipping): file pruning as in
     * [[deleteWhere]]. All SET expressions evaluate against the OLD row
@@ -3125,6 +3167,11 @@ object SnapshotTable {
     * the partition column (standard Spark/Hive `pc=v/` layout):
     * "name:catalogType". See [[SnapshotTable.convertInPlace]]. */
   val SynthPartProp = "convert.synthesizedPartition"
+
+  /** Field-metadata marker carrying a column's NOT NULL flag through
+    * the versioned overlay (parquet reads force nullable=true, so the
+    * StructField flag itself cannot survive a file round-trip). */
+  val NotNullKey = "graft.notNull"
 
   /** Sidecar property recording the table's clustering columns (Delta
     * liquid-clustering `CLUSTER BY` analog, comma-separated): a bare

@@ -61,6 +61,12 @@ object GraftStreamShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Catalyst Expression → user-facing Column (the constructor is
+    * `private[sql]`): the DV-delete rule re-binds a resolved DELETE
+    * condition by name and applies it as a DataFrame filter. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** v2 Column array → StructType with Spark's own metadata mapping
     * (comments, DEFAULT expressions) — `CatalogV2Util` is
     * `private[sql]`, hence this bridge. */
