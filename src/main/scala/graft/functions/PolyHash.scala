@@ -401,6 +401,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.plans.GraftTableChanges.getClass.getName,
         "table_changes"),
       (exprs: Seq[Expression]) => graft.plans.GraftTableChanges.build(exprs)))
+    // SQL face of row tracking: current rows + stable row ids
+    ext.injectTableFunction((
+      new FunctionIdentifier("table_row_ids"),
+      new ExpressionInfo(graft.plans.GraftTableRowIds.getClass.getName,
+        "table_row_ids"),
+      (exprs: Seq[Expression]) => graft.plans.GraftTableRowIds.build(exprs)))
     ext.injectFunction((
       new FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),

@@ -1308,6 +1308,46 @@ object Lakehouse {
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
+  // Row tracking (Delta row-ids analog): manifest-assigned stable row
+  // ids, materialized through maintenance rewrites under the table
+  // property so OPTIMIZE never renumbers. The builder asserts the
+  // stability property itself (ids identical across a full compaction
+  // and a DV delete); the oracle pins the aggregate invariants.
+  private val rowTracking = OpQuery(
+    "row_tracking",
+    Some("""
+      SELECT CAST(c AS BIGINT) AS n, CAST(c AS BIGINT) AS n_ids,
+             CAST(1 AS BIGINT) AS stable
+      FROM (SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 0)
+                 - (SELECT COUNT(*) FROM orders
+                    WHERE o_orderkey % 13 = 0 AND o_orderkey % 5 = 0) AS c)
+    """),
+    (s, d) => {
+      val root = stagedRoots.computeIfAbsent((d, "row_tracking_root"), _ => {
+        val root = stagedTmp("stage_row_tracking")
+        val t = new SnapshotTable(s, root).create(
+          Tables.load(s, d, "orders")
+            .filter(col("o_orderkey") % 13 === 0)
+            .select("o_orderkey", "o_totalprice"))
+        t.withProperty(SnapshotTable.RowTrackingProp, "true")
+        def ids(): Map[Long, Long] = t.readWithRowIds()
+          .select(col("o_orderkey"), col(SnapshotTable.RidCol))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val before = ids()
+        t.compact(2)
+        require(ids() == before, "row ids changed across OPTIMIZE")
+        t.deleteExprPositional(col("o_orderkey") % 5 === 0)
+        require(ids() == before.filterNot(_._1 % 5 == 0),
+          "DV-delete survivors changed row ids")
+        root
+      })
+      val t = new SnapshotTable(s, root)
+      t.readWithRowIds()
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col(SnapshotTable.RidCol)).as("n_ids"),
+          lit(1L).as("stable"))
+    })
+
   // SQL DELETE through deletion vectors (Delta enableDeletionVectors):
   // with the table property set, an arbitrary-predicate DELETE writes
   // O(matched rows) of (file, position) marks — ZERO base files
@@ -2752,5 +2792,6 @@ object Lakehouse {
     sqlPathVerbs, sqlRestoreClone, sqlTableChanges, cdcBatchOptions,
     sqlCallCompaction, sqlColumnMapping, sqlConvertInPlace, sqlClusterBy,
     sqlCheckConstraint, sqlColumnDefaults, sqlGeneratedColumns,
-    sqlTypeWidening, sqlIdentityColumns, sqlNotNull, sqlDeleteDv)
+    sqlTypeWidening, sqlIdentityColumns, sqlNotNull, sqlDeleteDv,
+    rowTracking)
 }

@@ -89,6 +89,26 @@ class GraftPathTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 }
 
+/** `SELECT * FROM table_row_ids('cat.ns.t' | '/abs/path')` — SQL face
+  * of [[SnapshotTable.readWithRowIds]]: the current rows plus each
+  * row's stable id (`__graft_rid`). Same name-or-path addressing as
+  * `table_changes`. */
+object GraftTableRowIds {
+
+  private[graft] def build(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.size == 1,
+      s"table_row_ids(table) takes 1 argument, got ${exprs.size}")
+    val spark = SparkSession.active
+    val name = String.valueOf(exprs.head.eval())
+    val t =
+      if (name.startsWith("/") || name.contains(":/"))
+        new SnapshotTable(spark, name)
+      else GraftMaintenance.snapshotOf(spark,
+        GraftSqlParser.splitName(name))
+    t.readWithRowIds().queryExecution.analyzed
+  }
+}
+
 /** `SELECT * FROM table_changes('cat.ns.t' | '/abs/path', start[, end])`
   * — Delta's change-data-feed TVF spelling over the engine's
   * commit-captured CDC files ([[SnapshotTable.changes]]): each version

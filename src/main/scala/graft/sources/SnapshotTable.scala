@@ -302,10 +302,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * strings render identically at capture and at read (both come from
     * the same scan machinery), so DV anti-joins match exactly. */
   private def readEntriesAddressed(
-      entries: Seq[FileEntry], mapV: Int = -1): DataFrame =
+      entries: Seq[FileEntry], mapV: Int = -1,
+      keepRid: Boolean = false): DataFrame =
     // metadata columns are selected on the RAW scan (before the
     // column-mapping projection — a Project on top would hide them)
-    toLogicalDf(readEntriesRaw(entries, mapV).select(col("*"),
+    toLogicalDf(readEntriesRaw(entries, mapV, keepRid).select(col("*"),
       col("_metadata.file_path").as(DvFileCol),
       col("_metadata.row_index").as(DvPosCol)), mapV)
 
@@ -315,8 +316,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * deleted fraction the join degrades gracefully to a shuffled anti
     * join keyed by file path, never a full-table rewrite. */
   private def addressedMinusDvs(
-      entries: Seq[FileEntry], dvs: Seq[FileEntry], mapV: Int = -1): DataFrame =
-    readEntriesAddressed(entries, mapV)
+      entries: Seq[FileEntry], dvs: Seq[FileEntry], mapV: Int = -1,
+      keepRid: Boolean = false): DataFrame =
+    readEntriesAddressed(entries, mapV, keepRid)
       .join(readEntriesRaw(dvs), Seq(DvFileCol, DvPosCol), "left_anti")
 
   /** Base-layer scan with deletion vectors applied (no-op scan when none
@@ -344,7 +346,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     toLogicalDf(readEntriesRaw(entries, mapV), mapV)
 
   private def readEntriesRaw(
-      entries: Seq[FileEntry], mapV: Int = -1): DataFrame = {
+      entries: Seq[FileEntry], mapV: Int = -1,
+      keepRid: Boolean = false): DataFrame = {
     require(entries.nonEmpty, s"no data files to read at $root")
     val schema = entries.groupBy(_.origin).toSeq.sortBy(_._1)
       .map { case (_, es) =>
@@ -411,7 +414,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
       fileFormat =
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)
-    spark.baseRelationToDataFrame(relation).drop(PartCol)
+    val df = spark.baseRelationToDataFrame(relation).drop(PartCol)
+    // the materialized row-id column is engine state, never part of the
+    // logical schema — only the row-id-aware scans keep it
+    if (keepRid) df else df.drop(SnapshotTable.RidCol)
   }
 
   /** MoR read resolution: per merge key keep the newest delta row
@@ -717,6 +723,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
       s"RENAME COLUMN on $root: no column $oldName (have ${logical.mkString(",")})")
     require(!logical.contains(newName),
       s"RENAME COLUMN on $root: column $newName already exists")
+    require(!newName.startsWith("__graft") && newName != PartCol,
+      s"RENAME COLUMN on $root: $newName is an engine-reserved name")
     val phys = physColName(oldName, v)
     require(phys == newName ||
         (!m.dropped.contains(newName) && !m.renames.values.exists(_ == newName)),
@@ -837,6 +845,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val existing = read(v).schema.fieldNames.toSet
     val dup = fields.map(_.name).filter(existing)
     require(dup.isEmpty, s"ADD COLUMNS on $root: already present: ${dup.mkString(",")}")
+    val reservedName = fields.map(_.name)
+      .find(n => n.startsWith("__graft") || n == PartCol)
+    require(reservedName.isEmpty,
+      s"ADD COLUMNS on $root: ${reservedName.getOrElse("")} is an " +
+        "engine-reserved name")
     // Resurrection guard (column mapping): a name whose PHYSICAL form is
     // tombstoned (dropped) or retired (renamed away) gets a FRESH
     // physical name — otherwise the scan's union-over-origins schema
@@ -902,6 +915,75 @@ class SnapshotTable(spark: SparkSession, root: String) {
       widened = m.widened))
     SnapshotTable.mappedRoots.add(root)
     this
+  }
+
+  // ------------------------------------------------------ row tracking
+  // (Delta row-tracking analog.) Every data file's manifest entry holds
+  // a contiguous id base assigned at its writing commit (writeManifest),
+  // so row i of a fresh file carries id ridBase + i — zero data cost.
+  // Maintenance rewrites under [[SnapshotTable.RowTrackingProp]]
+  // MATERIALIZE the id into the rewritten files as a hidden physical
+  // column, keeping ids stable across OPTIMIZE / CLUSTER / ZORDER /
+  // REORG. DML rewrites (CoW MERGE/UPDATE) refresh the rewritten rows'
+  // ids — the scoped contract documented in SURVEY §2.
+
+  private[graft] def rowTrackingEnabled: Boolean =
+    property(SnapshotTable.RowTrackingProp).contains("true")
+
+  /** Attach [[SnapshotTable.RidCol]] to an ADDRESSED frame: the
+    * materialized column wins where a rewrite stored it; everywhere
+    * else the id is the file's manifest base plus the row position.
+    * The base lookup is a broadcast of O(files) (path, base) pairs —
+    * manifest-sized, never row-sized. Keeps the address columns. */
+  private def withRidColumn(
+      addressed: DataFrame, entries: Seq[FileEntry]): DataFrame = {
+    val pathCol = "__graft_ridp"
+    val baseCol = "__graft_ridb"
+    val baseDf = broadcast(
+      spark.createDataFrame(entries.map(e => (e.path, e.ridBase)))
+        .toDF(pathCol, baseCol))
+    val joined = addressed.join(baseDf,
+      addressed(DvFileCol) === baseDf(pathCol), "left")
+    val fromBase = when(col(baseCol) >= 0, col(baseCol) + col(DvPosCol))
+    val rid =
+      if (addressed.columns.contains(SnapshotTable.RidCol))
+        coalesce(col(SnapshotTable.RidCol), fromBase)
+      else fromBase
+    joined.withColumn(SnapshotTable.RidCol, rid).drop(pathCol, baseCol)
+  }
+
+  /** Maintenance-rewrite source over `entries`: the DV-resolved rows,
+    * plus the materialized row-id column when row tracking is on — a
+    * rewrite must not renumber rows it does not logically change. */
+  private def rewriteSource(
+      entries: Seq[FileEntry], dvs: Seq[FileEntry]): DataFrame =
+    if (!rowTrackingEnabled) baseScan(entries, dvs)
+    else {
+      val addressed =
+        if (dvs.isEmpty) readEntriesAddressed(entries, -1, keepRid = true)
+        else addressedMinusDvs(entries, dvs, -1, keepRid = true)
+      withRidColumn(addressed, entries).drop(DvFileCol, DvPosCol)
+    }
+
+  /** Scan with stable row ids: every row of the current (or pinned)
+    * version plus its id under `__graft_rid`. Ids are unique per row,
+    * stable across maintenance rewrites when
+    * [[SnapshotTable.RowTrackingProp]] is set, and survive DV deletes
+    * (survivor rows keep theirs). Requires compacted state (pending
+    * MoR delta rows have no base-file address yet). */
+  def readWithRowIds(version: Int = -1): DataFrame = {
+    val v = if (version < 0) currentVersion else version
+    require(deltaEntries(v).isEmpty,
+      s"readWithRowIds on $root requires compacted state (pending MoR " +
+        "deltas — OPTIMIZE folds them first)")
+    val entries = fileEntries(v)
+    if (entries.isEmpty)
+      return read(v).withColumn(SnapshotTable.RidCol, lit(null).cast("long"))
+    val dvs = dvEntries(v)
+    val addressed =
+      if (dvs.isEmpty) readEntriesAddressed(entries, v, keepRid = true)
+      else addressedMinusDvs(entries, dvs, v, keepRid = true)
+    withRidColumn(addressed, entries).drop(DvFileCol, DvPosCol)
   }
 
   /** Reserve `n` consecutive identity values for column `col` and
@@ -2317,14 +2399,20 @@ class SnapshotTable(spark: SparkSession, root: String) {
           }.toMap
         }
         val nBins = binOf.values.max + 1
+        val addressed0 =
+          if (dvs.isEmpty) readEntriesAddressed(rewrite,
+            keepRid = rowTrackingEnabled)
+          else addressedMinusDvs(rewrite, dvs,
+            keepRid = rowTrackingEnabled)
+        // row tracking: stamp ids while the address columns are live
         val addressed =
-          if (dvs.isEmpty) readEntriesAddressed(rewrite)
-          else addressedMinusDvs(rewrite, dvs)
+          if (rowTrackingEnabled) withRidColumn(addressed0, rewrite)
+          else addressed0
         addressed
           .repartitionByRange(nBins,
             element_at(typedLit(binOf), col(DvFileCol)))
           .drop(DvFileCol, DvPosCol)
-      case None => baseScan(rewrite, dvs).repartition(targetFiles)
+      case None => rewriteSource(rewrite, dvs).repartition(targetFiles)
     }
     // cluster = false: the pre-arranged per-partition bins ARE the
     // distribution; writeData's default re-clustering by partition
@@ -2411,6 +2499,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * deltas are folded into the compacted base (Hudi-style compaction). */
   def compact(numFiles: Int, partitionBy: Option[String] = None): SnapshotTable = {
     val v = currentVersion
+    // row tracking: a compaction of RESOLVED state carries the
+    // materialized ids through; folding pending MoR deltas refreshes
+    // them (the deferred rows never had base-file addresses)
+    def compactSource(): DataFrame =
+      if (deltaEntries(v).isEmpty) rewriteSource(fileEntries(v), dvEntries(v))
+      else read(v)
     val df = partitionBy match {
       case Some(p) =>
         // ONE arranged shuffle: range-partition on (partition value,
@@ -2419,11 +2513,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
         // partition to a single unbounded one (which is what letting
         // writeData re-cluster by partition value did — and the
         // pre-repartition it discarded was a wasted second shuffle).
-        val src = read(v)
+        val src = compactSource()
         src.repartitionByRange(numFiles,
           PartitionTransform.writeColumn(PartitionTransform.parse(p)),
           xxhash64(src.columns.map(col): _*))
-      case None => read(v).repartition(numFiles)
+      case None => compactSource().repartition(numFiles)
     }
     val written = writeData(df, v + 1, partitionBy, cluster = false)
     writeManifest(Manifest(v + 1, "COMPACT", Seq.empty, written, Seq.empty))
@@ -2549,7 +2643,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val spec = layoutSpec
     val numFiles = math.max(1L,
       (tail.map(_.bytes).sum + minBytes - 1) / minBytes).toInt
-    val df = zorderArrange(baseScan(tail, Seq.empty), zcols, numFiles,
+    val df = zorderArrange(rewriteSource(tail, Seq.empty), zcols, numFiles,
       spec.map(PartitionTransform.parse))
     val written = writeData(df, v + 1, spec, cluster = false)
     writeManifest(Manifest(v + 1, "CLUSTER", mergeKeysOf(v),
@@ -2594,8 +2688,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
         (deltaEntries(v).isEmpty && dvEntries(v).isEmpty),
       s"partition-scoped ZORDER on $root requires compacted state")
     val source = onlyPartitions match {
-      case None    => read(v) // folds pending MoR deltas (Hudi-style)
-      case Some(_) => baseScan(scoped, Seq.empty)
+      // folds pending MoR deltas (Hudi-style); with row tracking on and
+      // compacted state the scan carries the materialized ids through
+      case None if deltaEntries(v).isEmpty =>
+        rewriteSource(fileEntries(v), dvEntries(v))
+      case None    => read(v)
+      case Some(_) => rewriteSource(scoped, Seq.empty)
     }
     val df = zorderArrange(source, zcols, numFiles, specParsed)
     // cluster = false: writeData's default re-clustering by partition
@@ -3119,7 +3217,23 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val (carriedRenames, carriedDropped, carriedFieldMeta, carriedWidened) =
       if (setsMapping) (m.renames, m.dropped, m.fieldMeta, m.widened)
       else (prev.renames, prev.dropped, prev.fieldMeta, prev.widened)
+    // Stable row-id bases (Delta row-tracking analog): every data file
+    // THIS commit writes takes a contiguous id range off the carried
+    // high-water mark — pure manifest math, zero data cost, so every
+    // table gets row ids for free. Carried entries (and clone-rebased
+    // ones) keep their bases verbatim.
+    var nextRid = if (prev == null) 0L else prev.rowIdHwm
+    def assignRids(es: Seq[FileEntry]): Seq[FileEntry] = es.map { e =>
+      if (e.ridBase >= 0 || e.origin != m.version.toLong) e
+      else { val b = nextRid; nextRid += math.max(0L, e.rows)
+             e.copy(ridBase = b) }
+    }
+    val ridFiles = assignRids(m.files)
+    val ridDeltas = assignRids(m.deltas)
     val stamped = m.copy(
+      files = ridFiles,
+      deltas = ridDeltas,
+      rowIdHwm = nextRid,
       ts = math.max(System.currentTimeMillis(),
         (if (prev == null) 0L else prev.ts) + 1),
       txns = carriedTxns,
@@ -3167,6 +3281,20 @@ object SnapshotTable {
     * the partition column (standard Spark/Hive `pc=v/` layout):
     * "name:catalogType". See [[SnapshotTable.convertInPlace]]. */
   val SynthPartProp = "convert.synthesizedPartition"
+
+  /** Hidden physical column carrying MATERIALIZED stable row ids on
+    * files rewritten by maintenance ops under `graft.enableRowTracking`
+    * (fresh files serve ids as ridBase + row position instead). Never
+    * visible in logical schemas. */
+  val RidCol = "__graft_rid"
+
+  /** Table property enabling row-id MATERIALIZATION through maintenance
+    * rewrites (OPTIMIZE / CLUSTER / ZORDER / REORG): with it set, those
+    * ops carry each row's id into the rewritten files, so ids stay
+    * STABLE across rewrites that do not logically change rows — Delta's
+    * row-tracking contract. (Id assignment itself is free and always
+    * on; only rewrite-stability needs the property.) */
+  val RowTrackingProp = "graft.enableRowTracking"
 
   /** Field-metadata marker carrying a column's NOT NULL flag through
     * the versioned overlay (parquet reads force nullable=true, so the
@@ -3233,7 +3361,11 @@ object SnapshotTable {
       path: String, partValue: String, bytes: Long, rows: Long,
       origin: Long = 0L, partCol: String = null,
       stats: Map[String, (Double, Double)] = Map.empty,
-      xformCol: String = null, xformTag: String = null)
+      xformCol: String = null, xformTag: String = null,
+      // first stable row id of this file (row i carries ridBase + i);
+      // -1 = unassigned (pre-row-id manifests). Assigned once at the
+      // file's writing commit and carried verbatim forever after.
+      ridBase: Long = -1L)
 
   /** One immutable commit: base file entries + pending MoR deltas +
     * the commit's change-data-feed files (empty unless tracked).
@@ -3268,7 +3400,11 @@ object SnapshotTable {
       // the scan declares the widened type and Spark's parquet reader
       // up-converts per file (SPARK-40876) — zero data rewritten,
       // version-correct under time travel.
-      widened: Map[String, String] = Map.empty) {
+      widened: Map[String, String] = Map.empty,
+      // row-id high-water mark: the next stable row id to assign
+      // (Delta row-tracking analog). Bumped by every commit that adds
+      // data files; carried forward like txns.
+      rowIdHwm: Long = 0L) {
     // PHYSICAL row count: base + pending delta rows, DV marks subtracted
     // (dv capture is duplicate-free by construction — marks come from the
     // DV-resolved scan — so the subtraction is exact). Exactly the
@@ -3330,7 +3466,8 @@ object SnapshotTable {
       addDeltas: Seq[FileEntry], rmDeltas: Set[String],
       addDvs: Seq[FileEntry], rmDvs: Set[String],
       changes: Seq[FileEntry], ts: Long,
-      newTxns: Map[String, Long]) extends LogRecord
+      newTxns: Map[String, Long],
+      ridHwm: Long = 0L) extends LogRecord
 
   private def entryArray(es: Seq[FileEntry]): ArrayNode = {
     val a = mapper.createArrayNode()
@@ -3344,6 +3481,7 @@ object SnapshotTable {
       n.put("bytes", e.bytes)
       n.put("rows", e.rows)
       n.put("origin", e.origin)
+      if (e.ridBase >= 0) n.put("rid", e.ridBase)
       if (e.stats.nonEmpty) {
         val s = mapper.createObjectNode()
         e.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
@@ -3395,6 +3533,7 @@ object SnapshotTable {
       m.widened.toSeq.sortBy(_._1).foreach { case (c, t) => wN.put(c, t) }
       rootN.set[JsonNode]("widened", wN)
     }
+    if (m.rowIdHwm > 0) rootN.put("rid_hwm", m.rowIdHwm)
     rootN.toString
   }
 
@@ -3451,6 +3590,7 @@ object SnapshotTable {
         rootN.set[JsonNode]("changes", entryArray(m.changes))
       if (m.ts != 0L) rootN.put("ts", m.ts)
       if (newTxns.nonEmpty) rootN.set[JsonNode]("txns", txnNode(newTxns))
+      if (m.rowIdHwm > 0) rootN.put("rid_hwm", m.rowIdHwm)
       rootN.toString
     }
   }
@@ -3476,6 +3616,7 @@ object SnapshotTable {
     if (d.changes.nonEmpty) rootN.set[JsonNode]("changes", entryArray(d.changes))
     if (d.ts != 0L) rootN.put("ts", d.ts)
     if (d.newTxns.nonEmpty) rootN.set[JsonNode]("txns", txnNode(d.newTxns))
+    if (d.ridHwm > 0) rootN.put("rid_hwm", d.ridHwm)
     rootN.toString
   }
 
@@ -3510,7 +3651,8 @@ object SnapshotTable {
           if (e.has("pcol")) e.get("pcol").asText() else null,
           stats,
           if (e.has("xcol")) e.get("xcol").asText() else null,
-          if (e.has("xf")) e.get("xf").asText() else null)
+          if (e.has("xf")) e.get("xf").asText() else null,
+          if (e.has("rid")) e.get("rid").asLong() else -1L)
       }
     }
     def paths(field: String): Set[String] = {
@@ -3540,7 +3682,8 @@ object SnapshotTable {
         entries("add_files"), paths("rm_files"),
         entries("add_deltas"), paths("rm_deltas"),
         entries("add_dvs"), paths("rm_dvs"),
-        entries("changes"), ts, txns)
+        entries("changes"), ts, txns,
+        if (n.has("rid_hwm")) n.get("rid_hwm").asLong() else 0L)
     else {
       val renames =
         if (!n.has("renames")) Map.empty[String, String]
@@ -3587,7 +3730,8 @@ object SnapshotTable {
         renames,
         dropped,
         fieldMeta,
-        widened))
+        widened,
+        if (n.has("rid_hwm")) n.get("rid_hwm").asLong() else 0L))
     }
   }
 
@@ -3609,7 +3753,8 @@ object SnapshotTable {
       prev.renames,
       prev.dropped,
       prev.fieldMeta,
-      prev.widened)
+      prev.widened,
+      math.max(d.ridHwm, prev.rowIdHwm))
   }
 
   private def readFileString(fs: FileSystem, p: Path): String = {
@@ -3659,6 +3804,10 @@ object SnapshotTable {
       blocks.foreach { b =>
         b.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString
+          // the materialized row-id column is engine state: its stats
+          // must not evict a real column from the MaxStatCols budget
+          if (name == RidCol) ()
+          else {
           val st = cc.getStatistics
           // integral stats above 2^53 round when narrowed to double —
           // widen the kept range one ulp outward so range pruning stays
@@ -3686,6 +3835,7 @@ object SnapshotTable {
               maxs(name) = maxs.get(name).fold(mx)(math.max(_, mx))
             case _ =>
               dropped += name; mins.remove(name); maxs.remove(name)
+          }
           }
         }
       }

@@ -1,0 +1,98 @@
+package graft
+
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Row tracking (Delta row-ids analog): every data file's manifest
+  * entry carries a contiguous id base assigned at its writing commit
+  * (free — pure manifest math), so row i of a file has id base + i.
+  * With `graft.enableRowTracking` set, maintenance rewrites (OPTIMIZE /
+  * CLUSTER / ZORDER / REORG) MATERIALIZE the id into the rewritten
+  * files, keeping ids stable across rewrites that do not logically
+  * change rows. */
+class RowTrackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(p: String) = Files.createTempDirectory(s"graft_$p").toString
+
+  private def rids(t: SnapshotTable): Map[Long, Long] =
+    t.readWithRowIds().select(col("k"), col(SnapshotTable.RidCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("ids are unique, batch-assigned, and invisible in logical reads") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("rt_base"))
+      .create((0L until 100L).map(k => (k, k * 2.0)).toDF("k", "v"))
+    t.append((100L until 150L).map(k => (k, k * 2.0)).toDF("k", "v"))
+    val m = rids(t)
+    assert(m.size == 150 && m.values.toSet.size == 150, "unique ids")
+    // the second batch's ids all land above the first's
+    val firstMax = (0L until 100L).map(m).max
+    assert((100L until 150L).map(m).forall(_ > firstMax))
+    // logical reads never see the engine column
+    assert(!t.read().columns.contains(SnapshotTable.RidCol))
+  }
+
+  test("ids survive OPTIMIZE / CLUSTER / REORG under row tracking") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("rt_stable"))
+      .create((0L until 500L).map(k => (k, (k % 7).toDouble)).toDF("k", "v"))
+    t.withProperty(SnapshotTable.RowTrackingProp, "true")
+    t.append((500L until 600L).map(k => (k, (k % 7).toDouble)).toDF("k", "v"))
+    val before = rids(t)
+    // compaction rewrites every file; ids must carry
+    t.compact(2)
+    assert(rids(t) == before, "ids changed across OPTIMIZE")
+    // incremental clustering (everything is tail on first run)
+    assert(t.clusterIncremental(Seq("k"), minBytes = 1L << 20) > 0)
+    assert(rids(t) == before, "ids changed across CLUSTER")
+    // DV delete: survivors keep their ids; REORG PURGE keeps them too
+    t.deleteExprPositional(col("k") % 10 === 0)
+    val afterDelete = rids(t)
+    assert(afterDelete == before.filterNot { case (k, _) => k % 10 == 0 })
+    assert(t.reorgPurge(minBytes = 1L << 30) > 0)
+    assert(rids(t) == afterDelete, "ids changed across REORG PURGE")
+    // a fresh append after the rewrites allocates above everything
+    t.append(Seq((9999L, 1.0)).toDF("k", "v"))
+    val m2 = rids(t)
+    assert(m2(9999L) > before.values.max)
+    assert(m2.values.toSet.size == m2.size)
+  }
+
+  test("without the property rewrites renumber; DML rewrites refresh either way") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("rt_off"))
+      .create((0L until 100L).map(k => (k, 1.0)).toDF("k", "v"))
+    val before = rids(t)
+    t.compact(1)
+    val after = rids(t)
+    assert(after.keySet == before.keySet &&
+      after.values.toSet.size == after.size)
+    // engine-reserved names refuse in evolution paths
+    intercept[IllegalArgumentException](t.renameColumn("v", "__graft_rid"))
+    intercept[IllegalArgumentException](t.addColumns(Seq(
+      org.apache.spark.sql.types.StructField("__graft_rid",
+        org.apache.spark.sql.types.LongType))))
+  }
+
+  test("table_row_ids TVF serves rows + stable ids through SQL") {
+    import spark.implicits._
+    val root = tmp("rt_tvf")
+    val t = new SnapshotTable(spark, root)
+      .create((0L until 50L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    t.withProperty(SnapshotTable.RowTrackingProp, "true")
+    val got = spark.sql(
+      s"SELECT k, __graft_rid FROM table_row_ids('$root')").collect()
+    assert(got.length == 50)
+    assert(got.map(_.getLong(1)).distinct.length == 50)
+    // stable through OPTIMIZE, visible through the same TVF
+    val before = got.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    t.compact(1)
+    val after = spark.sql(
+      s"SELECT k, __graft_rid FROM table_row_ids('$root')").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before)
+  }
+}
