@@ -431,6 +431,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
             s"ALTER TABLE CLUSTER BY: column $c is not in the schema " +
               s"(have ${logical.mkString(",")})"))
       case _: TableChange.SetProperty => ()
+      case _: TableChange.RemoveProperty => ()
       case u: TableChange.UpdateColumnDefaultValue =>
         require(u.fieldNames.length == 1,
           s"ALTER COLUMN DEFAULT: nested field ${u.fieldNames.mkString(".")} unsupported")
@@ -516,6 +517,9 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       })
     changes.foreach {
       case p: TableChange.SetProperty => t.withProperty(p.property, p.value)
+      // ALTER TABLE … UNSET TBLPROPERTIES (IF EXISTS is Spark-side):
+      // removing an absent key is a no-op, matching Delta
+      case p: TableChange.RemoveProperty => t.removeProperty(p.property)
       case r: TableChange.RenameColumn =>
         t.renameColumn(r.fieldNames.head, r.newName)
       case d: TableChange.DeleteColumn => t.dropColumn(d.fieldNames.head)

@@ -310,6 +310,10 @@ class GraftSqlCatalogSpec extends AnyFunSuite {
     val shown = sql("SHOW TBLPROPERTIES gtest.alt.t").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
     assert(shown.get("quality.tier").contains("gold"))
+    // UNSET removes them; unsetting an absent key is a no-op
+    sql("ALTER TABLE gtest.alt.t UNSET TBLPROPERTIES ('quality.tier')")
+    assert(t.property("quality.tier").isEmpty)
+    sql("ALTER TABLE gtest.alt.t UNSET TBLPROPERTIES IF EXISTS ('nope')")
   }
 
   test("INSERT OVERWRITE PARTITION replaces only that partition; dynamic mode replaces present ones") {

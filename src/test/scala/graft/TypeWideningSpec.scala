@@ -75,6 +75,95 @@ class TypeWideningSpec extends AnyFunSuite {
       Seq(1L, 2L, 5_000_000_000L))
   }
 
+  test("random widen/rename/append/merge interleavings match a logical model") {
+    val rnd = new scala.util.Random(7741)
+    for (trial <- 1 to 3) {
+      // model: key -> (a, b) as longs; types tracks each column's
+      // current declared width; names tracks renames
+      var types = Map("a" -> "int", "b" -> "int")
+      var names = Map("a" -> "a", "b" -> "b")
+      val model = scala.collection.mutable.Map[Long, (Long, Long)]()
+      (0L until 15L).foreach(k => model(k) = (k, k * 2))
+      def frame(rows: Seq[(Long, (Long, Long))]) = {
+        import org.apache.spark.sql.Row
+        val data = rows.map { case (k, (a, b)) => Row(
+          k,
+          if (types("a") == "int") Int.box(a.toInt) else Long.box(a),
+          if (types("b") == "int") Int.box(b.toInt) else Long.box(b)) }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(data.toList, 2),
+          StructType(Seq(
+            StructField("k", LongType, nullable = false),
+            StructField(names("a"),
+              if (types("a") == "int") IntegerType else LongType),
+            StructField(names("b"),
+              if (types("b") == "int") IntegerType else LongType))))
+      }
+      val t = new SnapshotTable(spark, tmp(s"twprop$trial"))
+        .create(frame(model.toSeq.sortBy(_._1)))
+      val schemaAt = scala.collection.mutable.Map(
+        0 -> (names, types))
+      for (step <- 1 to 8 + rnd.nextInt(4)) {
+        rnd.nextInt(4) match {
+          case 0 => // WIDEN a random still-narrow column
+            val narrow = Seq("a", "b").filter(types(_) == "int")
+            if (narrow.nonEmpty) {
+              val c = narrow(rnd.nextInt(narrow.size))
+              t.widenColumn(names(c), LongType)
+              types += c -> "long"
+            }
+          case 1 => // RENAME a column (mapping composes with widening)
+            val c = if (rnd.nextBoolean()) "a" else "b"
+            val nw = s"w${trial}_$step"
+            t.renameColumn(names(c), nw)
+            names += c -> nw
+          case 2 => // APPEND fresh keys; wide values once widened
+            val maxK = model.keys.max
+            val rows = (maxK + 1 to maxK + 1 + rnd.nextInt(3)).map { k =>
+              def v(c: String) = if (types(c) == "long")
+                3_000_000_000L + k else k
+              model(k) = (v("a"), v("b")); (k, model(k))
+            }
+            t.append(frame(rows))
+          case _ => // MERGE: update a subset
+            val upd = rnd.shuffle(model.keys.toList).take(1 + rnd.nextInt(4))
+              .map { k =>
+                def v(c: String) = if (types(c) == "long")
+                  4_000_000_000L + k else k + 100
+                model(k) = (v("a"), v("b")); (k, model(k))
+              }
+            t.merge(frame(upd), Seq("k"))
+        }
+        schemaAt(t.currentVersion) = (names, types)
+        // full read-back equality vs the model after EVERY step
+        val df = t.read()
+        assert(df.columns.toSeq == Seq("k", names("a"), names("b")),
+          s"trial $trial step $step: schema drift")
+        def asLong(r: org.apache.spark.sql.Row, i: Int): Long =
+          r.get(i) match { case x: java.lang.Integer => x.longValue
+                           case x: java.lang.Long => x }
+        val got = df.collect()
+          .map(r => r.getLong(0) -> (asLong(r, 1), asLong(r, 2))).toMap
+        assert(got == model.toMap,
+          s"trial $trial step $step: content drift")
+        Seq("a", "b").foreach { c =>
+          val expected = if (types(c) == "int") IntegerType else LongType
+          assert(df.schema(names(c)).dataType == expected,
+            s"trial $trial step $step: $c type drift")
+        }
+      }
+      // time travel reads each version's own names AND widths
+      schemaAt.foreach { case (v, (nm, ty)) =>
+        val sch = t.read(v).schema
+        assert(sch.fieldNames.toSeq == Seq("k", nm("a"), nm("b")),
+          s"trial $trial v$v names")
+        Seq("a", "b").foreach(c => assert(sch(nm(c)).dataType ==
+          (if (ty(c) == "int") IntegerType else LongType),
+          s"trial $trial v$v $c width"))
+      }
+    }
+  }
+
   test("SQL ALTER COLUMN TYPE through the catalog") {
     val cat = tmp("tw_cat")
     val s = spark.newSession()
