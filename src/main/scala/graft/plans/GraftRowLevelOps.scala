@@ -173,8 +173,12 @@ final case class GraftDvDeleteExec(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
           .quoted(a.name)
     }
+    // graft.enableChangeDataFeed: the SQL DELETE's pre-images land in
+    // the change feed (table_changes / CDC readers), Delta CDF parity
+    val cdf = snapshot.property(GraftV2Table.CdcProp).contains("true")
     snapshot.deleteExprPositional(
-      org.apache.spark.sql.GraftStreamShim.columnOf(rebound)): Unit
+      org.apache.spark.sql.GraftStreamShim.columnOf(rebound),
+      trackChanges = cdf): Unit
   }
 
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }

@@ -1015,6 +1015,12 @@ object GraftV2Table {
     * (Delta `delta.enableDeletionVectors` analog). */
   val DvDeleteProp = "graft.enableDeletionVectors"
 
+  /** Table property enabling change-data-feed capture on the SQL DML
+    * paths that support it (Delta `delta.enableChangeDataFeed` analog;
+    * currently the DV-routed DELETE — engine-API MERGE/DELETE callers
+    * opt in per call via trackChanges). */
+  val CdcProp = "graft.enableChangeDataFeed"
+
   /** Sidecar property prefix for ANSI CHECK constraints: key
     * `constraint.check.<name>`, value = the predicate SQL. */
   val CheckConstraintProp = "constraint.check."

@@ -1885,7 +1885,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * Requires compacted state (marks address base copies only; a
     * pending MoR delta row matching the predicate would silently
     * survive). Returns the number of rows marked. */
-  def deleteExprPositional(cond: org.apache.spark.sql.Column): Long = {
+  def deleteExprPositional(cond: org.apache.spark.sql.Column,
+      trackChanges: Boolean = false): Long = {
     val v = currentVersion
     require(deltaEntries(v).isEmpty,
       s"positional DELETE on $root requires compacted state (pending MoR " +
@@ -1900,8 +1901,14 @@ class SnapshotTable(spark: SparkSession, root: String) {
       addressed.filter(cond <=> true).select(col(DvFileCol), col(DvPosCol)),
       v + 1, None).filter(_.rows > 0)
     if (written.isEmpty) return 0L // no matches: nothing to commit
+    // change-data feed: the marked rows ARE the delete pre-images — one
+    // more matched-rows-sized pass, never a version diff
+    val cdc =
+      if (!trackChanges) Seq.empty
+      else writeChanges(baseScan(entries, dvs).filter(cond <=> true)
+        .withColumn(ChangeCol, lit("delete")), v + 1)
     writeManifest(Manifest(v + 1, "DELETE_DV", mergeKeysOf(v), entries,
-      Seq.empty, Seq.empty, dvs ++ written))
+      Seq.empty, cdc, dvs ++ written))
     written.map(_.rows).sum
   }
 

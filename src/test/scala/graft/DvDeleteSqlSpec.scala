@@ -55,6 +55,29 @@ class DvDeleteSqlSpec extends AnyFunSuite {
     assert(s.sql("SELECT count(*) FROM dvd.ns.t").head.getLong(0) == 550)
   }
 
+  test("with change-data-feed enabled the DV delete captures pre-images") {
+    val cat = tmp("dvd_cdf_cat")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.dvcdf", "graft.sources.GraftSqlCatalog")
+    s.conf.set("spark.sql.catalog.dvcdf.root", cat)
+    graft.plans.GraftRowLevelOps.register(s)
+    s.sql("CREATE NAMESPACE dvcdf.ns")
+    s.sql("CREATE TABLE dvcdf.ns.t (k BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('graft.enableDeletionVectors' = 'true', " +
+      " 'graft.enableChangeDataFeed' = 'true')")
+    s.sql("INSERT INTO dvcdf.ns.t SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    s.sql("DELETE FROM dvcdf.ns.t WHERE k % 4 = 0 AND v < 50")
+    val t = new SnapshotTable(s, s"$cat/ns/t")
+    assert(t.commitOperation(t.currentVersion) == "DELETE_DV")
+    // table_changes serves the captured pre-images as deletes
+    val changes = s.sql(
+      s"""SELECT k, _change_type FROM table_changes('dvcdf.ns.t', 2, 2)""")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(changes.length == 13) // k in {0,4,...,48}
+    assert(changes.forall(_._2 == "delete"))
+    assert(changes.map(_._1).sorted.toSeq == (0L until 50L by 4).toSeq)
+  }
+
   test("without the property the CoW rewrite stays; subqueries fall back to CoW") {
     val cat = tmp("dvd_off_cat")
     val s = spark.newSession()
