@@ -456,16 +456,7 @@ object GraftMaintenanceStrategy extends SparkStrategy {
     case c: GraftSetNotNullCommand =>
       GraftMaintenanceExec(c.output, { spark =>
         val t = GraftMaintenance.snapshotOf(spark, c.name, forMutation = true)
-        val nulls = t.read().filter(
-          org.apache.spark.sql.functions.col(c.column).isNull)
-          .limit(1).count()
-        require(nulls == 0,
-          s"ALTER COLUMN ${c.column} SET NOT NULL: existing rows contain NULLs")
-        t.alterColumnMeta(c.column, { f =>
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putBoolean(SnapshotTable.NotNullKey, true).build())
-        })
+        t.setNotNull(c.column)
         Seq(Seq[Any](c.column, t.currentVersion))
       }) :: Nil
     case c: GraftRestoreCommand =>

@@ -56,8 +56,13 @@ object GraftRowLevelOps extends SparkStrategy {
           case Some(w: graft.sources.GraftReplaceWrite) => w.op.command()
           case _ => Command.UPDATE // unknown: stay on the general rewrite
         }
+        // a trivially-true condition (DELETE with no WHERE) must not
+        // mark EVERY row — the CoW path's empty-result overwrite is the
+        // metadata-shaped truncate there
+        val trivialTrue = r.condition ==
+          org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral
         val dvEligible = cmd == Command.DELETE && t.dvDeletesEnabled &&
-          r.condition.deterministic &&
+          !trivialTrue && r.condition.deterministic &&
           !org.apache.spark.sql.catalyst.expressions.SubqueryExpression
             .hasSubquery(r.condition) &&
           !t.snapshot.hasPendingDeltas

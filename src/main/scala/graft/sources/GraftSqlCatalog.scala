@@ -416,6 +416,13 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"ALTER TABLE ADD COLUMNS: nested field ${a.fieldNames.mkString(".")} unsupported")
+        // existing rows have no value for the added column, so NOT NULL
+        // cannot hold — refuse instead of silently dropping the
+        // constraint (Delta refuses the same ALTER)
+        require(a.isNullable,
+          s"ALTER TABLE ADD COLUMNS: ${a.fieldNames.head} NOT NULL is " +
+            "unsupported — add the column nullable, backfill, then " +
+            "ALTER COLUMN … SET NOT NULL")
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"ALTER TABLE RENAME COLUMN: nested field ${r.fieldNames.mkString(".")} unsupported")
@@ -442,16 +449,9 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
         require(nn.fieldNames.length == 1,
           s"ALTER COLUMN NULLABILITY: nested field ${nn.fieldNames.mkString(".")} unsupported")
         // SET NOT NULL must validate EXISTING rows once (Delta's
-        // contract) before the constraint is declared — a scan claiming
-        // non-nullable over stored NULLs would mislead the optimizer
-        if (!nn.nullable) {
-          val nulls = t.read()
-            .filter(org.apache.spark.sql.functions
-              .col(nn.fieldNames.head).isNull).limit(1).count()
-          require(nulls == 0,
-            s"ALTER COLUMN ${nn.fieldNames.head} SET NOT NULL: existing " +
-              "rows contain NULLs")
-        }
+        // contract) before anything in the change list commits
+        if (!nn.nullable)
+          t.requireNoNulls(nn.fieldNames.head, "ALTER COLUMN")
       case c: TableChange.UpdateColumnComment =>
         require(c.fieldNames.length == 1,
           s"ALTER COLUMN COMMENT: nested field ${c.fieldNames.mkString(".")} unsupported")
@@ -507,10 +507,18 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
         // is the add-time value.
         val meta = Option(a.defaultValue()) match {
           case None => org.apache.spark.sql.types.Metadata.empty
-          case Some(dv) => new org.apache.spark.sql.types.MetadataBuilder()
-            .putString("CURRENT_DEFAULT", dv.getSql)
-            .putString("EXISTS_DEFAULT", dv.getSql)
-            .build()
+          case Some(dv) =>
+            // EXISTS_DEFAULT is the value AT ADD TIME: store the FOLDED
+            // literal, not the raw SQL — a time-dependent default
+            // (current_date()) must not drift for pre-existing rows on
+            // every later read. CURRENT_DEFAULT keeps the SQL (future
+            // inserts re-evaluate it, the ANSI contract).
+            val folded = org.apache.spark.sql.catalyst.expressions.Literal(
+              dv.getValue.value, dv.getValue.dataType).sql
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("CURRENT_DEFAULT", dv.getSql)
+              .putString("EXISTS_DEFAULT", folded)
+              .build()
         }
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true, meta)
@@ -576,12 +584,11 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces {
       // metadata marker (existing rows pre-validated above); Spark's
       // output resolver enforces it on every subsequent write
       case nn: TableChange.UpdateColumnNullability =>
-        t.alterColumnMeta(nn.fieldNames.head, { f =>
-          val b = new org.apache.spark.sql.types.MetadataBuilder()
+        if (!nn.nullable) t.setNotNull(nn.fieldNames.head, validate = false)
+        else t.alterColumnMeta(nn.fieldNames.head, { f =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
-          if (nn.nullable) b.remove(SnapshotTable.NotNullKey)
-          else b.putBoolean(SnapshotTable.NotNullKey, true)
-          f.copy(metadata = b.build())
+            .remove(SnapshotTable.NotNullKey).build())
         })
       // ALTER TABLE … ALTER COLUMN c TYPE t: metadata-only lossless
       // type widening (Delta analog) — files keep their written type,
@@ -906,11 +913,19 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
     * declined so Spark raises a clear analysis error instead of a wrong
     * partial delete. Cost: only files whose min/max overlap the interval
     * rewrite; the rest carry by reference. */
+  private def allTrue(filters: Array[Filter]): Boolean =
+    filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    pinned.isEmpty && !table.hasPendingDeltas && !dvDeletesEnabled &&
-      GraftV2Table.numericInterval(filters).isDefined
+    pinned.isEmpty && !table.hasPendingDeltas &&
+      (allTrue(filters) || // unconditional DELETE = metadata truncate,
+                           // even with deletion vectors on (marking
+                           // every row would be the anti-scale shape)
+        (!dvDeletesEnabled &&
+          GraftV2Table.numericInterval(filters).isDefined))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (allTrue(filters)) { truncateTable(); return }
     val (c, lo, hi) = GraftV2Table.numericInterval(filters).getOrElse(
       throw new UnsupportedOperationException(
         s"unsupported DELETE predicate: ${filters.mkString(", ")}"))

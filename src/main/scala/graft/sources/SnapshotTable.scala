@@ -1046,13 +1046,24 @@ class SnapshotTable(spark: SparkSession, root: String) {
       df: DataFrame, f: org.apache.spark.sql.types.StructField,
       start: Long, step: Long, forbidExplicit: Boolean): DataFrame = {
     val idx = df.schema.fieldIndex(f.name)
+    val name = f.name
+    // fast path: no NULL slot to fill (the common shape for row-level
+    // rewrites, whose carried rows all hold values) — one limit-1 probe,
+    // no caching, no reservation. The ALWAYS-variant refusal still runs
+    // row-local inside the write job below when slots DO fill.
+    if (df.filter(col(name).isNull).isEmpty) {
+      if (forbidExplicit && !df.isEmpty)
+        throw new IllegalArgumentException(
+          s"GENERATED ALWAYS AS IDENTITY column $name: explicit values " +
+            "are not allowed (declare BY DEFAULT to permit them)")
+      return df
+    }
     val rdd = df.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = rdd.count()
     if (n == 0) { rdd.unpersist(false); return df }
     val base = reserveIdentity(f.name, start, step, n)
     val isLong = f.dataType == org.apache.spark.sql.types.LongType
-    val name = f.name
     val filled = rdd.zipWithIndex().map { case (r, i) =>
       if (!r.isNullAt(idx)) {
         if (forbidExplicit) throw new IllegalArgumentException(
@@ -1061,6 +1072,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
         r
       } else {
         val v = base + step * i
+        if (!isLong && (v > Int.MaxValue || v < Int.MinValue))
+          throw new ArithmeticException(
+            s"identity column $name: value $v overflows INT — " +
+              "widen the column to BIGINT")
         org.apache.spark.sql.Row.fromSeq(
           r.toSeq.updated(idx, if (isLong) v else v.toInt))
       }
@@ -1123,6 +1138,29 @@ class SnapshotTable(spark: SparkSession, root: String) {
       widened = m.widened + (phys -> newType.catalogString)))
     SnapshotTable.mappedRoots.add(root)
     this
+  }
+
+  /** SET NOT NULL's existing-row validation: one stop-at-first-NULL
+    * probe — a scan claiming non-nullable over stored NULLs would
+    * mislead the optimizer, so the constraint must never land on
+    * violating data. */
+  private[graft] def requireNoNulls(name: String, verb: String): Unit =
+    require(read().filter(col(name).isNull).limit(1).count() == 0,
+      s"$verb ${name} SET NOT NULL: existing rows contain NULLs")
+
+  /** ALTER COLUMN … SET NOT NULL as a metadata-only commit: existing
+    * rows validate once ([[requireNoNulls]], skippable when the caller
+    * pre-validated a multi-change statement), then the flag rides the
+    * versioned overlay and Spark's output resolver enforces it on every
+    * subsequent write. Shared by the SQL-extension verb and the
+    * catalog's ALTER path. */
+  def setNotNull(name: String, validate: Boolean = true): SnapshotTable = {
+    if (validate) requireNoNulls(name, "ALTER COLUMN")
+    alterColumnMeta(name, { f =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putBoolean(SnapshotTable.NotNullKey, true).build())
+    })
   }
 
   /** Group-based copy-on-write replace: commit `df` as the new content
@@ -1901,11 +1939,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
       addressed.filter(cond <=> true).select(col(DvFileCol), col(DvPosCol)),
       v + 1, None).filter(_.rows > 0)
     if (written.isEmpty) return 0L // no matches: nothing to commit
-    // change-data feed: the marked rows ARE the delete pre-images — one
-    // more matched-rows-sized pass, never a version diff
+    // change-data feed: the marked rows ARE the delete pre-images — the
+    // same addressed scan re-executes filtered, never a version diff
     val cdc =
       if (!trackChanges) Seq.empty
-      else writeChanges(baseScan(entries, dvs).filter(cond <=> true)
+      else writeChanges(addressed.filter(cond <=> true)
+        .drop(DvFileCol, DvPosCol)
         .withColumn(ChangeCol, lit("delete")), v + 1)
     writeManifest(Manifest(v + 1, "DELETE_DV", mergeKeysOf(v), entries,
       Seq.empty, cdc, dvs ++ written))
@@ -2746,7 +2785,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
       dvs = rebased(dvEntries(v)),
       renames = manifestOf(v).renames, dropped = manifestOf(v).dropped,
       fieldMeta = manifestOf(v).fieldMeta,
-      widened = manifestOf(v).widened))
+      widened = manifestOf(v).widened,
+      rowIdHwm = manifestOf(v).rowIdHwm))
     // The clone inherits the durable property sidecar: a hidden-layout
     // table's partition spec and bloom-filter columns live there — a
     // clone losing them would write subsequent commits unpartitioned
@@ -3034,6 +3074,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val prefix = rootAbs + "/"
     manifestCache.keySet.removeIf(_.contains(prefix))
     schemaCache.keySet.removeIf(_.contains(prefix))
+    // a table re-created at the same path must restart its identity
+    // sequences at their declared START, not the dropped table's mark
+    SnapshotTable.identityHwm.keySet.removeIf(_.contains(rootAbs))
     ()
   }
 
@@ -3229,9 +3272,18 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // high-water mark — pure manifest math, zero data cost, so every
     // table gets row ids for free. Carried entries (and clone-rebased
     // ones) keep their bases verbatim.
-    var nextRid = if (prev == null) 0L else prev.rowIdHwm
+    // floor = max(predecessor's mark, the commit's own) — a CLONE
+    // carries the SOURCE's mark so clone inserts can never re-issue ids
+    // the carried files already hold; RESTORE keeps the current mark
+    // (ids never go backwards)
+    var nextRid = math.max(m.rowIdHwm,
+      if (prev == null) 0L else prev.rowIdHwm)
     def assignRids(es: Seq[FileEntry]): Seq[FileEntry] = es.map { e =>
-      if (e.ridBase >= 0 || e.origin != m.version.toLong) e
+      // version 0 also assigns to pre-history entries (CONVERT's
+      // negative-origin schema groups, pre-row-id clone sources) — every
+      // table gets ids from its first commit
+      if (e.ridBase >= 0 ||
+          (e.origin != m.version.toLong && m.version != 0)) e
       else { val b = nextRid; nextRid += math.max(0L, e.rows)
              e.copy(ridBase = b) }
     }

@@ -53,6 +53,12 @@ class DvDeleteSqlSpec extends AnyFunSuite {
     assert(t.reorgPurge() > 0)
     assert(t.dvFiles.isEmpty)
     assert(s.sql("SELECT count(*) FROM dvd.ns.t").head.getLong(0) == 550)
+    // unconditional DELETE must NOT mark every row — it stays on the
+    // CoW path (empty-result overwrite), never an O(rows) mark write
+    s.sql("DELETE FROM dvd.ns.t")
+    assert(s.sql("SELECT count(*) FROM dvd.ns.t").head.getLong(0) == 0)
+    assert(t.commitOperation(t.currentVersion) != "DELETE_DV")
+    assert(t.dvFiles.isEmpty)
   }
 
   test("with change-data-feed enabled the DV delete captures pre-images") {
