@@ -121,6 +121,10 @@ object GraftMaintenance {
     .add("column", StringType, nullable = false)
     .add("new_version", IntegerType, nullable = false)
 
+  val SyncIdentitySchema: StructType = new StructType()
+    .add("column", StringType, nullable = false)
+    .add("high_water_mark", LongType, nullable = false)
+
   val CloneSchema: StructType = new StructType()
     .add("source_version", IntegerType, nullable = false)
     .add("num_files", LongType, nullable = false)
@@ -271,6 +275,15 @@ final case class GraftSetNotNullCommand(name: Seq[String], column: String)
     extends LeafNode with Command {
   override def output: Seq[Attribute] =
     GraftMaintenance.attrs(GraftMaintenance.SetNotNullSchema)
+}
+
+/** `ALTER TABLE name SYNC IDENTITY` (Delta's verb): realign every
+  * identity column's high-water mark with the stored values — the
+  * repair step after explicit BY DEFAULT inserts. */
+final case class GraftSyncIdentityCommand(name: Seq[String])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] =
+    GraftMaintenance.attrs(GraftMaintenance.SyncIdentitySchema)
 }
 
 /** `CREATE TABLE tgt SHALLOW|DEEP CLONE src [VERSION AS OF n]` (Delta
@@ -452,6 +465,18 @@ object GraftMaintenanceStrategy extends SparkStrategy {
           GraftMaintenance.DefaultMinBytes, onlyPartitions = scope)
         val purged = marksBefore - t.dvFiles.map(_.rows).sum
         Seq(Seq[Any](rewritten, purged, t.currentVersion))
+      }) :: Nil
+    case c: GraftSyncIdentityCommand =>
+      GraftMaintenanceExec(c.output, { spark =>
+        val t = GraftMaintenance.snapshotOf(spark, c.name, forMutation = true)
+        import org.apache.spark.sql.catalyst.util.IdentityColumn
+        val ids = t.read().schema.fields.flatMap(f =>
+          IdentityColumn.getIdentityInfo(f).map(f.name -> _))
+        require(ids.nonEmpty,
+          s"SYNC IDENTITY: table has no identity columns")
+        ids.toSeq.map { case (col, spec) =>
+          Seq[Any](col, t.syncIdentity(col, spec.getStart, spec.getStep))
+        }
       }) :: Nil
     case c: GraftSetNotNullCommand =>
       GraftMaintenanceExec(c.output, { spark =>

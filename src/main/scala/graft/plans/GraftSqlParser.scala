@@ -67,6 +67,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         dryRun = dry != null)
     case VacuumRe(name, dry) =>
       GraftVacuumCommand(parts(name), None, dryRun = dry != null)
+    case SyncIdentityRe(name) =>
+      GraftSyncIdentityCommand(parts(name))
     case SetNotNullRe(name, c) =>
       GraftSetNotNullCommand(parts(name), strip(c))
     case ReorgRe(name, whereCond) =>
@@ -189,6 +191,11 @@ object GraftSqlParser {
   private val WhereInRe = s"(?i)($P)\\s+IN\\s*\\(([^)]*)\\)\\s*".r
   // one IN-list value: single-quoted, double-quoted, or bare
   private val InValRe = "'([^']*)'|\"([^\"]*)\"|([^\\s,'\"]+)".r
+  // ALTER TABLE name SYNC IDENTITY — Delta's verb to realign identity
+  // high-water marks with stored values (explicit BY DEFAULT inserts
+  // never advance the mark)
+  private val SyncIdentityRe =
+    s"(?is)\\s*ALTER\\s+TABLE\\s+$Name\\s+SYNC\\s+IDENTITY\\s*;?\\s*".r
   // ALTER TABLE name ALTER|CHANGE COLUMN col SET NOT NULL — Spark's v2
   // ALTER path refuses nullable→non-nullable at analysis, so the verb
   // ships through the extension (Delta does the same)

@@ -1001,11 +1001,25 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private[graft] def reserveIdentity(
       col: String, start: Long, step: Long, n: Long): Long = {
     require(step != 0, s"identity column $col: step must be non-zero")
-    val key = root + " " + col
+    val key = root + " " + col
     val hwm = SnapshotTable.identityHwm.computeIfAbsent(key,
       _ => new java.util.concurrent.atomic.AtomicLong(
         seedIdentity(col, start, step)))
     hwm.getAndAdd(step * n) + step
+  }
+
+  /** `ALTER TABLE … SYNC IDENTITY` (Delta's verb): realign the identity
+    * high-water mark with the values actually STORED — explicit inserts
+    * under GENERATED BY DEFAULT never advance the mark, so a large
+    * explicit value would otherwise collide with a later allocation.
+    * Cost is the seeding probe (manifest stats, or one max() scan on a
+    * stat-less column). Returns the synced mark. Single-writer like all
+    * identity allocation. */
+  def syncIdentity(name: String, start: Long, step: Long): Long = {
+    val mark = seedIdentity(name, start, step)
+    SnapshotTable.identityHwm.put(root + " " + name,
+      new java.util.concurrent.atomic.AtomicLong(mark))
+    mark
   }
 
   /** Last-allocated identity value to seed the in-process counter: the
