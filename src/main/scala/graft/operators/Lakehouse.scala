@@ -1434,7 +1434,14 @@ object Lakehouse {
         } catch {
           case _: IllegalStateException => throw new IllegalStateException(
             "NOT NULL column accepted a NULL insert")
-          case _: Exception => () // expected refusal
+          case e: Exception =>
+            // the refusal must BE the nullability violation — an
+            // unrelated analysis/config failure passing as "expected"
+            // would silently void the constraint check
+            val msg = Option(e.getMessage).getOrElse("").toLowerCase
+            if (!msg.contains("null"))
+              throw new IllegalStateException(
+                s"NULL insert failed for the wrong reason: $e", e)
         }
         root
       })

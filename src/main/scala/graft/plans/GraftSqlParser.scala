@@ -115,7 +115,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // leftovers, guarded by the older_than horizon
     case CallRemoveOrphansRe(cat, tbl, ts) =>
       GraftRemoveOrphansCommand(strip(cat) +: parts(tbl), Option(ts))
-    case _ => delegate.parsePlan(sqlText)
+    // delegate-parsed UPDATE/MERGE pass the identity/generated-column
+    // assignment guard (see [[GraftDmlChecks]]) — parse is the one hook
+    // that still sees the user's raw SET lists
+    case _ => GraftDmlChecks.validated(delegate.parsePlan(sqlText))
   }
 
   // tokenize on dots OUTSIDE backquotes only (a backquoted part may

@@ -378,9 +378,22 @@ class SnapshotTable(spark: SparkSession, root: String) {
               // force nullable=true, so the flag cannot survive the file
               // round-trip): a marked column surfaces non-nullable, and
               // Spark's output resolver then enforces it on every SQL
-              // write (runtime AssertNotNull under ANSI assignment)
-              f.copy(metadata = md,
-                nullable = f.nullable && !(md.contains(SnapshotTable.NotNullKey) &&
+              // write (runtime AssertNotNull under ANSI assignment).
+              // EXCEPT identity columns: their NULL slots are filled by
+              // the writer ([[fillIdentity]]) — surfacing non-nullable
+              // would make the resolver's AssertNotNull fire BEFORE the
+              // fill, refusing the canonical `GENERATED ALWAYS AS
+              // IDENTITY NOT NULL` surrogate-key insert. They surface
+              // nullable; the constraint itself still holds — the fill
+              // leaves no NULLs and [[writeData]]'s writer-side check
+              // (which runs post-fill) enforces the marker on every
+              // committed row.
+              val fieldWithMd = f.copy(metadata = md)
+              val isIdentity = org.apache.spark.sql.catalyst.util
+                .IdentityColumn.isIdentityColumn(fieldWithMd)
+              fieldWithMd.copy(
+                nullable = f.nullable && !(!isIdentity &&
+                  md.contains(SnapshotTable.NotNullKey) &&
                   md.getBoolean(SnapshotTable.NotNullKey)))
             }.getOrElse(f)))
         // type-widening overlay (ALTER COLUMN … TYPE): the scan declares
@@ -1074,8 +1087,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
     }
     val rdd = df.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the cache lives until the COMMIT consumes the frame (writeManifest
+    // drains [[pendingUnpersist]]) — never for the session: an insert
+    // batch pinned in the block manager forever is a leak, not a cache
+    pendingUnpersist.add(rdd)
     val n = rdd.count()
-    if (n == 0) { rdd.unpersist(false); return df }
+    if (n == 0) { pendingUnpersist.remove(rdd); rdd.unpersist(false); return df }
     val base = reserveIdentity(f.name, start, step, n)
     val isLong = f.dataType == org.apache.spark.sql.types.LongType
     val filled = rdd.zipWithIndex().map { case (r, i) =>
@@ -3089,8 +3106,20 @@ class SnapshotTable(spark: SparkSession, root: String) {
     manifestCache.keySet.removeIf(_.contains(prefix))
     schemaCache.keySet.removeIf(_.contains(prefix))
     // a table re-created at the same path must restart its identity
-    // sequences at their declared START, not the dropped table's mark
-    SnapshotTable.identityHwm.keySet.removeIf(_.contains(rootAbs))
+    // sequences at their declared START, not the dropped table's mark.
+    // Keys are "root col" — match the ROOT portion exactly (path-
+    // normalized, spelling-insensitive): a substring test would evict
+    // sibling tables' counters (/data/t clearing /data/t2) mid-session,
+    // re-seeding them from stats and re-issuing in-flight reservations.
+    SnapshotTable.identityHwm.keySet.removeIf { k =>
+      val i = k.lastIndexOf(' ')
+      i > 0 && {
+        val kr = k.substring(0, i)
+        kr == rootAbs ||
+          (try new Path(kr).toUri.getPath == rootAbs
+           catch { case _: IllegalArgumentException => false })
+      }
+    }
     ()
   }
 
@@ -3175,9 +3204,41 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // == logical) bypass the translation: applying the REPLACED
     // target's stale renames there would store a source column under
     // the old physical name the reset mapping no longer re-points.
-    val df =
+    val dfPhys =
       if (version == 0 || physical) dfLogical
       else toPhysicalDf(dfLogical, version - 1)
+    // Writer-side NOT NULL enforcement (Delta's invariant shape): SQL
+    // writes are also checked by Spark's output resolver, but the
+    // engine API (append/merge/mergeDeferred) bypasses it — and one
+    // committed NULL would make the scan's non-nullable schema LIE to
+    // the optimizer (IsNull/IsNotNull folding → wrong results, not an
+    // error). Row-local codegen'd check inside the write job itself;
+    // zero extra passes, raises from the task, nothing commits. Runs
+    // in PHYSICAL space (fieldMeta keys physical names); identity
+    // columns pass because [[fillIdentity]] ran before this point.
+    val df = {
+      def marked(md: org.apache.spark.sql.types.Metadata): Boolean =
+        md.contains(SnapshotTable.NotNullKey) &&
+          md.getBoolean(SnapshotTable.NotNullKey)
+      val fromPrev: Set[String] =
+        if (version == 0 || physical) Set.empty
+        else manifestOf(version - 1).fieldMeta.collect {
+          case (n, j) if marked(
+            org.apache.spark.sql.types.Metadata.fromJson(j)) => n
+        }.toSet
+      val markedFields = dfPhys.schema.fields
+        .filter(f => marked(f.metadata) || fromPrev(f.name))
+      if (markedFields.isEmpty) dfPhys
+      else {
+        val byName = markedFields.map(f => f.name).toSet
+        dfPhys.select(dfPhys.schema.fields.map { f =>
+          if (!byName.contains(f.name)) col(f.name)
+          else when(col(f.name).isNull, raise_error(lit(
+              s"NOT NULL constraint violated: column ${f.name} is null")))
+            .otherwise(col(f.name)).cast(f.dataType).as(f.name, f.metadata)
+        }.toSeq: _*)
+      }
+    }
     // Unique per-ATTEMPT dir (version prefix + nonce): two writers racing
     // the same version never touch each other's files — the write-once
     // manifest is the only commit point, and a losing attempt's orphaned
@@ -3226,20 +3287,16 @@ class SnapshotTable(spark: SparkSession, root: String) {
     bloomCols.foreach(c =>
       writer.option(s"parquet.bloom.filter.enabled#$c", "true"))
     writer.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val conf = spark.sessionState.newHadoopConf()
-    // one ParquetReadOptions shared by every footer read: the no-options
-    // open() builds a FRESH Hadoop Configuration per file (re-parsing
-    // core-default.xml each time) — at a 200k-file commit that is
-    // minutes of XML parsing and lock contention, not metadata reads
-    val readOptions = org.apache.parquet.HadoopReadOptions.builder(conf).build()
-    import scala.collection.parallel.CollectionConverters._
-    listDataFiles(fs, dataDir).par.map { case (p, pv, len) =>
-      val (rows, stats) = footerInfo(conf, readOptions, p)
-      FileEntry(p, pv, len, rows, version.toLong,
-        spec.collect { case s if s.tag == null => s.col }.orNull, stats,
-        spec.collect { case s if s.tag != null => s.col }.orNull,
-        spec.collect { case s if s.tag != null => s.tag }.orNull)
-    }.seq.toSeq
+    // footer/stats collection runs as a distributed job ([[probeFooters]])
+    // — the hot-path twin of CONVERT's probe: a commit's metadata cost
+    // must scale with executors, not serialize through the driver
+    SnapshotTable.probeFooters(spark, listDataFiles(fs, dataDir)).map {
+      case (p, pv, len, rows, stats) =>
+        FileEntry(p, pv, len, rows, version.toLong,
+          spec.collect { case s if s.tag == null => s.col }.orNull, stats,
+          spec.collect { case s if s.tag != null => s.col }.orNull,
+          spec.collect { case s if s.tag != null => s.tag }.orNull)
+    }
   }
 
   /** Write one commit's change-data-feed rows (source-sized, flat) and
@@ -3250,10 +3307,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val cdcDir = new Path(root,
       f"data/c$version%05d_cdc_" + java.util.UUID.randomUUID().toString.take(8))
     df.write.mode(SaveMode.Overwrite).parquet(cdcDir.toString)
-    val conf = spark.sessionState.newHadoopConf()
-    val readOptions = org.apache.parquet.HadoopReadOptions.builder(conf).build()
-    listDataFiles(fs, cdcDir).map { case (p, _, len) =>
-      FileEntry(p, null, len, footerInfo(conf, readOptions, p)._1, version.toLong)
+    SnapshotTable.probeFooters(spark, listDataFiles(fs, cdcDir)).map {
+      case (p, _, len, rows, _) => FileEntry(p, null, len, rows, version.toLong)
     }
   }
 
@@ -3339,7 +3394,21 @@ class SnapshotTable(spark: SparkSession, root: String) {
         stamped.fieldMeta.nonEmpty || stamped.widened.nonEmpty)
       SnapshotTable.mappedRoots.add(root)
     manifestCache.put(p.toString, stamped)
+    // identity-fill batches cached for this commit's write jobs are
+    // consumed once the manifest lands — release their blocks
+    var pinned = pendingUnpersist.poll()
+    while (pinned != null) {
+      pinned.unpersist(blocking = false)
+      pinned = pendingUnpersist.poll()
+    }
   }
+
+  /** RDD caches owned by the IN-FLIGHT commit ([[fillIdentity]]'s sized
+    * insert batch): persisted when the batch is prepared, unpersisted by
+    * [[writeManifest]] once the commit that consumed them lands. */
+  private val pendingUnpersist =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]()
 }
 
 object SnapshotTable {
@@ -3846,6 +3915,45 @@ object SnapshotTable {
   private def partValueOf(path: String, col: String): String =
     path.split('/').find(_.startsWith(s"$col="))
       .map(_.stripPrefix(s"$col=")).orNull
+
+  /** Per-commit footer collection as a DISTRIBUTED Spark job: each task
+    * opens its files' footers and ships back metadata-sized rows (row
+    * count + min/max stats) — never data pages. This runs on the HOT
+    * path of every commit ([[SnapshotTable.writeData]] /
+    * [[SnapshotTable.writeChanges]]): at a 100 TB MERGE emitting tens
+    * of thousands of files, driver-side footer reads would serialize
+    * tens of thousands of object-store opens through one process — the
+    * same bottleneck CONVERT's probe job avoids. A single-file commit
+    * (the smallest metadata op) skips job-launch overhead and probes
+    * inline on the driver. */
+  private[sources] def probeFooters(
+      spark: SparkSession, listed: Seq[(String, String, Long)])
+    : Seq[(String, String, Long, Long, Map[String, (Double, Double)])] = {
+    if (listed.isEmpty) return Seq.empty
+    val conf = spark.sessionState.newHadoopConf()
+    if (listed.size == 1) {
+      val opts = org.apache.parquet.HadoopReadOptions.builder(conf).build()
+      listed.map { case (p, pv, len) =>
+        val (rows, stats) = footerInfo(conf, opts, p)
+        (p, pv, len, rows, stats)
+      }
+    } else {
+      val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+      val slices = math.max(1,
+        math.min(listed.size, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(listed, slices).map {
+        case (p, pv, len) =>
+          val c = serConf.value
+          // one ParquetReadOptions per task would be ideal; per-file is
+          // fine — the builder reuses the passed Configuration (no
+          // core-default.xml re-parse, the cost the shared-options
+          // pattern exists to avoid)
+          val opts = org.apache.parquet.HadoopReadOptions.builder(c).build()
+          val (rows, stats) = footerInfo(c, opts, p)
+          (p, pv, len, rows, stats)
+      }.collect().toSeq
+    }
+  }
 
   /** Row count + per-column numeric (min, max) from the parquet footer —
     * no data pages are read. A column's stats survive only if EVERY row
