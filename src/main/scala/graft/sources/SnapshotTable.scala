@@ -1018,6 +1018,20 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val hwm = SnapshotTable.identityHwm.computeIfAbsent(key,
       _ => new java.util.concurrent.atomic.AtomicLong(
         seedIdentity(col, start, step)))
+    // Cross-process visibility: advance to the latest COMMITTED mark
+    // first — another process may have committed allocations this one
+    // never saw. The insert's own commit targets currentVersion + 1 on
+    // a write-once manifest, so a writer that raced past this check
+    // forces this writer's commit to FAIL; the statement retry
+    // re-reserves above the raced-in mark. A lost race is a retry,
+    // never a duplicate (Delta's identity contract). SYNC IDENTITY's
+    // forward realignment survives (max/min keeps the later mark).
+    val v = currentVersion
+    manifestOf(v).identHwm.get(physColName(col, v)).foreach { committed =>
+      hwm.updateAndGet(cur =>
+        if (step > 0) math.max(cur, committed)
+        else math.min(cur, committed)): Unit
+    }
     hwm.getAndAdd(step * n) + step
   }
 
@@ -1029,7 +1043,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * stat-less column). Returns the synced mark. Single-writer like all
     * identity allocation. */
   def syncIdentity(name: String, start: Long, step: Long): Long = {
-    val mark = seedIdentity(name, start, step)
+    // SYNC realigns with the VALUES ACTUALLY STORED (its whole point —
+    // explicit BY DEFAULT inserts never advance the mark), so it reads
+    // the stored extreme directly, NOT the committed mark the normal
+    // seed prefers. The next data commit persists the synced mark.
+    val mark = storedIdentityExtreme(name, start, step)
     SnapshotTable.identityHwm.put(root + " " + name,
       new java.util.concurrent.atomic.AtomicLong(mark))
     mark
@@ -1041,12 +1059,34 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private def seedIdentity(name: String, start: Long, step: Long): Long = {
     val v = currentVersion
     val phys = physColName(name, v)
-    val entries =
-      (fileEntries(v) ++ deltaEntries(v)).filter(_.rows > 0)
     val virgin = start - step
-    if (entries.isEmpty) return virgin
     def beyond(a: Long, b: Long): Long =
       if (step > 0) math.max(a, b) else math.min(a, b)
+    // the durable mark first: committed transactionally with every
+    // identity insert, it survives deletes of the highest rows (which
+    // footer stats do not — stats would re-issue the deleted ids).
+    // Stats remain the legacy fallback for pre-mark tables.
+    manifestOf(v).identHwm.get(phys) match {
+      case Some(mark) => beyond(mark, virgin)
+      case None => storedIdentityExtreme(name, start, step)
+    }
+  }
+
+  /** The stored extreme of identity column `name` across the current
+    * snapshot (manifest stats — zero data read; one max()/min() scan on
+    * a stat-less column), `start - step` on an empty table. The legacy
+    * seed for pre-mark tables and the realignment source for
+    * [[syncIdentity]]. */
+  private def storedIdentityExtreme(
+      name: String, start: Long, step: Long): Long = {
+    val v = currentVersion
+    val phys = physColName(name, v)
+    val virgin = start - step
+    def beyond(a: Long, b: Long): Long =
+      if (step > 0) math.max(a, b) else math.min(a, b)
+    val entries =
+      (fileEntries(v) ++ deltaEntries(v)).filter(_.rows > 0)
+    if (entries.isEmpty) return virgin
     if (entries.forall(_.stats.contains(phys))) {
       val extreme =
         if (step > 0) math.ceil(entries.map(_.stats(phys)._2).max).toLong
@@ -2817,7 +2857,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
       renames = manifestOf(v).renames, dropped = manifestOf(v).dropped,
       fieldMeta = manifestOf(v).fieldMeta,
       widened = manifestOf(v).widened,
-      rowIdHwm = manifestOf(v).rowIdHwm))
+      rowIdHwm = manifestOf(v).rowIdHwm,
+      // the clone carries the SOURCE's identity marks so clone inserts
+      // can never re-issue ids the carried rows already hold
+      identHwm = manifestOf(v).identHwm))
     // The clone inherits the durable property sidecar: a hidden-layout
     // table's partition spec and bloom-filter columns live there — a
     // clone losing them would write subsequent commits unpartitioned
@@ -3358,10 +3401,29 @@ class SnapshotTable(spark: SparkSession, root: String) {
     }
     val ridFiles = assignRids(m.files)
     val ridDeltas = assignRids(m.deltas)
+    // Identity high-water marks commit transactionally (next to
+    // rowIdHwm): seeding reads them back, so a cross-process lost race
+    // is an OCC retry on the write-once manifest, never a duplicate id
+    // (Delta's contract). Keys are PHYSICAL names (rename-stable, like
+    // fieldMeta). Live in-process counters win over carried marks —
+    // they only ever move in allocation direction.
+    val liveIdent: Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val pfx = root + " "
+      SnapshotTable.identityHwm.asScala.collect {
+        case (k, ctr) if k.startsWith(pfx) =>
+          val logical = k.substring(pfx.length)
+          carriedRenames.getOrElse(logical, logical) -> ctr.get()
+      }.toMap
+    }
+    val carriedIdent =
+      (if (prev == null) Map.empty[String, Long] else prev.identHwm) ++
+        m.identHwm ++ liveIdent
     val stamped = m.copy(
       files = ridFiles,
       deltas = ridDeltas,
       rowIdHwm = nextRid,
+      identHwm = carriedIdent,
       ts = math.max(System.currentTimeMillis(),
         (if (prev == null) 0L else prev.ts) + 1),
       txns = carriedTxns,
@@ -3546,7 +3608,14 @@ object SnapshotTable {
       // row-id high-water mark: the next stable row id to assign
       // (Delta row-tracking analog). Bumped by every commit that adds
       // data files; carried forward like txns.
-      rowIdHwm: Long = 0L) {
+      rowIdHwm: Long = 0L,
+      // identity high-water marks: PHYSICAL column name → last
+      // ALLOCATED identity value, committed transactionally with every
+      // identity-filling insert (Delta persists its marks in table
+      // metadata the same way). Seeding reads these back — durable
+      // across processes and across deletes of the highest rows, which
+      // footer-stat seeding is not. Carried forward like txns.
+      identHwm: Map[String, Long] = Map.empty) {
     // PHYSICAL row count: base + pending delta rows, DV marks subtracted
     // (dv capture is duplicate-free by construction — marks come from the
     // DV-resolved scan — so the subtraction is exact). Exactly the
@@ -3609,7 +3678,8 @@ object SnapshotTable {
       addDvs: Seq[FileEntry], rmDvs: Set[String],
       changes: Seq[FileEntry], ts: Long,
       newTxns: Map[String, Long],
-      ridHwm: Long = 0L) extends LogRecord
+      ridHwm: Long = 0L,
+      identHwm: Map[String, Long] = Map.empty) extends LogRecord
 
   private def entryArray(es: Seq[FileEntry]): ArrayNode = {
     val a = mapper.createArrayNode()
@@ -3676,7 +3746,15 @@ object SnapshotTable {
       rootN.set[JsonNode]("widened", wN)
     }
     if (m.rowIdHwm > 0) rootN.put("rid_hwm", m.rowIdHwm)
+    if (m.identHwm.nonEmpty) rootN.set[JsonNode]("ident_hwm",
+      identHwmNode(m.identHwm))
     rootN.toString
+  }
+
+  private def identHwmNode(marks: Map[String, Long]): ObjectNode = {
+    val iN = mapper.createObjectNode()
+    marks.toSeq.sortBy(_._1).foreach { case (c, v) => iN.put(c, v) }
+    iN
   }
 
   /** DELTA encoding of `m` against its reconstructed predecessor: adds
@@ -3733,6 +3811,10 @@ object SnapshotTable {
       if (m.ts != 0L) rootN.put("ts", m.ts)
       if (newTxns.nonEmpty) rootN.set[JsonNode]("txns", txnNode(newTxns))
       if (m.rowIdHwm > 0) rootN.put("rid_hwm", m.rowIdHwm)
+      // the full mark map (one entry per identity column — tiny);
+      // reconstruction merges it over the predecessor's, latest wins
+      if (m.identHwm.nonEmpty) rootN.set[JsonNode]("ident_hwm",
+        identHwmNode(m.identHwm))
       rootN.toString
     }
   }
@@ -3759,6 +3841,8 @@ object SnapshotTable {
     if (d.ts != 0L) rootN.put("ts", d.ts)
     if (d.newTxns.nonEmpty) rootN.set[JsonNode]("txns", txnNode(d.newTxns))
     if (d.ridHwm > 0) rootN.put("rid_hwm", d.ridHwm)
+    if (d.identHwm.nonEmpty) rootN.set[JsonNode]("ident_hwm",
+      identHwmNode(d.identHwm))
     rootN.toString
   }
 
@@ -3818,6 +3902,18 @@ object SnapshotTable {
         }
         buf.result()
       }
+    val identHwm =
+      if (!n.has("ident_hwm")) Map.empty[String, Long]
+      else {
+        val iN = n.get("ident_hwm")
+        val it = iN.fieldNames()
+        val buf = Map.newBuilder[String, Long]
+        while (it.hasNext) {
+          val c = it.next()
+          buf += c -> iN.get(c).asLong()
+        }
+        buf.result()
+      }
     if (n.has("base"))
       DeltaRecord(
         n.get("version").asInt(), n.get("operation").asText(), mergeKeys,
@@ -3825,7 +3921,8 @@ object SnapshotTable {
         entries("add_deltas"), paths("rm_deltas"),
         entries("add_dvs"), paths("rm_dvs"),
         entries("changes"), ts, txns,
-        if (n.has("rid_hwm")) n.get("rid_hwm").asLong() else 0L)
+        if (n.has("rid_hwm")) n.get("rid_hwm").asLong() else 0L,
+        identHwm)
     else {
       val renames =
         if (!n.has("renames")) Map.empty[String, String]
@@ -3873,7 +3970,8 @@ object SnapshotTable {
         dropped,
         fieldMeta,
         widened,
-        if (n.has("rid_hwm")) n.get("rid_hwm").asLong() else 0L))
+        if (n.has("rid_hwm")) n.get("rid_hwm").asLong() else 0L,
+        identHwm))
     }
   }
 
@@ -3896,7 +3994,8 @@ object SnapshotTable {
       prev.dropped,
       prev.fieldMeta,
       prev.widened,
-      math.max(d.ridHwm, prev.rowIdHwm))
+      math.max(d.ridHwm, prev.rowIdHwm),
+      prev.identHwm ++ d.identHwm)
   }
 
   private def readFileString(fs: FileSystem, p: Path): String = {

@@ -62,4 +62,38 @@ class NotNullSpec extends AnyFunSuite {
     s.sql("INSERT INTO nnalt.ns.t VALUES (NULL, 4.0)")
     assert(s.sql("SELECT count(*) FROM nnalt.ns.t").head.getLong(0) == 2)
   }
+
+  test("engine-API writes enforce NOT NULL too (writer-side invariant)") {
+    val cat = tmp("nn_api_cat")
+    val s = spark.newSession()
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.nnapi", "graft.sources.GraftSqlCatalog")
+    s.conf.set("spark.sql.catalog.nnapi.root", cat)
+    s.sql("CREATE NAMESPACE nnapi.ns")
+    s.sql("CREATE TABLE nnapi.ns.t (k BIGINT NOT NULL, v DOUBLE)")
+    s.sql("INSERT INTO nnapi.ns.t VALUES (1, 1.0)")
+    // the engine append bypasses Spark's SQL output resolver — the
+    // writer-side check must refuse anyway, else the non-nullable scan
+    // schema would LIE to the optimizer over a committed NULL
+    val t = new SnapshotTable(s, s"$cat/ns/t")
+    val vBefore = t.currentVersion
+    val bad = Seq((Some(2L), 2.0), (None, 3.0))
+      .toDF("k", "v").selectExpr("k", "v")
+    val e = intercept[Exception](t.append(bad))
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(m => m.contains("NOT NULL") || m.contains("null")),
+      e.toString)
+    assert(t.currentVersion == vBefore, "a refused write must commit nothing")
+    assert(s.sql("SELECT count(*) FROM nnapi.ns.t").head.getLong(0) == 1)
+    // MERGE through the engine API enforces it too
+    val e2 = intercept[Exception](
+      t.merge(Seq((Option.empty[Long], 9.0)).toDF("k", "v"), Seq("k")))
+    assert(msgs(e2).exists(m => m.contains("NOT NULL") || m.contains("null")),
+      e2.toString)
+    // and a clean engine append still lands
+    t.append(Seq((5L, 5.0)).toDF("k", "v")): Unit
+    assert(s.sql("SELECT count(*) FROM nnapi.ns.t").head.getLong(0) == 2)
+  }
 }
