@@ -1398,6 +1398,69 @@ object Lakehouse {
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
+  // SQL UPDATE through deletion vectors (Delta 3.1 DV-update parity):
+  // with the table property set, an arbitrary-predicate UPDATE writes
+  // O(matched rows) of (file, position) marks PLUS the updated images
+  // as new files — ZERO base files rewritten (asserted in the builder,
+  // along with the CDF pre+post capture). The oracle recomputes the
+  // post-update content from the raw data with a CASE.
+  private val sqlUpdateDv = OpQuery(
+    "sql_update_dv",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+                                THEN o_totalprice + 100000
+                                ELSE o_totalprice END
+                           AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val cat = s"graftdvu_${math.abs(d.hashCode).toHexString}"
+      val root = stagedRoots.computeIfAbsent((d, "sqlcat_dvu_root"), _ => {
+        val root = stagedTmp("stage_sqlcat_dvu")
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.plans.GraftRowLevelOps.register(s)
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .createOrReplaceTempView("sqldvu_src")
+        s.sql(s"CREATE NAMESPACE $cat.bench")
+        s.sql(s"""CREATE TABLE $cat.bench.t
+                  (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+                  TBLPROPERTIES ('graft.enableDeletionVectors' = 'true',
+                                 'graft.enableChangeDataFeed' = 'true')""")
+        s.sql(s"INSERT INTO $cat.bench.t SELECT * FROM sqldvu_src")
+        val t = new SnapshotTable(s, s"$root/bench/t")
+        val before = t.files.map(_.path).toSet
+        val matched = s.sql(s"""SELECT COUNT(*) FROM $cat.bench.t
+          WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0""").head.getLong(0)
+        s.sql(s"""UPDATE $cat.bench.t SET o_totalprice = o_totalprice + 100000
+                  WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0""")
+        require(before.subsetOf(t.files.map(_.path).toSet),
+          "DV update rewrote base files — the positional path regressed")
+        require(t.commitOperation(t.currentVersion) == "UPDATE_DV",
+          s"expected UPDATE_DV, got ${t.commitOperation(t.currentVersion)}")
+        // CDF: pre+post images, O(changed rows)
+        val v = t.currentVersion
+        val ch = s.sql(s"SELECT _change_type, COUNT(*) FROM " +
+            s"table_changes('$cat.bench.t', $v, $v) GROUP BY 1")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(ch.get("update_preimage").contains(matched) &&
+            ch.get("update_postimage").contains(matched),
+          s"CDF pre/post capture off: $ch, expected $matched each")
+        root
+      })
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM $cat.bench.t
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
   // NOT NULL constraints: the flag rides the versioned fieldMeta
   // overlay (parquet reads force nullable=true, so the StructField flag
   // cannot survive the file round-trip) and Spark's output resolver
@@ -2800,5 +2863,5 @@ object Lakehouse {
     sqlCallCompaction, sqlColumnMapping, sqlConvertInPlace, sqlClusterBy,
     sqlCheckConstraint, sqlColumnDefaults, sqlGeneratedColumns,
     sqlTypeWidening, sqlIdentityColumns, sqlNotNull, sqlDeleteDv,
-    rowTracking)
+    sqlUpdateDv, rowTracking)
 }

@@ -61,13 +61,21 @@ object GraftRowLevelOps extends SparkStrategy {
         // metadata-shaped truncate there
         val trivialTrue = r.condition ==
           org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral
-        val dvEligible = cmd == Command.DELETE && t.dvDeletesEnabled &&
+        val positionalOk = t.dvDeletesEnabled &&
           !trivialTrue && r.condition.deterministic &&
           !org.apache.spark.sql.catalyst.expressions.SubqueryExpression
             .hasSubquery(r.condition) &&
           !t.snapshot.hasPendingDeltas
-        if (dvEligible)
+        if (cmd == Command.DELETE && positionalOk)
           GraftDvDeleteExec(t.snapshot, r.condition) :: Nil
+        // UPDATE takes the positional path too (Delta 3.1 DV-update
+        // parity): mark matched positions + append the updated images,
+        // zero base files rewritten. A trivially-true UPDATE rewrites
+        // every row anyway — the CoW overwrite is the cleaner shape.
+        else if (cmd == Command.UPDATE && positionalOk &&
+            r.write.exists(_.isInstanceOf[graft.sources.GraftReplaceWrite]))
+          GraftDvUpdateExec(t.snapshot, t.writePartSpec, r.query,
+            r.condition, t.schema) :: Nil
         else {
           // partition-scoped rewrites carry their planned file split on
           // the write (set during scan planning); None = whole table
@@ -149,6 +157,70 @@ final case class GraftReplaceDataExec(
       case None => snapshot.overwriteAll(aligned, partSpec)
     }
     ()
+  }
+
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    done
+    sparkContext.emptyRDD[InternalRow]
+  }
+}
+
+/** Physical node for a deletion-vector SQL UPDATE (Delta 3.1 parity):
+  * matched base rows are MARKED with (file, pos) deletion-vector
+  * entries and their post-assignment images APPEND as new files in the
+  * same commit — zero base files rewritten, O(matched rows) cost.
+  *
+  * The updated images come from the analyzer's own rewrite `query`
+  * (whose projection applies `If(cond, assignment, col)` per column)
+  * with the UPDATE condition pushed UNDER the projection onto the
+  * row-level scan: every surviving row satisfies the condition, so the
+  * projection yields exactly the new images — assignments, casts and
+  * alignment identical to the CoW path, no re-derivation. Both the
+  * marks and the images re-bind the condition by NAME onto fresh scans
+  * of the same immutable snapshot version, so the two O(matched) jobs
+  * address the same rows (the strategy gates on a deterministic,
+  * subquery-free condition). */
+final case class GraftDvUpdateExec(
+    snapshot: SnapshotTable,
+    partSpec: Option[String],
+    query: LogicalPlan,
+    condition: org.apache.spark.sql.catalyst.expressions.Expression,
+    tableSchema: org.apache.spark.sql.types.StructType) extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Seq.empty
+
+  private lazy val done: Unit = {
+    val spark = SparkSession.active
+    val rebound = condition.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(a.name)
+    }
+    // By physical-planning time the optimizer has rewritten the
+    // row-level DataSourceV2Relation into whatever scan shape won (the
+    // engine's V1-fallback LogicalRelation here, a V2 scan relation in
+    // general) — an UPDATE rewrite query has exactly ONE leaf, the
+    // target scan, so the condition lands above the leaf, UNDER the
+    // assignment projection.
+    val filtered = query.transformUp {
+      case rel: org.apache.spark.sql.catalyst.plans.logical.LeafNode
+          if rel.resolved && rel.output.nonEmpty =>
+        org.apache.spark.sql.catalyst.plans.logical.Filter(rebound, rel)
+    }
+    val df = org.apache.spark.sql.GraftStreamShim.ofRows(spark, filtered)
+    val cols = snapshot.read().schema.fieldNames.toIndexedSeq
+    // generated columns recompute from post-assignment sources (same
+    // projection the CoW path applies); identity slots never fill here —
+    // updated rows keep their stored values and the parse-time guard
+    // refuses explicit identity assignments
+    val updated = GraftV2Table.regenerateColumns(
+      df.select(cols.map(col): _*), tableSchema)
+    val cdf = snapshot.property(GraftV2Table.CdcProp).contains("true")
+    snapshot.updateExprPositional(
+      org.apache.spark.sql.GraftStreamShim.columnOf(rebound),
+      updated, trackChanges = cdf, partitionBy = partSpec): Unit
   }
 
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }

@@ -2022,6 +2022,51 @@ class SnapshotTable(spark: SparkSession, root: String) {
     written.map(_.rows).sum
   }
 
+  /** Positional UPDATE (Delta 3.1 DV-update parity): matched base rows
+    * are MARKED with (file, pos) deletion-vector entries and their
+    * post-assignment images APPEND as new files in the same commit —
+    * ZERO base files rewritten, O(matched rows) total cost. The update
+    * analog of [[deleteExprPositional]]: at 100 TB a predicate UPDATE
+    * touching 0.1% of rows must not rewrite every touched file.
+    *
+    * `updated` must be the post-assignment images of EXACTLY the rows
+    * matching `cond` over the current snapshot (the SQL strategy builds
+    * it by pushing the UPDATE condition under the rewrite's assignment
+    * projection). Change-data capture emits update_preimage rows from
+    * the marked positions and update_postimage rows from `updated` —
+    * O(changed rows), never a version diff. */
+  def updateExprPositional(cond: org.apache.spark.sql.Column,
+      updated: DataFrame, trackChanges: Boolean = false,
+      partitionBy: Option[String] = None): Long = {
+    val v = currentVersion
+    require(deltaEntries(v).isEmpty,
+      s"positional UPDATE on $root requires compacted state (pending MoR " +
+        "deltas — OPTIMIZE folds them first)")
+    val dvs = dvEntries(v)
+    val entries = fileEntries(v)
+    if (entries.isEmpty) return 0L
+    val addressed =
+      if (dvs.isEmpty) readEntriesAddressed(entries)
+      else addressedMinusDvs(entries, dvs)
+    val marks = writeData(
+      addressed.filter(cond <=> true).select(col(DvFileCol), col(DvPosCol)),
+      v + 1, None).filter(_.rows > 0)
+    if (marks.isEmpty) return 0L // no matches: nothing to commit
+    val newFiles = writeData(updated, v + 1, partitionBy).filter(_.rows > 0)
+    val cdc =
+      if (!trackChanges) Seq.empty
+      else {
+        val pre = addressed.filter(cond <=> true)
+          .drop(DvFileCol, DvPosCol)
+          .withColumn(ChangeCol, lit("update_preimage"))
+        val post = updated.withColumn(ChangeCol, lit("update_postimage"))
+        writeChanges(pre.unionByName(post), v + 1)
+      }
+    writeManifest(Manifest(v + 1, "UPDATE_DV", mergeKeysOf(v),
+      entries ++ newFiles, Seq.empty, cdc, dvs ++ marks))
+    marks.map(_.rows).sum
+  }
+
   /** Copy-on-write UPDATE … SET `set` WHERE `colName BETWEEN lo AND hi`
     * (Delta `UPDATE` with data-skipping): file pruning as in
     * [[deleteWhere]]. All SET expressions evaluate against the OLD row
