@@ -1339,6 +1339,13 @@ object Lakehouse {
         t.deleteExprPositional(col("o_orderkey") % 5 === 0)
         require(ids() == before.filterNot(_._1 % 5 == 0),
           "DV-delete survivors changed row ids")
+        // CoW DML preserves too (r17): a stat-pruned partial UPDATE
+        // rewrites touched files — carried AND updated rows keep ids
+        val preUpdate = ids()
+        t.updateWhere("o_totalprice", 0.0, Double.MaxValue,
+          Map("o_totalprice" -> (col("o_totalprice") + lit(1.0))))
+        require(ids() == preUpdate,
+          "CoW UPDATE renumbered rows under row tracking")
         root
       })
       val t = new SnapshotTable(s, root)

@@ -144,8 +144,16 @@ final case class GraftReplaceDataExec(
     val spark = SparkSession.active
     val df = org.apache.spark.sql.GraftStreamShim.ofRows(spark, query)
     // align to the table's column order and drop any metadata columns
-    // the rewrite appended to the replacement query
-    val cols = snapshot.read().schema.fieldNames.toIndexedSeq
+    // the rewrite appended to the replacement query — EXCEPT the stable
+    // row id: under row tracking the scan served it as a required
+    // metadata attribute, Spark carried it through the rewrite (NULL on
+    // merge-inserted rows), and writing it MATERIALIZED preserves the
+    // ids of every carried/updated row (fresh manifest bases cover only
+    // the NULL slots)
+    val keepRid = snapshot.rowTrackingEnabled &&
+      df.columns.contains(SnapshotTable.RidCol)
+    val cols = snapshot.read().schema.fieldNames.toIndexedSeq ++
+      (if (keepRid) Seq(SnapshotTable.RidCol) else Seq.empty)
     // merge-inserted rows arrive with NULL identity slots — fill them;
     // carried/updated rows keep their stored values (no validation here:
     // the rewrite frame cannot distinguish carried from assigned)
@@ -210,7 +218,14 @@ final case class GraftDvUpdateExec(
         org.apache.spark.sql.catalyst.plans.logical.Filter(rebound, rel)
     }
     val df = org.apache.spark.sql.GraftStreamShim.ofRows(spark, filtered)
-    val cols = snapshot.read().schema.fieldNames.toIndexedSeq
+    // under row tracking the rewrite carries the stable row id — keep
+    // it materialized on the appended images so an updated row KEEPS
+    // its id (the DV-masked old position stops being served), Delta's
+    // row-lineage semantics
+    val keepRid = snapshot.rowTrackingEnabled &&
+      df.columns.contains(SnapshotTable.RidCol)
+    val cols = snapshot.read().schema.fieldNames.toIndexedSeq ++
+      (if (keepRid) Seq(SnapshotTable.RidCol) else Seq.empty)
     // generated columns recompute from post-assignment sources (same
     // projection the CoW path applies); identity slots never fill here —
     // updated rows keep their stored values and the parse-time guard

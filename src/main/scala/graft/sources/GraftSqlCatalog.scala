@@ -677,7 +677,19 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.GraftV1FallbackTable {
+
+  /** Stable row id as a DSv2 METADATA column (Delta `_metadata.row_id`
+    * analog): hidden from `SELECT *`, served on request — `SELECT
+    * __graft_rid, * FROM t` — and, crucially, the carrier for row-id
+    * PRESERVATION through CoW DML: the row-level operation lists it in
+    * `requiredMetadataAttributes`, Spark threads it through the rewrite
+    * untouched for carried/updated rows (NULL for merge-inserts), and
+    * the replacement write re-materializes it. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftV2Table.RidMetadataColumn)
 
   /** `spark.readStream.table("cat.ns.t")` — tables-as-catalog-names is
     * the standard streaming idiom (Delta's default), so the catalog
@@ -1026,6 +1038,19 @@ object GraftV2Table {
   /** Table property recording the partition layout SQL writes use. */
   val PartSpecProp = SnapshotTable.PartSpecProp
 
+  /** The stable-row-id metadata column every graft table exposes (id
+    * assignment is manifest math — free on every table; rewrite
+    * STABILITY additionally needs [[SnapshotTable.RowTrackingProp]]). */
+  val RidMetadataColumn: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = SnapshotTable.RidCol
+      override def dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = true
+      override def comment: String =
+        "stable row id (graft row tracking; Delta _metadata.row_id analog)"
+    }
+
   /** Table property switching SQL DELETE to deletion-vector marks
     * (Delta `delta.enableDeletionVectors` analog). */
   val DvDeleteProp = "graft.enableDeletionVectors"
@@ -1287,6 +1312,13 @@ final class GraftCatalogRelation(context: SQLContext, table: SnapshotTable,
   }
 
   private def base: DataFrame = {
+    // the stable-row-id metadata column (row-level rewrites under row
+    // tracking; explicit `SELECT __graft_rid`) rides the id-attached
+    // scan — partition pruning is skipped there (the addressed scan
+    // reads per-entry; correctness first, this path is metadata-sized
+    // or DML-shaped, never the hot read path)
+    if (required.fieldNames.contains(SnapshotTable.RidCol))
+      return table.readWithRowIds(version)
     // manifest partition pruning: current-version reads only (the
     // pruned planner works on head state); equality or IN-list on the
     // partition source column, any value type with a canonical
@@ -1346,6 +1378,24 @@ final class GraftRowLevelOperation(
     * scan planning (after Spark pushes the command condition). */
   @volatile private[graft] var plannedReplace: Option[Seq[SnapshotTable.FileEntry]] = None
 
+  /** Row-id PRESERVATION through the CoW rewrite (Delta row-tracking
+    * DML parity): under the table property, the rewrite scan serves
+    * `__graft_rid` as a required metadata attribute — Spark threads it
+    * through the replacement query untouched for carried/updated rows
+    * (NULL for merge-inserted ones) and the replacement write
+    * re-materializes it, so a MERGE touching one row of a file no
+    * longer renumbers the file's other rows. Pinned once per operation
+    * so the scan schema and the analysis-time attribute list agree. */
+  private[graft] val trackRids: Boolean =
+    table.rowTrackingEnabled && !table.hasPendingDeltas
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (trackRids)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(SnapshotTable.RidCol))
+    else Array.empty
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"GraftRowLevelOp[$qualifiedName, $cmd]"
 
@@ -1395,14 +1445,23 @@ final class GraftRowLevelOperation(
       // otherwise plan an unsupported BatchScanExec over a raw V1Scan)
       override def build(): Scan = new V1Scan with graft.plans.GraftV1StatsScan {
         private val replace = plannedReplace
-        override def readSchema(): StructType = tableSchema
+        // under row tracking the rewrite scan also serves the stable
+        // row id (requiredMetadataAttributes) — the relations detect
+        // the extra column in the schema and attach it
+        private val scanSchema =
+          if (trackRids)
+            StructType(tableSchema.fields :+
+              org.apache.spark.sql.types.StructField(SnapshotTable.RidCol,
+                org.apache.spark.sql.types.LongType, nullable = true))
+          else tableSchema
+        override def readSchema(): StructType = scanSchema
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           (replace match {
             case Some(entries) =>
-              new GraftEntriesRelation(context, table, entries, tableSchema)
+              new GraftEntriesRelation(context, table, entries, scanSchema)
             case None =>
-              new GraftCatalogRelation(context, table, -1, tableSchema,
+              new GraftCatalogRelation(context, table, -1, scanSchema,
                 Array.empty, None)
           }).asInstanceOf[T]
       }
@@ -1485,7 +1544,10 @@ final class GraftEntriesRelation(context: SQLContext, table: SnapshotTable,
   override def buildScan(): RDD[Row] = {
     if (entries.isEmpty)
       return context.sparkContext.emptyRDD[Row]
-    val df = table.readEntriesResolved(entries)
+    val df =
+      if (required.fieldNames.contains(SnapshotTable.RidCol))
+        table.readEntriesRowIds(entries) // row-tracking rewrite source
+      else table.readEntriesResolved(entries)
     df.select(required.fieldNames.map(col(_)).toIndexedSeq: _*).rdd
   }
 }

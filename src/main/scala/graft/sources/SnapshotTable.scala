@@ -937,8 +937,15 @@ class SnapshotTable(spark: SparkSession, root: String) {
   // Maintenance rewrites under [[SnapshotTable.RowTrackingProp]]
   // MATERIALIZE the id into the rewritten files as a hidden physical
   // column, keeping ids stable across OPTIMIZE / CLUSTER / ZORDER /
-  // REORG. DML rewrites (CoW MERGE/UPDATE) refresh the rewritten rows'
-  // ids — the scoped contract documented in SURVEY §2.
+  // REORG. SQL DML preserves ids through CoW rewrites too: the
+  // row-level operation serves the id as a required metadata attribute
+  // (GraftRowLevelOperation.requiredMetadataAttributes), Spark threads
+  // it through the UPDATE/MERGE/DELETE rewrite untouched for
+  // carried/updated rows (NULL on merge-inserts), and the replacement
+  // write re-materializes it — row LINEAGE, Delta's contract. The
+  // engine-API stat-pruned deleteWhere/updateWhere use [[rewriteSource]]
+  // for the same guarantee; only the engine-API key-join `merge` still
+  // refreshes rewritten rows' ids (documented in SURVEY §2).
 
   private[graft] def rowTrackingEnabled: Boolean =
     property(SnapshotTable.RowTrackingProp).contains("true")
@@ -977,6 +984,18 @@ class SnapshotTable(spark: SparkSession, root: String) {
         else addressedMinusDvs(entries, dvs, -1, keepRid = true)
       withRidColumn(addressed, entries).drop(DvFileCol, DvPosCol)
     }
+
+  /** [[readWithRowIds]] restricted to `entries` (the row-level
+    * rewrite's planned replace set): DV-resolved rows plus their stable
+    * ids — the partition-scoped CoW DML source under row tracking. */
+  private[graft] def readEntriesRowIds(
+      entries: Seq[FileEntry]): DataFrame = {
+    val dvs = dvEntries(currentVersion)
+    val addressed =
+      if (dvs.isEmpty) readEntriesAddressed(entries, -1, keepRid = true)
+      else addressedMinusDvs(entries, dvs, -1, keepRid = true)
+    withRidColumn(addressed, entries).drop(DvFileCol, DvPosCol)
+  }
 
   /** Scan with stable row ids: every row of the current (or pinned)
     * version plus its id under `__graft_rid`. Ids are unique per row,
@@ -1906,7 +1925,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val matches = (col(colName) >= lo && col(colName) <= hi) <=> true
     val written =
       if (touched.isEmpty) Seq.empty
-      else writeData(baseScan(touched, dvEntries(v)).filter(!matches),
+      // rewriteSource: under row tracking the surviving rows carry
+      // their ids into the rewritten files (a delete must not renumber
+      // rows it does not remove)
+      else writeData(rewriteSource(touched, dvEntries(v)).filter(!matches),
         v + 1, partitionBy)
     val cdc =
       if (!trackChanges || touched.isEmpty) Seq.empty
@@ -2059,7 +2081,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
         val pre = addressed.filter(cond <=> true)
           .drop(DvFileCol, DvPosCol)
           .withColumn(ChangeCol, lit("update_preimage"))
-        val post = updated.withColumn(ChangeCol, lit("update_postimage"))
+        // the change feed carries LOGICAL rows only — the materialized
+        // row-id column (present under row tracking) stays out
+        val post = updated.drop(SnapshotTable.RidCol)
+          .withColumn(ChangeCol, lit("update_postimage"))
         writeChanges(pre.unionByName(post), v + 1)
       }
     writeManifest(Manifest(v + 1, "UPDATE_DV", mergeKeysOf(v),
@@ -2097,7 +2122,11 @@ class SnapshotTable(spark: SparkSession, root: String) {
     }: _*)
     val written =
       if (touched.isEmpty) Seq.empty
-      else writeData(applied(baseScan(touched, dvEntries(v))), v + 1, partitionBy)
+      // rewriteSource: carried AND updated rows keep their ids under
+      // row tracking (the extra rid column rides through `applied`
+      // untouched — no SET can name an engine column)
+      else writeData(applied(rewriteSource(touched, dvEntries(v))),
+        v + 1, partitionBy)
     val cdc =
       if (!trackChanges || touched.isEmpty) Seq.empty
       else {

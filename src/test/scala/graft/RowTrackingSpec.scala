@@ -77,6 +77,53 @@ class RowTrackingSpec extends AnyFunSuite {
         org.apache.spark.sql.types.LongType))))
   }
 
+  test("CoW DML preserves row ids: carried AND updated rows keep theirs, inserts refresh") {
+    val cat = tmp("rt_dml_cat")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.rtdml", "graft.sources.GraftSqlCatalog")
+    s.conf.set("spark.sql.catalog.rtdml.root", cat)
+    graft.plans.GraftRowLevelOps.register(s)
+    s.sql("CREATE NAMESPACE rtdml.ns")
+    s.sql("CREATE TABLE rtdml.ns.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.enableRowTracking' = 'true')")
+    s.sql("INSERT INTO rtdml.ns.t SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    val t = new SnapshotTable(s, s"$cat/ns/t")
+    val before = rids(t)
+    // a MERGE touching 10 rows of the single file: the other 90 carried
+    // rows must keep their ids; the 10 updated rows keep theirs too
+    // (row lineage — the id tracks the row through the update); the 5
+    // inserted rows allocate fresh ids above everything
+    s.sql("""MERGE INTO rtdml.ns.t t USING
+      (SELECT id * 10 AS k, -1.0 AS v FROM range(15)) src ON t.k = src.k
+      WHEN MATCHED THEN UPDATE SET t.v = src.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)""")
+    val after = rids(t)
+    assert(after.size == 105 && after.values.toSet.size == 105, "unique")
+    val carried = (0L until 100L).filterNot(_ % 10 == 0)
+    assert(carried.forall(k => after(k) == before(k)),
+      "carried rows must keep their ids through the CoW MERGE")
+    val updated = (0L until 100L).filter(_ % 10 == 0)
+    assert(updated.forall(k => after(k) == before(k)),
+      "updated rows keep their ids (row lineage)")
+    val inserted = (100L to 140L by 10)
+    assert(inserted.forall(k => after(k) > before.values.max),
+      "merge-inserted rows allocate fresh ids above the mark")
+    // SQL UPDATE (CoW) preserves too
+    s.sql("UPDATE rtdml.ns.t SET v = v + 1 WHERE k < 50")
+    val after2 = rids(t)
+    assert(after2 == after, "ids changed across a CoW UPDATE")
+    // SQL DELETE (CoW): survivors keep their ids
+    s.sql("DELETE FROM rtdml.ns.t WHERE k >= 130")
+    val after3 = rids(t)
+    assert(after3 == after2.filter { case (k, _) => k < 130 })
+    // the id is queryable as a DSv2 metadata column (hidden from *)
+    val viaMeta = s.sql("SELECT k, __graft_rid FROM rtdml.ns.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaMeta == after3)
+    assert(!s.sql("SELECT * FROM rtdml.ns.t").columns
+      .contains(SnapshotTable.RidCol))
+  }
+
   test("table_row_ids TVF serves rows + stable ids through SQL") {
     import spark.implicits._
     val root = tmp("rt_tvf")
