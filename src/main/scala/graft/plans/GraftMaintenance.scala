@@ -68,6 +68,7 @@ object GraftMaintenance {
     .add("total_bytes", LongType, nullable = false)
     .add("num_rows", LongType, nullable = false)
     .add("pending_delta_rows", LongType, nullable = false)
+    .add("table_features", StringType, nullable = false)
 
   /** Default small-file threshold for bare `OPTIMIZE` (Delta's
     * optimize.minFileSize default: files under 128 MiB bin-pack). */

@@ -3295,14 +3295,51 @@ class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   /** DESCRIBE DETAIL analog for the latest version; same physical-count
-    * semantics (and the same `pending_delta_rows` caveat) as [[history]]. */
+    * semantics (and the same `pending_delta_rows` caveat) as [[history]].
+    * `table_features` (Delta's tableFeatures analog) lists the engine
+    * features ACTIVE on this table — properties set, overlays in use,
+    * schema markers present — so operators can audit state without
+    * reading manifests. */
   def detail: DataFrame = {
     import spark.implicits._
     val m = manifestOf(currentVersion)
     Seq((m.version, m.numFiles, (m.files ++ m.deltas).map(_.bytes).sum,
-        m.numRows, m.numDeltaRows))
+        m.numRows, m.numDeltaRows, tableFeatures.mkString(",")))
       .toDF("version", "num_files", "total_bytes", "num_rows",
-        "pending_delta_rows")
+        "pending_delta_rows", "table_features")
+  }
+
+  /** The engine features active on this table, sorted. Metadata-only:
+    * one manifest + sidecar + schema look, no data reads. */
+  def tableFeatures: Seq[String] = {
+    val m = manifestOf(currentVersion)
+    val schema = read(currentVersion).schema
+    val b = Seq.newBuilder[String]
+    if (property(GraftV2Table.DvDeleteProp).contains("true") ||
+        m.dvs.nonEmpty) b += "deletionVectors"
+    if (property(GraftV2Table.CdcProp).contains("true"))
+      b += "changeDataFeed"
+    if (rowTrackingEnabled) b += "rowTracking"
+    if (schema.fields.exists(f => org.apache.spark.sql.catalyst.util
+        .IdentityColumn.isIdentityColumn(f))) b += "identityColumns"
+    if (schema.fields.exists(f => org.apache.spark.sql.catalyst.util
+        .GeneratedColumn.getGenerationExpression(f).isDefined))
+      b += "generatedColumns"
+    if (m.fieldMeta.values.exists { j =>
+        val md = org.apache.spark.sql.types.Metadata.fromJson(j)
+        md.contains(SnapshotTable.NotNullKey) &&
+          md.getBoolean(SnapshotTable.NotNullKey)
+      }) b += "notNullConstraints"
+    if (m.widened.nonEmpty) b += "typeWidening"
+    if (m.renames.nonEmpty || m.dropped.nonEmpty) b += "columnMapping"
+    if (propertiesMap.keys.exists(
+        _.startsWith(GraftV2Table.CheckConstraintProp)))
+      b += "checkConstraints"
+    if (property(SnapshotTable.ClusterSpecProp).isDefined)
+      b += "liquidClustering"
+    if (m.deltas.nonEmpty) b += "pendingMergeOnRead"
+    if (m.identHwm.nonEmpty) b += "identityHighWaterMark"
+    b.result().sorted
   }
 
   // ------------------------------------------------------------------

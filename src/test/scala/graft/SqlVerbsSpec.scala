@@ -41,6 +41,16 @@ class SqlVerbsSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1))).toSeq
       == Seq((0, "CREATE"), (1, "APPEND"), (2, "OPTIMIZE")))
     assert(sql(s"DESCRIBE DETAIL graft.`$root`").head.getLong(3) == 800L)
+    // table_features audits active engine features without manifests:
+    // plain table → empty; flip properties/state → features surface
+    assert(sql(s"DESCRIBE DETAIL graft.`$root`").head
+      .getAs[String]("table_features") == "")
+    t.withProperty(graft.sources.SnapshotTable.RowTrackingProp, "true")
+    t.withProperty(graft.sources.GraftV2Table.DvDeleteProp, "true")
+    val feats = sql(s"DESCRIBE DETAIL graft.`$root`").head
+      .getAs[String]("table_features").split(",").toSet
+    assert(feats.contains("rowTracking") && feats.contains("deletionVectors"),
+      feats.mkString(","))
     val vac = sql(s"VACUUM graft.`$root` RETAIN 1 VERSIONS").head
     assert(vac.getInt(0) > 0)
     assert(sql(s"SELECT count(*) FROM graft.`$root`").head.getLong(0) == 800L)
