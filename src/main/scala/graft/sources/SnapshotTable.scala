@@ -4133,15 +4133,16 @@ object SnapshotTable {
     * [[SnapshotTable.writeChanges]]): at a 100 TB MERGE emitting tens
     * of thousands of files, driver-side footer reads would serialize
     * tens of thousands of object-store opens through one process — the
-    * same bottleneck CONVERT's probe job avoids. A single-file commit
-    * (the smallest metadata op) skips job-launch overhead and probes
-    * inline on the driver. */
+    * same bottleneck CONVERT's probe job avoids. The smallest commits
+    * (≤ 2 files — the single-row DML / small-append shape) skip
+    * job-launch overhead and probe inline: the driver work is BOUNDED
+    * by the constant, never O(commit size). */
   private[sources] def probeFooters(
       spark: SparkSession, listed: Seq[(String, String, Long)])
     : Seq[(String, String, Long, Long, Map[String, (Double, Double)])] = {
     if (listed.isEmpty) return Seq.empty
     val conf = spark.sessionState.newHadoopConf()
-    if (listed.size == 1) {
+    if (listed.size <= 2) {
       val opts = org.apache.parquet.HadoopReadOptions.builder(conf).build()
       listed.map { case (p, pv, len) =>
         val (rows, stats) = footerInfo(conf, opts, p)
