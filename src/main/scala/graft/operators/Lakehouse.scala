@@ -1308,6 +1308,76 @@ object Lakehouse {
                 GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     })
 
+  // SQL MERGE through deletion vectors (Delta's DV-enabled MERGE): with
+  // the table property set, MERGE INTO plans onto Spark's DELTA-based
+  // row-level rewrite — one row per CHANGED row, matched rows marked
+  // positionally, update/insert images appended, ZERO base files
+  // rewritten (asserted in the builder). The oracle recomputes the
+  // merged state from the raw data.
+  private val sqlMergeDv = OpQuery(
+    "sql_merge_dv",
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS p
+        FROM orders
+        WHERE NOT (o_orderkey % 11 = 0 AND o_orderstatus = 'F')
+        UNION ALL
+        SELECT 'N' AS o_orderstatus, o_totalprice AS p
+        FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey <> 0
+      ) m
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """),
+    (s, d) => {
+      val cat = s"graftdvm_${math.abs(d.hashCode).toHexString}"
+      val root = stagedRoots.computeIfAbsent((d, "sqlcat_dvm_root"), _ => {
+        val root = stagedTmp("stage_sqlcat_dvm")
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.GraftSqlCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        graft.plans.GraftRowLevelOps.register(s)
+        Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+          .createOrReplaceTempView("sqldvm_src")
+        s.sql(s"CREATE NAMESPACE $cat.bench")
+        s.sql(s"""CREATE TABLE $cat.bench.t
+                  (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING)
+                  TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')""")
+        s.sql(s"INSERT INTO $cat.bench.t SELECT * FROM sqldvm_src")
+        val t = new SnapshotTable(s, s"$root/bench/t")
+        val before = t.files.map(_.path).toSet
+        s.sql(s"""MERGE INTO $cat.bench.t t USING (
+                    SELECT o_orderkey AS k, o_totalprice * 2 AS p
+                    FROM sqldvm_src WHERE o_orderkey % 11 = 0
+                    UNION ALL
+                    SELECT -o_orderkey, o_totalprice
+                    FROM sqldvm_src
+                    WHERE o_orderkey % 13 = 0 AND o_orderkey <> 0
+                  ) s ON t.o_orderkey = s.k
+                  WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+                  WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+                  WHEN NOT MATCHED THEN INSERT
+                    (o_orderkey, o_totalprice, o_orderstatus)
+                    VALUES (s.k, s.p, 'N')""")
+        require(before.subsetOf(t.files.map(_.path).toSet),
+          "DV merge rewrote base files — the positional path regressed")
+        require(t.commitOperation(t.currentVersion) == "MERGE_DV",
+          s"expected MERGE_DV, got ${t.commitOperation(t.currentVersion)}")
+        require(t.dvFiles.nonEmpty, "DV merge wrote no positional marks")
+        root
+      })
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                FROM $cat.bench.t
+                GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+
   // Row tracking (Delta row-ids analog): manifest-assigned stable row
   // ids, materialized through maintenance rewrites under the table
   // property so OPTIMIZE never renumbers. The builder asserts the
@@ -2870,5 +2940,5 @@ object Lakehouse {
     sqlCallCompaction, sqlColumnMapping, sqlConvertInPlace, sqlClusterBy,
     sqlCheckConstraint, sqlColumnDefaults, sqlGeneratedColumns,
     sqlTypeWidening, sqlIdentityColumns, sqlNotNull, sqlDeleteDv,
-    sqlUpdateDv, rowTracking)
+    sqlUpdateDv, sqlMergeDv, rowTracking)
 }

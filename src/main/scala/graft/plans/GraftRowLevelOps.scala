@@ -87,6 +87,19 @@ object GraftRowLevelOps extends SparkStrategy {
             t.schema) :: Nil
         }
       }.getOrElse(Nil)
+    // DELTA-based row-level writes (the positional MERGE under
+    // deletion vectors): the rewrite query emits one row per CHANGED
+    // row; the exec marks deleted/updated addresses and appends the
+    // update/insert images — zero base files rewritten. Spark's own
+    // WriteDeltaExec demands executor-side DeltaWriters; this strategy
+    // runs first and commits through the engine instead.
+    case wd: org.apache.spark.sql.catalyst.plans.logical.WriteDelta =>
+      wd.write match {
+        case Some(w: graft.sources.GraftDeltaWrite) =>
+          GraftWriteDeltaExec(w.op.snapshot, w.op.writePartSpec, wd.query,
+            w.op.trackRids, w.op.tableSchema) :: Nil
+        case _ => Nil
+      }
     // Spark has no V1-fallback exec for dynamic partition overwrite
     // (OverwritePartitionsDynamicExec demands a DSv2 BatchWrite); route
     // it onto the engine's dynamic overwrite commit instead.
@@ -165,6 +178,50 @@ final case class GraftReplaceDataExec(
       case None => snapshot.overwriteAll(aligned, partSpec)
     }
     ()
+  }
+
+  override def executeCollect(): Array[InternalRow] = { done; Array.empty }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    done
+    sparkContext.emptyRDD[InternalRow]
+  }
+}
+
+/** Physical node for a DELTA-based row-level write — the positional
+  * MERGE under deletion vectors: the rewrite `query` emits one row per
+  * CHANGED row (`__row_operation` + table columns + (file, pos) row-id
+  * address + the stable row id under row tracking). Deleted/updated
+  * addresses become deletion-vector marks; update/insert images (with
+  * generated columns recomputed and merge-inserted identity slots
+  * filled, exactly like the CoW path) append as new files —
+  * [[SnapshotTable.writeDeltaPositional]] commits both in one
+  * `MERGE_DV` version. Write cost O(changed rows); no base rewrite; no
+  * separate condition re-evaluation (subqueries fine). */
+final case class GraftWriteDeltaExec(
+    snapshot: SnapshotTable,
+    partSpec: Option[String],
+    query: LogicalPlan,
+    trackRids: Boolean,
+    tableSchema: org.apache.spark.sql.types.StructType) extends LeafExecNode {
+
+  override def output: Seq[Attribute] = Seq.empty
+
+  private lazy val done: Unit = {
+    val spark = SparkSession.active
+    val df = org.apache.spark.sql.GraftStreamShim.ofRows(spark, query)
+    val keepRid = trackRids && df.columns.contains(SnapshotTable.RidCol)
+    val cols = snapshot.read().schema.fieldNames.toIndexedSeq ++
+      (if (keepRid) Seq(SnapshotTable.RidCol) else Seq.empty)
+    def align(images: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      GraftV2Table.applyIdentityColumns(
+        GraftV2Table.regenerateColumns(
+          images.select(cols.map(col): _*), tableSchema),
+        tableSchema, snapshot, validateExplicit = false)
+    val cdf = snapshot.property(GraftV2Table.CdcProp).contains("true")
+    snapshot.writeDeltaPositional(df, align, partSpec,
+      trackChanges = cdf): Unit
   }
 
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }

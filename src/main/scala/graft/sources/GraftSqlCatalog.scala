@@ -689,7 +689,8 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
     * the replacement write re-materializes it. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(GraftV2Table.RidMetadataColumn)
+    Array(GraftV2Table.RidMetadataColumn,
+      GraftV2Table.FileMetadataColumn, GraftV2Table.PosMetadataColumn)
 
   /** `spark.readStream.table("cat.ns.t")` — tables-as-catalog-names is
     * the standard streaming idiom (Delta's default), so the catalog
@@ -756,8 +757,19 @@ final class GraftV2Table(table: SnapshotTable, pinned: Option[Int],
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinned.isEmpty, refuseWrite(s"run ${info.command} against"))
-    () => new GraftRowLevelOperation(table, partSpec, info.command,
-      schema, qualifiedName)
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    // MERGE on a DV-enabled compacted table takes the DELTA-based
+    // rewrite (positional marks + appended images, O(changed rows) —
+    // Delta's DV-enabled MERGE); everything else stays group-based
+    // (CoW, with the strategy peeling DELETE/UPDATE onto their own
+    // positional paths)
+    () =>
+      if (info.command == Command.MERGE && dvDeletesEnabled &&
+          !table.hasPendingDeltas)
+        new GraftDeltaRowLevelOperation(table, partSpec, info.command,
+          schema, qualifiedName)
+      else new GraftRowLevelOperation(table, partSpec, info.command,
+        schema, qualifiedName)
   }
 
   /** The layout every INSERT writes under: the recorded table property
@@ -1051,6 +1063,28 @@ object GraftV2Table {
         "stable row id (graft row tracking; Delta _metadata.row_id analog)"
     }
 
+  /** Row-address metadata columns (Delta `_metadata.file_path` /
+    * `row_index` analogs) — also the DELTA-based row-level operation's
+    * rowId, so the MERGE rewrite can address marks positionally. */
+  val FileMetadataColumn: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = SnapshotTable.DvFileCol
+      override def dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      // row-id attribute of the delta-based operation — must be
+      // non-nullable (every live row has an address)
+      override def isNullable: Boolean = false
+      override def comment: String = "data file holding the row"
+    }
+  val PosMetadataColumn: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name: String = SnapshotTable.DvPosCol
+      override def dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment: String = "row position within its data file"
+    }
+
   /** Table property switching SQL DELETE to deletion-vector marks
     * (Delta `delta.enableDeletionVectors` analog). */
   val DvDeleteProp = "graft.enableDeletionVectors"
@@ -1312,12 +1346,17 @@ final class GraftCatalogRelation(context: SQLContext, table: SnapshotTable,
   }
 
   private def base: DataFrame = {
-    // the stable-row-id metadata column (row-level rewrites under row
-    // tracking; explicit `SELECT __graft_rid`) rides the id-attached
-    // scan — partition pruning is skipped there (the addressed scan
-    // reads per-entry; correctness first, this path is metadata-sized
-    // or DML-shaped, never the hot read path)
-    if (required.fieldNames.contains(SnapshotTable.RidCol))
+    // engine metadata columns (stable row id / row address — row-level
+    // rewrites, explicit `SELECT __graft_rid / __graft_dv_file`) ride
+    // the id- or address-attached scans — partition pruning is skipped
+    // there (correctness first; these paths are DML-shaped or
+    // diagnostic, never the hot read path)
+    val wantsAddr = required.fieldNames.contains(SnapshotTable.DvFileCol) ||
+      required.fieldNames.contains(SnapshotTable.DvPosCol)
+    val wantsRid = required.fieldNames.contains(SnapshotTable.RidCol)
+    if (wantsAddr)
+      return table.readAddressedDml(wantsRid)
+    if (wantsRid)
       return table.readWithRowIds(version)
     // manifest partition pruning: current-version reads only (the
     // pruned planner works on head state); equality or IN-list on the
@@ -1480,6 +1519,106 @@ final class GraftRowLevelOperation(
   * Never executed as a DSv2 BatchWrite. */
 final class GraftReplaceWrite(val op: GraftRowLevelOperation)
   extends org.apache.spark.sql.connector.write.Write {
+  override def description(): String = op.description()
+}
+
+/** DELTA-based row-level operation (Spark `SupportsDelta`) — the
+  * positional MERGE under `graft.enableDeletionVectors`: the analyzer
+  * rewrites MERGE INTO into a [[org.apache.spark.sql.catalyst.plans.logical.WriteDelta]]
+  * whose query emits one row per CHANGED row only (`__row_operation` +
+  * table columns + this operation's rowId — the (file, pos) address),
+  * instead of the group-based full-content ReplaceData. Execution
+  * ([[graft.plans.GraftWriteDeltaExec]] →
+  * [[SnapshotTable.writeDeltaPositional]]) marks deleted/updated
+  * addresses as deletion-vector entries and appends the update/insert
+  * images — ZERO base files rewritten, write cost O(changed rows): the
+  * 100 TB MERGE shape (Delta's DV-enabled MERGE). Unlike the two-scan
+  * DV UPDATE path there is no condition re-evaluation — the one rewrite
+  * plan computes everything — so subqueries and non-deterministic
+  * conditions are fine. */
+final class GraftDeltaRowLevelOperation(
+    table: SnapshotTable,
+    private[graft] val writePartSpec: Option[String],
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    private[graft] val tableSchema: StructType,
+    qualifiedName: String)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  import org.apache.spark.sql.connector.write.{DeltaWrite, DeltaWriteBuilder, LogicalWriteInfo, RowLevelOperation}
+
+  private[graft] def snapshot: SnapshotTable = table
+
+  /** Row-id preservation rides the same metadata-attribute threading as
+    * the group-based path (pinned per operation, see
+    * [[GraftRowLevelOperation.trackRids]]). */
+  private[graft] val trackRids: Boolean = table.rowTrackingEnabled
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String =
+    s"GraftDeltaRowLevelOp[$qualifiedName, $cmd]"
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(SnapshotTable.DvFileCol),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(SnapshotTable.DvPosCol))
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (trackRids)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(SnapshotTable.RidCol))
+    else Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan with graft.plans.GraftV1StatsScan {
+        private val scanSchema = {
+          var s = StructType(tableSchema.fields)
+          s = s.add(SnapshotTable.DvFileCol,
+            org.apache.spark.sql.types.StringType, nullable = false)
+          s = s.add(SnapshotTable.DvPosCol,
+            org.apache.spark.sql.types.LongType, nullable = false)
+          if (trackRids)
+            s = s.add(SnapshotTable.RidCol,
+              org.apache.spark.sql.types.LongType, nullable = true)
+          s
+        }
+        override def readSchema(): StructType = scanSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val rel: BaseRelation with TableScan =
+            new BaseRelation with TableScan {
+              override def sqlContext: SQLContext = context
+              override def schema: StructType = scanSchema
+              override lazy val sizeInBytes: Long =
+                math.max(1L, table.manifestSizeBytesAt(-1))
+              override def buildScan(): RDD[Row] =
+                table.readAddressedDml(trackRids)
+                  .select(scanSchema.fieldNames.map(col(_)).toIndexedSeq: _*)
+                  .rdd
+            }
+          rel.asInstanceOf[T]
+        }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder = {
+    val op = this
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftDeltaWrite(op)
+    }
+  }
+}
+
+/** Carrier from optimizer to planner, like [[GraftReplaceWrite]]:
+  * [[graft.plans.GraftRowLevelOps]] intercepts the `WriteDelta` plan and
+  * executes through the engine commit — `toBatch` is never called. */
+final class GraftDeltaWrite(val op: GraftDeltaRowLevelOperation)
+  extends org.apache.spark.sql.connector.write.DeltaWrite {
   override def description(): String = op.description()
 }
 

@@ -985,6 +985,115 @@ class SnapshotTable(spark: SparkSession, root: String) {
       withRidColumn(addressed, entries).drop(DvFileCol, DvPosCol)
     }
 
+  /** Addressed DML scan: every live row of the current version plus its
+    * (file, position) address under [[SnapshotTable.DvFileCol]] /
+    * [[SnapshotTable.DvPosCol]] (and its stable row id when `keepRid`)
+    * — the source relation for DELTA-based row-level operations (the
+    * positional MERGE) and the server of the address metadata columns
+    * (`SELECT __graft_dv_file, … FROM t` — Delta `_metadata.file_path`
+    * analog). DV-marked rows are already excluded. Requires compacted
+    * state (pending MoR delta rows have no base-file address). */
+  private[graft] def readAddressedDml(keepRid: Boolean): DataFrame = {
+    val v = currentVersion
+    require(deltaEntries(v).isEmpty,
+      s"addressed scan on $root requires compacted state (pending MoR " +
+        "deltas — OPTIMIZE folds them first)")
+    val entries = fileEntries(v)
+    if (entries.isEmpty) {
+      var df = read(v)
+        .withColumn(SnapshotTable.DvFileCol, lit(null).cast("string"))
+        .withColumn(SnapshotTable.DvPosCol, lit(null).cast("long"))
+      if (keepRid)
+        df = df.withColumn(SnapshotTable.RidCol, lit(null).cast("long"))
+      return df
+    }
+    val dvs = dvEntries(v)
+    val addressed =
+      if (dvs.isEmpty) readEntriesAddressed(entries, -1, keepRid)
+      else addressedMinusDvs(entries, dvs, -1, keepRid)
+    if (keepRid) withRidColumn(addressed, entries) else addressed
+  }
+
+  /** Commit one DELTA-based row-level write (Spark's `WriteDelta` plan —
+    * the positional MERGE): `delta` is the rewrite query's output, one
+    * row per CHANGED row only (`__row_operation` ∈ delete/update/insert
+    * + the table columns + the (file, pos) row-id address, row id
+    * metadata under row tracking). DELETE and UPDATE rows mark their
+    * addresses as deletion-vector entries; UPDATE and INSERT rows'
+    * images (through `imageAlign` — column alignment, generated-column
+    * recomputation, identity fill) append as new files. ZERO base files
+    * rewritten; total cost O(changed rows) past the join — the 100 TB
+    * MERGE shape (Delta's DV-enabled MERGE does exactly this).
+    *
+    * The delta frame is persisted for the duration of the commit (it
+    * feeds the marks write, the image write, and the CDF capture — each
+    * a separate job; without the cache each would re-run the MERGE
+    * join) and released when the manifest lands. Change capture: delete
+    * pre-images and update pre-images come from one addressed-scan
+    * semi-join per kind against the O(changed) address sets; post
+    * images and inserts come from the delta frame itself. */
+  def writeDeltaPositional(delta: DataFrame,
+      imageAlign: DataFrame => DataFrame,
+      partitionBy: Option[String],
+      trackChanges: Boolean): Long = {
+    import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+    val v = currentVersion
+    require(deltaEntries(v).isEmpty,
+      s"positional MERGE on $root requires compacted state (pending MoR " +
+        "deltas — OPTIMIZE folds them first)")
+    val opCol = col(RowDeltaUtils.OPERATION_COLUMN)
+    val cached = delta.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release: () => Unit = () => { cached.unpersist(false); () }
+    pendingUnpersist.add(release)
+    val marks = writeData(
+      cached.filter(opCol.isin(RowDeltaUtils.DELETE_OPERATION,
+          RowDeltaUtils.UPDATE_OPERATION))
+        .select(col(SnapshotTable.DvFileCol), col(SnapshotTable.DvPosCol)),
+      v + 1, None).filter(_.rows > 0)
+    // align ONCE per subset and reuse the same frames for the data write
+    // and the change feed — identity fill reserves values at alignment,
+    // so a second alignment would hand the CDF different ids than the
+    // ones stored
+    val updImages = imageAlign(
+      cached.filter(opCol === RowDeltaUtils.UPDATE_OPERATION))
+    val insImages = imageAlign(cached.filter(opCol.isin(
+      RowDeltaUtils.INSERT_OPERATION, RowDeltaUtils.REINSERT_OPERATION)))
+    val newFiles = writeData(updImages.unionByName(insImages), v + 1,
+      partitionBy).filter(_.rows > 0)
+    if (marks.isEmpty && newFiles.isEmpty) {
+      pendingUnpersist.remove(release)
+      cached.unpersist(false)
+      return 0L
+    }
+    val cdc =
+      if (!trackChanges) Seq.empty
+      else {
+        val addressed = readAddressedDml(keepRid = false)
+        def pre(op: Int, tag: String): DataFrame =
+          addressed.join(
+              cached.filter(opCol === op)
+                .select(col(SnapshotTable.DvFileCol),
+                  col(SnapshotTable.DvPosCol)),
+              Seq(SnapshotTable.DvFileCol, SnapshotTable.DvPosCol),
+              "left_semi")
+            .drop(SnapshotTable.DvFileCol, SnapshotTable.DvPosCol)
+            .withColumn(ChangeCol, lit(tag))
+        val post = updImages.drop(SnapshotTable.RidCol)
+          .withColumn(ChangeCol, lit("update_postimage"))
+        val ins = insImages.drop(SnapshotTable.RidCol)
+          .withColumn(ChangeCol, lit("insert"))
+        writeChanges(
+          pre(RowDeltaUtils.DELETE_OPERATION, "delete")
+            .unionByName(pre(RowDeltaUtils.UPDATE_OPERATION,
+              "update_preimage"))
+            .unionByName(post).unionByName(ins), v + 1)
+      }
+    writeManifest(Manifest(v + 1, "MERGE_DV", mergeKeysOf(v),
+      fileEntries(v) ++ newFiles, Seq.empty, cdc, dvEntries(v) ++ marks))
+    marks.map(_.rows).sum + newFiles.map(_.rows).sum
+  }
+
   /** [[readWithRowIds]] restricted to `entries` (the row-level
     * rewrite's planned replace set): DV-resolved rows plus their stable
     * ids — the partition-scoped CoW DML source under row tracking. */
@@ -1149,9 +1258,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // the cache lives until the COMMIT consumes the frame (writeManifest
     // drains [[pendingUnpersist]]) — never for the session: an insert
     // batch pinned in the block manager forever is a leak, not a cache
-    pendingUnpersist.add(rdd)
+    val release: () => Unit = () => { rdd.unpersist(false); () }
+    pendingUnpersist.add(release)
     val n = rdd.count()
-    if (n == 0) { pendingUnpersist.remove(rdd); rdd.unpersist(false); return df }
+    if (n == 0) { pendingUnpersist.remove(release); rdd.unpersist(false); return df }
     val base = reserveIdentity(f.name, start, step, n)
     val isLong = f.dataType == org.apache.spark.sql.types.LongType
     val filled = rdd.zipWithIndex().map { case (r, i) =>
@@ -3567,21 +3677,21 @@ class SnapshotTable(spark: SparkSession, root: String) {
         stamped.fieldMeta.nonEmpty || stamped.widened.nonEmpty)
       SnapshotTable.mappedRoots.add(root)
     manifestCache.put(p.toString, stamped)
-    // identity-fill batches cached for this commit's write jobs are
-    // consumed once the manifest lands — release their blocks
-    var pinned = pendingUnpersist.poll()
-    while (pinned != null) {
-      pinned.unpersist(blocking = false)
-      pinned = pendingUnpersist.poll()
+    // caches owned by this commit (identity-fill batches, merge delta
+    // frames) are consumed once the manifest lands — release them
+    var release = pendingUnpersist.poll()
+    while (release != null) {
+      release()
+      release = pendingUnpersist.poll()
     }
   }
 
-  /** RDD caches owned by the IN-FLIGHT commit ([[fillIdentity]]'s sized
-    * insert batch): persisted when the batch is prepared, unpersisted by
+  /** Cache-release thunks owned by the IN-FLIGHT commit
+    * ([[fillIdentity]]'s sized insert batch, [[writeDeltaPositional]]'s
+    * delta frame): registered when the cache is created, run by
     * [[writeManifest]] once the commit that consumed them lands. */
   private val pendingUnpersist =
-    new java.util.concurrent.ConcurrentLinkedQueue[
-      org.apache.spark.rdd.RDD[_]]()
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 }
 
 object SnapshotTable {
