@@ -54,6 +54,29 @@ object GraftDmlChecks {
           val inserts = m.notMatchedActions
             .collect { case ia: InsertAction => ia.assignments }.flatten
           refuseAlwaysIdentityInserts(schema, quals, inserts)
+          // star actions (`UPDATE SET *` / `INSERT *`) expand into
+          // assignments FROM THE SOURCE for every target column — on a
+          // table with a GENERATED ALWAYS identity column that always
+          // assigns the engine-owned id, so the star itself refuses
+          // (Delta does the same; spell the columns out instead)
+          val hasStar = m.matchedActions.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+                .UpdateStarAction]) ||
+            m.notMatchedActions.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+                .InsertStarAction])
+          if (hasStar)
+            schema.fields.find(f =>
+                org.apache.spark.sql.catalyst.util.IdentityColumn
+                  .getIdentityInfo(f).exists(!_.isAllowExplicitInsert))
+              .foreach { f =>
+                throw new org.apache.spark.sql.AnalysisException(
+                  errorClass = "_LEGACY_ERROR_TEMP_3105",
+                  messageParameters = Map("message" ->
+                    (s"MERGE … SET * / INSERT * would assign GENERATED " +
+                      s"ALWAYS AS IDENTITY column ${f.name} from the " +
+                      "source — list the columns explicitly and omit it")))
+              }
         }
       case _ => ()
     }

@@ -72,7 +72,12 @@ object GraftRowLevelOps extends SparkStrategy {
         // parity): mark matched positions + append the updated images,
         // zero base files rewritten. A trivially-true UPDATE rewrites
         // every row anyway — the CoW overwrite is the cleaner shape.
+        // The single-leaf check guards the condition-pushdown trick:
+        // a SET expression containing a subquery optimizes into a JOIN
+        // (extra leaves), where wrapping every leaf in the condition
+        // filter would corrupt the subquery input — CoW handles those.
         else if (cmd == Command.UPDATE && positionalOk &&
+            r.query.collectLeaves().size == 1 &&
             r.write.exists(_.isInstanceOf[graft.sources.GraftReplaceWrite]))
           GraftDvUpdateExec(t.snapshot, t.writePartSpec, r.query,
             r.condition, t.schema) :: Nil
@@ -128,6 +133,37 @@ object GraftRowLevelOps extends SparkStrategy {
     if (!cur.contains(this))
       spark.experimental.extraStrategies = cur :+ this
   }
+
+  /** Re-bind a resolved condition by NAME: the attribute ids of the
+    * row-level scan are irrelevant against the fresh addressed scans
+    * the positional paths plan. Shared by the DELETE/UPDATE execs. */
+  private[plans] def rebindByName(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    cond.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(a.name)
+    }
+
+  /** Shared image alignment of every row-level write path: table column
+    * order (plus the materialized row id under row tracking when the
+    * rewrite carried it), generated-column recomputation, identity fill
+    * for NULL slots. One definition so DELETE/UPDATE/MERGE can never
+    * diverge. */
+  private[plans] def alignImages(
+      snapshot: SnapshotTable,
+      tableSchema: org.apache.spark.sql.types.StructType,
+      keepRid: Boolean)(
+      images: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cols = snapshot.read().schema.fieldNames.toIndexedSeq ++
+      (if (keepRid) Seq(SnapshotTable.RidCol) else Seq.empty)
+    GraftV2Table.applyIdentityColumns(
+      GraftV2Table.regenerateColumns(
+        images.select(cols.map(col): _*), tableSchema),
+      tableSchema, snapshot, validateExplicit = false)
+  }
 }
 
 /** Physical node for a graft [[ReplaceData]]: run the replacement query
@@ -165,14 +201,11 @@ final case class GraftReplaceDataExec(
     // the NULL slots)
     val keepRid = snapshot.rowTrackingEnabled &&
       df.columns.contains(SnapshotTable.RidCol)
-    val cols = snapshot.read().schema.fieldNames.toIndexedSeq ++
-      (if (keepRid) Seq(SnapshotTable.RidCol) else Seq.empty)
     // merge-inserted rows arrive with NULL identity slots — fill them;
     // carried/updated rows keep their stored values (no validation here:
     // the rewrite frame cannot distinguish carried from assigned)
-    val aligned = GraftV2Table.applyIdentityColumns(
-      GraftV2Table.regenerateColumns(df.select(cols.map(col): _*), tableSchema),
-      tableSchema, snapshot, validateExplicit = false)
+    val aligned =
+      GraftRowLevelOps.alignImages(snapshot, tableSchema, keepRid)(df)
     replace match {
       case Some(entries) => snapshot.replaceFiles(entries, aligned, partSpec)
       case None => snapshot.overwriteAll(aligned, partSpec)
@@ -211,17 +244,10 @@ final case class GraftWriteDeltaExec(
     val spark = SparkSession.active
     val df = org.apache.spark.sql.GraftStreamShim.ofRows(spark, query)
     val keepRid = trackRids && df.columns.contains(SnapshotTable.RidCol)
-    val cols = snapshot.read().schema.fieldNames.toIndexedSeq ++
-      (if (keepRid) Seq(SnapshotTable.RidCol) else Seq.empty)
-    def align(images: org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame =
-      GraftV2Table.applyIdentityColumns(
-        GraftV2Table.regenerateColumns(
-          images.select(cols.map(col): _*), tableSchema),
-        tableSchema, snapshot, validateExplicit = false)
     val cdf = snapshot.property(GraftV2Table.CdcProp).contains("true")
-    snapshot.writeDeltaPositional(df, align, partSpec,
-      trackChanges = cdf): Unit
+    snapshot.writeDeltaPositional(df,
+      GraftRowLevelOps.alignImages(snapshot, tableSchema, keepRid),
+      partSpec, trackChanges = cdf): Unit
   }
 
   override def executeCollect(): Array[InternalRow] = { done; Array.empty }
@@ -258,16 +284,12 @@ final case class GraftDvUpdateExec(
 
   private lazy val done: Unit = {
     val spark = SparkSession.active
-    val rebound = condition.transform {
-      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          .quoted(a.name)
-    }
+    val rebound = GraftRowLevelOps.rebindByName(condition)
     // By physical-planning time the optimizer has rewritten the
     // row-level DataSourceV2Relation into whatever scan shape won (the
     // engine's V1-fallback LogicalRelation here, a V2 scan relation in
-    // general) — an UPDATE rewrite query has exactly ONE leaf, the
-    // target scan, so the condition lands above the leaf, UNDER the
+    // general) — the strategy's single-leaf gate guarantees that leaf
+    // IS the target scan, so the condition lands above it, UNDER the
     // assignment projection.
     val filtered = query.transformUp {
       case rel: org.apache.spark.sql.catalyst.plans.logical.LeafNode
@@ -278,17 +300,13 @@ final case class GraftDvUpdateExec(
     // under row tracking the rewrite carries the stable row id — keep
     // it materialized on the appended images so an updated row KEEPS
     // its id (the DV-masked old position stops being served), Delta's
-    // row-lineage semantics
+    // row-lineage semantics. Identity slots never fill here — updated
+    // rows keep their stored values and the parse-time guard refuses
+    // explicit identity assignments.
     val keepRid = snapshot.rowTrackingEnabled &&
       df.columns.contains(SnapshotTable.RidCol)
-    val cols = snapshot.read().schema.fieldNames.toIndexedSeq ++
-      (if (keepRid) Seq(SnapshotTable.RidCol) else Seq.empty)
-    // generated columns recompute from post-assignment sources (same
-    // projection the CoW path applies); identity slots never fill here —
-    // updated rows keep their stored values and the parse-time guard
-    // refuses explicit identity assignments
-    val updated = GraftV2Table.regenerateColumns(
-      df.select(cols.map(col): _*), tableSchema)
+    val updated =
+      GraftRowLevelOps.alignImages(snapshot, tableSchema, keepRid)(df)
     val cdf = snapshot.property(GraftV2Table.CdcProp).contains("true")
     snapshot.updateExprPositional(
       org.apache.spark.sql.GraftStreamShim.columnOf(rebound),
@@ -317,11 +335,7 @@ final case class GraftDvDeleteExec(
   override def output: Seq[Attribute] = Seq.empty
 
   private lazy val done: Unit = {
-    val rebound = condition.transform {
-      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          .quoted(a.name)
-    }
+    val rebound = GraftRowLevelOps.rebindByName(condition)
     // graft.enableChangeDataFeed: the SQL DELETE's pre-images land in
     // the change feed (table_changes / CDC readers), Delta CDF parity
     val cdf = snapshot.property(GraftV2Table.CdcProp).contains("true")

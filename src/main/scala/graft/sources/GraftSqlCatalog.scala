@@ -1355,7 +1355,7 @@ final class GraftCatalogRelation(context: SQLContext, table: SnapshotTable,
       required.fieldNames.contains(SnapshotTable.DvPosCol)
     val wantsRid = required.fieldNames.contains(SnapshotTable.RidCol)
     if (wantsAddr)
-      return table.readAddressedDml(wantsRid)
+      return table.readAddressedDml(wantsRid, version)
     if (wantsRid)
       return table.readWithRowIds(version)
     // manifest partition pruning: current-version reads only (the

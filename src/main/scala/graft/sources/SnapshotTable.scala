@@ -993,8 +993,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * (`SELECT __graft_dv_file, … FROM t` — Delta `_metadata.file_path`
     * analog). DV-marked rows are already excluded. Requires compacted
     * state (pending MoR delta rows have no base-file address). */
-  private[graft] def readAddressedDml(keepRid: Boolean): DataFrame = {
-    val v = currentVersion
+  private[graft] def readAddressedDml(keepRid: Boolean,
+      version: Int = -1): DataFrame = {
+    val v = if (version < 0) currentVersion else version
     require(deltaEntries(v).isEmpty,
       s"addressed scan on $root requires compacted state (pending MoR " +
         "deltas — OPTIMIZE folds them first)")
@@ -1009,8 +1010,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     }
     val dvs = dvEntries(v)
     val addressed =
-      if (dvs.isEmpty) readEntriesAddressed(entries, -1, keepRid)
-      else addressedMinusDvs(entries, dvs, -1, keepRid)
+      if (dvs.isEmpty) readEntriesAddressed(entries, v, keepRid)
+      else addressedMinusDvs(entries, dvs, v, keepRid)
     if (keepRid) withRidColumn(addressed, entries) else addressed
   }
 
@@ -1042,10 +1043,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
       s"positional MERGE on $root requires compacted state (pending MoR " +
         "deltas — OPTIMIZE folds them first)")
     val opCol = col(RowDeltaUtils.OPERATION_COLUMN)
-    val cached = delta.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val release: () => Unit = () => { cached.unpersist(false); () }
-    pendingUnpersist.add(release)
+    val cached = registerCommitCache(delta)
     val marks = writeData(
       cached.filter(opCol.isin(RowDeltaUtils.DELETE_OPERATION,
           RowDeltaUtils.UPDATE_OPERATION))
@@ -1062,8 +1060,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val newFiles = writeData(updImages.unionByName(insImages), v + 1,
       partitionBy).filter(_.rows > 0)
     if (marks.isEmpty && newFiles.isEmpty) {
-      pendingUnpersist.remove(release)
-      cached.unpersist(false)
+      drainCommitCaches()
       return 0L
     }
     val cdc =
@@ -1089,9 +1086,13 @@ class SnapshotTable(spark: SparkSession, root: String) {
               "update_preimage"))
             .unionByName(post).unionByName(ins), v + 1)
       }
+    // affected rows = the delta frame's row count (each changed row
+    // appears exactly once there; marks + images would double-count
+    // updates). Counted BEFORE the commit drains the cache.
+    val affected = cached.count()
     writeManifest(Manifest(v + 1, "MERGE_DV", mergeKeysOf(v),
       fileEntries(v) ++ newFiles, Seq.empty, cdc, dvEntries(v) ++ marks))
-    marks.map(_.rows).sum + newFiles.map(_.rows).sum
+    affected
   }
 
   /** [[readWithRowIds]] restricted to `entries` (the row-level
@@ -1142,7 +1143,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
   private[graft] def reserveIdentity(
       col: String, start: Long, step: Long, n: Long): Long = {
     require(step != 0, s"identity column $col: step must be non-zero")
-    val key = root + " " + col
+    val key = SnapshotTable.identityKey(root, col)
     val hwm = SnapshotTable.identityHwm.computeIfAbsent(key,
       _ => new java.util.concurrent.atomic.AtomicLong(
         seedIdentity(col, start, step)))
@@ -1176,7 +1177,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // the stored extreme directly, NOT the committed mark the normal
     // seed prefers. The next data commit persists the synced mark.
     val mark = storedIdentityExtreme(name, start, step)
-    SnapshotTable.identityHwm.put(root + " " + name,
+    SnapshotTable.identityHwm.put(SnapshotTable.identityKey(root, name),
       new java.util.concurrent.atomic.AtomicLong(mark))
     mark
   }
@@ -1253,6 +1254,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
             "are not allowed (declare BY DEFAULT to permit them)")
       return df
     }
+    drainCommitCaches() // a previous FAILED commit's batch releases now
     val rdd = df.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the cache lives until the COMMIT consumes the frame (writeManifest
@@ -2184,7 +2186,12 @@ class SnapshotTable(spark: SparkSession, root: String) {
       addressed.filter(cond <=> true).select(col(DvFileCol), col(DvPosCol)),
       v + 1, None).filter(_.rows > 0)
     if (marks.isEmpty) return 0L // no matches: nothing to commit
-    val newFiles = writeData(updated, v + 1, partitionBy).filter(_.rows > 0)
+    // the images frame feeds the data write AND the CDF post-image
+    // capture — cache it so a non-deterministic SET expression cannot
+    // store one value and feed the change feed another
+    val cachedImages = registerCommitCache(updated)
+    val newFiles =
+      writeData(cachedImages, v + 1, partitionBy).filter(_.rows > 0)
     val cdc =
       if (!trackChanges) Seq.empty
       else {
@@ -2193,7 +2200,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
           .withColumn(ChangeCol, lit("update_preimage"))
         // the change feed carries LOGICAL rows only — the materialized
         // row-id column (present under row tracking) stays out
-        val post = updated.drop(SnapshotTable.RidCol)
+        val post = cachedImages.drop(SnapshotTable.RidCol)
           .withColumn(ChangeCol, lit("update_postimage"))
         writeChanges(pre.unionByName(post), v + 1)
       }
@@ -3339,7 +3346,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // sibling tables' counters (/data/t clearing /data/t2) mid-session,
     // re-seeding them from stats and re-issuing in-flight reservations.
     SnapshotTable.identityHwm.keySet.removeIf { k =>
-      val i = k.lastIndexOf(' ')
+      val i = k.indexOf(SnapshotTable.IdentKeySep)
       i > 0 && {
         val kr = k.substring(0, i)
         kr == rootAbs ||
@@ -3630,7 +3637,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // they only ever move in allocation direction.
     val liveIdent: Map[String, Long] = {
       import scala.jdk.CollectionConverters._
-      val pfx = root + " "
+      val pfx = root + SnapshotTable.IdentKeySep
       SnapshotTable.identityHwm.asScala.collect {
         case (k, ctr) if k.startsWith(pfx) =>
           val logical = k.substring(pfx.length)
@@ -3679,19 +3686,35 @@ class SnapshotTable(spark: SparkSession, root: String) {
     manifestCache.put(p.toString, stamped)
     // caches owned by this commit (identity-fill batches, merge delta
     // frames) are consumed once the manifest lands — release them
-    var release = pendingUnpersist.poll()
-    while (release != null) {
-      release()
-      release = pendingUnpersist.poll()
-    }
+    drainCommitCaches()
   }
 
   /** Cache-release thunks owned by the IN-FLIGHT commit
     * ([[fillIdentity]]'s sized insert batch, [[writeDeltaPositional]]'s
-    * delta frame): registered when the cache is created, run by
-    * [[writeManifest]] once the commit that consumed them lands. */
+    * delta frame, [[updateExprPositional]]'s images): registered when
+    * the cache is created, run by [[writeManifest]] once the commit
+    * that consumed them lands — and by the NEXT registration on this
+    * instance, so a commit that failed mid-flight cannot pin its batch
+    * past the next operation (unconsumed caches recompute from lineage
+    * if a racing commit drains them early — a perf loss, never a
+    * correctness one: bases and reservations are fixed at build time). */
   private val pendingUnpersist =
     new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  /** Persist `df` for the duration of the in-flight commit and register
+    * its release; leftovers from a previous FAILED commit release now. */
+  private def registerCommitCache(df: DataFrame): DataFrame = {
+    drainCommitCaches()
+    val cached = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pendingUnpersist.add(() => { cached.unpersist(false); () })
+    cached
+  }
+
+  private def drainCommitCaches(): Unit = {
+    var release = pendingUnpersist.poll()
+    while (release != null) { release(); release = pendingUnpersist.poll() }
+  }
 }
 
 object SnapshotTable {
@@ -3861,7 +3884,16 @@ object SnapshotTable {
     * cross-writer commit point. */
   private val commitLock = new Object
 
-  /** Process-wide identity high-water marks, keyed "root col" — the
+  /** Separator of the identity-counter keys below: NUL can appear in
+    * neither a filesystem path nor a column name, so the root/column
+    * split is unambiguous (a space-separated key mis-split on columns
+    * with spaces — legal via backquotes). */
+  private[sources] val IdentKeySep = "\u0000"
+
+  private[sources] def identityKey(root: String, col: String): String =
+    root + IdentKeySep + col
+
+  /** Process-wide identity high-water marks, keyed root+NUL+col — the
     * last ALLOCATED value per identity column (seeded from manifest
     * stats on first use; see [[SnapshotTable.reserveIdentity]]). */
   private val identityHwm =

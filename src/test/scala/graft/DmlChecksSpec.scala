@@ -80,6 +80,35 @@ class DmlChecksSpec extends AnyFunSuite {
     assert(ids.length == 2 && ids.distinct.length == 2)
   }
 
+  test("SET * / INSERT * refuse on GENERATED ALWAYS identity tables") {
+    val s = session("dmlst", tmp("dmlst_cat"))
+    s.sql("CREATE NAMESPACE dmlst.ns")
+    s.sql("CREATE TABLE dmlst.ns.t (id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+      "k BIGINT, v DOUBLE)")
+    s.sql("INSERT INTO dmlst.ns.t (k, v) VALUES (1, 1.0)")
+    // star expansion assigns EVERY target column from the source —
+    // including the engine-owned identity column — so the star refuses
+    val e1 = intercept[Exception](s.sql(
+      """MERGE INTO dmlst.ns.t t
+         USING (SELECT 99 AS id, 1 AS k, 9.0 AS v) s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *"""))
+    assert(msgs(e1).exists(_.contains("IDENTITY")), e1.toString)
+    val e2 = intercept[Exception](s.sql(
+      """MERGE INTO dmlst.ns.t t
+         USING (SELECT 99 AS id, 2 AS k, 9.0 AS v) s ON t.k = s.k
+         WHEN NOT MATCHED THEN INSERT *"""))
+    assert(msgs(e2).exists(_.contains("IDENTITY")), e2.toString)
+    assert(s.sql("SELECT count(*) FROM dmlst.ns.t").head.getLong(0) == 1)
+    // BY DEFAULT tables keep their star ergonomics
+    s.sql("CREATE TABLE dmlst.ns.b (id BIGINT GENERATED BY DEFAULT AS " +
+      "IDENTITY, k BIGINT, v DOUBLE)")
+    s.sql("INSERT INTO dmlst.ns.b (k, v) VALUES (1, 1.0)")
+    s.sql("""MERGE INTO dmlst.ns.b t
+             USING (SELECT 500 AS id, 2 AS k, 2.0 AS v) s ON t.k = s.k
+             WHEN NOT MATCHED THEN INSERT *""")
+    assert(s.sql("SELECT count(*) FROM dmlst.ns.b").head.getLong(0) == 2)
+  }
+
   test("BY DEFAULT identity permits MERGE INSERT values; non-graft statements untouched") {
     val s = session("dmlbd", tmp("dmlbd_cat"))
     s.sql("CREATE NAMESPACE dmlbd.ns")

@@ -128,6 +128,52 @@ class DvMergeSqlSpec extends AnyFunSuite {
     assert(Seq(100L, 110L).forall(k => after(k) > before.values.max))
   }
 
+  test("WHEN NOT MATCHED BY SOURCE routes through the delta path too") {
+    val cat = tmp("dvm_nbs_cat")
+    val s = session("dvmn", cat)
+    s.sql("CREATE NAMESPACE dvmn.ns")
+    s.sql("CREATE TABLE dvmn.ns.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')")
+    s.sql("INSERT INTO dvmn.ns.t SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    val t = new SnapshotTable(s, s"$cat/ns/t")
+    val filesBefore = t.files.map(_.path).toSet
+    // source covers k < 30 only: those update; everything else is
+    // "not matched by source" — flag the stragglers, delete the tail
+    s.sql("""MERGE INTO dvmn.ns.t t USING
+      (SELECT id AS k FROM range(30)) src ON t.k = src.k
+      WHEN MATCHED THEN UPDATE SET t.v = -1.0
+      WHEN NOT MATCHED BY SOURCE AND t.k >= 90 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.v = t.v + 1000""")
+    assert(t.commitOperation(t.currentVersion) == "MERGE_DV")
+    assert(filesBefore.subsetOf(t.files.map(_.path).toSet),
+      "NOT MATCHED BY SOURCE actions must not rewrite base files")
+    assert(s.sql("SELECT count(*) FROM dvmn.ns.t").head.getLong(0) == 90)
+    assert(s.sql("SELECT count(*) FROM dvmn.ns.t WHERE v = -1.0")
+      .head.getLong(0) == 30)
+    assert(s.sql("SELECT sum(v) FROM dvmn.ns.t WHERE k >= 30").head.getDouble(0)
+      == (30 until 90).map(_ + 1000.0).sum)
+    // marked: 60 by-source updates + 10 deletes + 30 matched updates
+    assert(t.dvFiles.map(_.rows).sum == 100)
+  }
+
+  test("address metadata columns honor time travel") {
+    val cat = tmp("dvm_tt_cat")
+    val s = session("dvmt", cat)
+    s.sql("CREATE NAMESPACE dvmt.ns")
+    s.sql("CREATE TABLE dvmt.ns.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')")
+    s.sql("INSERT INTO dvmt.ns.t SELECT id, CAST(id AS DOUBLE) FROM range(50)")
+    s.sql("DELETE FROM dvmt.ns.t WHERE k >= 40")
+    // current: 40 live rows; version 1: all 50 with their addresses
+    assert(s.sql("SELECT k, __graft_dv_file FROM dvmt.ns.t")
+      .collect().length == 40)
+    val pinned = s.sql(
+      "SELECT k, __graft_dv_file FROM dvmt.ns.t VERSION AS OF 1").collect()
+    assert(pinned.length == 50,
+      "time-travel address scan must serve the PINNED version")
+    assert(pinned.forall(r => !r.isNullAt(1)))
+  }
+
   test("identity columns fill on merge-inserts through the delta path") {
     val cat = tmp("dvm_id_cat")
     val s = session("dvmi", cat)

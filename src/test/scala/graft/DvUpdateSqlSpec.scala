@@ -93,6 +93,48 @@ class DvUpdateSqlSpec extends AnyFunSuite {
       assert(v == k * 2.0, s"post-image of $k must carry the new value") }
   }
 
+  test("a subquery in a SET expression falls back to CoW and stays correct") {
+    val cat = tmp("dvu_sq_cat")
+    val s = session_(cat)
+    s.sql("CREATE NAMESPACE dvusq.ns")
+    s.sql("CREATE TABLE dvusq.ns.t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')")
+    s.sql("INSERT INTO dvusq.ns.t SELECT id, CAST(id AS DOUBLE) FROM range(20)")
+    s.sql("CREATE TABLE dvusq.ns.u (q BIGINT, x DOUBLE)")
+    s.sql("INSERT INTO dvusq.ns.u VALUES (0, 100.0), (1, 200.0)")
+    // an UNCORRELATED scalar subquery executes as its own plan (never a
+    // leaf of the rewrite query) — the positional path handles it
+    s.sql("UPDATE dvusq.ns.t SET v = (SELECT max(x) FROM dvusq.ns.u) " +
+      "WHERE k < 5")
+    val t = new SnapshotTable(s, s"$cat/ns/t")
+    assert(t.commitOperation(t.currentVersion) == "UPDATE_DV")
+    assert(s.sql("SELECT k, v FROM dvusq.ns.t WHERE k < 5").collect()
+      .forall(_.getDouble(1) == 200.0))
+    // a CORRELATED subquery optimizes into a JOIN — a second leaf under
+    // the rewrite query, where the condition-pushdown trick would
+    // corrupt the subquery input; the strategy must fall back to CoW
+    s.sql("UPDATE dvusq.ns.t SET v = " +
+      "(SELECT max(x) FROM dvusq.ns.u WHERE u.q = t.k % 2) " +
+      "WHERE k >= 10")
+    assert(t.commitOperation(t.currentVersion) != "UPDATE_DV",
+      "correlated-subquery SET must not take the positional path")
+    val got = s.sql("SELECT k, v FROM dvusq.ns.t WHERE k >= 10").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((10L until 20L).forall(k =>
+      got(k) == (if (k % 2 == 0) 100.0 else 200.0)), got.toString)
+    // untouched middle band intact
+    assert(s.sql("SELECT sum(v) FROM dvusq.ns.t WHERE k >= 5 AND k < 10")
+      .head.getDouble(0) == (5 until 10).map(_.toDouble).sum)
+  }
+
+  private def session_(root: String) = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.dvusq", "graft.sources.GraftSqlCatalog")
+    s.conf.set("spark.sql.catalog.dvusq.root", root)
+    graft.plans.GraftRowLevelOps.register(s)
+    s
+  }
+
   test("generated columns recompute on the DV update path") {
     val cat = tmp("dvu_gen_cat")
     val s = spark.newSession()
