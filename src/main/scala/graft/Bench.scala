@@ -91,6 +91,7 @@ object Bench {
           "mm" -> (() => operators.BenchExtras.mergeMicroSweep(spark)),
           "fc" -> (() => operators.BenchExtras.fileCountTiers(spark)),
           "dm" -> (() => operators.BenchExtras.deleteMicroSweep(spark)),
+          "dvm" -> (() => operators.BenchExtras.dvMergeSweep(spark)),
           "ir" -> (() => operators.BenchExtras.incrementalRounds(spark)),
           "irp" -> (() => operators.BenchExtras.refreshProtocol(spark, sfDir)),
           "rpf" -> (() => operators.BenchExtras.refreshFullIsolated(spark, sfDir)),

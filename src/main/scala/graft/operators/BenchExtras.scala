@@ -157,6 +157,64 @@ object BenchExtras {
     }
   }
 
+  /** 4 rows of (metric, seconds): an IDENTICAL selective SQL MERGE
+    * (0.5% updates + inserts) against a plain table (group-based CoW —
+    * full-content overwrite) and a DV-enabled table (delta-based
+    * positional MERGE_DV — O(changed) marks + appends, zero base
+    * rewrites), timing the merge and the post-merge read. Pins the
+    * r17 positional-merge shape the way dm_dv_* pins the DV delete:
+    * the DV arm's write must not regress to the rewrite. */
+  def dvMergeSweep(spark: SparkSession): Seq[(String, Double)] = {
+    // large base ÷ small change set, with an INCOMPRESSIBLE payload so
+    // the CoW arm's full-content rewrite is I/O-bound (the shape this
+    // sweep pins; with 3-column toy rows the rewrite is nearly free and
+    // the delta plan's fixed job overheads would dominate instead)
+    val rows = 800000L
+    val root = graft.Scratch.dir("dvmrg_cat")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.dvmrg", "graft.sources.GraftSqlCatalog")
+    s.conf.set("spark.sql.catalog.dvmrg.root", root)
+    graft.plans.GraftRowLevelOps.register(s)
+    // built on the NEW session — temp views are session-scoped
+    s.range(rows).select(
+        col("id").as("key"),
+        (col("id") % 16).as("partition"),
+        sha2(col("id").cast("string"), 256).as("value"))
+      .repartition(16)
+      .createOrReplaceTempView("dvmrg_base")
+    s.sql("CREATE NAMESPACE dvmrg.ns")
+    Seq("cow" -> "", "dv" ->
+        " TBLPROPERTIES ('graft.enableDeletionVectors' = 'true')")
+      .flatMap { case (mode, props) =>
+        s.sql(s"CREATE TABLE dvmrg.ns.$mode " +
+          s"(key BIGINT, partition BIGINT, value STRING)$props")
+        s.sql(s"INSERT INTO dvmrg.ns.$mode " +
+          "SELECT key, partition, value FROM dvmrg_base")
+        val (_, wSec) = time {
+          s.sql(s"""MERGE INTO dvmrg.ns.$mode t USING (
+                     SELECT key, partition, 'updated' AS value
+                     FROM dvmrg_base WHERE key % 800 = 0
+                     UNION ALL
+                     SELECT key + $rows, partition, 'inserted'
+                     FROM dvmrg_base WHERE key % 1600 = 0
+                   ) src ON t.key = src.key
+                   WHEN MATCHED THEN UPDATE SET t.value = src.value
+                   WHEN NOT MATCHED THEN INSERT (key, partition, value)
+                     VALUES (src.key, src.partition, src.value)""")
+        }
+        val (_, rSec) = time {
+          s.sql(s"SELECT sum(length(value)) FROM dvmrg.ns.$mode").collect()
+        }
+        if (mode == "dv") {
+          val t = new SnapshotTable(s, s"$root/ns/dv")
+          require(t.commitOperation(t.currentVersion) == "MERGE_DV",
+            "DV merge arm regressed to the CoW rewrite")
+        }
+        Seq(s"dm_${mode}mrg_sql" -> sec(wSec),
+          s"dm_${mode}mrg_read" -> sec(rSec))
+      }
+  }
+
   /** Per-tier (metric, seconds): manifest COUNT, range-read planning,
     * and the pruned read's execution, at 100 / 1k / 10k / 100k / 200k
     * files — 200k is the reference's own headline operating point (its

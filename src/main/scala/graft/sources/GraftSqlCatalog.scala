@@ -1574,8 +1574,21 @@ final class GraftDeltaRowLevelOperation(
     else Array.empty
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownFilters {
+      // Delta-based scans are ROW-filterable (unlike the group-based
+      // scan, which must read whole replacement groups): a row the
+      // pushed condition excludes can produce no delta row, so applying
+      // the filters inside the scan prunes work for selective merges.
+      // Everything returns as residual — Spark re-checks.
+      private var pushed: Array[Filter] = Array.empty
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(f => SnapshotFilters.toColumn(f).isDefined)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
       override def build(): Scan = new V1Scan with graft.plans.GraftV1StatsScan {
+        private val applied = pushed
         private val scanSchema = {
           var s = StructType(tableSchema.fields)
           s = s.add(SnapshotTable.DvFileCol,
@@ -1596,10 +1609,17 @@ final class GraftDeltaRowLevelOperation(
               override def schema: StructType = scanSchema
               override lazy val sizeInBytes: Long =
                 math.max(1L, table.manifestSizeBytesAt(-1))
-              override def buildScan(): RDD[Row] =
-                table.readAddressedDml(trackRids)
+              override def buildScan(): RDD[Row] = {
+                val base = table.readAddressedDml(trackRids)
+                // filters compose with the scan plan, so Catalyst
+                // pushes them into the parquet reader (footer-stats
+                // row-group skipping included)
+                val filtered = applied.flatMap(SnapshotFilters.toColumn)
+                  .foldLeft(base)((d, c) => d.filter(c))
+                filtered
                   .select(scanSchema.fieldNames.map(col(_)).toIndexedSeq: _*)
                   .rdd
+              }
             }
           rel.asInstanceOf[T]
         }
