@@ -124,7 +124,11 @@ object Bench {
       val (ir, rest2) = rest1.partition(_._1.startsWith("ir_"))
       val (irp, rest3) = rest2.partition(_._1.startsWith("irp_"))
       val (fc, rest4) = rest3.partition(_._1.startsWith("fc_"))
-      val (dm, rest5) = rest4.partition(_._1.startsWith("dm_"))
+      // the positional-merge pin rides ahead of the delete sweep — the
+      // dvm require() already gates the shape, but the numbers should
+      // survive the compact-line trim too
+      val (dvm, rest4b) = rest4.partition(_._1.contains("mrg_"))
+      val (dm, rest5) = rest4b.partition(_._1.startsWith("dm_"))
       val (mm, other) = rest5.partition(_._1.startsWith("mm_"))
       // fc: the headline 200k tier first, then the 1k baseline it is
       // compared against, then the middle tiers
@@ -157,8 +161,8 @@ object Bench {
         "ir_merge_10"))
       val (irpTop, irpRest) = headThenRest(irp, Seq("irp_query_0",
         "irp_query_post", "irp_compact", "irp_merge_1", "irp_merge_10"))
-      rpf ++ ow ++ inc ++ fcOrdered ++ skip ++ dm ++ irTop ++ irpTop ++
-        irRest ++ irpRest ++ mmBySize ++ other
+      rpf ++ ow ++ dvm ++ inc ++ fcOrdered ++ skip ++ dm ++ irTop ++
+        irpTop ++ irRest ++ irpRest ++ mmBySize ++ other
     }
     val json = Harness.reportJson(results, sfDir, Harness.envInfo(spark), extras)
     // Full CSV + JSON reports go to files (reference A3 shape); stdout gets
