@@ -1830,12 +1830,23 @@ class SnapshotTable(spark: SparkSession, root: String) {
     if (txn.exists { case (app, ver) =>
         manifestOf(v).txns.get(app).exists(_ >= ver) })
       return this
-    val (base, carryOver) = prunedBase(source, keys, partitionBy, source.schema)
+    val (base, carryOver) = prunedBase(source, keys, partitionBy,
+      source.schema, withRids = true)
+    // carried (anti-joined) rows keep their materialized row ids under
+    // row tracking; source rows (updates + inserts) refresh — the
+    // key-join cannot tell an update from an insert without another
+    // join, so the scoped contract stands for them (SQL MERGE preserves
+    // updated rows' ids via the delta path instead)
+    val hasRid = base.columns.contains(SnapshotTable.RidCol)
+    val srcAligned =
+      if (hasRid)
+        source.withColumn(SnapshotTable.RidCol, lit(null).cast("long"))
+      else source
     val rewritten =
       if (evolveSchema)
         base.join(source, keys, "left_anti")
-          .unionByName(source, allowMissingColumns = true)
-      else base.join(source, keys, "left_anti").unionByName(source)
+          .unionByName(srcAligned, allowMissingColumns = true)
+      else base.join(source, keys, "left_anti").unionByName(srcAligned)
     val written = writeData(rewritten, v + 1, partitionBy)
     // Change-data-feed capture (Delta CDF analog, cdc files written with
     // the commit): classify source rows against the touched base — keyed
@@ -1855,7 +1866,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
               .withColumn(ChangeCol, lit("insert")))
             // preimages come from the (possibly narrower) base schema —
             // under evolveSchema the new columns null-fill
-            .unionByName(base.join(srcKeys, keys, "left_semi")
+            .unionByName(base.drop(SnapshotTable.RidCol)
+              .join(srcKeys, keys, "left_semi")
               .withColumn(ChangeCol, lit("update_preimage")),
               allowMissingColumns = true),
           v + 1)
@@ -1999,14 +2011,18 @@ class SnapshotTable(spark: SparkSession, root: String) {
       trackChanges: Boolean = false): SnapshotTable = {
     val v = currentVersion
     val (base, carryOver) = prunedBase(source, keys, partitionBy,
-      read(v).schema)
+      read(v).schema, withRids = true)
     val srcKeys = source.select(keys.map(col): _*)
+    // survivors keep their row ids under row tracking (a delete must
+    // not renumber rows it does not remove)
     val rewritten = base.join(srcKeys, keys, "left_anti")
     val written = writeData(rewritten, v + 1, partitionBy)
     val cdc =
       if (!trackChanges) Seq.empty
       else writeChanges(
-        base.join(srcKeys, keys, "left_semi").withColumn(ChangeCol, lit("delete")),
+        base.drop(SnapshotTable.RidCol)
+          .join(srcKeys, keys, "left_semi")
+          .withColumn(ChangeCol, lit("delete")),
         v + 1)
     val keptPaths = carryOver.map(_.path).toSet
     writeManifest(Manifest(v + 1, "MERGE_DELETE", Seq.empty,
@@ -2389,7 +2405,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
       partitionBy: Option[String],
       baseSchema: org.apache.spark.sql.types.StructType,
       keyProbe: Option[DataFrame] = None,
-      touchedOverride: Option[Set[String]] = None)
+      touchedOverride: Option[Set[String]] = None,
+      withRids: Boolean = false)
       : (DataFrame, Seq[FileEntry]) = {
     val v = currentVersion
     val entries = fileEntries(v)
@@ -2428,7 +2445,13 @@ class SnapshotTable(spark: SparkSession, root: String) {
       if (touched.isEmpty && touchedDeltas.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], baseSchema)
       else if (touchedDeltas.isEmpty) {
-        val scan = baseScan(touched, dvEntries(v))
+        // withRids: under row tracking the CoW DML callers thread the
+        // materialized row id through their rewrite (rewriteSource is
+        // baseScan when tracking is off — behavior identical there);
+        // the MoR-resolution branch has no base addresses to thread
+        val scan =
+          if (withRids) rewriteSource(touched, dvEntries(v))
+          else baseScan(touched, dvEntries(v))
         keyProbe.map(kp => scan.join(broadcast(kp), keys, "left_semi"))
           .getOrElse(scan)
       }

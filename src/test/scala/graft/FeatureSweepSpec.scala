@@ -104,7 +104,7 @@ class FeatureSweepSpec extends AnyFunSuite {
       var lastRids = rids()
       for (round <- 1 to 6) {
         val preKeys = model.keySet.toSet
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 => insert(10 + rnd.nextInt(40))
           case 1 => // DV delete
             val m = 3 + rnd.nextInt(5); val r = rnd.nextInt(m)
@@ -122,6 +122,25 @@ class FeatureSweepSpec extends AnyFunSuite {
               s.sql(s"ALTER TABLE fswr$trial.ns.t ALTER COLUMN v TYPE BIGINT")
               widened = true
             }
+          case 6 => // positional MERGE (MERGE_DV): update ∪ insert source
+            val m = 4 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            val insN = 5 + rnd.nextInt(10)
+            val insStart = nextK
+            nextK += insN
+            model.keys.filter(_ % m == r).toSeq
+              .foreach(k => model(k) = model(k) + 100)
+            (insStart until insStart + insN).foreach(k => model(k) = k % 50)
+            s.sql(s"""MERGE INTO fswr$trial.ns.t t USING (
+                       SELECT k, CAST(v + 100 AS BIGINT) AS v
+                       FROM fswr$trial.ns.t WHERE k % $m = $r
+                       UNION ALL
+                       SELECT id + $insStart AS k,
+                              CAST((id + $insStart) % 50 AS BIGINT) AS v
+                       FROM range($insN)
+                     ) src ON t.k = src.k
+                     WHEN MATCHED THEN UPDATE SET t.v = src.v
+                     WHEN NOT MATCHED THEN INSERT (k, v) VALUES
+                       (src.k, CAST(src.v AS INT))""")
         }
         // content matches the model exactly
         val got = s.sql(

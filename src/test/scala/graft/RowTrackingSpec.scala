@@ -124,6 +124,30 @@ class RowTrackingSpec extends AnyFunSuite {
       .contains(SnapshotTable.RidCol))
   }
 
+  test("engine-API merge/mergeDelete keep carried rows' ids under row tracking") {
+    import spark.implicits._
+    val t = new SnapshotTable(spark, tmp("rt_api"))
+      .create((0L until 100L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    t.withProperty(SnapshotTable.RowTrackingProp, "true")
+    val before = rids(t)
+    // key-join MERGE: carried rows keep ids; source-matched rows
+    // refresh (the scoped engine-API contract — the key join cannot
+    // tell update from insert); inserts allocate fresh
+    t.merge((Seq((10L, -1.0), (20L, -2.0), (500L, -5.0))).toDF("k", "v"),
+      keys = Seq("k"))
+    val after = rids(t)
+    assert(after.size == 101 && after.values.toSet.size == 101)
+    val carried = (0L until 100L).filterNot(Set(10L, 20L))
+    assert(carried.forall(k => after(k) == before(k)),
+      "carried rows must keep ids through the engine MERGE")
+    assert(after(500L) > before.values.max)
+    // mergeDelete: survivors keep theirs
+    t.mergeDelete(Seq(Tuple1(500L)).toDF("k"), keys = Seq("k"))
+    val after2 = rids(t)
+    assert(after2 == after.filter { case (k, _) => k != 500L },
+      "mergeDelete survivors must keep their ids")
+  }
+
   test("table_row_ids TVF serves rows + stable ids through SQL") {
     import spark.implicits._
     val root = tmp("rt_tvf")
