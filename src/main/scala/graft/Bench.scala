@@ -127,7 +127,10 @@ object Bench {
       // the positional-merge pin rides ahead of the delete sweep — the
       // dvm require() already gates the shape, but the numbers should
       // survive the compact-line trim too
-      val (dvm, rest4b) = rest4.partition(_._1.contains("mrg_"))
+      // (tight predicate: only the delete-sweep-prefixed merge pins — a
+      // future metric merely containing "mrg_" must not reroute here)
+      val (dvm, rest4b) = rest4.partition(k =>
+        k._1.startsWith("dm_") && k._1.contains("mrg_"))
       val (dm, rest5) = rest4b.partition(_._1.startsWith("dm_"))
       val (mm, other) = rest5.partition(_._1.startsWith("mm_"))
       // fc: the headline 200k tier first, then the 1k baseline it is

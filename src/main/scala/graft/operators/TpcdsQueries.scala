@@ -858,6 +858,17 @@ ORDER BY i_category ASC NULLS FIRST, i_class ASC NULLS FIRST,
          rk ASC NULLS FIRST
 LIMIT 100""")
 
+  // Join-order rewrite of the spec text (identical relational result —
+  // inner-join re-association only): the spec's FROM order joins
+  // catalog_sales to inventory on cs_item_sk ALONE, exploding each sale
+  // into every (warehouse × week) inventory row of the item before the
+  // d1/d2 week equality prunes it. Here inventory pre-joins its date
+  // (an atomic subquery — ReorderJoin flattens left-deep chains only,
+  // so Catalyst keeps it together), turning the fact-fact join into an
+  // equi-join on (item, week): the intermediate shrinks by the number
+  // of weeks (~260× at 100 TB), and the selective cd/hd/d1 dims apply
+  // BEFORE the fact-fact join instead of after. Measured 2.7 s → see
+  // OPTIMIZATION_r18.md.
   private val q72 = tq("tpcds_q72",
     Seq("catalog_sales", "inventory", "warehouse", "item", "customer_demographics", "household_demographics", "date_dim", "promotion", "catalog_returns"),
     """SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
@@ -865,18 +876,20 @@ LIMIT 100""")
        CAST(SUM(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) promo,
        COUNT(*) total_cnt
 FROM catalog_sales
-JOIN inventory ON (cs_item_sk = inv_item_sk)
-JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
-JOIN item ON (i_item_sk = cs_item_sk)
+JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
+JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
 JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
 JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
-JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
-JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
-JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+JOIN item ON (i_item_sk = cs_item_sk)
+JOIN (SELECT inv_item_sk, inv_warehouse_sk, inv_quantity_on_hand,
+             d_week_seq AS inv_week_seq
+      FROM inventory JOIN date_dim d2 ON (inv_date_sk = d_date_sk)) inv2
+  ON (cs_item_sk = inv_item_sk AND d1.d_week_seq = inv_week_seq)
+JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
 LEFT OUTER JOIN promotion ON (cs_promo_sk = p_promo_sk)
 LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk
                                     AND cr_order_number = cs_order_number)
-WHERE d1.d_week_seq = d2.d_week_seq AND inv_quantity_on_hand < cs_quantity
+WHERE inv_quantity_on_hand < cs_quantity
   AND d3.d_date > d1.d_date + 5 AND hd_buy_potential = '>10000'
   AND d1.d_year = 2000 AND cd_marital_status = 'D'
 GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq

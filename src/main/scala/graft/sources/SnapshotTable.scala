@@ -350,9 +350,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
       keepRid: Boolean = false): DataFrame = {
     require(entries.nonEmpty, s"no data files to read at $root")
     val schema = entries.groupBy(_.origin).toSeq.sortBy(_._1)
-      .map { case (_, es) =>
-        schemaCache.computeIfAbsent(es.head.path,
-          p => spark.read.parquet(p).schema)
+      .map { case (o, es) =>
+        SnapshotTable.probeDataSchema(spark, es.map(_.path), Some(o))
       }
       .reduceLeft { (a, b) =>
         val known = a.fieldNames.toSet
@@ -1044,6 +1043,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
         "deltas — OPTIMIZE folds them first)")
     val opCol = col(RowDeltaUtils.OPERATION_COLUMN)
     val cached = registerCommitCache(delta)
+    try {
     val marks = writeData(
       cached.filter(opCol.isin(RowDeltaUtils.DELETE_OPERATION,
           RowDeltaUtils.UPDATE_OPERATION))
@@ -1093,6 +1093,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
     writeManifest(Manifest(v + 1, "MERGE_DV", mergeKeysOf(v),
       fileEntries(v) ++ newFiles, Seq.empty, cdc, dvEntries(v) ++ marks))
     affected
+    // a failed commit releases its own caches (writeManifest drains on
+    // success; the early no-op return above drains explicitly)
+    } catch { case e: Throwable => drainCommitCaches(); throw e }
   }
 
   /** [[readWithRowIds]] restricted to `entries` (the row-level
@@ -1254,7 +1257,10 @@ class SnapshotTable(spark: SparkSession, root: String) {
             "are not allowed (declare BY DEFAULT to permit them)")
       return df
     }
-    drainCommitCaches() // a previous FAILED commit's batch releases now
+    // a previous FAILED commit's batch releases now — but NEVER the
+    // in-flight commit's own caches (a DV MERGE's delta frame must stay
+    // persisted between its marks and image writes; see pendingUnpersist)
+    drainStaleCommitCaches()
     val rdd = df.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the cache lives until the COMMIT consumes the frame (writeManifest
@@ -1781,8 +1787,8 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // EVERY schema generation must carry it, else older files would
     // silently read NULL where the directory value should apply)
     val carriesCol = partition.exists(f => groups.forall { case (_, fs) =>
-      schemaCache.computeIfAbsent(fs.head._1,
-        p => spark.read.parquet(p).schema).fieldNames.contains(f.name) })
+      SnapshotTable.probeDataSchema(spark, fs.map(_._1))
+        .fieldNames.contains(f.name) })
     partition.foreach { f =>
       if (!carriesCol)
         withProperty(SnapshotTable.SynthPartProp,
@@ -2206,6 +2212,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // capture — cache it so a non-deterministic SET expression cannot
     // store one value and feed the change feed another
     val cachedImages = registerCommitCache(updated)
+    try {
     val newFiles =
       writeData(cachedImages, v + 1, partitionBy).filter(_.rows > 0)
     val cdc =
@@ -2223,6 +2230,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
     writeManifest(Manifest(v + 1, "UPDATE_DV", mergeKeysOf(v),
       entries ++ newFiles, Seq.empty, cdc, dvs ++ marks))
     marks.map(_.rows).sum
+    // a failed commit releases its own caches (success path drains in
+    // writeManifest)
+    } catch { case e: Throwable => drainCommitCaches(); throw e }
   }
 
   /** Copy-on-write UPDATE … SET `set` WHERE `colName BETWEEN lo AND hi`
@@ -2790,8 +2800,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     val originCarriesDropped: Map[Long, Boolean] =
       if (droppedPhys.isEmpty) Map.empty
       else fileEntries(v).groupBy(_.origin).map { case (o, es) =>
-        o -> SnapshotTable.schemaCache.computeIfAbsent(es.head.path,
-          p => spark.read.parquet(p).schema)
+        o -> SnapshotTable.probeDataSchema(spark, es.map(_.path), Some(o))
           .fieldNames.exists(droppedPhys)
       }
     if (addressed.isEmpty && originCarriesDropped.forall(!_._2)) 0
@@ -3546,7 +3555,7 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // data files, and the manifest entry records which function maps
     // one to the other (PartitionTransform).
     val spec = partitionBy.map(PartitionTransform.parse)
-    val writer = spec match {
+    val arranged = spec match {
       case Some(p) =>
         val withPv = df.withColumn(PartCol, PartitionTransform.writeColumn(p))
         // Cluster by partition value via REBALANCE (Delta's "optimized
@@ -3565,26 +3574,48 @@ class SnapshotTable(spark: SparkSession, root: String) {
         // so the bench can attribute the hint's local cost — the
         // repartition arm is the pre-r15 one-file-per-partition shape,
         // kept ONLY for measurement, never the scale default.
-        val arranged =
-          if (!cluster) withPv
-          else if (spark.conf.getOption("spark.graft.write.cluster")
-              .contains("repartition"))
-            withPv.repartition(col(PartCol))
-          else withPv.hint("rebalance", col(PartCol))
-        arranged.write.partitionBy(PartCol)
-      case None => df.write
+        if (!cluster) withPv
+        else if (spark.conf.getOption("spark.graft.write.cluster")
+            .contains("repartition"))
+          withPv.repartition(col(PartCol))
+        else withPv.hint("rebalance", col(PartCol))
+      case None => df
     }
     // Table-property bloom columns ride along on every data write; the
     // filter costs O(rows) hashing at write and buys row-group-level
     // skipping for equality probes at read (parquet-mr BLOOMFILTER
     // row-group filter level, engaged by Spark's pushed In/EqualTo).
-    bloomCols.foreach(c =>
-      writer.option(s"parquet.bloom.filter.enabled#$c", "true"))
-    writer.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    // footer/stats collection runs as a distributed job ([[probeFooters]])
-    // — the hot-path twin of CONVERT's probe: a commit's metadata cost
-    // must scale with executors, not serialize through the driver
-    SnapshotTable.probeFooters(spark, listDataFiles(fs, dataDir)).map {
+    val bloomOpts = bloomCols
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+    // Stats collection INSIDE the write tasks (Delta's shape): per-file
+    // rows and min/max ride out with the task results, so the commit
+    // costs zero post-write file opens, zero extra jobs and zero
+    // directory listings — the footer-probe pass was a second full
+    // metadata read of every file just written. Falls back to the probe
+    // for schemas whose footer stats the tracker can't reproduce
+    // (nested types) and under the A/B conf (spark.graft.stats.intask
+    // = false re-measures the old shape; default on).
+    val inTask = spark.conf.getOption("spark.graft.stats.intask")
+      .forall(_.toBoolean) &&
+      org.apache.spark.sql.GraftParquetWrite.supportsSchema(df.schema)
+    val probed =
+      if (inTask)
+        org.apache.spark.sql.GraftParquetWrite.writeWithStats(
+          arranged, dataDir.toString, spec.map(_ => PartCol), bloomOpts,
+          statSkip = Set(SnapshotTable.RidCol), maxStatCols = MaxStatCols)
+      else {
+        val writer = spec match {
+          case Some(_) => arranged.write.partitionBy(PartCol)
+          case None => arranged.write
+        }
+        bloomOpts.foreach { case (k, v) => writer.option(k, v) }
+        writer.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+        // footer/stats collection as a distributed job ([[probeFooters]])
+        // — the probe twin of CONVERT's: metadata cost must scale with
+        // executors, not serialize through the driver
+        SnapshotTable.probeFooters(spark, listDataFiles(fs, dataDir))
+      }
+    probed.map {
       case (p, pv, len, rows, stats) =>
         FileEntry(p, pv, len, rows, version.toLong,
           spec.collect { case s if s.tag == null => s.col }.orNull, stats,
@@ -3600,8 +3631,22 @@ class SnapshotTable(spark: SparkSession, root: String) {
       if (version == 0) dfLogical else toPhysicalDf(dfLogical, version - 1)
     val cdcDir = new Path(root,
       f"data/c$version%05d_cdc_" + java.util.UUID.randomUUID().toString.take(8))
-    df.write.mode(SaveMode.Overwrite).parquet(cdcDir.toString)
-    SnapshotTable.probeFooters(spark, listDataFiles(fs, cdcDir)).map {
+    // change files need per-file row counts only — the in-task tracker
+    // delivers them with the write itself (zero post-write opens);
+    // fallback mirrors [[writeData]]
+    val inTask = spark.conf.getOption("spark.graft.stats.intask")
+      .forall(_.toBoolean) &&
+      org.apache.spark.sql.GraftParquetWrite.supportsSchema(df.schema)
+    val probed =
+      if (inTask)
+        org.apache.spark.sql.GraftParquetWrite.writeWithStats(
+          df, cdcDir.toString, None, Map.empty,
+          statSkip = Set(SnapshotTable.RidCol), maxStatCols = MaxStatCols)
+      else {
+        df.write.mode(SaveMode.Overwrite).parquet(cdcDir.toString)
+        SnapshotTable.probeFooters(spark, listDataFiles(fs, cdcDir))
+      }
+    probed.map {
       case (p, _, len, rows, _) => FileEntry(p, null, len, rows, version.toLong)
     }
   }
@@ -3716,25 +3761,42 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * ([[fillIdentity]]'s sized insert batch, [[writeDeltaPositional]]'s
     * delta frame, [[updateExprPositional]]'s images): registered when
     * the cache is created, run by [[writeManifest]] once the commit
-    * that consumed them lands — and by the NEXT registration on this
-    * instance, so a commit that failed mid-flight cannot pin its batch
-    * past the next operation (unconsumed caches recompute from lineage
-    * if a racing commit drains them early — a perf loss, never a
-    * correctness one: bases and reservations are fixed at build time). */
+    * that consumed them lands. The drain is COMMIT-SCOPED: while a
+    * multi-job commit is consuming its registered caches
+    * ([[commitCachesInFlight]]), a nested [[fillIdentity]] (identity
+    * fill inside the commit's image alignment) must NOT release them —
+    * a DV MERGE writes its marks from the first evaluation of the delta
+    * frame, and recomputing the frame for the image/CDF jobs after a
+    * mid-commit drain would, with a non-deterministic source or
+    * condition, address DIFFERENT rows than the stored marks. A commit
+    * that failed mid-flight releases its caches in its own failure
+    * handler (and, belt-and-braces, at the next stale drain). */
   private val pendingUnpersist =
     new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
 
+  /** True between a commit's first [[registerCommitCache]] and the
+    * drain that ends it ([[writeManifest]] or the failure handler). */
+  @volatile private var commitCachesInFlight = false
+
   /** Persist `df` for the duration of the in-flight commit and register
-    * its release; leftovers from a previous FAILED commit release now. */
+    * its release; leftovers from a previous FAILED commit release now
+    * (only when no commit is currently consuming its caches). */
   private def registerCommitCache(df: DataFrame): DataFrame = {
-    drainCommitCaches()
+    if (!commitCachesInFlight) drainCommitCaches()
     val cached = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pendingUnpersist.add(() => { cached.unpersist(false); () })
+    commitCachesInFlight = true
     cached
   }
 
+  /** Release stale commit caches unless a commit is mid-flight — the
+    * guard nested steps ([[fillIdentity]]) go through. */
+  private def drainStaleCommitCaches(): Unit =
+    if (!commitCachesInFlight) drainCommitCaches()
+
   private def drainCommitCaches(): Unit = {
+    commitCachesInFlight = false
     var release = pendingUnpersist.poll()
     while (release != null) { release(); release = pendingUnpersist.poll() }
   }
@@ -3928,6 +3990,88 @@ object SnapshotTable {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.sql.types.StructType]()
+
+  /** Data schema of one table generation, probed from a representative
+    * file and cached. Two shapes the old `spark.read.parquet(head)`
+    * probe got wrong at scale:
+    *   - COST: a full DataSource resolution per probe (path existence
+    *     checks on a thread pool + relation build) is 20-80 ms of
+    *     driver work; Spark-written files embed the exact Catalyst
+    *     schema in the footer (`spark.sql.parquet.row.metadata`), so
+    *     one footer open answers it in ~1 ms. Foreign files (CONVERT
+    *     imports) without the embedded schema keep the reader probe.
+    *   - ROBUSTNESS: the probe must not die on a file the read itself
+    *     never plans — candidates are tried IN ORDER, so a physically
+    *     deleted file (e.g. a vacuumed-away partition the query prunes)
+    *     only fails the probe if NO candidate of the generation opens. */
+  private[graft] def probeDataSchema(
+      spark: SparkSession, paths: Seq[String], origin: Option[Long] = None)
+      : org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(
+      // Cache key: the generation's commit data dir (nonce-unique per
+      // commit incarnation) + the entries' origin — STABLE across
+      // carried subsets, so a rewrite carrying only some of a commit's
+      // files lands on the already-probed entry even if the file probed
+      // originally has since been physically removed. CONVERT imports
+      // share one dir across schema generations (the origin
+      // disambiguates); its pre-manifest fingerprint probe passes no
+      // origin and keys by representative path instead.
+      origin.fold(paths.head)(o => s"${generationKey(paths.head)}#o=$o"),
+      _ => {
+      var out: org.apache.spark.sql.types.StructType = null
+      var firstErr: Throwable = null
+      val it = paths.iterator
+      while (out == null && it.hasNext) {
+        val p = it.next()
+        try out = fileDataSchema(spark, p)
+        catch { case scala.util.control.NonFatal(e) =>
+          if (firstErr == null) firstErr = e }
+      }
+      if (out == null) throw firstErr
+      out
+    })
+
+  /** Commit data dir of `path`: parent dir with hive-partition
+    * segments (`name=value`) stripped. */
+  private def generationKey(path: String): String = {
+    val parts = path.split('/').dropRight(1) // drop the filename
+    parts.reverse.dropWhile(_.contains("=")).reverse.mkString("/")
+  }
+
+  /** One file's Spark data schema: the footer's embedded Catalyst
+    * schema when present (nullable-forced, exactly as the file-source
+    * reader surfaces it), else a reader-based probe. */
+  private def fileDataSchema(spark: SparkSession, path: String)
+      : org.apache.spark.sql.types.StructType = {
+    val conf = spark.sessionState.newHadoopConf()
+    val opts = org.apache.parquet.HadoopReadOptions.builder(conf).build()
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), conf), opts)
+    val sparkJson =
+      try reader.getFooter.getFileMetaData.getKeyValueMetaData
+        .get("org.apache.spark.sql.parquet.row.metadata")
+      finally reader.close()
+    if (sparkJson != null)
+      forceNullable(org.apache.spark.sql.types.DataType.fromJson(sparkJson))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    else spark.read.parquet(path).schema
+  }
+
+  /** The file-source reader's nullable-forcing (StructType.asNullable is
+    * private[spark]): every field and nested container reads nullable. */
+  private def forceNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = forceNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = forceNullable(a.elementType), containsNull = true)
+      case m: MapType =>
+        m.copy(valueType = forceNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
 
   private val mapper = new ObjectMapper()
 
