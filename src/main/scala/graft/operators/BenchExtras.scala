@@ -482,7 +482,9 @@ object BenchExtras {
         "irp_compact" -> sec(cSec), "irp_query_post" -> sec(qPost))
     } finally {
       // hand the staged store_sales view back to whatever runs next
-      graft.sources.Tpcds.ensure(spark, sfDir)
+      // (force: ensure's per-session fast path would otherwise consider
+      // the views already registered and skip the restore)
+      graft.sources.Tpcds.ensure(spark, sfDir, force = true)
     }
   }
 

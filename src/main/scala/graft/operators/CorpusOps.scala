@@ -491,15 +491,15 @@ object CorpusOps {
             count(lit(1)).as("n")).head()
           val m = facts.getInt(0)
           val nAll = facts.getLong(1)
-          // stage this round's signatures once — classification probes
-          // and the index extension read the same materialized copy
-          val stage = graft.Scratch.dir(s"sdl_round")
-          bandsOf(Dedup.minhashSignaturesOf(s, batch))
-            .write.parquet(s"$stage/bands")
-          batch.select(col("doc_id"), expr("graft_polyhash(text)").as("th"))
-            .write.parquet(s"$stage/th")
-          val bBands = s.read.parquet(s"$stage/bands")
-          val bTh = s.read.parquet(s"$stage/th")
+          // materialize this round's signatures once — classification
+          // probes and the index extension reuse the same copy. A cache
+          // (not a parquet staging round-trip: two write jobs + two
+          // read-back listings per micro-batch bought nothing — the
+          // frames are batch-sized and die with the batch)
+          val bBands = bandsOf(Dedup.minhashSignaturesOf(s, batch)).persist()
+          val bTh = batch
+            .select(col("doc_id"), expr("graft_polyhash(text)").as("th"))
+            .persist()
           // persist the two classification frames: each feeds the counts
           // AND both index-extension anti-joins below — without the cache
           // the standing band/th index parquet is re-scanned ~4x per
@@ -535,6 +535,8 @@ object CorpusOps {
           } finally {
             exact.unpersist(false)
             near.unpersist(false)
+            bBands.unpersist(false)
+            bTh.unpersist(false)
           }
           ()
         }

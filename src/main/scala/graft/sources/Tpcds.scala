@@ -52,14 +52,31 @@ object Tpcds {
   private val baseTables =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
+  /** View names other operators re-point between query builds and the
+    * fast path below must therefore re-register on EVERY call: the
+    * fixture `customer` (TPC-H schema, Tables.registerViews) shadows
+    * the staged TPC-DS `customer`; `store_sales` is re-pointed by the
+    * refresh-protocol sweep, which hands it back via `force = true`. */
+  private val contested = Set("customer")
+
+  /** (session, sf dir) pairs whose staged views are registered. The 24
+    * generator registrations used to run on every tq build — ~72 ms of
+    * pure catalog work per TPC-DS query × 103 queries × iterations; the
+    * staged dirs are write-once and nothing but the contested names
+    * above re-points them, so once per session is enough. */
+  private val registeredFor = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(SparkSession, String)]()
+
   /** Stage (first use) and register the TPC-DS views for this sf dir.
     *
     * Generator SQL resolves table names through temp views, so base views
     * are (re-)registered first; after staging, the TPC-DS views overwrite
     * same-named base views (`customer`) — safe because every other
     * SQL-based operator re-registers its base views at build time.
-    */
-  def ensure(spark: SparkSession, sfDir: String): Unit = synchronized {
+    * `force` re-registers everything (a sweep that re-pointed a staged
+    * view hands it back through this). */
+  def ensure(spark: SparkSession, sfDir: String,
+      force: Boolean = false): Unit = synchronized {
     val root = stagedRoots.computeIfAbsent(sfDir, { _ =>
       val r = graft.Scratch.atExit(
         Files.createTempDirectory("graft_stage_tpcds").toString)
@@ -72,8 +89,12 @@ object Tpcds {
       }
       r
     })
+    val key = (spark, sfDir)
+    if (force) registeredFor.remove(key)
+    val firstTime = registeredFor.add(key)
     TpcdsSchema.generators.foreach { case (name, _) =>
-      stagedDf(spark, s"$root/$name").createOrReplaceTempView(name)
+      if (firstTime || contested(name))
+        stagedDf(spark, s"$root/$name").createOrReplaceTempView(name)
     }
   }
 
@@ -107,10 +128,19 @@ object Tpcds {
       }
       r
     })
-    TpcdsSchema.refreshSources.foreach { case (name, _) =>
-      stagedDf(spark, s"$root/$name").createOrReplaceTempView(name)
-    }
+    // same per-session fast path as [[ensure]] — the s_* names are
+    // never re-pointed by other operators
+    if (registeredRefreshFor.add((spark, sfDir)))
+      TpcdsSchema.refreshSources.foreach { case (name, _) =>
+        stagedDf(spark, s"$root/$name").createOrReplaceTempView(name)
+      }
   }
+
+  private val registeredRefreshFor = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(SparkSession, String)]()
+
+  private val registeredDimsFor = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[(SparkSession, String)]()
 
   /** Staged dimension-delta roots keyed by sf dir. */
   private val refreshDimRoots =
@@ -129,9 +159,10 @@ object Tpcds {
       }
       r
     })
-    TpcdsSchema.refreshDimSources.foreach { case (name, _) =>
-      stagedDf(spark, s"$root/$name").createOrReplaceTempView(name)
-    }
+    if (registeredDimsFor.add((spark, sfDir)))
+      TpcdsSchema.refreshDimSources.foreach { case (name, _) =>
+        stagedDf(spark, s"$root/$name").createOrReplaceTempView(name)
+      }
   }
 
   /** The correctness gate always runs DuckDB at this sf (TESTDATA.md). */

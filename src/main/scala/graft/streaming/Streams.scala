@@ -675,10 +675,19 @@ object Streams {
         .agg(count(lit(1)).as("n"),
           moneyOut(sum(dec(col("o_totalprice")))).as("sum_price"))
       val qn = s"graft_ratelim_${runId.incrementAndGet()}"
-      val q = feed.writeStream.format("memory").queryName(qn)
-        .outputMode(OutputMode.Complete)
-        .option("checkpointLocation", scratch("ratelim_ckpt"))
-        .trigger(Trigger.AvailableNow()).start()
+      // same bounded state fan-out as [[runToMemory]] (this gate starts
+      // its own query to read recentProgress): a streaming agg pins one
+      // state store + checkpoint dir per shuffle partition per batch,
+      // so it must not inherit the session's scan-sized width
+      val key = "spark.sql.shuffle.partitions"
+      val prior = s.conf.get(key)
+      s.conf.set(key, StatePartitions.toString)
+      val q =
+        try feed.writeStream.format("memory").queryName(qn)
+          .outputMode(OutputMode.Complete)
+          .option("checkpointLocation", scratch("ratelim_ckpt"))
+          .trigger(Trigger.AvailableNow()).start()
+        finally s.conf.set(key, prior)
       q.awaitTermination()
       val batches = q.recentProgress.count(_.numInputRows > 0)
       require(batches == 3,
