@@ -22,13 +22,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // Let the planner pick shuffled-hash over sort-merge when its
-      // (conservative, size-estimated) build-side conditions hold —
-      // the optimization guide's baseline for batch ETL: skips the
-      // per-partition sorts, spills via the hashed relation. Scale-
-      // neutral (a planner PREFERENCE, not a size constant); measured
-      // −8% on the join-heavy subset at sf0.1 (OPTIMIZATION_r18.md).
-      .config("spark.sql.join.preferSortMergeJoin", "false")
       // Long single-JVM run over 130 queries × N iterations: let the
       // ContextCleaner reclaim shuffle files continuously instead of
       // waiting for the default 30-minute periodic GC.

@@ -9,17 +9,31 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, names) = args
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same dev-loop override hook as Bench: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN_RUN=1 materializes each query through the
+    // noop sink first, so the printed plan is AQE's FINAL plan
+    // (runtime join-strategy changes, coalesced reads) instead of the
+    // pre-execution estimate — the form the audit checks against the
+    // measured session.
+    val run = sys.env.get("SPARK_GRAFT_EXPLAIN_RUN").contains("1")
     names.split(',').foreach { n =>
       println(s"\n=== $n ===")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (run) df.write.format("noop").mode("overwrite").save()
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
