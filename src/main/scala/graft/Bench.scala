@@ -72,8 +72,8 @@ object Bench {
     // protocol sweeps (merge-micro CoW/MoR crossover, file-count planning
     // tiers) run once after the query loop; a failing sweep must not kill
     // the round's report
-    // SPARK_GRAFT_EXTRAS may name a subset (mm,fc,dm,ir,irp,rpf,inc,skip)
-    // for the dev loop; unset with a full run, or set empty, means all.
+    // SPARK_GRAFT_EXTRAS may name a subset (mm,fc,dm,ir,irp,rpf,inc,skip,
+    // q72) for the dev loop; unset with a full run, or set empty, means all.
     val extrasSel = sys.env.get("SPARK_GRAFT_EXTRAS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val runExtras = only.isEmpty || extrasSel.isDefined
@@ -96,7 +96,8 @@ object Bench {
           "irp" -> (() => operators.BenchExtras.refreshProtocol(spark, sfDir)),
           "rpf" -> (() => operators.BenchExtras.refreshFullIsolated(spark, sfDir)),
           "inc" -> (() => operators.BenchExtras.incrementalDedupRounds(spark, sfDir)),
-          "skip" -> (() => operators.BenchExtras.skipRatios(spark, sfDir))
+          "skip" -> (() => operators.BenchExtras.skipRatios(spark, sfDir)),
+          "q72" -> (() => operators.BenchExtras.q72SpecVariant(spark, sfDir))
         ).flatMap { case (tag, sweep) =>
           if (!want(tag)) Seq.empty
           else { val r = sweep(); Scratch.sweep(spark); r }

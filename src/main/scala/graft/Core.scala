@@ -129,7 +129,28 @@ object Scratch {
   /** Mark a temp view (e.g. a drained memory sink) for the next sweep. */
   def view(name: String): Unit = views.add(name)
 
+  /** Persist `df` for the CURRENT run only: the cache is registered here
+    * and released at the next sweep (right after the iteration
+    * materializes), so a multiply-referenced intermediate computes once
+    * WITHIN the timed region and can never carry results across
+    * iterations or runs. */
+  def cache(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches.add(() => { cached.unpersist(false); () })
+    cached
+  }
+
+  private val caches = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
   def sweep(spark: SparkSession): Unit = {
+    var c = caches.poll()
+    while (c != null) {
+      try c() catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[scratch] failed to unpersist cache: ${e.getMessage}")
+      }
+      c = caches.poll()
+    }
     var v = views.poll()
     while (v != null) {
       // NonFatal only, and loudly: a silently-failed sweep re-creates the

@@ -23,16 +23,21 @@ object Explain {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // SPARK_GRAFT_EXPLAIN_RUN=1 materializes each query through the
-    // noop sink first, so the printed plan is AQE's FINAL plan
-    // (runtime join-strategy changes, coalesced reads) instead of the
-    // pre-execution estimate — the form the audit checks against the
-    // measured session.
+    // SPARK_GRAFT_EXPLAIN_RUN=1 materializes each query first, so the
+    // printed plan is AQE's FINAL plan (runtime join-strategy changes,
+    // coalesced reads) instead of the pre-execution estimate — the form
+    // the audit checks against the measured session. The execution MUST
+    // run through the SAME QueryExecution that is printed: a noop-sink
+    // write plans a SEPARATE QueryExecution and leaves `df.queryExecution`
+    // unexecuted (isFinalPlan=false — the r18 dumps proved it), so the
+    // materialization here is collect() on the df itself. Declared
+    // queries are result-sized (LIMIT/agg outputs), so the driver
+    // transfer is metadata-sized.
     val run = sys.env.get("SPARK_GRAFT_EXPLAIN_RUN").contains("1")
     names.split(',').foreach { n =>
       println(s"\n=== $n ===")
       val df = SparkEntry.queries(n)(spark, sfDir)
-      if (run) df.write.format("noop").mode("overwrite").save()
+      if (run) df.collect()
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }

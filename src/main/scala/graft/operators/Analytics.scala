@@ -405,14 +405,25 @@ object Analytics {
     })
 
   // ------------------------------------------------- DATA PROFILING
-  // One-pass table profile: per column, null count, exact distinct
-  // count, and min/max rendered to a uniform string column. All 24
-  // measures ride ONE scan of orders (Catalyst plans the multi-distinct
-  // agg as a single pass with an Expand — 6× row expansion, one
-  // shuffle); the per-column rows are then unpivoted from the single
-  // result row driver-side-free via explode of an inline struct array.
+  // Table profile: per column, null count, exact distinct count, and
+  // min/max rendered to a uniform string column.
+  //
+  // Shape (r19, guide §2.3 "shuffle fewer bytes"): one two-level
+  // aggregation PER COLUMN, unioned — each branch scans exactly its one
+  // column (parquet column pruning per branch) and Spark plans the
+  // single countDistinct as partial-agg-by-value → merge, so the
+  // shuffle carries each column's DISTINCT VALUES after map-side
+  // dedup, never rows. The pre-r19 shape folded all 6 distincts into
+  // ONE aggregate, which Catalyst plans through an Expand — every
+  // scanned row REPLICATED ×7 into the shuffle (at 100 TB: a 7× row
+  // blow-up through the exchange vs. per-column distinct-value
+  // streams); it is kept as the A/B arm
+  // (spark.graft.profile.shape=expand) for measurement. Total read
+  // volume is unchanged between shapes (6 one-column scans = one
+  // 6-column scan, columnar), and the 6 branches are independent jobs
+  // Spark schedules concurrently.
   // At 100 TB the exact countDistinct trades to approx_count_distinct
-  // (HLL partial-aggregates, no Expand) — exact kept here so the DuckDB
+  // (HLL partial-aggregates) — exact kept here so the DuckDB
   // oracle can pin values bit-for-bit. Timestamps render through an
   // explicit micros pattern and money through DECIMAL(18,2) so the
   // string forms are engine-independent (raw double→string differs
@@ -473,21 +484,36 @@ object Analytics {
       }
       def measured(c: String): Column =
         if (c == "o_totalprice") dec(col(c)) else col(c)
-      val aggs = cols.flatMap { c =>
-        Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-          countDistinct(col(c)).as(s"${c}__distinct"),
-          render(c, min(measured(c))).as(s"${c}__min"),
-          render(c, max(measured(c))).as(s"${c}__max"))
+      if (s.conf.getOption("spark.graft.profile.shape").contains("expand")) {
+        // pre-r19 A/B arm: one aggregate, 6 distinct sets → Expand ×7
+        val aggs = cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+            countDistinct(col(c)).as(s"${c}__distinct"),
+            render(c, min(measured(c))).as(s"${c}__min"),
+            render(c, max(measured(c))).as(s"${c}__max"))
+        }
+        val row = o.agg(aggs.head, aggs.tail: _*)
+        val structs = array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"${c}__nulls").as("n_nulls"),
+          col(s"${c}__distinct").as("n_distinct"),
+          col(s"${c}__min").as("min_s"),
+          col(s"${c}__max").as("max_s"))): _*)
+        row.select(explode(structs).as("p")).select("p.*").orderBy("col_name")
+      } else {
+        // default: per-column two-level agg (no Expand) — see header
+        cols.map { c =>
+          o.select(col(c))
+            .agg(
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+              countDistinct(col(c)).as("n_distinct"),
+              render(c, min(measured(c))).as("min_s"),
+              render(c, max(measured(c))).as("max_s"))
+            .select(lit(c).as("col_name"), col("n_nulls"),
+              col("n_distinct"), col("min_s"), col("max_s"))
+        }.reduce(_.unionByName(_)).orderBy("col_name")
       }
-      val row = o.agg(aggs.head, aggs.tail: _*)
-      val structs = array(cols.map(c => struct(
-        lit(c).as("col_name"),
-        col(s"${c}__nulls").as("n_nulls"),
-        col(s"${c}__distinct").as("n_distinct"),
-        col(s"${c}__min").as("min_s"),
-        col(s"${c}__max").as("max_s"))): _*)
-      row.select(explode(structs).as("p")).select("p.*").orderBy("col_name")
     })
 
   val defs: Seq[OpQuery] = Seq(

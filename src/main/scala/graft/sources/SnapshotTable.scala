@@ -1267,9 +1267,9 @@ class SnapshotTable(spark: SparkSession, root: String) {
     // drains [[pendingUnpersist]]) — never for the session: an insert
     // batch pinned in the block manager forever is a leak, not a cache
     val release: () => Unit = () => { rdd.unpersist(false); () }
-    pendingUnpersist.add(release)
+    addCommitRelease(release)
     val n = rdd.count()
-    if (n == 0) { pendingUnpersist.remove(release); rdd.unpersist(false); return df }
+    if (n == 0) { removeCommitRelease(release); rdd.unpersist(false); return df }
     val base = reserveIdentity(f.name, start, step, n)
     val isLong = f.dataType == org.apache.spark.sql.types.LongType
     val filled = rdd.zipWithIndex().map { case (r, i) =>
@@ -3771,34 +3771,69 @@ class SnapshotTable(spark: SparkSession, root: String) {
     * condition, address DIFFERENT rows than the stored marks. A commit
     * that failed mid-flight releases its caches in its own failure
     * handler (and, belt-and-braces, at the next stale drain). */
-  private val pendingUnpersist =
-    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+  private final class CommitCacheState {
+    val pending = new java.util.ArrayDeque[() => Unit]()
+    var inFlight = false
+  }
 
-  /** True between a commit's first [[registerCommitCache]] and the
-    * drain that ends it ([[writeManifest]] or the failure handler). */
-  @volatile private var commitCachesInFlight = false
+  /** Commit-cache state is PER-THREAD (the commit token): a commit is a
+    * straight-line call sequence on one thread (registerCommitCache →
+    * writes → writeManifest / failure handler), so thread identity
+    * scopes the caches to exactly one commit. Two concurrent commits on
+    * the same instance therefore cannot cross-drain — thread A's
+    * writeManifest releases only A's caches, never B's in-flight delta
+    * frame (releasing it mid-commit would re-open the
+    * non-deterministic-recompute window the commit-scoped drain closed:
+    * a DV MERGE's recomputed frame could address different rows than
+    * its stored marks). */
+  private val commitCaches =
+    new ThreadLocal[CommitCacheState] {
+      override def initialValue(): CommitCacheState = new CommitCacheState
+    }
 
   /** Persist `df` for the duration of the in-flight commit and register
-    * its release; leftovers from a previous FAILED commit release now
-    * (only when no commit is currently consuming its caches). */
-  private def registerCommitCache(df: DataFrame): DataFrame = {
-    if (!commitCachesInFlight) drainCommitCaches()
+    * its release; leftovers from a previous FAILED commit on THIS thread
+    * release now (only when no commit is currently consuming its
+    * caches). */
+  private[sources] def registerCommitCache(df: DataFrame): DataFrame = {
+    val st = commitCaches.get()
+    if (!st.inFlight) drainCommitCaches()
     val cached = df.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pendingUnpersist.add(() => { cached.unpersist(false); () })
-    commitCachesInFlight = true
+    st.pending.add(() => { cached.unpersist(false); () })
+    st.inFlight = true
     cached
   }
 
-  /** Release stale commit caches unless a commit is mid-flight — the
-    * guard nested steps ([[fillIdentity]]) go through. */
-  private def drainStaleCommitCaches(): Unit =
-    if (!commitCachesInFlight) drainCommitCaches()
+  /** Release stale commit caches unless a commit is mid-flight on this
+    * thread — the guard nested steps ([[fillIdentity]]) go through. */
+  private[sources] def drainStaleCommitCaches(): Unit =
+    if (!commitCaches.get().inFlight) drainCommitCaches()
 
-  private def drainCommitCaches(): Unit = {
-    commitCachesInFlight = false
-    var release = pendingUnpersist.poll()
-    while (release != null) { release(); release = pendingUnpersist.poll() }
+  private[sources] def drainCommitCaches(): Unit = {
+    val st = commitCaches.get()
+    st.inFlight = false
+    var release = st.pending.poll()
+    while (release != null) { release(); release = st.pending.poll() }
+  }
+
+  /** Test hook: true while this thread's commit holds registered
+    * caches. */
+  private[sources] def commitCachesInFlightForTest: Boolean =
+    commitCaches.get().inFlight
+
+  /** Register a release thunk with this thread's commit WITHOUT marking
+    * a commit in flight ([[fillIdentity]]'s insert batch: the cache
+    * lives until the commit that consumes the frame drains — or, when
+    * no commit is open, until the next stale drain). */
+  private def addCommitRelease(release: () => Unit): Unit = {
+    commitCaches.get().pending.add(release)
+    ()
+  }
+
+  private def removeCommitRelease(release: () => Unit): Unit = {
+    commitCaches.get().pending.remove(release)
+    ()
   }
 }
 

@@ -67,6 +67,34 @@ object Tpcds {
   private val registeredFor = java.util.concurrent.ConcurrentHashMap
     .newKeySet[(SparkSession, String)]()
 
+  /** Raw temp-view object recorded at registration, keyed by (session,
+    * view name). The fast paths compare the CURRENT raw view by identity
+    * and self-heal (re-register) any name some operator re-pointed since
+    * — correctness no longer rests on the unenforced invariant that only
+    * `customer` / `store_sales` are ever re-pointed; a future operator
+    * re-pointing any staged name is detected at the next ensure() for
+    * the cost of one catalog map lookup, not a catalog registration. */
+  private val registeredViews = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), AnyRef]()
+
+  /** Register `path`'s staged parquet as temp view `name` and record the
+    * raw catalog object for re-point detection. */
+  private def registerStaged(
+      spark: SparkSession, name: String, path: String): Unit = {
+    stagedDf(spark, path).createOrReplaceTempView(name)
+    spark.sessionState.catalog.getRawTempView(name).foreach(v =>
+      registeredViews.put((spark, name), v.asInstanceOf[AnyRef]))
+  }
+
+  /** True while the temp view `name` still points at the exact object
+    * [[registerStaged]] installed (identity compare — any
+    * createOrReplaceTempView since produces a fresh relation object). */
+  private def stillRegistered(spark: SparkSession, name: String): Boolean = {
+    val expect = registeredViews.get((spark, name))
+    expect != null && spark.sessionState.catalog.getRawTempView(name)
+      .exists(v => v.asInstanceOf[AnyRef] eq expect)
+  }
+
   /** Stage (first use) and register the TPC-DS views for this sf dir.
     *
     * Generator SQL resolves table names through temp views, so base views
@@ -93,8 +121,8 @@ object Tpcds {
     if (force) registeredFor.remove(key)
     val firstTime = registeredFor.add(key)
     TpcdsSchema.generators.foreach { case (name, _) =>
-      if (firstTime || contested(name))
-        stagedDf(spark, s"$root/$name").createOrReplaceTempView(name)
+      if (firstTime || contested(name) || !stillRegistered(spark, name))
+        registerStaged(spark, name, s"$root/$name")
     }
   }
 
@@ -128,12 +156,14 @@ object Tpcds {
       }
       r
     })
-    // same per-session fast path as [[ensure]] — the s_* names are
-    // never re-pointed by other operators
-    if (registeredRefreshFor.add((spark, sfDir)))
-      TpcdsSchema.refreshSources.foreach { case (name, _) =>
-        stagedDf(spark, s"$root/$name").createOrReplaceTempView(name)
-      }
+    // same per-session fast path as [[ensure]], with the same re-point
+    // self-heal (the s_* names are not KNOWN to be re-pointed by other
+    // operators, but the invariant is now checked, not assumed)
+    val firstTime = registeredRefreshFor.add((spark, sfDir))
+    TpcdsSchema.refreshSources.foreach { case (name, _) =>
+      if (firstTime || !stillRegistered(spark, name))
+        registerStaged(spark, name, s"$root/$name")
+    }
   }
 
   private val registeredRefreshFor = java.util.concurrent.ConcurrentHashMap
@@ -159,10 +189,11 @@ object Tpcds {
       }
       r
     })
-    if (registeredDimsFor.add((spark, sfDir)))
-      TpcdsSchema.refreshDimSources.foreach { case (name, _) =>
-        stagedDf(spark, s"$root/$name").createOrReplaceTempView(name)
-      }
+    val firstTime = registeredDimsFor.add((spark, sfDir))
+    TpcdsSchema.refreshDimSources.foreach { case (name, _) =>
+      if (firstTime || !stillRegistered(spark, name))
+        registerStaged(spark, name, s"$root/$name")
+    }
   }
 
   /** The correctness gate always runs DuckDB at this sf (TESTDATA.md). */

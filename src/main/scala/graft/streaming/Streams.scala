@@ -110,6 +110,10 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      if (sys.env.contains("SPARK_GRAFT_TRACE"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[trace] stream $prefix batch ${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
     } finally spark.conf.set(key, prior)
     graft.Scratch.view(qn) // memory sink dies after materialization
     spark.table(qn)

@@ -38,6 +38,18 @@ import org.apache.spark.util.SerializableConfiguration
   * paths dot into sub-fields) keep the footer-probe path — the tracker
   * only handles flat atomic schemas, which every snapshot-table commit
   * in practice is.
+  *
+  * Known, documented divergence on MULTI-row-group files: the footer
+  * probe drops a column when ANY row group lacks non-null min/max (one
+  * stat-less chunk makes file-level pruning via per-group stats unsound
+  * for that file in its model), while the in-task tracker aggregates
+  * min/max over the whole file and keeps the column. The tracker's
+  * file-level range is still SOUND for pruning (it covers every row in
+  * the file, including the rows of an all-null chunk, which no value
+  * predicate can match) — it is strictly more informative, not wrong.
+  * Manifests from the two arms can therefore differ on a file whose
+  * nullable column goes all-null for an entire row group;
+  * `CommitFooterSpec` pins this exact case.
   */
 object GraftParquetWrite {
 
@@ -170,9 +182,16 @@ object GraftParquetWrite {
 
     override def closeFile(filePath: String): Unit = {
       val p = new Path(filePath)
+      // The task itself just closed this file — a stat failure here is
+      // abnormal and MUST fail the task (it retries) rather than record
+      // a fabricated 0-byte length: manifest lengths feed compaction
+      // bin-packing and size-based planning, and a silent 0 poisons both.
       val len =
         try p.getFileSystem(conf.value).getFileStatus(p).getLen
-        catch { case _: java.io.IOException => 0L }
+        catch {
+          case e: java.io.IOException => throw new java.io.UncheckedIOException(
+            s"stats tracker failed to stat just-written file $filePath", e)
+        }
       // surviving stats in schema order, budget applied exactly as the
       // footer probe does (dropped columns never consume budget)
       val byName = mutable.Map.empty[String, (Double, Double)]
