@@ -39,7 +39,9 @@ object Bench {
         builder.config(k, v)
       })
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // dev-loop profiling hook: INFO exposes per-job wall times
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     Harness.warmup(spark)
     Harness.warmTables(spark, sfDir)
     // Optional dev-loop filter: SPARK_GRAFT_ONLY=a,b,c times a subset.

@@ -479,6 +479,24 @@ object CorpusOps {
       copyDir(s"$seed/bands", s"$idx/bands")
       copyDir(s"$seed/th", s"$idx/th")
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+      // Every frame inside the micro-batch is BATCH-sized (one arrival
+      // round), so the foreachBatch joins/distincts run under the same
+      // bounded shuffle width the stateful stream gates use
+      // (runToMemory's rationale: width follows the keyspace/batch, not
+      // the session's scan parallelism — production sizes this to
+      // batch-rows ÷ target-rows-per-task). With the session's 32-wide
+      // shuffles, each of the ~5 jobs per batch ran 32 near-empty tasks
+      // and the two index appends sprayed up to 32 files per batch,
+      // growing the standing index's file count (and every later
+      // batch's probe listing) ~20× faster than the data. Conf captured
+      // at query start, restored in the finally.
+      // A/B arm: spark.graft.sdl.clamp=false restores the session-wide
+      // shuffle width inside the micro-batches
+      val clamp = s.conf.getOption("spark.graft.sdl.clamp").forall(_.toBoolean)
+      val widthKey = "spark.sql.shuffle.partitions"
+      val priorWidth = s.conf.get(widthKey)
+      if (clamp) s.conf.set(widthKey, "4")
+      try {
       val q = s.readStream.schema(docsDf.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
@@ -505,13 +523,17 @@ object CorpusOps {
           // the standing band/th index parquet is re-scanned ~4x per
           // micro-batch (batch-sized today, 2-4x wasted ingest work at
           // corpus scale)
+          // index reads declare their schemas: the probe must re-LIST
+          // the growing index dirs every batch (appends land between
+          // batches) but re-INFERRING the schema from footers buys
+          // nothing — it is the batch frames' own schema
           val exact = bTh.as("bt")
-            .join(s.read.parquet(s"$idx/th").as("ct"),
+            .join(s.read.schema(bTh.schema).parquet(s"$idx/th").as("ct"),
               col("bt.th") === col("ct.th"))
             .select(col("bt.doc_id").as("doc_id")).distinct()
             .persist()
           val near = bBands.as("a")
-            .join(s.read.parquet(s"$idx/bands").as("b"),
+            .join(s.read.schema(bBands.schema).parquet(s"$idx/bands").as("b"),
               col("a.b") === col("b.b") && col("a.k") === col("b.k"))
             .select(col("a.doc_id").as("doc_id"),
               (expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))") / 16.0)
@@ -526,10 +548,16 @@ object CorpusOps {
             val accepted = bTh.select("doc_id")
               .join(exact, Seq("doc_id"), "left_anti")
               .join(near, Seq("doc_id"), "left_anti")
-            // append-only index growth: accepted docs' rows join the index
-            bBands.join(accepted, "doc_id")
+            // append-only index growth: accepted docs' rows join the
+            // index as ONE file per batch (the appended delta is
+            // ingest-batch-sized; at corpus scale a size-targeted
+            // coalesce — the standing index must grow by bounded files,
+            // not by a file per shuffle task)
+            def onefile(df: DataFrame): DataFrame =
+              if (clamp) df.coalesce(1) else df
+            onefile(bBands.join(accepted, "doc_id"))
               .write.mode("append").parquet(s"$idx/bands")
-            bTh.join(accepted, "doc_id")
+            onefile(bTh.join(accepted, "doc_id"))
               .write.mode("append").parquet(s"$idx/th")
             out += ((m, nEx, nNear, nAll - nEx - nNear))
           } finally {
@@ -544,6 +572,7 @@ object CorpusOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      } finally s.conf.set(widthKey, priorWidth)
       import s.implicits._
       out.toSeq.sortBy(_._1)
         .toDF("batch", "n_exact", "n_near", "n_unique")

@@ -52,6 +52,52 @@ object Tpcds {
   private val baseTables =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 
+  /** Stage a generated table WRITE-PARALLEL (guide §2.5 input skew —
+    * "one huge unsplittable file: fix at the source"): the generators
+    * run over single-split fixture scans, so their natural output is
+    * ONE parquet file per table — `inventory` lands 5.3M rows in one
+    * file that every downstream query then scans single-task (parquet
+    * splits by compressed file bytes; a 2.7 MB file is one split no
+    * matter how many row groups). REBALANCE before the write makes AQE
+    * size the output into advisory-sized pieces — a distributed bulk
+    * load's shape (the reference's TPCDSDataLoad writes cluster-
+    * parallel). The staging advisory is parameterised
+    * (`spark.graft.stage.advisoryBytes`, default 8m of in-memory
+    * shuffle bytes — at sf0.1 that yields ~dozens of files for the
+    * fact-sized sources and one file for dims; production raises it to
+    * 64-256m for object-store-friendly files). Round-robin rebalance is
+    * deterministic under Spark's sort-before-repartition default, and
+    * every consumer is order-independent (aggregates / totally-ordered
+    * selects; the DuckDB oracle computes from the generator SQL
+    * directly). A/B arm: `spark.graft.stage.rebalance=false` restores
+    * the one-file staging. Staging runs once per sf dir OUTSIDE the
+    * timed loop. */
+  private def stageParquet(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val rebalance = spark.conf.getOption("spark.graft.stage.rebalance")
+      .forall(_.toBoolean)
+    if (!rebalance) df.write.mode("overwrite").parquet(path)
+    else {
+      // parallelismFirst must be OFF inside the bracket: with the
+      // default (true) AQE coalesces rebalance output only down to
+      // defaultParallelism using minPartitionSize (1 MB), so every
+      // small staged table sprays into ~core-count tiny files and each
+      // downstream scan pays per-file overhead (measured: q14a/b +30%
+      // from 9 fact scans × tiny files). With it off, the advisory
+      // genuinely sizes the output — small dims/facts stay at 1-2
+      // files, only the truly large sources (inventory-class) fan out.
+      val adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+      val pf = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+      val priorAdv = spark.conf.get(adv)
+      val priorPf = spark.conf.get(pf)
+      spark.conf.set(adv, spark.conf
+        .getOption("spark.graft.stage.advisoryBytes").getOrElse("8m"))
+      spark.conf.set(pf, "false")
+      try df.hint("rebalance").write.mode("overwrite").parquet(path)
+      finally { spark.conf.set(adv, priorAdv); spark.conf.set(pf, priorPf) }
+    }
+  }
+
   /** View names other operators re-point between query builds and the
     * fast path below must therefore re-register on EVERY call: the
     * fixture `customer` (TPC-H schema, Tables.registerViews) shadows
@@ -110,7 +156,7 @@ object Tpcds {
         Files.createTempDirectory("graft_stage_tpcds").toString)
       registerBase(spark, sfDir)
       TpcdsSchema.generators.foreach { case (name, sql) =>
-        spark.sql(sql).write.mode("overwrite").parquet(s"$r/$name")
+        stageParquet(spark, spark.sql(sql), s"$r/$name")
         // facts reference the date_dim VIEW while generating; later
         // generators must see the staged (identical) data
         spark.read.parquet(s"$r/$name").createOrReplaceTempView(name)
@@ -152,7 +198,7 @@ object Tpcds {
           .createOrReplaceTempView(name)
       }
       TpcdsSchema.refreshSources.foreach { case (name, sql) =>
-        spark.sql(sql).write.mode("overwrite").parquet(s"$r/$name")
+        stageParquet(spark, spark.sql(sql), s"$r/$name")
       }
       r
     })
@@ -185,7 +231,7 @@ object Tpcds {
       val r = graft.Scratch.atExit(
         Files.createTempDirectory("graft_stage_refdims").toString)
       TpcdsSchema.refreshDimSources.foreach { case (name, sql) =>
-        spark.sql(sql).write.mode("overwrite").parquet(s"$r/$name")
+        stageParquet(spark, spark.sql(sql), s"$r/$name")
       }
       r
     })
