@@ -99,7 +99,7 @@ object Bench {
           "rpf" -> (() => operators.BenchExtras.refreshFullIsolated(spark, sfDir)),
           "inc" -> (() => operators.BenchExtras.incrementalDedupRounds(spark, sfDir)),
           "skip" -> (() => operators.BenchExtras.skipRatios(spark, sfDir)),
-          "q72" -> (() => operators.BenchExtras.q72SpecVariant(spark, sfDir))
+          "q72" -> (() => operators.BenchExtras.q72RewriteVariant(spark, sfDir))
         ).flatMap { case (tag, sweep) =>
           if (!want(tag)) Seq.empty
           else { val r = sweep(); Scratch.sweep(spark); r }

@@ -520,46 +520,25 @@ object BenchExtras {
     ("rpf_iso_med" -> iters.map(_._2).sorted.apply(1)) +: iters
   }
 
-  /** The spec FROM-order q72, re-measured every round (ADVICE r18): the
-    * corpus's MEASURED `tpcds_q72` runs the r18 week-equality join-key
-    * rewrite (relationally equivalent, oracle-verified, the shape that
-    * survives 100 TB where no dim side broadcasts); the reference
-    * framework runs the spec text, so the engine's number on the COMMON
-    * workload is reported here (`q72_spec_med`/`q72_spec_min`) to keep
-    * the two variants comparable round over round — q72 is otherwise
-    * non-comparable to the reference. */
-  def q72SpecVariant(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+  /** The r18 week-equality q72 REWRITE, re-measured every round beside
+    * the spec-text corpus entry (ADVICE r18: keep both variants
+    * comparable). The measured `tpcds_q72` runs the spec FROM-order
+    * text (the reference's common workload); this sweep keeps the
+    * rewrite's number on record (`q72_rewrite_med`/`q72_rewrite_min`) —
+    * it is the documented 100 TB shape (fact-fact join keyed on
+    * (item, week), no reliance on broadcastable dims) even though the
+    * spec text is faster locally once the staged inventory scans
+    * parallel. */
+  def q72RewriteVariant(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     graft.sources.Tpcds.ensure(spark, sfDir)
-    val specSql = """SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
-       CAST(SUM(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) no_promo,
-       CAST(SUM(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) promo,
-       COUNT(*) total_cnt
-FROM catalog_sales
-JOIN inventory ON (cs_item_sk = inv_item_sk)
-JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
-JOIN item ON (i_item_sk = cs_item_sk)
-JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
-JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
-JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
-JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
-JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
-LEFT OUTER JOIN promotion ON (cs_promo_sk = p_promo_sk)
-LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk
-                                    AND cr_order_number = cs_order_number)
-WHERE d1.d_week_seq = d2.d_week_seq AND inv_quantity_on_hand < cs_quantity
-  AND d3.d_date > d1.d_date + 5 AND hd_buy_potential = '>10000'
-  AND d1.d_year = 2000 AND cd_marital_status = 'D'
-GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
-ORDER BY total_cnt DESC NULLS LAST, i_item_desc ASC NULLS FIRST,
-         w_warehouse_name ASC NULLS FIRST, d1.d_week_seq ASC NULLS FIRST,
-         no_promo ASC NULLS FIRST, promo ASC NULLS FIRST
-LIMIT 100"""
     val iters = (1 to 3).map { _ =>
       val (_, t) = time {
-        spark.sql(specSql).write.format("noop").mode("overwrite").save()
+        spark.sql(TpcdsQueries.q72RewriteBody)
+          .write.format("noop").mode("overwrite").save()
       }
       sec(t)
     }
-    Seq("q72_spec_med" -> iters.sorted.apply(1), "q72_spec_min" -> iters.min)
+    Seq("q72_rewrite_med" -> iters.sorted.apply(1),
+      "q72_rewrite_min" -> iters.min)
   }
 }

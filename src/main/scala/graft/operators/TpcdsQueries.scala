@@ -866,9 +866,45 @@ LIMIT 100""")
   // of weeks (~260× at 100 TB), and the selective cd/hd/d1 dims apply
   // BEFORE the fact-fact join instead of after. Measured 2.7 s → see
   // OPTIMIZATION_r18.md.
-  private val q72 = tq("tpcds_q72",
-    Seq("catalog_sales", "inventory", "warehouse", "item", "customer_demographics", "household_demographics", "date_dim", "promotion", "catalog_returns"),
-    """SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
+  /** q72, both shapes. The MEASURED default is the spec FROM-order text
+    * (ADVICE r18: the reference framework runs the spec text, so the
+    * engine's number on the common workload must be the comparable
+    * one). The r18 week-equality rewrite — inventory pre-joined to its
+    * date_dim so the fact-fact join keys on (item, week), ~260× smaller
+    * intermediate when no dim side broadcasts — is kept verbatim as the
+    * A/B arm (`spark.graft.q72.shape=rewrite`) and re-measured every
+    * round by the bench extras (`q72_rewrite_med`/`_min`). With r19's
+    * write-parallel staging the spec text also became the FASTER local
+    * shape (the explosion runs inside one parallel broadcast pipeline);
+    * the rewrite remains the documented 100 TB fallback when the dims
+    * outgrow broadcast. Both texts are relationally equivalent and
+    * oracle-verified. */
+  private[operators] val q72SpecBody = """SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
+       CAST(SUM(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) no_promo,
+       CAST(SUM(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) promo,
+       COUNT(*) total_cnt
+FROM catalog_sales
+JOIN inventory ON (cs_item_sk = inv_item_sk)
+JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
+JOIN item ON (i_item_sk = cs_item_sk)
+JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
+JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
+JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
+JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
+JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+LEFT OUTER JOIN promotion ON (cs_promo_sk = p_promo_sk)
+LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk
+                                    AND cr_order_number = cs_order_number)
+WHERE d1.d_week_seq = d2.d_week_seq AND inv_quantity_on_hand < cs_quantity
+  AND d3.d_date > d1.d_date + 5 AND hd_buy_potential = '>10000'
+  AND d1.d_year = 2000 AND cd_marital_status = 'D'
+GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+ORDER BY total_cnt DESC NULLS LAST, i_item_desc ASC NULLS FIRST,
+         w_warehouse_name ASC NULLS FIRST, d1.d_week_seq ASC NULLS FIRST,
+         no_promo ASC NULLS FIRST, promo ASC NULLS FIRST
+LIMIT 100"""
+
+  private[operators] val q72RewriteBody = """SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
        CAST(SUM(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) no_promo,
        CAST(SUM(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) promo,
        COUNT(*) total_cnt
@@ -893,7 +929,18 @@ GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
 ORDER BY total_cnt DESC NULLS LAST, i_item_desc ASC NULLS FIRST,
          w_warehouse_name ASC NULLS FIRST, d1.d_week_seq ASC NULLS FIRST,
          no_promo ASC NULLS FIRST, promo ASC NULLS FIRST
-LIMIT 100""")
+LIMIT 100"""
+
+  private val q72 = OpQuery("tpcds_q72",
+    Some(Tpcds.oracle(
+      Seq("catalog_sales", "inventory", "warehouse", "item",
+        "customer_demographics", "household_demographics", "date_dim",
+        "promotion", "catalog_returns"), q72SpecBody)),
+    (s, d) => {
+      Tpcds.ensure(s, d)
+      s.sql(if (s.conf.getOption("spark.graft.q72.shape")
+          .contains("rewrite")) q72RewriteBody else q72SpecBody)
+    })
 
   private val q75 = tq("tpcds_q75",
     Seq("catalog_sales", "catalog_returns", "store_sales", "store_returns", "web_sales", "web_returns", "item", "date_dim"),
